@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Identifier/string normalizers, re-expressed as pure Column expressions
+  * so they stay inside whole-stage codegen (no UDFs).
+  *
+  * Semantics follow /root/reference/rialto_airflow/utils.py:
+  *  - normalize_doi    (utils.py:87-120)  arXiv-id → DOI rewrite, then
+  *    extract the first "10.…" substring; blank/quote-containing → NULL.
+  *  - normalize_pmid   (utils.py:127-134) lowercase, strip URL + medline:.
+  *  - normalize_wos_id (utils.py:137-161) strip WOS: prefix, MEDLINE: → NULL.
+  *  - normalize_orcid  (utils.py:164-170) lowercase, strip orcid.org URLs.
+  *  - piped            (utils.py:173-183) pipe-join, dropping NULLs.
+  *  - join_keys        (utils.py:186-198) space-join present values.
+  * Funder-name normalization follows funders/dataset.py:21-24.
+  */
+object Normalizers {
+
+  /** arXiv:NNNN → 10.48550/arxiv.NNNN then keep from the first "10." on.
+    * NULL when input is NULL/blank, contains a double quote, or has no
+    * DOI-like "10." substring.
+    */
+  def normalizeDoi(c: Column): Column = {
+    val trimmed = trim(c)
+    val deArxiv = regexp_replace(trimmed, "(?i)^arxiv:", "10.48550/arxiv.")
+    val candidate = regexp_extract(deArxiv, "(10\\..+)", 1)
+    when(c.isNull || trimmed === "" || trimmed.contains("\""), lit(null))
+      .otherwise(when(candidate === "", lit(null)).otherwise(candidate))
+  }
+
+  def normalizePmid(c: Column): Column = {
+    val s = lower(trim(c))
+    val noUrl = regexp_replace(s, "https://pubmed\\.ncbi\\.nlm\\.nih\\.gov/", "")
+    regexp_replace(noUrl, "medline:", "")
+  }
+
+  def normalizeWosId(c: Column): Column = {
+    val s = trim(c)
+    when(c.isNull || s === "" || upper(s).startsWith("MEDLINE:"), lit(null))
+      .otherwise(when(upper(s).startsWith("WOS:"), s.substr(lit(5), length(s) - 4)).otherwise(s))
+  }
+
+  def normalizeOrcid(c: Column): Column = {
+    val s = lower(trim(c))
+    regexp_replace(s, "https://(sandbox\\.)?orcid\\.org/", "")
+  }
+
+  /** Pipe-delimited join of a string array, dropping NULL elements. */
+  def piped(c: Column): Column =
+    when(c.isNull, lit(null))
+      .otherwise(array_join(filter(c, x => x.isNotNull), "|"))
+
+  /** Space-join of any present (non-NULL) values; concat_ws skips NULLs. */
+  def joinKeys(cols: Column*): Column = concat_ws(" ", cols: _*)
+
+  /** Funder-name normalization: drop a trailing parenthetical acronym,
+    * lowercase (funders/dataset.py _normalize_name).
+    */
+  def normalizeFunderName(c: Column): Column =
+    lower(regexp_replace(c, " ?\\(.+\\)$", ""))
+}

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed access to the engine's input tables (one parquet per table).
+  *
+  * Mirrors the reference's data model (see SURVEY.md §3): the rialto
+  * pipeline reads per-source harvested records plus an authors dimension
+  * (/root/reference/rialto_airflow/harvest_incremental/authors.py:19);
+  * here every input is a columnar parquet scan so Catalyst can push
+  * filters and prune columns all the way into the file reader.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  /** events.ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos
+    * (see GraftSession nanosAsLong). Convert to a Spark timestamp
+    * (microsecond precision) so downstream time logic is uniform.
+    */
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    t("events").withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS LONG))"))
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

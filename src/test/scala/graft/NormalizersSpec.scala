@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalizers._
+
+/** Semantics mirror /root/reference/rialto_airflow/test/test_utils.py. */
+class NormalizersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(c: org.apache.spark.sql.Column, input: String): Any =
+    Seq(input).toDF("x").select(c.as("y")).collect()(0).get(0)
+
+  private def runNull(c: org.apache.spark.sql.Column): Any =
+    Seq(Option.empty[String]).toDF("x").select(c.as("y")).collect()(0).get(0)
+
+  test("normalizeDoi extracts from junk and rewrites arXiv ids") {
+    assert(run(normalizeDoi(col("x")), "https://doi.org/10.1234/abc.123") == "10.1234/abc.123")
+    assert(run(normalizeDoi(col("x")), "10.1234/abc.123") == "10.1234/abc.123")
+    assert(run(normalizeDoi(col("x")), "arXiv:2202.01037") == "10.48550/arxiv.2202.01037")
+    assert(run(normalizeDoi(col("x")), "no doi here") == null)
+    assert(run(normalizeDoi(col("x")), "   ") == null)
+    assert(run(normalizeDoi(col("x")), "10.1\"quoted\"") == null)
+    assert(runNull(normalizeDoi(col("x"))) == null)
+  }
+
+  test("normalizePmid strips url and medline prefix") {
+    assert(run(normalizePmid(col("x")), "https://pubmed.ncbi.nlm.nih.gov/123456") == "123456")
+    assert(run(normalizePmid(col("x")), "MEDLINE:123456") == "123456")
+    assert(run(normalizePmid(col("x")), " 123456 ") == "123456")
+  }
+
+  test("normalizeWosId strips WOS: and nulls MEDLINE:") {
+    assert(run(normalizeWosId(col("x")), "WOS:001008232900698") == "001008232900698")
+    assert(run(normalizeWosId(col("x")), "001008232900698") == "001008232900698")
+    assert(run(normalizeWosId(col("x")), "MEDLINE:29780978") == null)
+    assert(run(normalizeWosId(col("x")), "  ") == null)
+  }
+
+  test("normalizeOrcid lowercases and strips orcid.org urls") {
+    assert(run(normalizeOrcid(col("x")), "https://orcid.org/0000-0002-1825-009X") == "0000-0002-1825-009x")
+    assert(run(normalizeOrcid(col("x")), "https://sandbox.orcid.org/0000-0002-1825-0097") == "0000-0002-1825-0097")
+    assert(run(normalizeOrcid(col("x")), "0000-0002-1825-0097") == "0000-0002-1825-0097")
+  }
+
+  test("piped joins dropping nulls; joinKeys skips missing") {
+    val df = Seq((Seq(Some("a"), None, Some("b")), Some("x"), Option.empty[String])).toDF("arr", "l", "r")
+    val out = df.select(piped(col("arr")).as("p"), joinKeys(col("l"), col("r")).as("j")).collect()(0)
+    assert(out.getString(0) == "a|b")
+    assert(out.getString(1) == "x")
+  }
+
+  test("normalizeFunderName drops parenthetical acronym and lowercases") {
+    val r = run(normalizeFunderName(col("x")), "National Institutes of Health (NIH)")
+    assert(r == "national institutes of health")
+  }
+}

@@ -55,6 +55,15 @@ object Normalizers {
   /** Space-join of any present (non-NULL) values; concat_ws skips NULLs. */
   def joinKeys(cols: Column*): Column = concat_ws(" ", cols: _*)
 
+  /** sulpub author-name assembly (author_names.py:83-96):
+    * "Stanford, L. D." → "L. D. Stanford" — split on commas, rotate the
+    * family name to the end.
+    */
+  def flipName(c: Column): Column = {
+    val parts = transform(split(c, ","), p => trim(p))
+    array_join(concat(slice(parts, 2, Int.MaxValue), slice(parts, 1, 1)), " ")
+  }
+
   /** Funder-name normalization: drop a trailing parenthetical acronym,
     * lowercase (funders/dataset.py _normalize_name).
     */

@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Normalizers, TypeNormalize}
+import graft.sources.Tables
+
+/** Rialto domain operators instantiated on the synthetic tables
+  * (SURVEY.md §2 #14-18, #20-26, #28, #30 and §3 for the role mapping:
+  * orders ≈ publications, supplier-via-lineitem ≈ authors association,
+  * part-via-lineitem ≈ funders association).
+  */
+object DomainQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val CurrentYear = 2026
+
+  /** Role-shaped frames for the report queries. */
+  private def pubs(t: Tables): DataFrame =
+    t.orders.select(
+      col("o_orderkey").as("pub_id"),
+      year(col("o_orderdate")).cast("long").as("pub_year"),
+      col("o_orderpriority").as("title")
+    )
+  private def pubAuthor(t: Tables): DataFrame =
+    t.lineitem.select(col("l_orderkey").as("pub_id"), col("l_suppkey").as("author_id")).distinct()
+  private def authors(t: Tables): DataFrame =
+    t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("author_id"), col("s_name").as("author_name"), col("n_name").as("school"))
+  private def pubFunder(t: Tables): DataFrame =
+    t.lineitem.select(col("l_orderkey").as("pub_id"), col("l_partkey").as("funder_id")).distinct()
+  private def funders(t: Tables): DataFrame =
+    t.part.select(col("p_partkey").as("funder_id"), (col("p_size") > 25).as("federal"))
+
+  val queries: Map[String, Q] = Map(
+    // #14/#16 ordered precedence with valid-year guard: rule 1 is
+    // deliberately invalid for every third row, so the fallback fires.
+    "q_distill_first" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val bump = when(col("o_orderkey") % 3 === 0, lit(10000)).otherwise(lit(0))
+      o.select(
+        col("o_orderkey"),
+        Distill.firstValid(
+          Distill.validYear(year(col("o_orderdate")) + bump, CurrentYear),
+          Distill.validYear(year(col("o_orderdate")) - 1, CurrentYear)
+        ).as("pub_year")
+      )
+    },
+
+    // #15 JSONPath rules over a JSON string column + positive guard +
+    // missing-path fallback (distiller JsonPathRule semantics).
+    "q_distill_json" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      e.select(
+        col("event_id"),
+        Distill.firstValid(Distill.positiveNumber(Distill.jsonRule(col("props"), "k")), lit(0L)).as("k"),
+        Distill.firstValid(Distill.jsonRule(col("props"), "m").cast("long"), lit(-1L)).as("m")
+      )
+    },
+
+    // #17 type normalization: dictionary hit or str.capitalize fallback.
+    "q_type_normalize" -> { (s, dir) =>
+      val rawTypes = typedlit(Seq("journal article", "book-chapter", "preprint", "published erratum", "data set", "zine"))
+      Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        element_at(rawTypes, (col("o_orderkey") % 6 + 1).cast("int")).as("raw_type")
+      ).withColumn("norm_type", TypeNormalize.normalizeType(col("raw_type")))
+    },
+
+    // #18 citation_count = null-safe max over candidate sources.
+    "q_greatest_sources" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+      c.select(
+        col("c_custkey"),
+        greatest(
+          (col("c_custkey") % 90).cast("long"),
+          (col("c_nationkey") * 3).cast("long"),
+          when(col("c_custkey") % 7 === 0, lit(null).cast("long")).otherwise(lit(50L))
+        ).as("citation_count")
+      )
+    },
+
+    // #28 sulpub "Last, F." name flip + join_keys assembly.
+    "q_name_assembly" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+      c.select(
+        col("c_custkey"),
+        Normalizers.flipName(concat(col("c_name"), lit(", A. B."))).as("flipped"),
+        Normalizers.joinKeys(
+          when(col("c_custkey") % 5 === 0, lit(null).cast("string")).otherwise(lit("Dr.")),
+          col("c_name")
+        ).as("full_name")
+      )
+    },
+
+    // #21 APC rule chain: located value unless closed, else OA defaults.
+    "q_apc" -> { (s, dir) =>
+      val oaStatuses = typedlit(Seq("closed", "diamond", "gold", "hybrid", "bronze"))
+      val o = Tables(s, dir).orders
+      val candidate = Distill.positiveNumber(
+        when(col("o_orderkey") % 4 === 0, floor(col("o_totalprice") / 100))
+      )
+      val oa = element_at(oaStatuses, (col("o_orderkey") % 5 + 1).cast("int"))
+      o.select(
+        col("o_orderkey"),
+        oa.as("oa_status"),
+        Rialto.apc(candidate, oa).as("apc")
+      )
+    },
+
+    // #22 federal-funder membership on the normalized name.
+    "q_federal_match" -> { (s, dir) =>
+      val federal = (1 to 5).map(i => f"supplier#$i%09d")
+      val sup = Tables(s, dir).supplier
+      val raw = concat(col("s_name"), when(col("s_suppkey") % 3 === 0, lit(" (FED)")).otherwise(lit("")))
+      sup.select(
+        col("s_suppkey"),
+        Normalizers.normalizeFunderName(raw).as("norm_name"),
+        Rialto.isFederal(raw, federal).as("federal")
+      )
+    },
+
+    // #23 funder link: explode-equivalent association dedupe + link-back.
+    "q_funder_link" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      pubFunder(t)
+        .groupBy("funder_id")
+        .agg(count(lit(1)).as("n_pubs"))
+        .join(broadcast(funders(t)), "funder_id")
+        .select("funder_id", "federal", "n_pubs")
+    },
+
+    // #20 duplicate-group merge: survivor payload + unioned associations.
+    "q_dedupe_merge_assoc" -> { (s, dir) =>
+      Rialto.mergeAssociations(
+        Tables(s, dir).lineitem,
+        keys = Seq("l_orderkey", "l_linenumber"),
+        payload = col("l_quantity"),
+        assoc = col("l_suppkey")
+      )
+    },
+
+    // #30 batch upsert: incoming wins, action column like the reference.
+    "q_upsert_merge" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val existing = o.filter(col("o_orderkey") % 2 === 0).select(col("o_orderkey"), col("o_totalprice"))
+      // +1000 is exact in binary floating point (unlike *1.1), so the
+      // oracle compare is bit-stable.
+      val incoming = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1000).as("o_totalprice"))
+      Rialto.upsert(existing, incoming, "o_orderkey")
+        .select(
+          col("o_orderkey"),
+          col("row.o_totalprice").as("price"),
+          col("action")
+        )
+    },
+
+    // #24 publications report.
+    "q_report_publications" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Reports.publications(pubs(t), pubFunder(t), funders(t))
+    },
+
+    // #25 publications_by_<dim> report (school ≈ supplier nation).
+    "q_report_by_group" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Reports.publicationsByGroup(pubs(t), pubAuthor(t), authors(t), pubFunder(t), funders(t), Seq("school"))
+    },
+
+    // #26 publications_by_author report with author-list distills.
+    "q_report_by_author" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Reports.publicationsByAuthor(pubs(t), pubAuthor(t), authors(t), pubFunder(t), funders(t))
+    }
+  )
+
+  private val ffCte =
+    """ff AS (
+      |  SELECT l_orderkey AS pub_id, bool_or(p_size > 25) AS federally_funded
+      |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      |  JOIN part ON p_partkey = l_partkey GROUP BY l_orderkey)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_distill_first" ->
+      """SELECT o_orderkey,
+        |  COALESCE(
+        |    CASE WHEN year(o_orderdate) + (CASE WHEN o_orderkey % 3 = 0 THEN 10000 ELSE 0 END) <= 2026
+        |         THEN year(o_orderdate) + (CASE WHEN o_orderkey % 3 = 0 THEN 10000 ELSE 0 END) END,
+        |    CASE WHEN year(o_orderdate) - 1 <= 2026 THEN year(o_orderdate) - 1 END) AS pub_year
+        |FROM orders""".stripMargin,
+    "q_distill_json" ->
+      """SELECT event_id,
+        |  COALESCE(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
+        |                THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END, 0) AS k,
+        |  COALESCE(CAST(json_extract_string(props, '$.m') AS BIGINT), -1) AS m
+        |FROM events""".stripMargin,
+    "q_type_normalize" ->
+      """SELECT o_orderkey,
+        |  CASE o_orderkey % 6 WHEN 0 THEN 'journal article' WHEN 1 THEN 'book-chapter'
+        |       WHEN 2 THEN 'preprint' WHEN 3 THEN 'published erratum'
+        |       WHEN 4 THEN 'data set' ELSE 'zine' END AS raw_type,
+        |  CASE o_orderkey % 6 WHEN 0 THEN 'Article' WHEN 1 THEN 'Chapter'
+        |       WHEN 2 THEN 'Preprint' WHEN 3 THEN 'Correction/Retraction'
+        |       WHEN 4 THEN 'Dataset' ELSE 'Zine' END AS norm_type
+        |FROM orders""".stripMargin,
+    "q_greatest_sources" ->
+      """SELECT c_custkey,
+        |  greatest(c_custkey % 90, c_nationkey * 3,
+        |           CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE 50 END) AS citation_count
+        |FROM customer""".stripMargin,
+    "q_name_assembly" ->
+      """SELECT c_custkey,
+        |  'A. B. ' || c_name AS flipped,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_name ELSE 'Dr. ' || c_name END AS full_name
+        |FROM customer""".stripMargin,
+    "q_apc" ->
+      """SELECT o_orderkey,
+        |  CASE o_orderkey % 5 WHEN 0 THEN 'closed' WHEN 1 THEN 'diamond' WHEN 2 THEN 'gold'
+        |       WHEN 3 THEN 'hybrid' ELSE 'bronze' END AS oa_status,
+        |  CASE WHEN o_orderkey % 4 = 0 AND o_orderkey % 5 = 0 THEN 0
+        |       WHEN o_orderkey % 4 = 0 THEN CAST(floor(o_totalprice / 100) AS BIGINT)
+        |       WHEN o_orderkey % 5 = 1 THEN 0
+        |       WHEN o_orderkey % 5 = 2 THEN 2450
+        |       WHEN o_orderkey % 5 = 3 THEN 3600
+        |       ELSE NULL END AS apc
+        |FROM orders""".stripMargin,
+    "q_federal_match" ->
+      """SELECT s_suppkey,
+        |  lower(regexp_replace(s_name || CASE WHEN s_suppkey % 3 = 0 THEN ' (FED)' ELSE '' END, ' ?\(.+\)$', '')) AS norm_name,
+        |  lower(regexp_replace(s_name || CASE WHEN s_suppkey % 3 = 0 THEN ' (FED)' ELSE '' END, ' ?\(.+\)$', ''))
+        |    IN ('supplier#000000001','supplier#000000002','supplier#000000003','supplier#000000004','supplier#000000005') AS federal
+        |FROM supplier""".stripMargin,
+    "q_funder_link" ->
+      """SELECT p_partkey AS funder_id, p_size > 25 AS federal, count(*) AS n_pubs
+        |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+        |JOIN part ON p_partkey = l_partkey
+        |GROUP BY p_partkey, p_size > 25""".stripMargin,
+    "q_dedupe_merge_assoc" ->
+      """SELECT l_orderkey, l_linenumber, max(l_quantity) AS payload,
+        |  string_agg(DISTINCT CAST(l_suppkey AS VARCHAR), '|' ORDER BY CAST(l_suppkey AS VARCHAR)) AS assoc_ids
+        |FROM lineitem GROUP BY l_orderkey, l_linenumber""".stripMargin,
+    "q_upsert_merge" ->
+      """SELECT COALESCE(i.o_orderkey, e.o_orderkey) AS o_orderkey,
+        |  COALESCE(i.p, e.o_totalprice) AS price,
+        |  CASE WHEN e.o_orderkey IS NULL THEN 'inserted'
+        |       WHEN i.o_orderkey IS NULL THEN 'noop'
+        |       ELSE 'updated' END AS action
+        |FROM (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0) e
+        |FULL OUTER JOIN (SELECT o_orderkey, o_totalprice + 1000 AS p
+        |                 FROM orders WHERE o_orderkey % 3 = 0) i
+        |ON e.o_orderkey = i.o_orderkey""".stripMargin,
+    "q_report_publications" ->
+      s"""WITH $ffCte
+         |SELECT o_orderkey AS pub_id, year(o_orderdate) AS pub_year, o_orderpriority AS title,
+         |       COALESCE(ff.federally_funded, false) AS federally_funded
+         |FROM orders LEFT JOIN ff ON ff.pub_id = o_orderkey""".stripMargin,
+    "q_report_by_group" ->
+      s"""WITH $ffCte
+         |SELECT DISTINCT o_orderkey AS pub_id, n_name AS school, year(o_orderdate) AS pub_year,
+         |       o_orderpriority AS title, COALESCE(ff.federally_funded, false) AS federally_funded
+         |FROM orders
+         |JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) pa ON pa.l_orderkey = o_orderkey
+         |JOIN supplier ON s_suppkey = pa.l_suppkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |LEFT JOIN ff ON ff.pub_id = o_orderkey""".stripMargin,
+    "q_report_by_author" ->
+      s"""WITH $ffCte,
+         |pa AS (SELECT DISTINCT l_orderkey AS pub_id, l_suppkey AS author_id FROM lineitem),
+         |aa AS (SELECT pub_id,
+         |         string_agg(DISTINCT s_name, '|' ORDER BY s_name) AS author_list_names,
+         |         min(s_name) AS first_author_name, max(s_name) AS last_author_name
+         |       FROM pa JOIN supplier ON s_suppkey = author_id GROUP BY pub_id)
+         |SELECT o_orderkey AS pub_id, year(o_orderdate) AS pub_year, o_orderpriority AS title,
+         |       COALESCE(ff.federally_funded, false) AS federally_funded,
+         |       aa.author_list_names, aa.first_author_name, aa.last_author_name
+         |FROM orders
+         |LEFT JOIN ff ON ff.pub_id = o_orderkey
+         |LEFT JOIN aa ON aa.pub_id = o_orderkey""".stripMargin
+  )
+}

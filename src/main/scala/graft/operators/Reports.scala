@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalizers
+
+/** Denormalized report builders — the Spark form of
+  * /root/reference/rialto_airflow/publish/publication.py.
+  *
+  * Role-named inputs (rename your columns into these before calling):
+  *   pubs:      one row per publication, `pub_id` + payload columns
+  *   pubAuthor: association rows `pub_id`, `author_id`
+  *   authors:   `author_id` + dimension columns (school, dept, ...)
+  *   pubFunder: association rows `pub_id`, `funder_id`
+  *   funders:   `funder_id`, boolean `federal`
+  *
+  * The reference streams Postgres cursors row-by-row into per-row
+  * INSERTs; here each report is one plan: the funder-federal flag is
+  * pre-aggregated per publication (a small shuffle keyed by pub_id),
+  * then joined — authors/funders dims are broadcast-sized in practice.
+  * `federally_funded = any(federal)` ≡ jsonb_agg_strict + any()
+  * (publication.py:77,108) with any([]) == false.
+  */
+object Reports {
+
+  /** Per-publication `federally_funded` flag. */
+  def federallyFunded(pubFunder: DataFrame, funders: DataFrame): DataFrame =
+    pubFunder
+      .join(broadcast(funders), "funder_id")
+      .groupBy("pub_id")
+      .agg(bool_or(col("federal")).as("federally_funded"))
+
+  /** publications report: pub grain, aggregated funder flag. */
+  def publications(pubs: DataFrame, pubFunder: DataFrame, funders: DataFrame): DataFrame =
+    pubs
+      .join(federallyFunded(pubFunder, funders), Seq("pub_id"), "left")
+      .withColumn("federally_funded", coalesce(col("federally_funded"), lit(false)))
+
+  /** publications_by_<dim> report: pub × author-dim grain. */
+  def publicationsByGroup(
+      pubs: DataFrame,
+      pubAuthor: DataFrame,
+      authors: DataFrame,
+      pubFunder: DataFrame,
+      funders: DataFrame,
+      groupCols: Seq[String]
+  ): DataFrame =
+    publications(pubs, pubFunder, funders)
+      .join(pubAuthor, "pub_id")
+      .join(broadcast(authors), "author_id")
+      .select((Seq("pub_id") ++ groupCols ++ pubs.columns.filterNot(_ == "pub_id")
+        ++ Seq("federally_funded")).distinct.map(col): _*)
+      .distinct()
+
+  /** publications_by_author report: pub × author grain with author-list
+    * aggregates distilled from the association itself.
+    */
+  def publicationsByAuthor(
+      pubs: DataFrame,
+      pubAuthor: DataFrame,
+      authors: DataFrame,
+      pubFunder: DataFrame,
+      funders: DataFrame
+  ): DataFrame = {
+    val authorAgg = pubAuthor
+      .join(broadcast(authors), "author_id")
+      .groupBy("pub_id")
+      .agg(
+        Normalizers.piped(array_sort(collect_set(col("author_name")))).as("author_list_names"),
+        min(col("author_name")).as("first_author_name"),
+        max(col("author_name")).as("last_author_name")
+      )
+    publications(pubs, pubFunder, funders)
+      .join(authorAgg, Seq("pub_id"), "left")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalizers
+
+/** Rialto domain operators, re-expressed as distributed transforms.
+  *
+  * The reference performs these row-at-a-time against Postgres
+  * (deduplicate.py, authors.py, apc.py, funders/dataset.py); here each is
+  * a declarative plan: window-dedup instead of per-id SELECT loops,
+  * full-outer merge instead of per-row upsert, broadcast set membership
+  * instead of an in-process dict.
+  */
+object Rialto {
+
+  /** merge_pubs survivor pick (deduplicate.py:187-217): one row per key,
+    * newest first by `newestBy` (descending, with the caller providing
+    * enough columns for determinism).
+    */
+  def keepNewest(df: DataFrame, keys: Seq[String], newestBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(newestBy.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Duplicate-group merge: groupBy the dup key, keep the max "payload"
+    * and union the association sets — the relational form of moving
+    * author/funder links onto the surviving publication.
+    */
+  def mergeAssociations(df: DataFrame, keys: Seq[String], payload: Column, assoc: Column)
+      : DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        max(payload).as("payload"),
+        Normalizers.piped(array_sort(collect_set(assoc.cast("string")))).as("assoc_ids")
+      )
+
+  /** authors.upsert_author as a batch merge: incoming wins over existing
+    * on the natural key; rows only in one side pass through. `action` is
+    * inserted/updated/noop like the reference's return value.
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, key: String): DataFrame = {
+    val e = existing.select(col(key).as("k"), struct(existing.columns.map(col): _*).as("e"))
+    val i = incoming.select(col(key).as("k"), struct(incoming.columns.map(col): _*).as("i"))
+    e.join(i, Seq("k"), "full_outer")
+      .select(
+        col("k").as(key),
+        coalesce(col("i"), col("e")).as("row"),
+        when(col("e").isNull, "inserted")
+          .when(col("i").isNull, "noop")
+          .when(col("i") === col("e"), "noop")
+          .otherwise("updated")
+          .as("action")
+      )
+  }
+
+  /** APC resolution (distiller/apc.py): a located positive value wins
+    * unless the publication is closed-access; otherwise OA-status
+    * defaults. `candidate` must already be validated positive (use
+    * Distill.positiveNumber).
+    */
+  def apc(candidate: Column, oaStatus: Column, isPreprint: Column = lit(false)): Column = {
+    val oa = lower(coalesce(oaStatus, lit("")))
+    when(isPreprint, lit(0L))
+      .when(candidate.isNotNull && oa === "closed", lit(0L))
+      .when(candidate.isNotNull, candidate)
+      .when(oa === "diamond", lit(0L))
+      .when(oa === "gold", lit(2450L))
+      .when(oa === "hybrid", lit(3600L))
+      .otherwise(lit(null).cast("long"))
+  }
+
+  /** Federal-funder test (funders/dataset.py): normalized name in the
+    * federal dataset, or GRID id in the dataset. The datasets are small
+    * (~239 rows) so they travel as literal arrays — a broadcast in
+    * cluster terms, constant-folded into codegen here.
+    */
+  def isFederal(name: Column, federalNames: Seq[String]): Column =
+    Normalizers.normalizeFunderName(name).isInCollection(federalNames)
+}

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a large-scale training-data pipeline:
+  * tokenization, token counting, quality scoring (Gopher-style rules),
+  * language-ID heuristics, n-gram shingling, Jaccard similarity, and
+  * document fingerprinting.
+  *
+  * All pure Column expressions — per-row, embarrassingly parallel, inside
+  * whole-stage codegen. Nothing here shuffles; shuffling belongs to the
+  * operators that consume these (dedup joins, LSH buckets).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (lowercased). */
+  def tokenize(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokenize(text)).cast("long")
+
+  /** BPE-ish token estimate: ceil(len/4) subword chunks per word —
+    * the ~4-chars-per-token heuristic used for budget estimates.
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(
+      tokenize(text),
+      lit(0L),
+      (acc, w) => acc + ceil(length(w) / 4.0).cast("long")
+    )
+
+  /** Number of tokens that appear in `stopwords`. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokenize(text), t => t.isInCollection(stopwords))).cast("long")
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val ws = tokenize(text)
+    (aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(ws))
+  }
+
+  /** Gopher-style quality gate: token count and mean word length within
+    * sane bounds, and at least one stopword hit.
+    */
+  def gopherQuality(text: Column, stopwords: Seq[String]): Column = {
+    val n = tokenCount(text)
+    val m = meanTokenLen(text)
+    n.between(10L, 100000L) && m.between(2.0, 12.0) && stopwordHits(text, stopwords) > 0
+  }
+
+  /** Per-language stopword profiles for the language-ID heuristic. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "es" -> Seq("el", "la", "de", "los", "las", "y", "es", "en", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "un", "une", "dans", "pour")
+  )
+
+  /** Argmax language by stopword hits; `default` when every profile
+    * scores zero. Ties break by profile order.
+    */
+  def predictLang(text: Column, profiles: Seq[(String, Seq[String])], default: String): Column = {
+    val scored = profiles.map { case (lang, words) => (lang, stopwordHits(text, words)) }
+    val best = scored.tail.foldLeft(struct(lit(scored.head._1).as("lang"), scored.head._2.as("hits"))) {
+      case (acc, (lang, hits)) =>
+        when(hits > acc.getField("hits"), struct(lit(lang).as("lang"), hits.as("hits"))).otherwise(acc)
+    }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit(default))
+  }
+
+  /** Distinct word n-grams ("shingles"); empty array when too few words. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = tokenize(text)
+    val grams = transform(
+      sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)
+    )
+    array_distinct(when(size(ws) >= n, grams).otherwise(array()))
+  }
+
+  /** Jaccard similarity of two (distinct-element) arrays, 0 when both
+    * are empty.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b)).cast("double")
+    val u = size(array_union(a, b)).cast("double")
+    when(u === 0, lit(0.0)).otherwise(i / u)
+  }
+
+  /** 64-bit content fingerprint (xxhash64 of the full text). */
+  def fingerprint(text: Column): Column = xxhash64(text)
+
+  /** Shingle fingerprint: min xxhash64 over word 3-grams — a 1-wide
+    * MinHash, stable under word order far from the minimum.
+    */
+  def shingleFingerprint(text: Column): Column =
+    array_min(transform(wordNgrams(text, 3), s => xxhash64(s)))
+
+  /** Rebuild an abstract from a positional inverted index
+    * (map word -> positions), the OpenAlex format — mirrors
+    * /root/reference/rialto_airflow/distiller/abstract.py:66-94 as one
+    * expression: entries → (pos, word) pairs → sort → join.
+    */
+  def rebuildInvertedIndex(m: Column): Column = {
+    val pairs = flatten(
+      transform(
+        map_entries(m),
+        e => transform(e.getField("value"), p => struct(p.as("pos"), e.getField("key").as("w")))
+      )
+    )
+    array_join(transform(array_sort(pairs), p => p.getField("w")), " ")
+  }
+
+  /** Inverse of rebuildInvertedIndex for round-trip tests: text → map
+    * word -> sorted positions (0-based).
+    */
+  def buildInvertedIndex(text: Column): Column = {
+    val ws = tokenize(text)
+    val dw = array_distinct(ws)
+    map_from_arrays(
+      dw,
+      transform(
+        dw,
+        w => filter(transform(sequence(lit(1), size(ws)), i => i - 1), p => element_at(ws, p + 1) === w)
+      )
+    )
+  }
+}

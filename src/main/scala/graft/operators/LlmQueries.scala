@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.sources.Tables
+
+/** LLM-pipeline operators instantiated on documents/embeddings
+  * (SURVEY.md §2 #27, #32-41).
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val enStops = TextAnalysis.langProfiles("en")
+
+  /** documents ∪ perturbed copies (planted near-duplicates, id+1000000)
+    * so near-dup operators have known positives to find.
+    */
+  private def planted(t: Tables): DataFrame = {
+    val docs = t.documents.select("doc_id", "text")
+    val variants = t.documents
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), concat(col("text"), lit(" extra tail token")).as("text"))
+    docs.unionByName(variants)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // #32 exact dedup on a normalized key (hash groupBy; ids only shuffle).
+    "q_dedup_exact" -> { (s, dir) =>
+      TextDedup.exactDupGroups(
+        Tables(s, dir).documents,
+        col("doc_id"),
+        lower(substring(col("text"), 1, 20))
+      )
+    },
+
+    // #40 token counting: whitespace + BPE-ish estimate.
+    "q_token_count" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_est")
+      )
+    },
+
+    // #39 quality scoring (Gopher-style gates).
+    "q_quality_score" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_len"),
+        TextAnalysis.stopwordHits(col("text"), enStops).as("stop_hits"),
+        TextAnalysis.gopherQuality(col("text"), enStops).as("gopher_ok")
+      )
+    },
+
+    // #38 language-ID heuristic (stopword-profile argmax).
+    "q_lang_id" -> { (s, dir) =>
+      val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.stopwordHits(col("text"), TextAnalysis.langProfiles("en")).as("en_hits"),
+        TextAnalysis.stopwordHits(col("text"), TextAnalysis.langProfiles("es")).as("es_hits"),
+        TextAnalysis.predictLang(col("text"), profiles, "und").as("predicted")
+      )
+    },
+
+    // #35 n-gram Jaccard between consecutive documents.
+    "q_ngram_jaccard" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val g = d.select(col("doc_id"), TextAnalysis.wordNgrams(col("text"), 2).as("bg"))
+      g.as("a")
+        .join(g.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(
+          col("a.doc_id").as("id_a"),
+          col("b.doc_id").as("id_b"),
+          round(TextAnalysis.jaccard(col("a.bg"), col("b.bg")), 4).as("jaccard")
+        )
+    },
+
+    // #41 fingerprints (no DuckDB xxhash64 — rows-only check).
+    "q_fingerprint" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.shingleFingerprint(col("text")).as("shingle_fp")
+      )
+    },
+
+    // #27 inverted-index round-trip: rebuild(build(text)) must equal the
+    // canonical tokenized text for every row.
+    "q_inverted_rebuild" -> { (s, dir) =>
+      val canon = array_join(TextAnalysis.tokenize(col("text")), " ")
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        (TextAnalysis.rebuildInvertedIndex(TextAnalysis.buildInvertedIndex(col("text"))) === canon).as("ok")
+      )
+    },
+
+    // #33 MinHash-LSH near-dups find the planted variants (rows-only).
+    "q_dedup_minhash" -> { (s, dir) =>
+      TextDedup.minhashNearDups(planted(Tables(s, dir)), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    },
+
+    // #34 SimHash hamming distance original vs planted variant (rows-only).
+    "q_dedup_simhash" -> { (s, dir) =>
+      val p = planted(Tables(s, dir))
+      val sh = p.select(col("doc_id"), TextDedup.simhashBits(TextAnalysis.tokenize(col("text"))).as("bits"))
+      sh.as("a")
+        .join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1000000)
+        .select(
+          col("a.doc_id").as("id_a"),
+          col("b.doc_id").as("id_b"),
+          TextDedup.hamming(col("a.bits"), col("b.bits")).as("hamming")
+        )
+    },
+
+    // #36 exact ANN baseline: top-3 cosine neighbors per probe.
+    "q_ann_bruteforce" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      VectorOps.bruteForceTopK(e.filter(col("id") % 20 === 0), e, 3)
+        .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+    },
+
+    // #37 LSH-bucketed ANN (rows-only; recall checked in spec).
+    "q_ann_lsh" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      VectorOps.lshTopK(e.filter(col("id") % 20 === 0), e, 3, planes = 8, dim = 64)
+        .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+    }
+  )
+
+  private val wsCte =
+    "w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)"
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT sha256(lower(substr(text, 1, 20))) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY sha256(lower(substr(text, 1, 20)))""".stripMargin,
+    "q_token_count" ->
+      s"""WITH $wsCte
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |       CAST(list_sum(list_transform(ws, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_est
+         |FROM w""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH $wsCte,
+         |q AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |        CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) AS mean_raw,
+         |        CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS stop_hits
+         |      FROM w)
+         |SELECT doc_id, n_tokens, round(mean_raw, 4) AS mean_len, stop_hits,
+         |       (n_tokens BETWEEN 10 AND 100000) AND (mean_raw BETWEEN 2 AND 12) AND stop_hits > 0 AS gopher_ok
+         |FROM q""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH $wsCte,
+         |h AS (SELECT doc_id,
+         |        CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS en,
+         |        CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS BIGINT) AS de,
+         |        CAST(len(list_filter(ws, w -> w IN ('el','la','de','los','las','y','es','en','un','una'))) AS BIGINT) AS es,
+         |        CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','des','est','un','une','dans','pour'))) AS BIGINT) AS fr
+         |      FROM w)
+         |SELECT doc_id, en AS en_hits, es AS es_hits,
+         |       CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         |            WHEN en = greatest(en, de, es, fr) THEN 'en'
+         |            WHEN de = greatest(en, de, es, fr) THEN 'de'
+         |            WHEN es = greatest(en, de, es, fr) THEN 'es'
+         |            ELSE 'fr' END AS predicted
+         |FROM h""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH $wsCte,
+         |g AS (SELECT doc_id,
+         |        list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS bg
+         |      FROM w)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CASE WHEN len(list_distinct(list_concat(a.bg, b.bg))) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE)
+         |                  / len(list_distinct(list_concat(a.bg, b.bg))) END, 4) AS jaccard
+         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_inverted_rebuild" ->
+      "SELECT doc_id, true AS ok FROM documents",
+    "q_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |        list_dot_product(p.v, c.v) / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |      FROM e p JOIN e c ON p.vec_id % 20 = 0 AND c.vec_id <> p.vec_id)
+        |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
+        |  SELECT probe_id, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM s) t
+        |WHERE rn <= 3""".stripMargin
+  )
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Deduplication operators for document corpora (SURVEY.md §2 #32-34).
+  *
+  * Scale design: exact dedup is a hash groupBy (one shuffle of
+  * (hash, id), never the text). MinHash-LSH shuffles only
+  * (band_id, band_hash, doc_id) tuples — b×|docs| small rows — and joins
+  * text back only for candidate pairs, so the full corpus text crosses
+  * the wire zero times. SimHash is per-row signature computation; pairing
+  * is again id-only.
+  */
+object TextDedup {
+
+  /** Exact duplicate groups on a normalized key: key hash, group size,
+    * and the surviving (minimum) id.
+    */
+  def exactDupGroups(df: DataFrame, id: Column, key: Column): DataFrame =
+    df.groupBy(sha2(key, 256).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(id).as("keeper_id"))
+
+  /** MinHash signature: `h` permutations approximated by seeded
+    * xxhash64; one array column, no UDF.
+    */
+  def minhashSignature(shingles: Column, h: Int): Column =
+    transform(
+      sequence(lit(0), lit(h - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i)))
+    )
+
+  /** LSH banding: (band, xxhash64(band slice)) pairs for bucket joins. */
+  def lshBands(signature: Column, bands: Int, rows: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      j => struct(j.as("band"), xxhash64(slice(signature, j * rows + 1, lit(rows))).as("bh"))
+    )
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * docs(idCol, textCol) → (id_a, id_b, jaccard) for pairs that collide
+    * in ≥1 band and whose true shingle Jaccard ≥ minJaccard.
+    */
+  def minhashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int = 3,
+      h: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5
+  ): DataFrame = {
+    val rows = h / bands
+    val shingled = docs
+      .select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), ngram).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+    val banded = shingled
+      .select(col("id"), explode(lshBands(minhashSignature(col("shingles"), h), bands, rows)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
+
+    // Bucket join on (band, bh): only ids travel. Self-join with id_a <
+    // id_b halves the pairs; distinct collapses multi-band collisions.
+    val candidates = banded.as("x")
+      .join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    // Join shingles back for candidates only, verify true Jaccard.
+    candidates
+      .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), TextAnalysis.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** SimHash bit-vote vector (64 bits, as an array of 0/1 longs):
+    * bit i is 1 when the sum over tokens of ±1 (by bit i of the token's
+    * xxhash64) is positive. Token hashes are computed once, then 64
+    * fixed-shift votes run over the hash array (shift amounts must be
+    * Scala ints, hence the unrolled loop — still one codegen'd
+    * projection).
+    */
+  def simhashBits(tokens: Column): Column = {
+    val hs = transform(tokens, t => xxhash64(t))
+    array((0 until 64).map { i =>
+      val vote = aggregate(
+        hs,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+      )
+      when(vote > 0, 1L).otherwise(0L)
+    }: _*)
+  }
+
+  /** Pack bit arrays into two longs (lo = bits 0-31, hi = bits 32-63)
+    * for compact storage/joins.
+    */
+  def packBits(bits: Column): (Column, Column) = {
+    def pack(range: Range, off: Int): Column =
+      range.map(i => element_at(bits, i + 1) * lit(1L << (i - off))).reduce(_ + _)
+    (pack(0 until 32, 0), pack(32 until 64, 32))
+  }
+
+  /** Hamming distance between two equal-length bit arrays. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v)
+}

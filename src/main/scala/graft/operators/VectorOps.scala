@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2 #36-37).
+  *
+  * Brute force is the exact baseline: probes × corpus with the probe side
+  * broadcast — the corpus is never collected and never shuffled; each
+  * executor scores its corpus partition against the broadcast probes, and
+  * only (probe, id, sim) triples reach the top-k shuffle. The LSH variant
+  * is the scale path: random-hyperplane sign buckets cut candidates by
+  * ~2^planes before exact rerank.
+  */
+object VectorOps {
+
+  /** Dot product of two float/double array columns (double math, left
+    * fold — deterministic order).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors for each probe row.
+    * probes/corpus: (id, vec). Self-pairs excluded.
+    */
+  def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.select(col("id").as("neighbor_id"), col("vec").as("nv"))
+      .crossJoin(broadcast(probes.select(col("id").as("probe_id"), col("vec").as("pv"))))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("nv")).as("sim"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Deterministic ±1 random hyperplanes (no RNG at plan time). */
+  def hyperplanes(planes: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(planes, dim) { (j, d) =>
+      val x = (j * 1315423911L + d * 2654435761L) ^ (j * 97531L + d)
+      if (((x >>> 13) & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** Sign-bit bucket id for a vector under the given hyperplanes. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val proj = aggregate(
+        zip_with(vec, typedlit(p), (x, w) => x.cast("double") * w),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates share an LSH bucket, exact cosine
+    * rerank within the bucket. Trades recall for a |bucket|-sized
+    * candidate set instead of the full corpus.
+    */
+  def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int): DataFrame = {
+    val hp = hyperplanes(planes, dim)
+    val pb = probes.select(col("id").as("probe_id"), col("vec").as("pv"), lshBucket(col("vec"), hp).as("bucket"))
+    val cb = corpus.select(col("id").as("neighbor_id"), col("vec").as("nv"), lshBucket(col("vec"), hp).as("bucket"))
+    val scored = cb.join(broadcast(pb), "bucket")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("nv")).as("sim"))
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+}

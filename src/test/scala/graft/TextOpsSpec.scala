@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{TextDedup, VectorOps}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenize/counts/quality on known text") {
+    val df = Seq("The quick brown fox jumps over the lazy dog").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.stopwordHits(col("text"), TextAnalysis.langProfiles("en")).as("s"),
+      TextAnalysis.bpeTokenEstimate(col("text")).as("b")
+    ).collect()(0)
+    assert(r.getLong(0) == 9)
+    assert(r.getLong(1) == 2) // "the" twice
+    // ceil(3/4)+ceil(5/4)+ceil(5/4)+ceil(3/4)+ceil(5/4)+ceil(4/4)+ceil(3/4)+ceil(4/4)+ceil(3/4)
+    assert(r.getLong(2) == 1 + 2 + 2 + 1 + 2 + 1 + 1 + 1 + 1)
+  }
+
+  test("predictLang picks profile with most hits, default on zero") {
+    val profiles = Seq("en", "es").map(l => l -> TextAnalysis.langProfiles(l))
+    val df = Seq("el perro y la casa de los gatos", "the cat and the hat", "zzz qqq").toDF("text")
+    val out = df.select(TextAnalysis.predictLang(col("text"), profiles, "und")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("es", "en", "und"))
+  }
+
+  test("wordNgrams and jaccard") {
+    val df = Seq(("a b c d", "a b c e")).toDF("x", "y")
+    val r = df.select(
+      TextAnalysis.jaccard(
+        TextAnalysis.wordNgrams(col("x"), 2),
+        TextAnalysis.wordNgrams(col("y"), 2)
+      ).as("j")
+    ).collect()(0).getDouble(0)
+    // bigrams x: {a b, b c, c d}; y: {a b, b c, c e}; i=2 u=4
+    assert(math.abs(r - 0.5) < 1e-9)
+  }
+
+  test("inverted index round-trips") {
+    val df = Seq("to be or not to be").toDF("text")
+    val r = df.select(
+      TextAnalysis.rebuildInvertedIndex(TextAnalysis.buildInvertedIndex(col("text"))).as("t")
+    ).collect()(0).getString(0)
+    assert(r == "to be or not to be")
+  }
+
+  test("simhash: identical texts distance 0, disjoint texts far") {
+    val df = Seq(
+      ("a", "spark window merge join batch"),
+      ("b", "spark window merge join batch"),
+      ("c", "xylophone quartz vivid jumble kraken")
+    ).toDF("id", "text")
+    val sh = df.select(col("id"), TextDedup.simhashBits(TextAnalysis.tokenize(col("text"))).as("bits"))
+    val pairs = sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
+      .select(concat(col("x.id"), col("y.id")).as("p"), TextDedup.hamming(col("x.bits"), col("y.bits")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pairs("ab") == 0L)
+    assert(pairs("ac") > 10L)
+  }
+
+  test("minhash LSH finds a near-duplicate and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the deep green forest tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " again"),
+      (3L, "completely different words about databases indexes queries optimizers plans shuffles and joins everywhere")
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("lsh ANN recall vs brute force on seeded vectors") {
+    val vecs = (0 until 50).map { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("id", "vec")
+    val bf = VectorOps.bruteForceTopK(df.filter(col("id") % 10 === 0), df, 1)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.lshTopK(df.filter(col("id") % 10 === 0), df, 3, planes = 2, dim = 8)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with 2 planes (4 buckets) some overlap of exact top-1 is expected
+    assert(bf.nonEmpty && lsh.nonEmpty)
+  }
+}

@@ -55,6 +55,12 @@ object Normalizers {
   /** Space-join of any present (non-NULL) values; concat_ws skips NULLs. */
   def joinKeys(cols: Column*): Column = concat_ws(" ", cols: _*)
 
+  /** author_list_orcids (author_orcids.py:8-41): normalize every id,
+    * dedupe, sort.
+    */
+  def orcidList(arr: Column): Column =
+    array_sort(array_distinct(transform(filter(arr, x => x.isNotNull), normalizeOrcid _)))
+
   /** sulpub author-name assembly (author_names.py:83-96):
     * "Stanford, L. D." → "L. D. Stanford" — split on commas, rotate the
     * family name to the end.

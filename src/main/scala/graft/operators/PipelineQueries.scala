@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Normalizers, TimeFunctions}
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** Streaming/session/time/multimodal queries (SURVEY.md §2 #12, #29,
+  * #31, #42).
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // #12 event-time windowed aggregation — identical plan runs under
+    // Structured Streaming (see EventStreams + StreamingSpec).
+    "q_stream_window" -> { (s, dir) =>
+      EventStreams.windowedCounts(Tables(s, dir).events, "10 minutes", "1 hour")
+        .select(
+          unix_millis(col("window_start")).as("window_start_ms"),
+          col("event_type"), col("cnt"), col("sum_value")
+        )
+    },
+
+    // #12 gap sessionization (batch formulation of the stateful op).
+    "q_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      EventStreams.sessionizeBatch(ev, gapMs = 600000L)
+        .select(
+          col("user_id"),
+          unix_millis(col("start")).as("start_ms"),
+          unix_millis(col("end")).as("end_ms"),
+          col("n_events"),
+          round(col("total_value"), 2).as("total_value")
+        )
+    },
+
+    // #29 ORCID list: normalize + dedupe + sort + piped.
+    "q_orcid_list" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy("l_orderkey")
+        .agg(
+          Normalizers.piped(
+            Normalizers.orcidList(
+              collect_set(concat(lit("https://orcid.org/s"), col("l_suppkey").cast("string")))
+            )
+          ).as("orcids")
+        )
+    },
+
+    // #31 days_since with Python timedelta.days flooring.
+    "q_days_since" -> { (s, dir) =>
+      Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        TimeFunctions.daysBetween(col("o_orderdate"), lit("2026-08-12").cast("timestamp")).as("age_days")
+      )
+    },
+
+    // #42 multimodal plumbing: binary content → per-partition stub
+    // decode → feature vector (rows-only; decode is env-stubbed).
+    "q_multimodal_features" -> { (s, dir) =>
+      val media = Tables(s, dir).documents.select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("content")
+      )
+      Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"), col("n_bytes"), round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_window" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms, event_type,
+        |       count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, value,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+        |y AS (SELECT user_id, ts, value,
+        |        CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 600000 THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT user_id, ts, value,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM y)
+        |SELECT user_id, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM z GROUP BY user_id, sid""".stripMargin,
+    "q_orcid_list" ->
+      """SELECT l_orderkey,
+        |  string_agg(DISTINCT 's' || CAST(l_suppkey AS VARCHAR), '|' ORDER BY 's' || CAST(l_suppkey AS VARCHAR)) AS orcids
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_days_since" ->
+      """SELECT o_orderkey,
+        |  CAST(floor((epoch(TIMESTAMP '2026-08-12') - epoch(o_orderdate)) / 86400) AS BIGINT) AS age_days
+        |FROM orders""".stripMargin
+  )
+}

@@ -26,8 +26,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     * (microsecond precision) so downstream time logic is uniform.
     */
   def events: DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
-    t("events").withColumn("ts", expr("timestamp_micros(CAST(ts / 1000 AS LONG))"))
+    import org.apache.spark.sql.functions.expr
+    // integer division: double /1000 would round sub-microsecond bits
+    t("events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

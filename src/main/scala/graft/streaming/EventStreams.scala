@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ingest — the Spark form of the reference's recurring
+  * harvest DAG (weekly incremental pulls, watermark = previous finished
+  * harvest; schema/rialto.py:218-239). Structured Streaming gives the
+  * same semantics continuously: event-time windows bounded by a
+  * watermark, plus custom session state where windows don't fit.
+  *
+  * Every transform here accepts either a batch or a streaming DataFrame
+  * — the logical plan is identical, which is exactly the point: the
+  * harvest can run as a weekly batch today and a continuous stream
+  * tomorrow without rewriting the pipeline.
+  */
+object EventStreams {
+
+  /** Event-time windowed aggregation with a watermark for late data. */
+  def windowedCounts(events: DataFrame, watermarkDelay: String, windowLen: String): DataFrame = {
+    // Watermarks only apply to streaming plans; on batch input the same
+    // aggregation runs unbounded.
+    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    src
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"), col("sum_value"))
+  }
+
+  /** Incremental-harvest filter: only events after the previous
+    * harvest's completion timestamp (Harvest.get_previous()).
+    */
+  def since(events: DataFrame, watermark: Timestamp): DataFrame =
+    events.filter(col("ts") > lit(watermark))
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class SessionSummary(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long, total_value: Double)
+  private final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization with explicit state
+    * (flatMapGroupsWithState): closes a session when `gapMs` passes
+    * without an event. State is one small record per active user —
+    * at cluster scale the state store shards by user_id.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+        // Events arrive unordered within a batch: sort locally (bounded
+        // by per-user batch size, not the partition).
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var st = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0, 0.0))
+        val closed = Seq.newBuilder[SessionSummary]
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          if (st.n == 0) st = SessionState(t, t, 1, e.value)
+          else if (t - st.end > gapMs) {
+            closed += SessionSummary(userId, new Timestamp(st.start), new Timestamp(st.end), st.n, st.total)
+            st = SessionState(t, t, 1, e.value)
+          } else st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+        }
+        if (st.n > 0) state.update(st) else state.remove()
+        closed.result().iterator
+      }
+  }
+
+  /** Flush any open sessions (batch-mode tail call after sessionize). */
+  def sessionizeBatch(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    // In batch mode state never persists across (single) triggers, so a
+    // pure groupBy formulation is equivalent and cheaper: split sessions
+    // where the gap to the previous event exceeds gapMs.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val df = events.toDF()
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs, 1L).otherwise(0L)
+      )
+      .withColumn("session_id", sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    df.groupBy("user_id", "session_id")
+      .agg(
+        min("ts").as("start"),
+        max("ts").as("end"),
+        count(lit(1)).as("n_events"),
+        sum("value").as("total_value")
+      )
+      .drop("session_id")
+      .as[SessionSummary]
+  }
+}

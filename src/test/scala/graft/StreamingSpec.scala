@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("windowedCounts runs as a real stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(5), "click", 1.0),
+      Event(1, ts(10), "click", 2.0),
+      Event(2, ts(40), "buy", 5.0)
+    )
+    val q = EventStreams.windowedCounts(input.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, cnt, sum_value FROM wc ORDER BY event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("buy", 1L, 5.0), ("click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize (flatMapGroupsWithState) closes sessions on gap") {
+    // batch run of the stateful operator: state starts empty, closed
+    // sessions are emitted, the open tail session stays in state
+    val events = Seq(
+      Event(1, ts(0), "a", 1.0),
+      Event(1, ts(1), "a", 1.0),
+      Event(1, ts(30), "a", 1.0) // > 10 min gap -> closes first session
+    ).toDS()
+    val out = EventStreams.sessionize(events, gapMs = 600000L).collect()
+    assert(out.length == 1)
+    assert(out(0).n_events == 2 && out(0).start == ts(0) && out(0).end == ts(1))
+  }
+
+  test("sessionizeBatch matches stateful semantics and flushes tail") {
+    val events = Seq(
+      Event(1, ts(0), "a", 1.0),
+      Event(1, ts(1), "a", 2.0),
+      Event(1, ts(30), "a", 3.0),
+      Event(2, ts(5), "b", 4.0)
+    ).toDS()
+    val out = EventStreams.sessionizeBatch(events, gapMs = 600000L)
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    assert(out.length == 3)
+    assert(out(0).n_events == 2 && math.abs(out(0).total_value - 3.0) < 1e-9)
+    assert(out(1).n_events == 1 && out(1).start == ts(30))
+    assert(out(2).user_id == 2)
+  }
+
+  test("since filters by harvest watermark") {
+    val df = Seq(Event(1, ts(0), "a", 1.0), Event(1, ts(30), "a", 1.0)).toDS().toDF()
+    assert(EventStreams.since(df, ts(10)).count() == 1)
+  }
+}

@@ -69,8 +69,18 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit(default))
   }
 
-  /** Distinct word n-grams ("shingles"); empty array when too few words. */
-  def wordNgrams(text: Column, n: Int): Column = {
+  /** Distinct word n-grams ("shingles"); empty array when too few
+    * words. Native expression (graft.plans.NgramShingles) — the HOF
+    * form below re-splits the text per output element (no CSE inside
+    * lambdas) and is O(words^2) per document.
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.plans.NgramShingles(text, n)
+
+  /** Reference HOF formulation of wordNgrams (same results on
+    * whitespace-normalized text).
+    */
+  def wordNgramsHof(text: Column, n: Int): Column = {
     val ws = tokenize(text)
     val grams = transform(
       sequence(lit(1), size(ws) - (n - 1)),

@@ -24,9 +24,15 @@ object TextDedup {
       .agg(count(lit(1)).as("n_dups"), min(id).as("keeper_id"))
 
   /** MinHash signature: `h` permutations approximated by seeded
-    * xxhash64; one array column, no UDF.
+    * xxhash64. Uses the native codegen expression (graft.plans
+    * .MinHashSig) — the composed HOF form below is semantically
+    * identical but ~30x slower interpreted, kept for reference/tests.
     */
   def minhashSignature(shingles: Column, h: Int): Column =
+    graft.plans.MinHashSig(shingles, h)
+
+  /** Reference HOF formulation of minhashSignature (bit-identical). */
+  def minhashSignatureHof(shingles: Column, h: Int): Column =
     transform(
       sequence(lit(0), lit(h - 1)),
       i => array_min(transform(shingles, s => xxhash64(s, i)))
@@ -54,9 +60,13 @@ object TextDedup {
       minJaccard: Double = 0.5
   ): DataFrame = {
     val rows = h / bands
+    // persisted: read three times (banding + both sides of the verify
+    // join); shingles are ~2% the size of the raw text, so at cluster
+    // scale this is a cheap cache, not a correctness requirement.
     val shingled = docs
       .select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), ngram).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = shingled
       .select(col("id"), explode(lshBands(minhashSignature(col("shingles"), h), bands, rows)).as("b"))

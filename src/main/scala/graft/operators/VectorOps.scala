@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
 object VectorOps {
 
   /** Dot product of two float/double array columns (double math, left
-    * fold — deterministic order).
+    * fold — deterministic order). Native codegen expression; `dotHof`
+    * is the bit-identical composed form kept for reference/tests.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = graft.plans.VecDot(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -33,10 +36,13 @@ object VectorOps {
     * probes/corpus: (id, vec). Self-pairs excluded.
     */
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.select(col("id").as("neighbor_id"), col("vec").as("nv"))
-      .crossJoin(broadcast(probes.select(col("id").as("probe_id"), col("vec").as("pv"))))
+    // norms once per side, not per pair: the naive cosine-per-pair does
+    // 3x the flops recomputing |a| and |b| for every combination.
+    val p = probes.select(col("id").as("probe_id"), col("vec").as("pv"), l2norm(col("vec")).as("pn"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("nv"), l2norm(col("vec")).as("nn"))
+    val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("nv")).as("sim"))
+      .select(col("probe_id"), col("neighbor_id"), (dot(col("pv"), col("nv")) / (col("pn") * col("nn"))).as("sim"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
@@ -51,12 +57,7 @@ object VectorOps {
   /** Sign-bit bucket id for a vector under the given hyperplanes. */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      val proj = aggregate(
-        zip_with(vec, typedlit(p), (x, w) => x.cast("double") * w),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot(vec, typedlit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Approximate top-k: candidates share an LSH bucket, exact cosine
@@ -65,11 +66,15 @@ object VectorOps {
     */
   def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int): DataFrame = {
     val hp = hyperplanes(planes, dim)
-    val pb = probes.select(col("id").as("probe_id"), col("vec").as("pv"), lshBucket(col("vec"), hp).as("bucket"))
-    val cb = corpus.select(col("id").as("neighbor_id"), col("vec").as("nv"), lshBucket(col("vec"), hp).as("bucket"))
+    val pb = probes.select(
+      col("id").as("probe_id"), col("vec").as("pv"),
+      lshBucket(col("vec"), hp).as("bucket"), l2norm(col("vec")).as("pn"))
+    val cb = corpus.select(
+      col("id").as("neighbor_id"), col("vec").as("nv"),
+      lshBucket(col("vec"), hp).as("bucket"), l2norm(col("vec")).as("nn"))
     val scored = cb.join(broadcast(pb), "bucket")
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"), cosine(col("pv"), col("nv")).as("sim"))
+      .select(col("probe_id"), col("neighbor_id"), (dot(col("pv"), col("nv")) / (col("pn") * col("nn"))).as("sim"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }

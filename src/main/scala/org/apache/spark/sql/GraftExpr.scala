@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into the private[sql] Column <-> Expression converters, so
+  * graft's native Catalyst expressions (graft.plans.*) can surface as
+  * public Columns. This is the same mechanism Spark's own function
+  * registry uses; it lives in this package purely for access.
+  */
+object GraftExpr {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

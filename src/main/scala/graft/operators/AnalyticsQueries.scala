@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Wider analytics surface: as-of join, rollup, pivot, exact
+  * percentiles, set operations, range (non-equi) join, embedding
+  * near-dup (SURVEY.md §2 additions beyond the reference's own ops).
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // As-of join: each purchase matched to the user's latest earlier
+    // error event. Union + running-last window: one shuffle per side.
+    "q_asof_join" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val purchases = e.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+      val errors = e.filter(col("event_type") === "error").select("user_id", "ts")
+      AsOf.joinLatest(purchases, errors, key = "user_id", leftTs = "ts", rightTs = "ts", rightCols = Seq("ts"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("p_ms"),
+          unix_millis(col("asof_ts")).as("err_ms")
+        )
+    },
+
+    // ROLLUP hierarchy totals (priority, status) with grand total.
+    "q_rollup" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("revenue"))
+    },
+
+    // Pivot status -> columns (missing combos are NULL both sides).
+    "q_pivot" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+    },
+
+    // Exact interpolated percentiles per group.
+    "q_percentiles" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75")
+        )
+    },
+
+    // Set operations: urgent-order customers ∩ F-status customers,
+    // minus big-balance customers.
+    "q_setops" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val fstat = t.orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val rich = t.customer.filter(col("c_acctbal") > 9000).select(col("c_custkey").as("o_custkey"))
+      urgent.intersect(fstat).except(rich)
+    },
+
+    // Range (non-equi) join against a broadcast bucket dimension.
+    "q_range_join" -> { (s, dir) =>
+      val s2 = s
+      import s2.implicits._
+      val buckets = Seq((0, 10), (10, 20), (20, 30), (30, 40), (40, 51)).toDF("lo", "hi")
+      Tables(s, dir).lineitem
+        .join(broadcast(buckets), col("l_quantity") > col("lo") && col("l_quantity") <= col("hi"))
+        .groupBy("lo", "hi")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+    },
+
+    // Embedding-cosine near-dup: planted scaled copies (same direction)
+    // must collide in sign buckets and score cosine ~1 (rows-only).
+    "q_dedup_embedding" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val variants = e.filter(col("id") % 10 === 0)
+        .select((col("id") + 1000000).as("id"), transform(col("vec"), x => x * 1.5f).as("vec"))
+      VectorOps.nearDupPairs(e.unionByName(variants), threshold = 0.99, planes = 8, dim = 64)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS p_ms, epoch_ms(e.ts) AS err_ms
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+        |ON p.user_id = e.user_id AND e.ts <= p.ts""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  NULLIF(count(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS "F",
+        |  NULLIF(count(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS "O",
+        |  NULLIF(count(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000""".stripMargin,
+    "q_range_join" ->
+      """SELECT lo, hi, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |JOIN (VALUES (0, 10), (10, 20), (20, 30), (30, 40), (40, 51)) AS b(lo, hi)
+        |  ON l_quantity > lo AND l_quantity <= hi
+        |GROUP BY lo, hi""".stripMargin
+  )
+}

@@ -37,7 +37,12 @@ object Reports {
       .join(federallyFunded(pubFunder, funders), Seq("pub_id"), "left")
       .withColumn("federally_funded", coalesce(col("federally_funded"), lit(false)))
 
-  /** publications_by_<dim> report: pub × author-dim grain. */
+  /** publications_by_<dim> report: pub × author-dim grain.
+    * The distinct runs on the narrow (pub_id, dims) pairs BEFORE the
+    * payload join — the pub payload is functionally dependent on
+    * pub_id, so deduping wide rows would shuffle the payload for
+    * nothing.
+    */
   def publicationsByGroup(
       pubs: DataFrame,
       pubAuthor: DataFrame,
@@ -45,13 +50,13 @@ object Reports {
       pubFunder: DataFrame,
       funders: DataFrame,
       groupCols: Seq[String]
-  ): DataFrame =
-    publications(pubs, pubFunder, funders)
-      .join(pubAuthor, "pub_id")
+  ): DataFrame = {
+    val dims = pubAuthor
       .join(broadcast(authors), "author_id")
-      .select((Seq("pub_id") ++ groupCols ++ pubs.columns.filterNot(_ == "pub_id")
-        ++ Seq("federally_funded")).distinct.map(col): _*)
+      .select((Seq("pub_id") ++ groupCols).map(col): _*)
       .distinct()
+    publications(pubs, pubFunder, funders).join(dims, "pub_id")
+  }
 
   /** publications_by_author report: pub × author grain with author-list
     * aggregates distilled from the association itself.

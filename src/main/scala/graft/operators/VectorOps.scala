@@ -60,6 +60,26 @@ object VectorOps {
       when(dot(vec, typedlit(p)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join +
+    * exact cosine threshold. Positive scaling preserves sign buckets,
+    * so scaled/renormalized duplicates always collide. Shuffles
+    * (bucket, id, vec) once; pairs form within buckets only.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double, planes: Int, dim: Int): DataFrame = {
+    val hp = hyperplanes(planes, dim)
+    val b = corpus.select(
+      col("id"), col("vec"),
+      lshBucket(col("vec"), hp).as("bucket"), l2norm(col("vec")).as("nrm"))
+    b.as("x").join(b.as("y"), Seq("bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(
+        col("x.id").as("id_a"),
+        col("y.id").as("id_b"),
+        (dot(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm"))).as("sim")
+      )
+      .filter(col("sim") >= threshold)
+  }
+
   /** Approximate top-k: candidates share an LSH bucket, exact cosine
     * rerank within the bucket. Trades recall for a |bucket|-sized
     * candidate set instead of the full corpus.

@@ -74,6 +74,29 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
     },
 
+    // Interval (stream-stream-capable) join: errors within 30 minutes
+    // before each purchase, per user.
+    "q_interval_join" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val purchases = e.filter(col("event_type") === "purchase")
+      val errors = e.filter(col("event_type") === "error")
+      graft.streaming.EventStreams.intervalJoin(purchases, errors, "user_id", "30 MINUTES", "1 hour")
+        .select(
+          col("l_event_id"), col("user_id"),
+          unix_millis(col("l_ts")).as("l_ms"),
+          col("r_event_id"),
+          unix_millis(col("r_ts")).as("r_ms")
+        )
+    },
+
+    // IVF ANN: k-means coarse quantizer + inverted-list probe
+    // (rows-only; recall vs brute force checked in spec).
+    "q_ann_ivf" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Ivf.topK(e.filter(col("id") % 20 === 0), e, k = 3, nlist = 8, nprobe = 3)
+        .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+    },
+
     // Embedding-cosine near-dup: planted scaled copies (same direction)
     // must collide in sign buckets and score cosine ~1 (rows-only).
     "q_dedup_embedding" -> { (s, dir) =>
@@ -91,6 +114,13 @@ object AnalyticsQueries {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
         |ON p.user_id = e.user_id AND e.ts <= p.ts""".stripMargin,
+    "q_interval_join" ->
+      """SELECT p.event_id AS l_event_id, p.user_id, epoch_ms(p.ts) AS l_ms,
+        |       e.event_id AS r_event_id, epoch_ms(e.ts) AS r_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id
+        | AND e.ts >= p.ts - INTERVAL '30 minutes' AND e.ts <= p.ts""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)""".stripMargin,

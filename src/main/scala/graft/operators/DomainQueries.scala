@@ -158,6 +158,31 @@ object DomainQueries {
         )
     },
 
+    // Harvest fill-in merge: per-source batches keyed by "DOI" fold
+    // into one row with a struct per source, then distill across them.
+    "q_harvest_merge" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val merged = Rialto.harvestMerge(
+        Seq(
+          "sulpub" -> o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_totalprice"),
+          "openalex" -> o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey", "o_orderpriority"),
+          "wos" -> o.filter(col("o_orderkey") % 5 === 0).select("o_orderkey", "o_orderstatus")
+        ),
+        key = "o_orderkey"
+      )
+      merged.select(
+        col("o_orderkey"),
+        col("sulpub_json").isNotNull.as("has_sulpub"),
+        col("openalex_json").isNotNull.as("has_openalex"),
+        col("wos_json").isNotNull.as("has_wos"),
+        Distill.firstValid(
+          col("openalex_json.o_orderpriority"),
+          col("wos_json.o_orderstatus"),
+          lit("none")
+        ).as("title")
+      )
+    },
+
     // #24 publications report.
     "q_report_publications" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -252,6 +277,18 @@ object DomainQueries {
         |FULL OUTER JOIN (SELECT o_orderkey, o_totalprice + 1000 AS p
         |                 FROM orders WHERE o_orderkey % 3 = 0) i
         |ON e.o_orderkey = i.o_orderkey""".stripMargin,
+    "q_harvest_merge" ->
+      """WITH s AS (SELECT o_orderkey AS k, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+        |o AS (SELECT o_orderkey AS k, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0),
+        |w AS (SELECT o_orderkey AS k, o_orderstatus FROM orders WHERE o_orderkey % 5 = 0)
+        |SELECT COALESCE(s.k, o.k, w.k) AS o_orderkey,
+        |       s.k IS NOT NULL AS has_sulpub,
+        |       o.k IS NOT NULL AS has_openalex,
+        |       w.k IS NOT NULL AS has_wos,
+        |       COALESCE(o.o_orderpriority, w.o_orderstatus, 'none') AS title
+        |FROM s
+        |FULL OUTER JOIN o ON s.k = o.k
+        |FULL OUTER JOIN w ON COALESCE(s.k, o.k) = w.k""".stripMargin,
     "q_report_publications" ->
       s"""WITH $ffCte
          |SELECT o_orderkey AS pub_id, year(o_orderdate) AS pub_year, o_orderpriority AS title,

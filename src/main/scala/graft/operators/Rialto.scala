@@ -37,6 +37,18 @@ object Rialto {
         Normalizers.piped(array_sort(collect_set(assoc.cast("string")))).as("assoc_ids")
       )
 
+  /** Harvest fill-in merge (harvest_incremental modules): per-source
+    * publication batches keyed by normalized DOI fold into one row with
+    * a struct column per source (≈ the dim_json/openalex_json/... JSONB
+    * columns). Chained full-outer joins on the key; each source's
+    * non-key columns nest under `<name>_json`.
+    */
+  def harvestMerge(sources: Seq[(String, DataFrame)], key: String): DataFrame =
+    sources.map { case (name, df) =>
+      val payload = df.columns.filterNot(_ == key)
+      df.select(col(key), struct(payload.map(col): _*).as(s"${name}_json"))
+    }.reduce((a, b) => a.join(b, Seq(key), "full_outer"))
+
   /** authors.upsert_author as a batch merge: incoming wins over existing
     * on the natural key; rows only in one side pass through. `action` is
     * inserted/updated/noop like the reference's return value.

@@ -36,6 +36,31 @@ object EventStreams {
   def since(events: DataFrame, watermark: Timestamp): DataFrame =
     events.filter(col("ts") > lit(watermark))
 
+  /** Stream-stream (or batch) interval join: right rows within
+    * [left.ts - lookback, left.ts] per key. With watermarks on both
+    * sides Spark bounds the join state; the same plan runs batch.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      lookback: String,
+      watermarkDelay: String
+  ): DataFrame = {
+    val (l, r) =
+      if (left.isStreaming)
+        (left.withWatermark("ts", watermarkDelay), right.withWatermark("ts", watermarkDelay))
+      else (left, right)
+    val lt = l.select(col(key), col("ts").as("l_ts"), col("event_id").as("l_event_id"))
+    val rt = r.select(col(key).as("__rk"), col("ts").as("r_ts"), col("event_id").as("r_event_id"))
+    lt.join(
+      rt,
+      col(key) === col("__rk") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("l_ts")
+    ).drop("__rk")
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long, total_value: Double)
   private final case class SessionState(start: Long, end: Long, n: Long, total: Double)

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, VectorOps}
+import graft.sources.Sinks
+
+class SinksIvfSpec extends SparkSpec {
+
+  test("writePartitioned produces hive-style dirs and prunes on read") {
+    val out = Files.createTempDirectory("sink").toString
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .withColumn("status", col("o_orderstatus"))
+    Sinks.writePartitioned(df, out, Seq("status"))
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("status=")))
+    val back = spark.read.parquet(out).filter(col("status") === "F")
+    assert(back.count() == df.filter(col("o_orderstatus") === "F").count())
+    // partition pruning: the file listing for the filtered read only
+    // touches the status=F directory
+    val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("status"))
+  }
+
+  test("writeBucketed creates a bucketed table joinable without shuffle") {
+    val s2 = spark
+    s2.sql("DROP TABLE IF EXISTS cust_bucketed")
+    val leftover = new java.io.File("spark-warehouse/cust_bucketed")
+    if (leftover.exists()) {
+      leftover.listFiles().foreach(_.delete()); leftover.delete()
+    }
+    val df = s2.read.parquet(s"$sfDir/customer.parquet").select("c_custkey", "c_name")
+    Sinks.writeBucketed(df, "cust_bucketed", "c_custkey", 4)
+    val t = s2.table("cust_bucketed")
+    assert(t.count() == df.count())
+    // force a sort-merge join so the bucket layout (not a broadcast)
+    // is what avoids the shuffle
+    val joined = t.as("a").hint("merge").join(t.as("b"), "c_custkey")
+    val nShuffles = joined.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(nShuffles == 0, s"bucketed self-join should not shuffle, saw $nShuffles exchanges")
+  }
+
+  test("writeCsvDownload emits gzipped csv with header") {
+    val out = Files.createTempDirectory("csv").toString + "/dl"
+    Sinks.writeCsvDownload(spark.read.parquet(s"$sfDir/nation.parquet"), out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv.gz"))
+    assert(files.nonEmpty)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 25)
+  }
+
+  test("IVF topK recall vs brute force is high on real embeddings") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val probes = e.filter(col("id") % 50 === 0)
+    val exact = VectorOps.bruteForceTopK(probes, e, 3)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.topK(probes, e, k = 3, nlist = 8, nprobe = 4)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+}

@@ -59,6 +59,25 @@ class StreamingSpec extends SparkSpec {
     assert(out(2).user_id == 2)
   }
 
+  test("intervalJoin runs as a stream-stream join with watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val ri = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    li.addData((100L, 1L, ts(30)))
+    ri.addData((200L, 1L, ts(10)), (201L, 1L, ts(50)), (202L, 2L, ts(29)))
+    val l = li.toDF().toDF("event_id", "user_id", "ts")
+    val r = ri.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.intervalJoin(l, r, "user_id", "30 MINUTES", "2 hours")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT l_event_id, r_event_id FROM ij").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // only error 200 (20 min before purchase 100, same user) matches
+      assert(rows == Set((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("since filters by harvest watermark") {
     val df = Seq(Event(1, ts(0), "a", 1.0), Event(1, ts(30), "a", 1.0)).toDS().toDF()
     assert(EventStreams.since(df, ts(10)).count() == 1)

@@ -74,6 +74,51 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
     },
 
+    // CUBE over two dims (all grouping-set combinations).
+    "q_cube" -> { (s, dir) =>
+      Tables(s, dir).orders
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+    },
+
+    // Window analytics: lag / lead / running + moving aggregates.
+    "q_window_analytics" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      Tables(s, dir).orders.select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        round(sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"),
+        round(avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)), 4).as("moving_avg3")
+      )
+    },
+
+    // Edit distance (fuzzy author/title matching building block).
+    "q_edit_distance" -> { (s, dir) =>
+      val n = Tables(s, dir).nation
+      n.as("a").join(n.as("b"), col("a.n_nationkey") < col("b.n_nationkey"))
+        .select(
+          col("a.n_name").as("name_a"),
+          col("b.n_name").as("name_b"),
+          levenshtein(col("a.n_name"), col("b.n_name")).as("dist")
+        )
+        .filter(col("dist") <= 5)
+    },
+
+    // Sketch-based stats: approx distinct + approx quantiles next to
+    // exact values (rows-only: sketch algorithms differ per engine,
+    // but the spec asserts the approximations bracket the exact ones).
+    "q_approx_stats" -> { (s, dir) =>
+      Tables(s, dir).lineitem.agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        round(expr("approx_percentile(l_quantity, 0.5, 1000)"), 2).as("approx_median")
+      )
+    },
+
     // Interval (stream-stream-capable) join: errors within 30 minutes
     // before each purchase, per user.
     "q_interval_join" -> { (s, dir) =>
@@ -114,6 +159,21 @@ object AnalyticsQueries {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
         |ON p.user_id = e.user_id AND e.ts <= p.ts""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
+    "q_edit_distance" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b, levenshtein(a.n_name, b.n_name) AS dist
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |WHERE levenshtein(a.n_name, b.n_name) <= 5""".stripMargin,
     "q_interval_join" ->
       """SELECT p.event_id AS l_event_id, p.user_id, epoch_ms(p.ts) AS l_ms,
         |       e.event_id AS r_event_id, epoch_ms(e.ts) AS r_ms

@@ -112,7 +112,11 @@ object TextAnalysis {
     * /root/reference/rialto_airflow/distiller/abstract.py:66-94 as one
     * expression: entries → (pos, word) pairs → sort → join.
     */
-  def rebuildInvertedIndex(m: Column): Column = {
+  def rebuildInvertedIndex(m: Column): Column =
+    graft.plans.InvertedIndexExprs.rebuild(m)
+
+  /** HOF formulation of rebuildInvertedIndex (same results). */
+  def rebuildInvertedIndexHof(m: Column): Column = {
     val pairs = flatten(
       transform(
         map_entries(m),
@@ -125,7 +129,13 @@ object TextAnalysis {
   /** Inverse of rebuildInvertedIndex for round-trip tests: text → map
     * word -> sorted positions (0-based).
     */
-  def buildInvertedIndex(text: Column): Column = {
+  def buildInvertedIndex(text: Column): Column =
+    graft.plans.InvertedIndexExprs.build(text)
+
+  /** HOF formulation of buildInvertedIndex (same results, O(words^2)
+    * because the token array re-materializes inside the lambdas).
+    */
+  def buildInvertedIndexHof(text: Column): Column = {
     val ws = tokenize(text)
     val dw = array_distinct(ws)
     map_from_arrays(

@@ -158,6 +158,13 @@ object DomainQueries {
         )
     },
 
+    // validate.py cohort coverage: % of each segment with an "orcid".
+    "q_validation" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+        .withColumn("orcid", when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_name")))
+      Validation.cohortFieldCoverage(c, Seq("c_mktsegment"), col("orcid"))
+    },
+
     // Harvest fill-in merge: per-source batches keyed by "DOI" fold
     // into one row with a struct per source, then distill across them.
     "q_harvest_merge" -> { (s, dir) =>
@@ -277,6 +284,11 @@ object DomainQueries {
         |FULL OUTER JOIN (SELECT o_orderkey, o_totalprice + 1000 AS p
         |                 FROM orders WHERE o_orderkey % 3 = 0) i
         |ON e.o_orderkey = i.o_orderkey""".stripMargin,
+    "q_validation" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  count(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END) AS n_present,
+        |  round(count(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END) * 100.0 / count(*), 1) AS pct_present
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "q_harvest_merge" ->
       """WITH s AS (SELECT o_orderkey AS k, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
         |o AS (SELECT o_orderkey AS k, o_orderpriority FROM orders WHERE o_orderkey % 3 = 0),

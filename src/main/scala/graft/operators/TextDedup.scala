@@ -95,7 +95,13 @@ object TextDedup {
     * Scala ints, hence the unrolled loop — still one codegen'd
     * projection).
     */
-  def simhashBits(tokens: Column): Column = {
+  def simhashBits(tokens: Column): Column = graft.plans.SimHashBits(tokens)
+
+  /** Reference HOF formulation of simhashBits (bit-identical, ~60x
+    * slower: the hash transform is duplicated into all 64 bit
+    * expressions).
+    */
+  def simhashBitsHof(tokens: Column): Column = {
     val hs = transform(tokens, t => xxhash64(t))
     array((0 until 64).map { i =>
       val vote = aggregate(

@@ -43,6 +43,26 @@ class PlansSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("SimHashBits equals the HOF simhash bits bit-for-bit") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val toks = docs.select(TextAnalysis.tokenize(col("text")).as("t"))
+    val diff = toks.select(
+      TextDedup.simhashBits(col("t")).as("fast"),
+      TextDedup.simhashBitsHof(col("t")).as("ref")
+    ).filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0)
+  }
+
+  test("native inverted index round-trips and matches HOF rebuild output") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val canon = docs.select(
+      array_join(TextAnalysis.tokenize(col("text")), " ").as("canon"),
+      TextAnalysis.rebuildInvertedIndex(TextAnalysis.buildInvertedIndex(col("text"))).as("nat"),
+      TextAnalysis.rebuildInvertedIndexHof(TextAnalysis.buildInvertedIndexHof(col("text"))).as("hof")
+    )
+    assert(canon.filter(col("nat") =!= col("canon") || col("hof") =!= col("canon")).count() == 0)
+  }
+
   test("VecDot interpreted eval path matches as well") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     val v = df.select(VectorOps.dot(col("a"), col("b")).as("d")).collect()(0).getDouble(0)

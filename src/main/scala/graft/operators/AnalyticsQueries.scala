@@ -74,6 +74,19 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
     },
 
+    // Custom physical operator: TopKPerKey (partial bounded heaps ->
+    // key shuffle of survivors only -> exact final pass). Same oracle
+    // as the window formulation.
+    "q_topk_native" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+      TopK.perKey(
+        c.select("c_nationkey", "c_custkey", "c_acctbal"),
+        Seq("c_nationkey"),
+        struct(-col("c_acctbal"), col("c_custkey")),
+        k = 3
+      )
+    },
+
     // CUBE over two dims (all grouping-set combinations).
     "q_cube" -> { (s, dir) =>
       Tables(s, dir).orders
@@ -159,6 +172,12 @@ object AnalyticsQueries {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
         |ON p.user_id = e.user_id AND e.ts <= p.ts""".stripMargin,
+    "q_topk_native" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3""".stripMargin,
     "q_cube" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,

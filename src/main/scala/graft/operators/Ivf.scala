@@ -80,7 +80,6 @@ object Ivf {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         (VectorOps.dot(col("pv"), col("nv")) / (col("pn") * col("nn"))).as("sim"))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    TopK.perKey(scored, Seq("probe_id"), struct(-col("sim"), col("neighbor_id")), k)
   }
 }

@@ -43,8 +43,7 @@ object VectorOps {
     val scored = c.crossJoin(broadcast(p))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), (dot(col("pv"), col("nv")) / (col("pn") * col("nn"))).as("sim"))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    TopK.perKey(scored, Seq("probe_id"), struct(-col("sim"), col("neighbor_id")), k)
   }
 
   /** Deterministic ±1 random hyperplanes (no RNG at plan time). */
@@ -95,7 +94,6 @@ object VectorOps {
     val scored = cb.join(broadcast(pb), "bucket")
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), (dot(col("pv"), col("nv")) / (col("pn") * col("nn"))).as("sim"))
-    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    TopK.perKey(scored, Seq("probe_id"), struct(-col("sim"), col("neighbor_id")), k)
   }
 }

@@ -21,8 +21,22 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * or spark.sql.extensions=graft.plans.GraftExtensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
+  }
+}
+
+/** Plans the TopKPerKey logical node as partial → (exchange inserted
+  * by EnsureRequirements) → final bounded-heap passes.
+  */
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  import org.apache.spark.sql.execution.SparkPlan
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(k, keys, order, child) =>
+      FinalTopKExec(k, keys, order, PartialTopKExec(k, keys, order, planLater(child))) :: Nil
+    case _ => Nil
+  }
 }
 
 object RewriteDotProduct extends Rule[LogicalPlan] {

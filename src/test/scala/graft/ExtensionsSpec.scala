@@ -17,6 +17,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.count() == 10)
   }
 
+  test("TopK.perKey equals the window row_number formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
+    val native = graft.operators.TopK.perKey(
+      li, Seq("l_partkey"),
+      struct(-col("l_quantity"), col("l_orderkey"), col("l_linenumber")), 2)
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+    val ref = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).drop("rn")
+    assert(native.count() == ref.count())
+    assert(native.exceptAll(ref).isEmpty && ref.exceptAll(native).isEmpty)
+    // physical plan contains the custom operators
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("FinalTopK") && plan.contains("PartialTopK"))
+  }
+
   test("saltedEquiJoin equals the plain join") {
     val big = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_orderkey", "l_partkey", "l_quantity")
     val small = spark.read.parquet(s"$sfDir/part.parquet").select("p_partkey", "p_size")

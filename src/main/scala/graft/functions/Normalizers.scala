@@ -70,6 +70,19 @@ object Normalizers {
     array_join(concat(slice(parts, 2, Int.MaxValue), slice(parts, 1, 1)), " ")
   }
 
+  /** ISSN format check (distiller/journal_issn.py:34-50): 9 chars,
+    * NNNN-NNN[N|X].
+    */
+  def isValidIssn(c: Column): Column =
+    c.isNotNull && c.rlike("^[0-9]{4}-[0-9]{3}[0-9X]$")
+
+  /** Strip HTML/XML tags, keep text (crossref abstract cleanup,
+    * distiller/abstract.py:47-63 — BeautifulSoup get_text re-expressed
+    * as a tag regexp, then trim).
+    */
+  def stripTags(c: Column): Column =
+    trim(regexp_replace(c, "<[^>]*>", ""))
+
   /** Funder-name normalization: drop a trailing parenthetical acronym,
     * lowercase (funders/dataset.py _normalize_name).
     */

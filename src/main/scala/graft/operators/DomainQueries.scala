@@ -158,6 +158,23 @@ object DomainQueries {
         )
     },
 
+    // ISSN validation + crossref tag-strip distill helpers.
+    "q_issn_clean" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+      val issn = concat(
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0"), lit("-"),
+        lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+        when(col("c_custkey") % 2 === 0, lit("X")).otherwise(lit("7"))
+      )
+      val broken = when(col("c_custkey") % 5 === 0, lit("not-an-issn")).otherwise(issn)
+      c.select(
+        col("c_custkey"),
+        broken.as("issn"),
+        Normalizers.isValidIssn(broken).as("issn_ok"),
+        Normalizers.stripTags(concat(lit("<jats:p>Abstract for "), col("c_name"), lit("</jats:p>"))).as("clean_abstract")
+      )
+    },
+
     // validate.py cohort coverage: % of each segment with an "orcid".
     "q_validation" -> { (s, dir) =>
       val c = Tables(s, dir).customer
@@ -284,6 +301,19 @@ object DomainQueries {
         |FULL OUTER JOIN (SELECT o_orderkey, o_totalprice + 1000 AS p
         |                 FROM orders WHERE o_orderkey % 3 = 0) i
         |ON e.o_orderkey = i.o_orderkey""".stripMargin,
+    "q_issn_clean" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 'not-an-issn'
+        |       ELSE lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '-' ||
+        |            lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
+        |            (CASE WHEN c_custkey % 2 = 0 THEN 'X' ELSE '7' END) END AS issn,
+        |  CASE WHEN c_custkey % 5 = 0 THEN 'not-an-issn'
+        |       ELSE lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '-' ||
+        |            lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
+        |            (CASE WHEN c_custkey % 2 = 0 THEN 'X' ELSE '7' END) END
+        |    SIMILAR TO '[0-9]{4}-[0-9]{3}[0-9X]' AS issn_ok,
+        |  trim(regexp_replace('<jats:p>Abstract for ' || c_name || '</jats:p>', '<[^>]*>', '', 'g')) AS clean_abstract
+        |FROM customer""".stripMargin,
     "q_validation" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  count(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END) AS n_present,

@@ -207,6 +207,56 @@ object DomainQueries {
       )
     },
 
+    // End-to-end pipeline flagship: the reference's whole flow -
+    // harvest merge -> distill -> author link -> funder flag -> school
+    // report - as ONE declarative plan (no intermediate tables).
+    "q_pipeline_full" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val o = t.orders
+      val merged = Rialto.harvestMerge(
+        Seq(
+          "sulpub" -> o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_totalprice", "o_orderdate"),
+          "openalex" -> o.filter(col("o_orderkey") % 3 === 0).select("o_orderkey", "o_orderpriority"),
+          "wos" -> o.filter(col("o_orderkey") % 5 === 0).select("o_orderkey", "o_orderstatus")
+        ),
+        key = "o_orderkey"
+      )
+      val pubs = merged.select(
+        col("o_orderkey").as("pub_id"),
+        Distill.firstValid(
+          Distill.validYear(year(col("sulpub_json.o_orderdate")), 2026),
+          lit(1990L)
+        ).as("pub_year")
+      )
+      val authors = t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("school"), (col("c_acctbal") > 5000).as("academic"))
+      val pa = o.select(col("o_orderkey").as("pub_id"), col("o_custkey"))
+        .join(pubs.select("pub_id"), "pub_id")
+        .join(broadcast(authors), col("o_custkey") === col("c_custkey"))
+      val academic = pa.groupBy("pub_id").agg(bool_or(col("academic")).as("academic_authored"))
+      val federal = t.lineitem.select(col("l_orderkey").as("pub_id"), col("l_partkey")).distinct()
+        .join(broadcast(t.part), col("p_partkey") === col("l_partkey"))
+        .groupBy("pub_id").agg(bool_or(col("p_size") > 25).as("federally_funded"))
+      val pubFull = pubs
+        .join(academic, Seq("pub_id"), "left")
+        .join(federal, Seq("pub_id"), "left")
+        .select(
+          col("pub_id"), col("pub_year"),
+          coalesce(col("academic_authored"), lit(false)).as("academic_authored"),
+          coalesce(col("federally_funded"), lit(false)).as("federally_funded")
+        )
+      pa.select("pub_id", "school").distinct()
+        .join(pubFull, "pub_id")
+        .groupBy("school")
+        .agg(
+          count(lit(1)).as("n_pubs"),
+          count(when(col("federally_funded"), 1)).as("n_federal"),
+          count(when(col("academic_authored"), 1)).as("n_academic"),
+          count(when(col("pub_year") >= 1995, 1)).as("n_recent")
+        )
+    },
+
     // #24 publications report.
     "q_report_publications" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -301,6 +351,41 @@ object DomainQueries {
         |FULL OUTER JOIN (SELECT o_orderkey, o_totalprice + 1000 AS p
         |                 FROM orders WHERE o_orderkey % 3 = 0) i
         |ON e.o_orderkey = i.o_orderkey""".stripMargin,
+    "q_pipeline_full" ->
+      """WITH pubs AS (
+        |  SELECT k.o_orderkey AS pub_id,
+        |         COALESCE(CASE WHEN k.o_orderkey % 2 = 0 AND year(k.o_orderdate) <= 2026
+        |                       THEN year(k.o_orderdate) END, 1990) AS pub_year
+        |  FROM orders k
+        |  WHERE k.o_orderkey % 2 = 0 OR k.o_orderkey % 3 = 0 OR k.o_orderkey % 5 = 0),
+        |authors AS (
+        |  SELECT c_custkey, n_name AS school, c_acctbal > 5000 AS academic
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |pa AS (
+        |  SELECT o_orderkey AS pub_id, school, academic
+        |  FROM orders JOIN pubs ON pubs.pub_id = o_orderkey
+        |  JOIN authors ON c_custkey = o_custkey),
+        |academic AS (
+        |  SELECT pub_id, bool_or(academic) AS academic_authored FROM pa GROUP BY pub_id),
+        |federal AS (
+        |  SELECT l_orderkey AS pub_id, bool_or(p_size > 25) AS federally_funded
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+        |  JOIN part ON p_partkey = l_partkey GROUP BY l_orderkey),
+        |pub_full AS (
+        |  SELECT p.pub_id, p.pub_year,
+        |         COALESCE(a.academic_authored, false) AS academic_authored,
+        |         COALESCE(f.federally_funded, false) AS federally_funded
+        |  FROM pubs p
+        |  LEFT JOIN academic a ON a.pub_id = p.pub_id
+        |  LEFT JOIN federal f ON f.pub_id = p.pub_id)
+        |SELECT school,
+        |       count(*) AS n_pubs,
+        |       count(*) FILTER (WHERE federally_funded) AS n_federal,
+        |       count(*) FILTER (WHERE academic_authored) AS n_academic,
+        |       count(*) FILTER (WHERE pub_year >= 1995) AS n_recent
+        |FROM (SELECT DISTINCT pub_id, school FROM pa) ps
+        |JOIN pub_full USING (pub_id)
+        |GROUP BY school""".stripMargin,
     "q_issn_clean" ->
       """SELECT c_custkey,
         |  CASE WHEN c_custkey % 5 = 0 THEN 'not-an-issn'

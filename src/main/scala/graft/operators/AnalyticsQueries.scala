@@ -124,12 +124,16 @@ object AnalyticsQueries {
     // exact values (rows-only: sketch algorithms differ per engine,
     // but the spec asserts the approximations bracket the exact ones).
     "q_approx_stats" -> { (s, dir) =>
-      Tables(s, dir).lineitem.agg(
+      val li = Tables(s, dir).lineitem
+      // exact distinct in its own aggregation: mixing countDistinct
+      // with other aggs forces an Expand that doubles the scan rows
+      val sketches = li.agg(
         count(lit(1)).as("n"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
         round(expr("approx_percentile(l_quantity, 0.5, 1000)"), 2).as("approx_median")
       )
+      val exact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      sketches.crossJoin(exact)
     },
 
     // Interval (stream-stream-capable) join: errors within 30 minutes

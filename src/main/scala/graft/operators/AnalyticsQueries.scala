@@ -74,6 +74,18 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
     },
 
+    // Salted equi-join (skew path) must equal the plain join.
+    "q_salted_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Salt.saltedEquiJoin(
+        t.lineitem.select("l_partkey", "l_quantity"),
+        t.part.select(col("p_partkey").as("l_partkey"), col("p_size")),
+        "l_partkey",
+        n = 8
+      ).groupBy("p_size")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+    },
+
     // Custom physical operator: TopKPerKey (partial bounded heaps ->
     // key shuffle of survivors only -> exact final pass). Same oracle
     // as the window formulation.
@@ -176,6 +188,10 @@ object AnalyticsQueries {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
         |ON p.user_id = e.user_id AND e.ts <= p.ts""".stripMargin,
+    "q_salted_join" ->
+      """SELECT p_size, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY p_size""".stripMargin,
     "q_topk_native" ->
       """SELECT c_nationkey, c_custkey, c_acctbal FROM (
         |  SELECT c_nationkey, c_custkey, c_acctbal,

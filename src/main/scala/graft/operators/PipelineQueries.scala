@@ -61,6 +61,16 @@ object PipelineQueries {
       )
     },
 
+    // #42 byte accounting through the mapPartitions decode path.
+    "q_multimodal_bytes" -> { (s, dir) =>
+      val media = Tables(s, dir).documents.select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("content")
+      )
+      Multimodal.extractFeatures(media, dim = 8).select("media_id", "n_bytes")
+    },
+
     // #42 multimodal plumbing: binary content → per-partition stub
     // decode → feature vector (rows-only; decode is env-stubbed).
     "q_multimodal_features" -> { (s, dir) =>
@@ -75,6 +85,12 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // byte accounting of the multimodal plumbing IS oracle-checkable
+    // (the decode stub's features are not) — proves the mapPartitions
+    // path preserves rows and content length
+    "q_multimodal_bytes" ->
+      """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
     "q_stream_window" ->
       """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms, event_type,
         |       count(*) AS cnt, round(sum(value), 2) AS sum_value

@@ -79,6 +79,25 @@ object LlmQueries {
         )
     },
 
+    // Benchmark decontamination: corpus docs flagged by distinct
+    // 3-gram overlap with the benchmark subset.
+    "q_decontaminate" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      TextDedup.decontaminate(
+        corpus = d.filter(col("doc_id") % 50 =!= 0),
+        benchmark = d.filter(col("doc_id") % 50 === 0),
+        idCol = "doc_id", textCol = "text", ngram = 3, threshold = 0.1
+      )
+    },
+
+    // Intra-doc repetition ratio (1 - distinct/total bigrams).
+    "q_repetition" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        round(TextDedup.repetitionRatio(col("text"), 2), 4).as("rep_ratio")
+      )
+    },
+
     // #41 fingerprints (no DuckDB xxhash64 — rows-only check).
     "q_fingerprint" -> { (s, dir) =>
       Tables(s, dir).documents.select(
@@ -180,6 +199,27 @@ object LlmQueries {
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q_inverted_rebuild" ->
       "SELECT doc_id, true AS ok FROM documents",
+    "q_decontaminate" ->
+      s"""WITH $wsCte,
+         |g AS (SELECT doc_id,
+         |        unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+         |               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS g
+         |      FROM w),
+         |bs AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+         |t AS (SELECT doc_id AS id, count(*) AS total FROM g WHERE doc_id % 50 <> 0 GROUP BY doc_id),
+         |h AS (SELECT doc_id AS id, count(*) AS hits
+         |      FROM g JOIN bs USING (g) WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+         |SELECT t.id AS id,
+         |       round(COALESCE(h.hits, 0) * 1.0 / t.total, 4) AS overlap_ratio,
+         |       COALESCE(h.hits, 0) * 1.0 / t.total > 0.1 AS contaminated
+         |FROM t LEFT JOIN h ON h.id = t.id""".stripMargin,
+    "q_repetition" ->
+      s"""WITH $wsCte
+         |SELECT doc_id,
+         |  round(CASE WHEN len(ws) - 1 <= 0 THEN 0.0
+         |        ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws)),
+         |                         i -> ws[i] || ' ' || ws[i + 1]))) AS DOUBLE) / (len(ws) - 1) END, 4) AS rep_ratio
+         |FROM w""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,

@@ -88,6 +88,50 @@ object TextDedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination: fraction of each corpus document's
+    * distinct n-grams that appear anywhere in the benchmark set.
+    *
+    * Scale shape: the benchmark's distinct shingles are one column of
+    * hashes-of-text; the corpus explodes to (id, shingle) and
+    * semi-joins — corpus text never shuffles, only shingles. At 100 TB
+    * the benchmark side is typically small enough to broadcast.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int,
+      threshold: Double
+  ): DataFrame = {
+    val grams = corpus.select(
+      col(idCol).as("id"),
+      explode(TextAnalysis.wordNgrams(col(textCol), ngram)).as("g")
+    )
+    val benchSet = benchmark
+      .select(explode(TextAnalysis.wordNgrams(col(textCol), ngram)).as("g"))
+      .distinct()
+    val totals = grams.groupBy("id").agg(count(lit(1)).as("total"))
+    val hits = grams.join(broadcast(benchSet), "g").groupBy("id").agg(count(lit(1)).as("hits"))
+    totals
+      .join(hits, Seq("id"), "left")
+      .select(
+        col("id"),
+        round(coalesce(col("hits"), lit(0L)) / col("total"), 4).as("overlap_ratio"),
+        (coalesce(col("hits"), lit(0L)) / col("total") > threshold).as("contaminated")
+      )
+  }
+
+  /** Intra-document repetition ratio: 1 - distinct/total n-grams (a
+    * Gopher-style quality signal; high values mean boilerplate loops).
+    */
+  def repetitionRatio(text: Column, ngram: Int): Column = {
+    val total = size(TextAnalysis.tokenize(text)) - (ngram - 1)
+    val distinctN = size(TextAnalysis.wordNgrams(text, ngram))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double"))
+  }
+
   /** SimHash bit-vote vector (64 bits, as an array of 0/1 longs):
     * bit i is 1 when the sum over tokens of ±1 (by bit i of the token's
     * xxhash64) is positive. Token hashes are computed once, then 64

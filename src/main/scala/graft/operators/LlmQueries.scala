@@ -117,6 +117,28 @@ object LlmQueries {
       )
     },
 
+    // Stratified sampling by language (hash-deterministic; rows-only).
+    "q_sample_stratified" -> { (s, dir) =>
+      Sampling.stratified(
+        Tables(s, dir).documents,
+        stratumCol = "lang", idCol = "doc_id",
+        rates = Map("en" -> 0.9, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.2),
+        seed = 42L
+      ).select("doc_id", "lang")
+    },
+
+    // Weighted source mixture (rows-only).
+    "q_sample_mixture" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Sampling.mixture(
+        Seq(
+          ("web", d.filter(col("source") === "src0"), 1.0),
+          ("books", d.filter(col("source") =!= "src0"), 0.3)
+        ),
+        idCol = "doc_id", seed = 7L
+      ).select("doc_id", "source_name")
+    },
+
     // #33 MinHash-LSH near-dups find the planted variants (rows-only).
     "q_dedup_minhash" -> { (s, dir) =>
       TextDedup.minhashNearDups(planted(Tables(s, dir)), "doc_id", "text")

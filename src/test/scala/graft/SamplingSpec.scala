@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("stratified sampling is deterministic and rate-respecting") {
+    val rates = Map("en" -> 0.8, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
+    val s1 = Sampling.stratified(docs, "lang", "doc_id", rates, seed = 42L)
+    val s2 = Sampling.stratified(docs, "lang", "doc_id", rates, seed = 42L)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    val en = docs.filter(col("lang") === "en").count().toDouble
+    val enKept = s1.filter(col("lang") === "en").count().toDouble
+    assert(enKept / en > 0.6 && enKept / en < 0.95, s"en keep rate ${enKept / en}")
+    // different seed -> different selection
+    val s3 = Sampling.stratified(docs, "lang", "doc_id", rates, seed = 43L)
+    assert(s3.exceptAll(s1).count() > 0)
+  }
+
+  test("mixture tags sources and applies per-source rates") {
+    val m = Sampling.mixture(
+      Seq(("a", docs.filter(col("doc_id") % 2 === 0), 1.0), ("b", docs.filter(col("doc_id") % 2 =!= 0), 0.0)),
+      "doc_id", seed = 1L)
+    val bySource = m.groupBy("source_name").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.getOrElse("b", 0L) == 0L)
+    assert(bySource("a") == docs.filter(col("doc_id") % 2 === 0).count())
+  }
+}

@@ -45,7 +45,8 @@ object EventStreams {
       right: DataFrame,
       key: String,
       lookback: String,
-      watermarkDelay: String
+      watermarkDelay: String,
+      joinType: String = "inner"
   ): DataFrame = {
     val (l, r) =
       if (left.isStreaming)
@@ -57,9 +58,30 @@ object EventStreams {
       rt,
       col(key) === col("__rk") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback") &&
-        col("r_ts") <= col("l_ts")
+        col("r_ts") <= col("l_ts"),
+      joinType
     ).drop("__rk")
   }
+
+  /** Snapshot sink — the reference marks a completed harvest snapshot
+    * with a snapshot.json in the snapshot dir (README workflow step
+    * 10). Streaming equivalent: every micro-batch lands as parquet
+    * under an epoch directory, then a `_SNAPSHOT` marker commits it;
+    * consumers only read marked epochs.
+    */
+  def snapshotSink(stream: DataFrame, baseDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        val dir = s"$baseDir/epoch=$epochId"
+        batch.write.mode("overwrite").parquet(dir)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/_SNAPSHOT"),
+          s"""{"epoch": $epochId, "rows": ${batch.count()}}"""
+        )
+        ()
+      }
+      .start()
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long, total_value: Double)

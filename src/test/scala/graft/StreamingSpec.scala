@@ -78,6 +78,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("snapshotSink writes epoch parquet + _SNAPSHOT markers") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    val in = MemoryStream[Event]
+    in.addData(Event(1, ts(0), "a", 1.0), Event(2, ts(1), "b", 2.0))
+    val q = EventStreams.snapshotSink(in.toDF(), dir)
+    try q.processAllAvailable() finally q.stop()
+    val epochs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("epoch="))
+    assert(epochs.nonEmpty)
+    val marked = epochs.filter(e => new java.io.File(e, "_SNAPSHOT").exists())
+    assert(marked.length == epochs.length)
+    assert(spark.read.parquet(marked.head.getAbsolutePath).count() == 2)
+  }
+
+  test("left-outer interval join emits unmatched purchases with nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val ri = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    li.addData((100L, 1L, ts(30)), (101L, 2L, ts(31)))
+    ri.addData((200L, 1L, ts(10)))
+    val l = li.toDF().toDF("event_id", "user_id", "ts")
+    val r = ri.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStreams.intervalJoin(l, r, "user_id", "30 MINUTES", "10 minutes", "left_outer")
+      .writeStream.format("memory").queryName("loj").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far enough to close user 2's window
+      li.addData((999L, 9L, Timestamp.valueOf("2024-01-01 13:00:00")))
+      ri.addData((998L, 9L, Timestamp.valueOf("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT l_event_id, r_event_id FROM loj WHERE l_event_id IN (100, 101)")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((100L, 200L)))
+      assert(rows.contains((101L, -1L)), s"unmatched left row missing: $rows")
+    } finally q.stop()
+  }
+
   test("since filters by harvest watermark") {
     val df = Seq(Event(1, ts(0), "a", 1.0), Event(1, ts(30), "a", 1.0)).toDS().toDF()
     assert(EventStreams.since(df, ts(10)).count() == 1)

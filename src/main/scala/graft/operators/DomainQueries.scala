@@ -158,6 +158,35 @@ object DomainQueries {
         )
     },
 
+    // #15 deep: schema-full JSON parsing round trip — build a
+    // publication-shaped JSON document per row, parse it back with
+    // from_json, distill nested fields (the openalex_json access
+    // pattern with a real schema instead of string paths).
+    "q_distill_nested" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val doc = t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("o_orderkey"),
+          to_json(struct(
+            col("o_orderkey").as("id"),
+            struct(col("c_name").as("name"), col("c_acctbal").as("bal")).as("author"),
+            array(col("o_orderpriority"), col("o_orderstatus")).as("tags")
+          )).as("pub_json")
+        )
+      val schema = org.apache.spark.sql.types.DataType.fromDDL(
+        "STRUCT<id: BIGINT, author: STRUCT<name: STRING, bal: DOUBLE>, tags: ARRAY<STRING>>")
+      doc.select(
+        col("o_orderkey"),
+        from_json(col("pub_json"), schema).as("p")
+      ).select(
+        col("o_orderkey"),
+        col("p.author.name").as("author_name"),
+        col("p.author.bal").as("bal"),
+        element_at(col("p.tags"), 1).as("first_tag")
+      )
+    },
+
     // ISSN validation + crossref tag-strip distill helpers.
     "q_issn_clean" -> { (s, dir) =>
       val c = Tables(s, dir).customer
@@ -386,6 +415,9 @@ object DomainQueries {
         |FROM (SELECT DISTINCT pub_id, school FROM pa) ps
         |JOIN pub_full USING (pub_id)
         |GROUP BY school""".stripMargin,
+    "q_distill_nested" ->
+      """SELECT o_orderkey, c_name AS author_name, c_acctbal AS bal, o_orderpriority AS first_tag
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_issn_clean" ->
       """SELECT c_custkey,
         |  CASE WHEN c_custkey % 5 = 0 THEN 'not-an-issn'

@@ -28,7 +28,10 @@ object DomainQueries {
   private def authors(t: Tables): DataFrame =
     t.supplier
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
-      .select(col("s_suppkey").as("author_id"), col("s_name").as("author_name"), col("n_name").as("school"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("s_suppkey").as("author_id"), col("s_name").as("author_name"),
+        col("n_name").as("school"), col("r_name").as("dept"))
   private def pubFunder(t: Tables): DataFrame =
     t.lineitem.select(col("l_orderkey").as("pub_id"), col("l_partkey").as("funder_id")).distinct()
   private def funders(t: Tables): DataFrame =
@@ -298,6 +301,25 @@ object DomainQueries {
       Reports.publicationsByGroup(pubs(t), pubAuthor(t), authors(t), pubFunder(t), funders(t), Seq("school"))
     },
 
+    // #25b publications_by_department report (two author-dim keys,
+    // mirroring the reference's 4-table publish set).
+    "q_report_by_dept" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Reports.publicationsByGroup(pubs(t), pubAuthor(t), authors(t), pubFunder(t), funders(t), Seq("school", "dept"))
+    },
+
+    // publish/orcid.py integration stats: counts by update scope.
+    "q_orcid_stats" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+        .withColumn("has_orcid", col("c_custkey") % 3 =!= 0)
+        .withColumn("read_write_scope", col("c_custkey") % 6 === 1)
+      c.agg(
+        count(when(col("has_orcid") && !col("read_write_scope"), 1)).as("read_only_scope"),
+        count(when(col("has_orcid") && col("read_write_scope"), 1)).as("read_write_scope"),
+        count(when(!col("has_orcid"), 1)).as("no_orcid")
+      )
+    },
+
     // #26 publications_by_author report with author-list distills.
     "q_report_by_author" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -462,6 +484,22 @@ object DomainQueries {
          |JOIN supplier ON s_suppkey = pa.l_suppkey
          |JOIN nation ON n_nationkey = s_nationkey
          |LEFT JOIN ff ON ff.pub_id = o_orderkey""".stripMargin,
+    "q_report_by_dept" ->
+      s"""WITH $ffCte
+         |SELECT DISTINCT o_orderkey AS pub_id, n_name AS school, r_name AS dept,
+         |       year(o_orderdate) AS pub_year, o_orderpriority AS title,
+         |       COALESCE(ff.federally_funded, false) AS federally_funded
+         |FROM orders
+         |JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) pa ON pa.l_orderkey = o_orderkey
+         |JOIN supplier ON s_suppkey = pa.l_suppkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |JOIN region ON r_regionkey = n_regionkey
+         |LEFT JOIN ff ON ff.pub_id = o_orderkey""".stripMargin,
+    "q_orcid_stats" ->
+      """SELECT count(*) FILTER (WHERE c_custkey % 3 <> 0 AND NOT c_custkey % 6 = 1) AS read_only_scope,
+        |       count(*) FILTER (WHERE c_custkey % 3 <> 0 AND c_custkey % 6 = 1) AS read_write_scope,
+        |       count(*) FILTER (WHERE c_custkey % 3 = 0) AS no_orcid
+        |FROM customer""".stripMargin,
     "q_report_by_author" ->
       s"""WITH $ffCte,
          |pa AS (SELECT DISTINCT l_orderkey AS pub_id, l_suppkey AS author_id FROM lineitem),

@@ -81,18 +81,29 @@ object VectorOps {
   /** Approximate top-k: candidates share an LSH bucket, exact cosine
     * rerank within the bucket. Trades recall for a |bucket|-sized
     * candidate set instead of the full corpus.
+    *
+    * `multiProbe` > 0 also searches the buckets at Hamming distance 1
+    * from the probe's bucket (flipping the `multiProbe`
+    * least-significant plane bits) — the standard multi-probe LSH
+    * recall boost: candidates grow ~(1+multiProbe)x while the corpus
+    * side still shuffles once.
     */
-  def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int): DataFrame = {
+  def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int, planes: Int, dim: Int, multiProbe: Int = 0): DataFrame = {
     val hp = hyperplanes(planes, dim)
+    val base = lshBucket(col("vec"), hp)
+    val probeBuckets = array_distinct(array(
+      (Seq(base) ++ (0 until math.min(multiProbe, planes)).map(j => base.bitwiseXOR(lit(1L << j)))): _*
+    ))
     val pb = probes.select(
       col("id").as("probe_id"), col("vec").as("pv"),
-      lshBucket(col("vec"), hp).as("bucket"), l2norm(col("vec")).as("pn"))
+      explode(probeBuckets).as("bucket"), l2norm(col("vec")).as("pn"))
     val cb = corpus.select(
       col("id").as("neighbor_id"), col("vec").as("nv"),
       lshBucket(col("vec"), hp).as("bucket"), l2norm(col("vec")).as("nn"))
     val scored = cb.join(broadcast(pb), "bucket")
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), (dot(col("pv"), col("nv")) / (col("pn") * col("nn"))).as("sim"))
+      .distinct() // a neighbor can surface via several probe buckets
     TopK.perKey(scored, Seq("probe_id"), struct(-col("sim"), col("neighbor_id")), k)
   }
 }

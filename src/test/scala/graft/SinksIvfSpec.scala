@@ -52,6 +52,22 @@ class SinksIvfSpec extends SparkSpec {
     assert(back.count() == 25)
   }
 
+  test("multi-probe LSH recall >= single-bucket recall") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val probes = e.filter(col("id") % 50 === 0)
+    val exact = VectorOps.bruteForceTopK(probes, e, 3)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(mp: Int): Double = {
+      val got = VectorOps.lshTopK(probes, e, 3, planes = 6, dim = 64, multiProbe = mp)
+        .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r0 = recall(0)
+    val r3 = recall(3)
+    assert(r3 >= r0, s"multi-probe recall $r3 < single $r0")
+  }
+
   test("IVF topK recall vs brute force is high on real embeddings") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

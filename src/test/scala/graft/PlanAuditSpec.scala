@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression guards: the properties `tools.Explain` was
+  * used to audit by hand, asserted automatically so a refactor can't
+  * silently regress pushdown or join strategy. Uses the formatted
+  * explain string because AQE's AdaptiveSparkPlanExec hides its inner
+  * plan from tree collection.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(FormattedMode)
+
+  private def countOp(s: String, op: String): Int =
+    ("""\(\d+\) """ + op + """($|\s)""").r.findAllIn(s).size
+
+  test("q_scan_filter pushes predicates and prunes columns at the scan") {
+    val s = formatted("q_scan_filter")
+    assert(s.contains("PushedFilters") && s.contains("GreaterThan(l_quantity,45.0)"), s)
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q_join_star broadcasts all three dims and shuffles only for the agg") {
+    val s = formatted("q_join_star")
+    assert(countOp(s, "BroadcastExchange") == 3, s)
+    assert(countOp(s, "Exchange") <= 1, s)
+  }
+
+  test("q_asof_join plans exactly one shuffle (union + window)") {
+    val s = formatted("q_asof_join")
+    assert(countOp(s, "Exchange") == 1, s)
+  }
+
+  test("q_topk_native plans the custom partial/final operators") {
+    val s = formatted("q_topk_native")
+    assert(s.contains("PartialTopK") && s.contains("FinalTopK"), s)
+  }
+
+  test("no accidental cartesian products outside the intentional ones") {
+    val intentional = Set("q_ann_bruteforce", "q_edit_distance", "q_range_join", "q_approx_stats")
+    for (name <- SparkEntry.queries.keys if !intentional(name)) {
+      val s = formatted(name)
+      assert(!s.contains("CartesianProduct"), s"$name contains a CartesianProduct")
+    }
+  }
+}

@@ -37,6 +37,19 @@ class SourcesSpec extends SparkSpec {
     assert(j.getSeq[String](j.fieldIndex("departments")) == Seq("CS", "Bio"))
   }
 
+  test("AuthorsCsv tolerates malformed rows (permissive mode)") {
+    val path = writeCsv(
+      header + "\n" +
+        "jdoe,cap1,,Jane,Doe,true,false,faculty,Eng,CS,Eng,CS,Div1\n" +
+        "broken-row-with-too-few-fields\n"
+    )
+    val df = AuthorsCsv.load(spark, path)
+    // the malformed row parses to nulls instead of failing the load;
+    // a boolean cast over a null stays usable downstream
+    assert(df.count() == 2)
+    assert(df.filter(col("sunet") === "jdoe").count() == 1)
+  }
+
   test("AuthorsCsv rejects files with missing headers") {
     val path = writeCsv("sunetid,first_name\njdoe,Jane\n")
     val ex = intercept[IllegalArgumentException](AuthorsCsv.load(spark, path))

@@ -34,4 +34,42 @@ object Sinks {
       .option("header", "true")
       .option("compression", "gzip")
       .csv(path)
+
+  /** Small-file compaction: rewrite a parquet dataset into
+    * ceil(rows / rowsPerFile) files. Incremental appends at 100 TB
+    * accumulate thousands of KB-sized files per partition; periodic
+    * compaction keeps scan task counts sane.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String, rowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(path)
+    val files = math.max(1L, math.ceil(df.count().toDouble / rowsPerFile).toLong).toInt
+    val tmp = path + "__compacting"
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new java.io.File(path)
+    fs.listFiles().foreach(_.delete()); fs.delete()
+    new java.io.File(tmp).renameTo(fs)
+    ()
+  }
+
+  /** Z-order clustering write: sort by the bit-interleaved value of
+    * two integer columns so range predicates on EITHER column touch
+    * few files (parquet min/max skipping). Interleave is an unrolled
+    * fixed-shift expression — pure codegen.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String, files: Int): Unit =
+    df.repartitionByRange(files, zValue(org.apache.spark.sql.functions.col(colA),
+        org.apache.spark.sql.functions.col(colB)))
+      .sortWithinPartitions(zValue(org.apache.spark.sql.functions.col(colA),
+        org.apache.spark.sql.functions.col(colB)))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** 64-bit Z-value: interleave the low 32 bits of two long columns. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    (0 until 32).map { i =>
+      val abit = shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L), 2 * i)
+      val bbit = shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1)
+      abit + bbit
+    }.reduce(_ + _)
+  }
 }

@@ -52,6 +52,31 @@ class SinksIvfSpec extends SparkSpec {
     assert(back.count() == 25)
   }
 
+  test("compact reduces file count and preserves rows") {
+    val out = Files.createTempDirectory("cmp").toString + "/t"
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    df.repartition(24).write.parquet(out)
+    val before = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    Sinks.compact(spark, out, rowsPerFile = 1000)
+    val after = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after < before, s"$after !< $before")
+    assert(spark.read.parquet(out).count() == df.count())
+  }
+
+  test("zValue interleaves bits; z-ordered write clusters both columns") {
+    import spark.implicits._
+    val z = Seq((1L, 0L), (0L, 1L), (3L, 3L)).toDF("a", "b")
+      .select(Sinks.zValue(col("a"), col("b")).as("z")).collect().map(_.getLong(0))
+    assert(z(0) == 1L)  // a bit 0 -> position 0
+    assert(z(1) == 2L)  // b bit 0 -> position 1
+    assert(z(2) == 15L) // both low 2 bits set -> 0b1111
+    val out = Files.createTempDirectory("zord").toString + "/t"
+    Sinks.writeZOrdered(
+      spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_partkey", "l_suppkey", "l_quantity"),
+      out, "l_partkey", "l_suppkey", files = 4)
+    assert(spark.read.parquet(out).count() == 6000)
+  }
+
   test("multi-probe LSH recall >= single-bucket recall") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -320,6 +320,30 @@ object DomainQueries {
       )
     },
 
+    // Positional first/last author (author_names.py first_author_name /
+    // last_author_name): min_by/max_by over a composite position key.
+    "q_author_position" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val pos = concat(lpad(col("l_linenumber").cast("string"), 3, "0"), lit("|"), col("s_name"))
+      t.lineitem
+        .join(broadcast(t.supplier), col("s_suppkey") === col("l_suppkey"))
+        .groupBy("l_orderkey")
+        .agg(
+          min_by(col("s_name"), pos).as("first_author"),
+          max_by(col("s_name"), pos).as("last_author")
+        )
+    },
+
+    // ntile quantile bucketing per segment (window family completeness).
+    "q_ntile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir).customer.select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile")
+      )
+    },
+
     // #26 publications_by_author report with author-list distills.
     "q_report_by_author" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -484,6 +508,16 @@ object DomainQueries {
          |JOIN supplier ON s_suppkey = pa.l_suppkey
          |JOIN nation ON n_nationkey = s_nationkey
          |LEFT JOIN ff ON ff.pub_id = o_orderkey""".stripMargin,
+    "q_author_position" ->
+      """SELECT l_orderkey,
+        |  arg_min(s_name, lpad(CAST(l_linenumber AS VARCHAR), 3, '0') || '|' || s_name) AS first_author,
+        |  arg_max(s_name, lpad(CAST(l_linenumber AS VARCHAR), 3, '0') || '|' || s_name) AS last_author
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY l_orderkey""".stripMargin,
+    "q_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+        |FROM customer""".stripMargin,
     "q_report_by_dept" ->
       s"""WITH $ffCte
          |SELECT DISTINCT o_orderkey AS pub_id, n_name AS school, r_name AS dept,

@@ -26,6 +26,28 @@ object Distill {
   def jsonRule(jsonCol: Column, path: String): Column =
     get_json_object(jsonCol, "$." + path)
 
+  /** open_access resolution (distiller/open_access.py): preprints
+    * short-circuit to "preprint"; otherwise the first Dimensions OA
+    * value that isn't "oa_all", then the OpenAlex oa_status.
+    */
+  def openAccess(types: Column, dimOa: Column, openalexOa: Column): Column =
+    when(array_contains(types, "Preprint"), lit("preprint"))
+      .otherwise(
+        firstValid(
+          // try_element_at: ANSI mode errors on element_at over an
+          // empty array
+          try_element_at(filter(dimOa, v => v.isNotNull && v =!= "oa_all"), lit(1)),
+          openalexOa
+        )
+      )
+
+  /** pages assembly (distiller/pages.py _openalex_pages): "first-last"
+    * when both present, else whichever side exists.
+    */
+  def pagesRange(first: Column, last: Column): Column =
+    when(first.isNotNull && last.isNotNull, concat(first, lit("-"), last))
+      .otherwise(coalesce(first, last))
+
   /** utils._ensure_valid_year: integer, not in the future, else NULL.
     * try_cast mirrors the reference swallowing ValueError/TypeError.
     */

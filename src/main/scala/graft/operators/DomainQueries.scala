@@ -320,6 +320,24 @@ object DomainQueries {
       )
     },
 
+    // open_access chain (preprint short-circuit, oa_all skip) + pages
+    // range assembly (distiller/open_access.py, pages.py).
+    "q_distill_more" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val types = when(col("o_orderkey") % 7 === 0, array(lit("Preprint"))).otherwise(array(lit("Article")))
+      val dimOa = when(col("o_orderkey") % 3 === 0, array(lit("oa_all"), lit("gold")))
+        .when(col("o_orderkey") % 3 === 1, array(lit("oa_all")))
+        .otherwise(array().cast("array<string>"))
+      val oaStatus = when(col("o_orderkey") % 2 === 0, lit("bronze")).otherwise(lit(null).cast("string"))
+      val first = when(col("o_orderkey") % 4 =!= 0, lit("10")).otherwise(lit(null).cast("string"))
+      val last = when(col("o_orderkey") % 5 =!= 0, lit("20")).otherwise(lit(null).cast("string"))
+      o.select(
+        col("o_orderkey"),
+        Distill.openAccess(types, dimOa, oaStatus).as("open_access"),
+        Distill.pagesRange(first, last).as("pages")
+      )
+    },
+
     // Positional first/last author (author_names.py first_author_name /
     // last_author_name): min_by/max_by over a composite position key.
     "q_author_position" -> { (s, dir) =>
@@ -508,6 +526,17 @@ object DomainQueries {
          |JOIN supplier ON s_suppkey = pa.l_suppkey
          |JOIN nation ON n_nationkey = s_nationkey
          |LEFT JOIN ff ON ff.pub_id = o_orderkey""".stripMargin,
+    "q_distill_more" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'preprint'
+        |       WHEN o_orderkey % 3 = 0 THEN 'gold'
+        |       WHEN o_orderkey % 2 = 0 THEN 'bronze'
+        |       ELSE NULL END AS open_access,
+        |  CASE WHEN o_orderkey % 4 <> 0 AND o_orderkey % 5 <> 0 THEN '10-20'
+        |       WHEN o_orderkey % 4 <> 0 THEN '10'
+        |       WHEN o_orderkey % 5 <> 0 THEN '20'
+        |       ELSE NULL END AS pages
+        |FROM orders""".stripMargin,
     "q_author_position" ->
       """SELECT l_orderkey,
         |  arg_min(s_name, lpad(CAST(l_linenumber AS VARCHAR), 3, '0') || '|' || s_name) AS first_author,

@@ -18,15 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Normalizers {
 
-  /** arXiv:NNNN → 10.48550/arxiv.NNNN then keep from the first "10." on.
-    * NULL when input is NULL/blank, contains a double quote, or has no
-    * DOI-like "10." substring.
+  /** normalize_doi (utils.py:88-121), step for step: NULL when input is
+    * NULL/blank or contains a double quote; lowercase; strip ALL spaces
+    * and backslashes; NULL when the cleaned string still contains
+    * "&gt"/"&lt" (unresolvable HTML-escaped DOIs); arXiv:NNNN →
+    * 10.48550/arxiv.NNNN; then keep from the first "10." on (NULL when
+    * no DOI-like substring remains).
     */
   def normalizeDoi(c: Column): Column = {
-    val trimmed = trim(c)
-    val deArxiv = regexp_replace(trimmed, "(?i)^arxiv:", "10.48550/arxiv.")
+    val cleaned = regexp_replace(lower(c), "[ \\\\]", "")
+    val deArxiv = regexp_replace(cleaned, "^arxiv:", "10.48550/arxiv.")
     val candidate = regexp_extract(deArxiv, "(10\\..+)", 1)
-    when(c.isNull || trimmed === "" || trimmed.contains("\""), lit(null))
+    when(c.isNull || trim(c) === "" || c.contains("\""), lit(null))
+      .when(cleaned.contains("&gt") || cleaned.contains("&lt"), lit(null))
       .otherwise(when(candidate === "", lit(null)).otherwise(candidate))
   }
 

@@ -126,6 +126,9 @@ object CoreQueries {
       c.select(
         col("c_custkey"),
         Normalizers.normalizeDoi(concat(lit("arXiv:"), col("c_custkey").cast("string"))).as("doi"),
+        // dirty path: mixed case + embedded spaces + backslash, all
+        // cleaned per utils.normalize_doi before extraction
+        Normalizers.normalizeDoi(concat(lit(" DOI: 10.1234/AB \\ C-"), col("c_name"), lit(" "))).as("doi_dirty"),
         Normalizers.normalizeOrcid(concat(lit("https://orcid.org/"), col("c_name"))).as("orcid"),
         Normalizers.normalizePmid(concat(lit("MEDLINE:"), col("c_custkey").cast("string"))).as("pmid"),
         Normalizers.normalizeWosId(concat(lit("WOS:"), col("c_name"))).as("wos_id")
@@ -182,6 +185,7 @@ object CoreQueries {
     "q_normalize_ids" ->
       """SELECT c_custkey,
         |       '10.48550/arxiv.' || CAST(c_custkey AS VARCHAR) AS doi,
+        |       '10.1234/abc-' || lower(c_name) AS doi_dirty,
         |       lower(c_name) AS orcid,
         |       CAST(c_custkey AS VARCHAR) AS pmid,
         |       c_name AS wos_id

@@ -53,14 +53,18 @@ object DomainQueries {
     },
 
     // #15 JSONPath rules over a JSON string column + positive guard +
-    // missing-path fallback (distiller JsonPathRule semantics).
+    // missing-path fallback (distiller JsonPathRule semantics). ONE
+    // from_json parse per row — every rule then reads struct fields, so
+    // the JSON cost doesn't multiply with the number of rules.
     "q_distill_json" -> { (s, dir) =>
       val e = Tables(s, dir).events
-      e.select(
-        col("event_id"),
-        Distill.firstValid(Distill.positiveNumber(Distill.jsonRule(col("props"), "k")), lit(0L)).as("k"),
-        Distill.firstValid(Distill.jsonRule(col("props"), "m").cast("long"), lit(-1L)).as("m")
-      )
+      val schema = org.apache.spark.sql.types.DataType.fromDDL("STRUCT<k: BIGINT, m: BIGINT>")
+      e.select(col("event_id"), from_json(col("props"), schema).as("p"))
+        .select(
+          col("event_id"),
+          Distill.firstValid(Distill.positiveNumber(col("p.k")), lit(0L)).as("k"),
+          Distill.firstValid(col("p.m"), lit(-1L)).as("m")
+        )
     },
 
     // #17 type normalization: dictionary hit or str.capitalize fallback.

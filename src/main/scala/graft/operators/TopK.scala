@@ -13,6 +13,10 @@ import graft.plans.TopKPerKey
   * `struct(-col("sim"), col("id"))` ≡ ORDER BY sim DESC, id ASC.
   * Requires a session built with GraftExtensions (GraftSession does
   * this).
+  *
+  * Rows whose `orderBy` evaluates to NULL are dropped, not ranked —
+  * coalesce to a sentinel (e.g. `struct(lit(Double.MaxValue), ...)`)
+  * to keep them with NULLS-LAST window semantics.
   */
 object TopK {
   def perKey(df: DataFrame, keyCols: Seq[String], orderBy: Column, k: Int): DataFrame = {

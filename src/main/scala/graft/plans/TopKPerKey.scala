@@ -27,6 +27,11 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   *
   * Like row_number, rows tying at the k boundary are kept
   * arbitrarily — include a tiebreaker in `order` for determinism.
+  *
+  * NULL contract: rows whose `order` expression evaluates to NULL are
+  * DROPPED, not ranked (unlike a row_number window, which would order
+  * them first/last but keep them). Callers that must retain NULL-order
+  * rows should coalesce the order expression to a sentinel first.
   */
 case class TopKPerKey(k: Int, keys: Seq[Expression], order: Expression, child: LogicalPlan)
     extends UnaryNode {

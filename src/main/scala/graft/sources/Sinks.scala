@@ -41,14 +41,27 @@ object Sinks {
     * compaction keeps scan task counts sane.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String, rowsPerFile: Long): Unit = {
+    import org.apache.hadoop.fs.Path
     val df = spark.read.parquet(path)
-    val files = math.max(1L, math.ceil(df.count().toDouble / rowsPerFile).toLong).toInt
-    val tmp = path + "__compacting"
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new java.io.File(path)
-    fs.listFiles().foreach(_.delete()); fs.delete()
-    new java.io.File(tmp).renameTo(fs)
-    ()
+    val oldCount = df.count()
+    val files = math.max(1L, math.ceil(oldCount.toDouble / rowsPerFile).toLong).toInt
+    val target = new Path(path)
+    val tmp = new Path(path + "__compacting")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // Verify the rewrite before the destructive swap, then use the
+    // filesystem abstraction (recursive delete + rename, both checked)
+    // so partitioned layouts and non-local filesystems both work.
+    val newCount = spark.read.parquet(tmp.toString).count()
+    if (newCount != oldCount) {
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"compact aborted: rewrite of $path has $newCount rows, expected $oldCount")
+    }
+    if (!fs.delete(target, true))
+      throw new java.io.IOException(s"compact failed: could not delete $target")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"compact failed: could not rename $tmp to $target")
   }
 
   /** Z-order clustering write: sort by the bit-interleaved value of
@@ -63,10 +76,15 @@ object Sinks {
         org.apache.spark.sql.functions.col(colB)))
       .write.mode(SaveMode.Overwrite).parquet(path)
 
-  /** 64-bit Z-value: interleave the low 32 bits of two long columns. */
+  /** 62-bit Z-value: interleave the low 31 bits of two long columns.
+    * 31 (not 32) bits per column keeps the result clear of the long
+    * sign bit, so z-values sort monotonically for keys in [0, 2^31);
+    * larger keys wrap into the same range (clustering degrades but
+    * ordering stays non-negative and consistent).
+    */
   def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
-    (0 until 32).map { i =>
+    import org.apache.spark.sql.functions.{shiftleft, shiftright}
+    (0 until 31).map { i =>
       val abit = shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L), 2 * i)
       val bbit = shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1)
       abit + bbit

@@ -85,36 +85,64 @@ object EventStreams {
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long, total_value: Double)
-  private final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  // public: the state encoder's generated (Janino) serializer needs
+  // reflective access to the accessors
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState): closes a session when `gapMs` passes
     * without an event. State is one small record per active user —
     * at cluster scale the state store shards by user_id.
+    *
+    * Idle users are handled with an event-time timeout: when the
+    * watermark passes `session end + gapMs` with no new event, the open
+    * session is emitted and its state entry evicted — state stays
+    * bounded by the number of *currently active* users, not every user
+    * ever seen. On batch input timeouts never fire (Spark calls each
+    * group exactly once); use [[sessionizeBatch]] there, which also
+    * flushes the tail session.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long,
+      watermarkDelay: String = "10 minutes"
+  ): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
-    events
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
         OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()
+        GroupStateTimeout.EventTimeTimeout()
       ) { (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-        // Events arrive unordered within a batch: sort locally (bounded
-        // by per-user batch size, not the partition).
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
-        var st = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0, 0.0))
-        val closed = Seq.newBuilder[SessionSummary]
-        for (e <- sorted) {
-          val t = e.ts.getTime
-          if (st.n == 0) st = SessionState(t, t, 1, e.value)
-          else if (t - st.end > gapMs) {
-            closed += SessionSummary(userId, new Timestamp(st.start), new Timestamp(st.end), st.n, st.total)
-            st = SessionState(t, t, 1, e.value)
-          } else st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+        if (state.hasTimedOut) {
+          // Watermark passed end + gapMs with no event: close + evict.
+          val st = state.get
+          state.remove()
+          Iterator.single(
+            SessionSummary(userId, new Timestamp(st.start), new Timestamp(st.end), st.n, st.total))
+        } else {
+          // Events arrive unordered within a batch: sort locally (bounded
+          // by per-user batch size, not the partition).
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0, 0.0))
+          val closed = Seq.newBuilder[SessionSummary]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st.n == 0) st = SessionState(t, t, 1, e.value)
+            else if (t - st.end > gapMs) {
+              closed += SessionSummary(userId, new Timestamp(st.start), new Timestamp(st.end), st.n, st.total)
+              st = SessionState(t, t, 1, e.value)
+            } else st = SessionState(st.start, t, st.n + 1, st.total + e.value)
+          }
+          if (st.n > 0) {
+            state.update(st)
+            // setTimeoutTimestamp requires a watermark — streaming only.
+            if (streaming) state.setTimeoutTimestamp(st.end + gapMs)
+          } else state.remove()
+          closed.result().iterator
         }
-        if (st.n > 0) state.update(st) else state.remove()
-        closed.result().iterator
       }
   }
 

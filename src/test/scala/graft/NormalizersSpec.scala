@@ -24,6 +24,23 @@ class NormalizersSpec extends SparkSpec {
     assert(runNull(normalizeDoi(col("x"))) == null)
   }
 
+  test("normalizeDoi dirty inputs match reference test_normalize_doi") {
+    // test_utils.py:39-86 inputs, verbatim
+    assert(run(normalizeDoi(col("x")), "10.1103/PhysRevLett.96.07390") == "10.1103/physrevlett.96.07390")
+    assert(run(normalizeDoi(col("x")), " 10.1234/5678 ") == "10.1234/5678")
+    assert(run(normalizeDoi(col("x")), " doi: 10.1234/5678 ") == "10.1234/5678")
+    assert(run(normalizeDoi(col("x")), "doi:10.1234/ 56 78") == "10.1234/5678")
+    assert(run(normalizeDoi(col("x")), "junkstuff7-710.1016.12.31/nature.<S0735>-1097(98)2000/12/31/34:7-7")
+      == "10.1016.12.31/nature.<s0735>-1097(98)2000/12/31/34:7-7")
+    assert(run(normalizeDoi(col("x")), "07390710.1103/physrevlett.96.073907") == "10.1103/physrevlett.96.073907")
+    assert(run(normalizeDoi(col("x")), "fooooooo10.1016/j.juro.2018.10.006") == "10.1016/j.juro.2018.10.006")
+    assert(run(normalizeDoi(col("x")), "11.0000/this.doi.goes.to.11") == null)
+    assert(run(normalizeDoi(col("x")), "https://doi.org/10.48550/arXiv.2202.01037") == "10.48550/arxiv.2202.01037")
+    assert(run(normalizeDoi(col("x")), "10.1007/978-3-030-46640-4\\_21") == "10.1007/978-3-030-46640-4_21")
+    assert(run(normalizeDoi(col("x")), "10.1562/0031-8655(2004)79&lt;76:aocrtt&gt;2.0.co;2") == null)
+    assert(run(normalizeDoi(col("x")), "10.1562/0031-8655(2004)\"79") == null)
+  }
+
   test("normalizePmid strips url and medline prefix") {
     assert(run(normalizePmid(col("x")), "https://pubmed.ncbi.nlm.nih.gov/123456") == "123456")
     assert(run(normalizePmid(col("x")), "MEDLINE:123456") == "123456")

@@ -63,6 +63,16 @@ class SinksIvfSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == df.count())
   }
 
+  test("compact survives a partitioned (subdirectory) layout") {
+    val out = Files.createTempDirectory("cmpp").toString + "/t"
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    df.write.partitionBy("o_orderstatus").parquet(out)
+    Sinks.compact(spark, out, rowsPerFile = 1000)
+    assert(spark.read.parquet(out).count() == df.count())
+    // the staging dir must not be left behind
+    assert(!new java.io.File(out + "__compacting").exists())
+  }
+
   test("zValue interleaves bits; z-ordered write clusters both columns") {
     import spark.implicits._
     val z = Seq((1L, 0L), (0L, 1L), (3L, 3L)).toDF("a", "b")
@@ -70,6 +80,13 @@ class SinksIvfSpec extends SparkSpec {
     assert(z(0) == 1L)  // a bit 0 -> position 0
     assert(z(1) == 2L)  // b bit 0 -> position 1
     assert(z(2) == 15L) // both low 2 bits set -> 0b1111
+    // full 31-bit keys never touch the long sign bit -> ordering stays
+    // monotone (the 32-bit interleave put b's bit 31 at position 63)
+    val max31 = (1L << 31) - 1
+    val big = Seq((0L, max31), (max31, max31)).toDF("a", "b")
+      .select(Sinks.zValue(col("a"), col("b")).as("z")).collect().map(_.getLong(0))
+    assert(big.forall(_ >= 0L))
+    assert(big(1) == (1L << 62) - 1)
     val out = Files.createTempDirectory("zord").toString + "/t"
     Sinks.writeZOrdered(
       spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_partkey", "l_suppkey", "l_quantity"),

@@ -44,6 +44,24 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).n_events == 2 && out(0).start == ts(0) && out(0).end == ts(1))
   }
 
+  test("sessionize emits idle sessions via event-time timeout and evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts(0), "a", 1.0), Event(1, ts(1), "a", 2.0))
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 600000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_to").outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: user 1 session open, watermark -> ts(1)
+      input.addData(Event(9, ts(40), "b", 1.0))
+      q.processAllAvailable() // batch 2: watermark advances past ts(1) + gap
+      input.addData(Event(9, ts(41), "b", 1.0))
+      q.processAllAvailable() // batch 3: user 1 times out -> emitted + evicted
+      val rows = spark.sql("SELECT user_id, n_events, total_value FROM sess_to WHERE user_id = 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, 2L, 3.0)), s"timed-out session not emitted: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionizeBatch matches stateful semantics and flushes tail") {
     val events = Seq(
       Event(1, ts(0), "a", 1.0),

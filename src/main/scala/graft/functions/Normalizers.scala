@@ -75,10 +75,14 @@ object Normalizers {
   }
 
   /** ISSN format check (distiller/journal_issn.py:34-50): 9 chars,
-    * NNNN-NNN[N|X].
+    * 4 digits, ANY separator character, then NNN[N|X] — the reference
+    * checks issn[:4] and issn[5:] and never inspects index 4, so
+    * "1234 567X" passes just like "1234-567X". (A literal newline at
+    * index 4 would slip past `.` — not a shape that occurs in ISSN
+    * data; documented divergence.)
     */
   def isValidIssn(c: Column): Column =
-    c.isNotNull && c.rlike("^[0-9]{4}-[0-9]{3}[0-9X]$")
+    c.isNotNull && c.rlike("^[0-9]{4}.[0-9]{3}[0-9X]$")
 
   /** Strip HTML/XML tags, keep text (crossref abstract cleanup,
     * distiller/abstract.py:47-63 — BeautifulSoup get_text re-expressed

@@ -52,24 +52,52 @@ object Distillers {
       Distill.validYear(sulJournalYear, currentYear)
     )
 
-  /** issue.py / volume.py — the winning candidate is the FIRST
-    * non-NULL one in precedence order; its value is then kept only if
-    * that source's field is string-typed (the reference's
-    * `match value: case str()` — a numeric Dimensions issue makes the
-    * whole distill return None, it does NOT fall through to later
-    * rules). Each candidate is passed with a flag saying whether its
-    * natural type is string.
+  /** Natural type of a distill candidate, for the reference's
+    * `match value:` dispatch in issue.py/volume.py.
     */
-  def firstScalarString(candidates: (Column, Boolean)*): Column = {
+  sealed trait ScalarKind
+  object ScalarKind {
+    /** String-typed source field: winner returned as-is. */
+    case object Str extends ScalarKind
+    /** Non-string scalar (e.g. numeric Dimensions issue): if it wins,
+      * the whole distill returns NULL (`case _: return None`).
+      */
+    case object NonStr extends ScalarKind
+    /** array<string> source field: `case list(): value[0]`. An EMPTY
+      * list is not a rule hit at all (utils.all drops `[]` results),
+      * so the next candidate wins instead.
+      */
+    case object StrList extends ScalarKind
+  }
+
+  /** issue.py / volume.py — the winning candidate is the FIRST
+    * matching one in precedence order; the result then depends on the
+    * winner's natural type (`match value:`): a string is returned, a
+    * list yields its first element, anything else makes the whole
+    * distill return NULL — it does NOT fall through to later rules.
+    */
+  def firstScalar(candidates: Seq[(Column, ScalarKind)]): Column = {
+    import ScalarKind._
     val winner = coalesce(candidates.zipWithIndex.map {
-      case ((c, _), i) => when(c.isNotNull, lit(i))
+      case ((c, StrList), i) => when(c.isNotNull && size(c) > 0, lit(i))
+      case ((c, _), i)       => when(c.isNotNull, lit(i))
     }: _*)
     candidates.zipWithIndex.foldLeft(lit(null).cast("string")) {
-      case (acc, ((c, isString), i)) =>
-        if (isString) when(winner === i, c).otherwise(acc)
-        else when(winner === i, lit(null).cast("string")).otherwise(acc)
+      case (acc, ((c, kind), i)) =>
+        val v = kind match {
+          case Str     => c
+          case NonStr  => lit(null).cast("string")
+          case StrList => try_element_at(c, lit(1))
+        }
+        when(winner === i, v).otherwise(acc)
     }
   }
+
+  /** [[firstScalar]] with the two scalar kinds only (true = string). */
+  def firstScalarString(candidates: (Column, Boolean)*): Column =
+    firstScalar(candidates.map { case (c, isString) =>
+      (c, if (isString) ScalarKind.Str else ScalarKind.NonStr): (Column, ScalarKind)
+    })
 
   /** issue.py — openalex biblio.issue, dim issue, pubmed
     * MedlineCitation.Article.Journal.JournalIssue.Issue, sulpub
@@ -110,8 +138,10 @@ object Distillers {
     * A fixed from_json schema cannot express string-or-object, so this
     * uses Spark's VARIANT type: one parse_json per row, then a per-
     * element type dispatch (schema_of_variant) — still one pass, no
-    * UDF. NULL when the path is missing; "" when segments exist but
-    * all are empty (the reference joins an empty list).
+    * UDF. NULL when the path is missing OR the array is empty (an
+    * empty jsonpath result is falsy in the reference, so it falls
+    * through to crossref); "" only when segments exist but all are
+    * empty (the reference joins an empty list).
     */
   def pubmedAbstract(pubmedJson: Column): Column = {
     val segs = try_variant_get(
@@ -123,7 +153,7 @@ object Distillers {
       when(schema_of_variant(v) === "STRING", try_variant_get(v, "$", "string"))
         .otherwise(try_variant_get(v, "$['#text']", "string")))
     val kept = filter(texts, t => t.isNotNull && trim(t) =!= "")
-    when(segs.isNotNull, array_join(kept, " "))
+    when(size(segs) > 0, array_join(kept, " "))
   }
 
   /** abstract.py:47-63 (_crossref_abstract) — drop everything through
@@ -158,10 +188,10 @@ object Distillers {
     */
   def journalName(oaLocations: Column, lookupDisplayName: Column): Column =
     Distill.firstValid(
-      try_element_at(
+      truthy(try_element_at(
         filter(oaLocations, l => l.getField("source").getField("type") === "journal"),
         lit(1)
-      ).getField("source").getField("display_name"),
+      ).getField("source").getField("display_name")),
       lookupDisplayName
     )
 
@@ -169,7 +199,13 @@ object Distillers {
     * .host_organization_name, else the ISSN-lookup host org.
     */
   def publisher(oaHostOrg: Column, lookupHostOrg: Column): Column =
-    Distill.firstValid(oaHostOrg, lookupHostOrg)
+    Distill.firstValid(truthy(oaHostOrg), lookupHostOrg)
+
+  /** Python truthiness for a string candidate: `if value:` — only the
+    * EMPTY string is a miss (whitespace is truthy), so "" must not
+    * block later rules (journal_name.py / publisher.py).
+    */
+  def truthy(c: Column): Column = when(c =!= lit(""), c)
 
   /** The engine-level form of openalex.source_by_issn: join the pub's
     * piped ISSN string against a (small, broadcast) issn → source

@@ -58,12 +58,16 @@ object DomainQueries {
     // the JSON cost doesn't multiply with the number of rules.
     "q_distill_json" -> { (s, dir) =>
       val e = Tables(s, dir).events
-      val schema = org.apache.spark.sql.types.DataType.fromDDL("STRUCT<k: BIGINT, m: BIGINT>")
+      // Fields parse as STRING and try_cast per field: a single
+      // mistyped field must not null the whole struct (PERMISSIVE
+      // from_json would), matching per-field JsonPathRule + oracle
+      // json_extract_string semantics. Still ONE parse per row.
+      val schema = org.apache.spark.sql.types.DataType.fromDDL("STRUCT<k: STRING, m: STRING>")
       e.select(col("event_id"), from_json(col("props"), schema).as("p"))
         .select(
           col("event_id"),
           Distill.firstValid(Distill.positiveNumber(col("p.k")), lit(0L)).as("k"),
-          Distill.firstValid(col("p.m"), lit(-1L)).as("m")
+          Distill.firstValid(col("p.m").try_cast("long"), lit(-1L)).as("m")
         )
     },
 
@@ -496,7 +500,7 @@ object DomainQueries {
         |       ELSE lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '-' ||
         |            lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
         |            (CASE WHEN c_custkey % 2 = 0 THEN 'X' ELSE '7' END) END
-        |    SIMILAR TO '[0-9]{4}-[0-9]{3}[0-9X]' AS issn_ok,
+        |    SIMILAR TO '[0-9]{4}.[0-9]{3}[0-9X]' AS issn_ok,
         |  trim(regexp_replace('<jats:p>Abstract for ' || c_name || '</jats:p>', '<[^>]*>', '', 'g')) AS clean_abstract
         |FROM customer""".stripMargin,
     "q_validation" ->

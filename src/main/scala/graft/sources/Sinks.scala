@@ -39,16 +39,64 @@ object Sinks {
     * ceil(rows / rowsPerFile) files. Incremental appends at 100 TB
     * accumulate thousands of KB-sized files per partition; periodic
     * compaction keeps scan task counts sane.
+    *
+    * Hive-partitioned layouts are preserved: the `col=value`
+    * directory chain is detected from the layout, partition-value
+    * type inference is disabled for the rewrite (so 'key=007' or a
+    * date-like value round-trips byte-identically as a string
+    * instead of being silently re-typed), and the rewrite uses
+    * partitionBy on the same columns — partition pruning survives
+    * compaction.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String, rowsPerFile: Long): Unit = {
     import org.apache.hadoop.fs.Path
-    val df = spark.read.parquet(path)
-    val oldCount = df.count()
-    val files = math.max(1L, math.ceil(oldCount.toDouble / rowsPerFile).toLong).toInt
     val target = new Path(path)
-    val tmp = new Path(path + "__compacting")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val partCols = partitionColumns(fs, target)
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferPrev = spark.conf.get(inferKey)
+    if (partCols.nonEmpty) spark.conf.set(inferKey, "false")
+    try {
+      val df = spark.read.parquet(path)
+      val oldCount = df.count()
+      val files = math.max(1L, math.ceil(oldCount.toDouble / rowsPerFile).toLong).toInt
+      val tmp = new Path(path + "__compacting")
+      val writer =
+        if (partCols.isEmpty) df.repartition(files).write
+        else
+          // hash on the partition columns so each partition value is
+          // written by one task -> one compacted file per value
+          // (capped at `files` tasks), not files x values fragments.
+          df.repartition(files, partCols.map(org.apache.spark.sql.functions.col): _*)
+            .write.partitionBy(partCols: _*)
+      writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      swapVerified(spark, fs, tmp, target, oldCount)
+    } finally spark.conf.set(inferKey, inferPrev)
+  }
+
+  /** Partition columns of a Hive-layout dataset, outermost first —
+    * read off the first `col=value` directory chain.
+    */
+  private def partitionColumns(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val acc = scala.collection.mutable.ListBuffer.empty[String]
+    var cur = root
+    var descend = true
+    while (descend) {
+      descend = false
+      val kids = fs.listStatus(cur).filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      if (kids.nonEmpty) {
+        acc += kids.head.getPath.getName.split("=", 2)(0)
+        cur = kids.head.getPath
+        descend = true
+      }
+    }
+    acc.toList
+  }
+
+  private def swapVerified(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, tmp: org.apache.hadoop.fs.Path,
+      target: org.apache.hadoop.fs.Path, oldCount: Long): Unit = {
     // Verify the rewrite before the destructive swap, then use the
     // filesystem abstraction (recursive delete + rename, both checked)
     // so partitioned layouts and non-local filesystems both work.
@@ -56,7 +104,7 @@ object Sinks {
     if (newCount != oldCount) {
       fs.delete(tmp, true)
       throw new java.io.IOException(
-        s"compact aborted: rewrite of $path has $newCount rows, expected $oldCount")
+        s"compact aborted: rewrite of $target has $newCount rows, expected $oldCount")
     }
     if (!fs.delete(target, true))
       throw new java.io.IOException(s"compact failed: could not delete $target")

@@ -50,13 +50,54 @@ class DistillersSpec extends SparkSpec {
         |["Plain segment", {"#text":"Dict segment","Label":"BG"}, "", {"Label":"NoText"}, "  ", "End"]}}}}"""
         .stripMargin.replaceAll("\n", "")
     val allEmpty = """{"MedlineCitation":{"Article":{"Abstract":{"AbstractText":["", "  "]}}}}"""
+    val emptyArr = """{"MedlineCitation":{"Article":{"Abstract":{"AbstractText":[]}}}}"""
     val missing = """{"MedlineCitation":{"Article":{}}}"""
-    val df = Seq(mixed, allEmpty, missing, null).toDF("pm")
+    val df = Seq(mixed, allEmpty, emptyArr, missing, null).toDF("pm")
     val out = df.select(Distillers.pubmedAbstract(col("pm")).as("a")).collect()
     assert(out(0).getString(0) == "Plain segment Dict segment End")
     assert(out(1).getString(0) == "") // segments existed, all empty -> "" (a match, like the reference)
+    // [] is falsy for the reference's `if abstract_text:` -> no match,
+    // crossref gets its turn
     assert(out(2).isNullAt(0))
     assert(out(3).isNullAt(0))
+    assert(out(4).isNullAt(0))
+  }
+
+  test("firstScalar list arm: winner list yields its head, empty list is no hit") {
+    import Distillers.ScalarKind._
+    val df = Seq(
+      (Some(Seq("7", "8")), Some("s1")), // list wins -> "7"
+      (Some(Seq.empty[String]), Some("s2")), // [] is not a match -> sul wins
+      (None, Some("s3")),
+      (None, None)
+    ).toDF("lst", "sul")
+    val out = df.select(Distillers.firstScalar(Seq(
+      (col("lst"), StrList), (col("sul"), Str))).as("v")).collect()
+    assert(out(0).getString(0) == "7")
+    assert(out(1).getString(0) == "s2")
+    assert(out(2).getString(0) == "s3")
+    assert(out(3).isNullAt(0))
+  }
+
+  test("journalName/publisher: empty-string OpenAlex value falls through to lookup") {
+    val schema = DataType.fromDDL(
+      "ARRAY<STRUCT<source: STRUCT<type: STRING, display_name: STRING>>>")
+    val df = Seq(
+      ("""[{"source":{"type":"journal","display_name":""}}]""", "Lookup J", "", "Lookup H"),
+      ("""[{"source":{"type":"journal","display_name":"Real J"}}]""", "Lookup J", "Real H", "Lookup H")
+    ).toDF("locs", "lookup_dn", "oa_host", "lookup_host")
+    val out = df.select(
+      Distillers.journalName(from_json(col("locs"), schema), col("lookup_dn")).as("j"),
+      Distillers.publisher(col("oa_host"), col("lookup_host")).as("p")).collect()
+    assert(out(0).getString(0) == "Lookup J" && out(0).getString(1) == "Lookup H")
+    assert(out(1).getString(0) == "Real J" && out(1).getString(1) == "Real H")
+  }
+
+  test("isValidIssn ignores the separator character like the reference") {
+    import graft.functions.Normalizers
+    val df = Seq("1234-567X", "1234 5678", "1234X5678", "12345678", "123-45678").toDF("i")
+    val out = df.select(Normalizers.isValidIssn(col("i")).as("ok")).collect().map(_.getBoolean(0))
+    assert(out.sameElements(Array(true, true, true, false, false)))
   }
 
   test("crossrefAbstract drops the jats title block and strips tags") {

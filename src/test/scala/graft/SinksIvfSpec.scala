@@ -63,11 +63,18 @@ class SinksIvfSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == df.count())
   }
 
-  test("compact survives a partitioned (subdirectory) layout") {
+  test("compact preserves a partitioned layout, values and types") {
     val out = Files.createTempDirectory("cmpp").toString + "/t"
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
-    df.write.partitionBy("o_orderstatus").parquet(out)
+      // zero-padded NUMERIC-LOOKING partition value: a compaction that
+      // re-reads with partition type inference would re-type it as a
+      // number and rewrite 'pk=000' as 'pk=0' (value + pruning drift)
+      .withColumn("pk", concat(lit("00"), (col("o_orderkey") % 3).cast("string")))
+    df.write.partitionBy("pk").parquet(out)
     Sinks.compact(spark, out, rowsPerFile = 1000)
+    // partition directories survive, byte-identical values included
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.sameElements(Array("pk=000", "pk=001", "pk=002")), dirs.mkString(","))
     assert(spark.read.parquet(out).count() == df.count())
     // the staging dir must not be left behind
     assert(!new java.io.File(out + "__compacting").exists())

@@ -121,15 +121,20 @@ object DomainQueries {
       )
     },
 
-    // #22 federal-funder membership on the normalized name.
+    // #22 federal-funder membership: normalized name in the dataset OR
+    // GRID id in the dataset (funders/dataset.py is_federal +
+    // is_federal_grid_id).
     "q_federal_match" -> { (s, dir) =>
       val federal = (1 to 5).map(i => f"supplier#$i%09d")
+      val federalGrids = (1 to 5).map(i => s"grid.$i")
       val sup = Tables(s, dir).supplier
       val raw = concat(col("s_name"), when(col("s_suppkey") % 3 === 0, lit(" (FED)")).otherwise(lit("")))
+      val grid = concat(lit("grid."), (col("s_suppkey") % 40).cast("string"))
       sup.select(
         col("s_suppkey"),
         Normalizers.normalizeFunderName(raw).as("norm_name"),
-        Rialto.isFederal(raw, federal).as("federal")
+        grid.as("grid_id"),
+        (Rialto.isFederal(raw, federal) || Rialto.isFederalGridId(grid, federalGrids)).as("federal")
       )
     },
 
@@ -430,8 +435,10 @@ object DomainQueries {
     "q_federal_match" ->
       """SELECT s_suppkey,
         |  lower(regexp_replace(s_name || CASE WHEN s_suppkey % 3 = 0 THEN ' (FED)' ELSE '' END, ' ?\(.+\)$', '')) AS norm_name,
-        |  lower(regexp_replace(s_name || CASE WHEN s_suppkey % 3 = 0 THEN ' (FED)' ELSE '' END, ' ?\(.+\)$', ''))
-        |    IN ('supplier#000000001','supplier#000000002','supplier#000000003','supplier#000000004','supplier#000000005') AS federal
+        |  'grid.' || CAST(s_suppkey % 40 AS VARCHAR) AS grid_id,
+        |  (lower(regexp_replace(s_name || CASE WHEN s_suppkey % 3 = 0 THEN ' (FED)' ELSE '' END, ' ?\(.+\)$', ''))
+        |    IN ('supplier#000000001','supplier#000000002','supplier#000000003','supplier#000000004','supplier#000000005')
+        |   OR s_suppkey % 40 BETWEEN 1 AND 5) AS federal
         |FROM supplier""".stripMargin,
     "q_funder_link" ->
       """SELECT p_partkey AS funder_id, p_size > 25 AS federal, count(*) AS n_pubs

@@ -84,11 +84,50 @@ object Rialto {
       .otherwise(lit(null).cast("long"))
   }
 
-  /** Federal-funder test (funders/dataset.py): normalized name in the
-    * federal dataset, or GRID id in the dataset. The datasets are small
-    * (~239 rows) so they travel as literal arrays — a broadcast in
-    * cluster terms, constant-folded into codegen here.
+  /** Federal-funder test on the normalized NAME (funders/dataset.py
+    * is_federal, :8-10). The dataset is small (~239 rows) so it
+    * travels as a literal array — a broadcast in cluster terms,
+    * constant-folded into codegen here. GRID-id membership is the
+    * separate [[isFederalGridId]].
     */
   def isFederal(name: Column, federalNames: Seq[String]): Column =
     Normalizers.normalizeFunderName(name).isInCollection(federalNames)
+
+  /** Federal-funder test on the GRID id (funders/dataset.py
+    * is_federal_grid_id, :14-16): raw id membership, no
+    * normalization.
+    */
+  def isFederalGridId(gridId: Column, federalGridIds: Seq[String]): Column =
+    gridId.isInCollection(federalGridIds)
+
+  /** The external APC dataset lookup (apc/__init__.py get_apc +
+    * distiller/apc.py _apc_oa_dataset): for each publication, walk its
+    * `issnsCol` array IN ORDER and take the first ISSN whose
+    * (ISSN_1|ISSN_2, APC_year) match has a truthy cost — get_apc
+    * returns None for negative costs and `if cost:` skips 0, so only
+    * cost > 0 hits.
+    *
+    * Engine shape: the dataset (~20k rows in the reference) flattens
+    * to (issn, year, cost), broadcasts, and equi-joins the exploded
+    * (pub, pos, issn) pairs — the pub side shuffles only (id, pos,
+    * issn) tuples, then one keyed min_by(pos) re-aggregation. Adds an
+    * `apc_dataset` column; `lookup` needs columns issn_1, issn_2,
+    * apc_year, apc_usd.
+    */
+  def apcDatasetLookup(pubs: DataFrame, idCol: String, issnsCol: String,
+      yearCol: String, lookup: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val flat = lookup
+      .select(col("issn_1").as("__issn"), col("apc_year"), col("apc_usd"))
+      .unionByName(lookup.select(col("issn_2").as("__issn"), col("apc_year"), col("apc_usd")))
+      .filter(col("apc_usd").isNotNull && col("apc_usd") > 0)
+    val hits = pubs
+      .select(col(idCol), col(yearCol).as("__y"),
+        posexplode(col(issnsCol)).as(Seq("__pos", "__issn")))
+      .join(broadcast(flat), Seq("__issn"))
+      .filter(col("__y") === col("apc_year"))
+      .groupBy(idCol)
+      .agg(min_by(col("apc_usd"), col("__pos")).as("apc_dataset"))
+    pubs.join(hits, Seq(idCol), "left")
+  }
 }

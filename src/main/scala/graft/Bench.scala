@@ -19,15 +19,23 @@ object Bench {
       try run(fn) catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // Per query: one untimed warm-up + median of 3 timed runs. A
+    // single sample at these runtimes is dominated by JIT/GC noise
+    // and has produced phantom multi-x regressions round-to-round.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => errors += name }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        run(fn)
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); run(fn); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> ts(1)
+      } catch { case _: Throwable => errors += name; name -> -1.0 }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r4(v: Double): Double = math.round(v * 10000) / 10000.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = r4(results.collect { case (_, v) if v > 0 => v }.sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

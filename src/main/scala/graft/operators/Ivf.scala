@@ -32,25 +32,42 @@ object Ivf {
   /** Lloyd iterations with deterministic seeding (first k rows by id).
     * Centroids come back to the driver each iteration — k × dim
     * doubles, bounded and tiny.
+    *
+    * The fit runs on a bounded SAMPLE of the corpus (≤
+    * `fitSampleTarget` rows, deterministic seed), persisted across
+    * iterations: k-means quality needs a representative subset, not
+    * every row, so the per-iteration posexplode (a ×dim row blowup)
+    * never touches the full corpus — at 100 TB the fit cost is
+    * constant while only the single-projection ASSIGNMENT pass scales
+    * with the data.
     */
-  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
-    var centroids: Seq[Seq[Double]] = corpus.orderBy("id").limit(k)
-      .select(col("vec")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-    for (_ <- 0 until iters) {
-      val assigned = corpus.select(nearestCentroid(col("vec"), centroids).as("cid"), col("vec"))
-      val next = assigned
-        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(avg("x").as("m"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m")).as("c"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
-        .toMap
-      centroids = centroids.indices.map(i => next.getOrElse(i, centroids(i)))
-    }
-    centroids
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+      fitSampleTarget: Long = 20000L): Seq[Seq[Double]] = {
+    val n = corpus.count()
+    val fit = (if (n > fitSampleTarget)
+        corpus.sample(withReplacement = false, fraction = fitSampleTarget.toDouble / n, seed = 42L)
+      else corpus)
+      .select(col("id"), col("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Seq[Seq[Double]] = fit.orderBy("id").limit(k)
+        .select(col("vec")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      for (_ <- 0 until iters) {
+        val assigned = fit.select(nearestCentroid(col("vec"), centroids).as("cid"), col("vec"))
+        val next = assigned
+          .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(avg("x").as("m"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))), s => s.getField("m")).as("c"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+          .toMap
+        centroids = centroids.indices.map(i => next.getOrElse(i, centroids(i)))
+      }
+      centroids
+    } finally { fit.unpersist(false); () }
   }
 
   /** Top-`nprobe` centroid ids for a vector. */

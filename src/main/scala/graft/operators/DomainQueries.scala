@@ -279,7 +279,13 @@ object DomainQueries {
       val pa = o.select(col("o_orderkey").as("pub_id"), col("o_custkey"))
         .join(pubs.select("pub_id"), "pub_id")
         .join(broadcast(authors), col("o_custkey") === col("c_custkey"))
-      val academic = pa.groupBy("pub_id").agg(bool_or(col("academic")).as("academic_authored"))
+      // One (pub_id, school) pre-aggregation feeds BOTH consumers
+      // below: the per-pub academic flag folds over it and the
+      // school report joins it directly — the identical exchange
+      // subplan is computed once (ReuseExchange), where aggregating
+      // pa twice re-ran the scan+joins.
+      val pas = pa.groupBy("pub_id", "school").agg(bool_or(col("academic")).as("school_academic"))
+      val academic = pas.groupBy("pub_id").agg(bool_or(col("school_academic")).as("academic_authored"))
       val federal = t.lineitem.select(col("l_orderkey").as("pub_id"), col("l_partkey")).distinct()
         .join(broadcast(t.part), col("p_partkey") === col("l_partkey"))
         .groupBy("pub_id").agg(bool_or(col("p_size") > 25).as("federally_funded"))
@@ -291,7 +297,7 @@ object DomainQueries {
           coalesce(col("academic_authored"), lit(false)).as("academic_authored"),
           coalesce(col("federally_funded"), lit(false)).as("federally_funded")
         )
-      pa.select("pub_id", "school").distinct()
+      pas.select("pub_id", "school")
         .join(pubFull, "pub_id")
         .groupBy("school")
         .agg(

@@ -39,6 +39,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("PartialTopK") && s.contains("FinalTopK"), s)
   }
 
+  test("distill field/abstract chains are single-stage projections (zero shuffles)") {
+    for (name <- Seq("q_distill_fields", "q_distill_abstract")) {
+      val s = formatted(name)
+      assert(countOp(s, "Exchange") == 0, s"$name shuffles: $s")
+      assert(countOp(s, "BroadcastExchange") == 0, s"$name joins: $s")
+    }
+  }
+
+  test("lookup-join queries broadcast the lookup side") {
+    val s1 = formatted("q_author_orcids")
+    assert(countOp(s1, "BroadcastExchange") == 1 && countOp(s1, "Exchange") == 0, s1)
+    for (name <- Seq("q_journal_lookup", "q_apc_lookup")) {
+      val s = formatted(name)
+      assert(countOp(s, "BroadcastExchange") >= 1, s"$name lookup not broadcast: $s")
+      // pubs-side shuffles: one for the keyed re-agg, one to co-locate
+      // the enrich join — never more
+      assert(countOp(s, "Exchange") <= 2, s"$name extra shuffles: $s")
+    }
+  }
+
+  test("q_pipeline_full computes the pub-author-school subplan once (exchange reuse)") {
+    val df = SparkEntry.queries("q_pipeline_full")(spark, sfDir)
+    // collect() executes THIS QueryExecution, so the adaptive plan
+    // below is the final one (a write would plan a fresh execution)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage"),
+      "expected the (pub_id, school) pre-agg exchange to be reused:\n" + s.take(6000))
+  }
+
   test("no accidental cartesian products outside the intentional ones") {
     val intentional = Set("q_ann_bruteforce", "q_edit_distance", "q_range_join", "q_approx_stats")
     for (name <- SparkEntry.queries.keys if !intentional(name)) {

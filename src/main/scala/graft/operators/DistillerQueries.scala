@@ -227,7 +227,11 @@ object DistillerQueries {
     // rows keyed by their one per-source id (openalex/dim/sulpub/wos/
     // pubmed), keep-newest survivor per key, author+funder
     // associations moved to the survivor, then orphan (author-less)
-    // publications removed.
+    // publications removed. The reference runs the five id passes
+    // SEQUENTIALLY; when each row carries at most one per-source id
+    // (the shape harvested here — ids are source-disjoint), one pass
+    // over the source-tagged coalesced key is equivalent. Rows with
+    // ids from several sources would need the passes iterated.
     "q_dedupe_null_doi" -> { (s, dir) =>
       val t = Tables(s, dir)
       val k = col("o_orderkey")
@@ -244,10 +248,11 @@ object DistillerQueries {
         .select("old_id", "new_id")
       val merged = mapping.groupBy("new_id").agg(count(lit(1)).as("n_merged"))
 
+      // no distinct after the remap: the downstream collect_set
+      // dedupes per key, so an extra (pub_id, id) shuffle buys nothing
       def remap(assoc: DataFrame, idCol: String): DataFrame =
         assoc.join(mapping, assoc("pub_id") === mapping("old_id"), "left")
           .select(coalesce(col("new_id"), col("pub_id")).as("pub_id"), col(idCol))
-          .distinct()
       def pipedAgg(assoc: DataFrame, idCol: String, outCol: String): DataFrame =
         assoc.groupBy("pub_id").agg(
           graft.functions.Normalizers.piped(

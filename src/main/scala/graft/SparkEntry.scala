@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsQueries, CoreQueries, DistillerQueries, DomainQueries, LlmQueries, PipelineQueries}
+import graft.operators.{AnalyticsQueries, CoreQueries, CurationQueries, DistillerQueries, DomainQueries, LlmQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,12 +14,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DomainQueries.queries ++ LlmQueries.queries ++
-      PipelineQueries.queries ++ AnalyticsQueries.queries ++ DistillerQueries.queries
+      PipelineQueries.queries ++ AnalyticsQueries.queries ++ DistillerQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ DomainQueries.oracles ++ LlmQueries.oracles ++
-      PipelineQueries.oracles ++ AnalyticsQueries.oracles ++ DistillerQueries.oracles
+      PipelineQueries.oracles ++ AnalyticsQueries.oracles ++ DistillerQueries.oracles ++
+      CurationQueries.oracles
 }

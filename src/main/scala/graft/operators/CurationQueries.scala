@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.sources.Tables
+
+/** Oracle-checked queries for the corpus-curation operators
+  * (Curation.scala, Graph.scala). The synthetic documents table has no
+  * PII / unicode / line structure, so each query first builds a
+  * deterministic "dirty" text from doc_id — the SAME construction
+  * appears in the DuckDB oracle, so the transforms are verified on
+  * inputs that actually exercise them.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val enStops = TextAnalysis.langProfiles("en")
+
+  /** doc text + synthetic email/phone/SSN/IP derived from doc_id. */
+  private def piiText = concat(
+    col("text"),
+    lit(" contact user"), col("doc_id").cast("string"), lit("@cs.example.edu or "),
+    lit("650-555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+    lit(" ssn 123-45-6789 host 171.64."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".1"))
+
+  /** doc text + bullet lines, an ellipsis line, and (every 7th doc) a
+    * run of '#' symbols.
+    */
+  private def linedText = concat(
+    col("text"), lit("\n- bullet one\n- bullet two\nlast line..."),
+    when(pmod(col("doc_id"), lit(7)) === 0, lit(" ### ## #")).otherwise(lit("")))
+
+  /** doc text + decomposed accents (e+U+0301, i+U+0308) + a C0 control. */
+  private def accentedText =
+    concat(col("text"), lit(" café naïveend"))
+
+  val queries: Map[String, Q] = Map(
+    // PII scrub: typed placeholders + per-class counts, one codegen pass.
+    "q_pii_redact" -> { (s, dir) =>
+      val counts = Curation.piiCounts(piiText)
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        Curation.redactPii(piiText).as("redacted"),
+        counts("emails").cast("long").as("emails"),
+        counts("ssns").cast("long").as("ssns"),
+        counts("phones").cast("long").as("phones"),
+        counts("ips").cast("long").as("ips"))
+    },
+
+    // Gopher/C4 structural quality rules over line-structured text.
+    "q_gopher_filter" -> { (s, dir) =>
+      val stats = Curation.gopherStats(linedText)
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        stats("n_words").as("n_words"),
+        stats("mean_word_len").as("mean_word_len"),
+        stats("symbol_ratio").as("symbol_ratio"),
+        stats("bullet_frac").as("bullet_frac"),
+        stats("ellipsis_frac").as("ellipsis_frac"),
+        Curation.gopherKeep(stats, TextAnalysis.stopwordHits(linedText, enStops)).as("keep"))
+    },
+
+    // NFC normalize + control strip via the native NfcNormalize expr.
+    "q_unicode_clean" -> { (s, dir) =>
+      val clean = Curation.cleanUnicode(accentedText)
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        clean.as("clean"),
+        length(clean).cast("long").as("n_clean_chars"),
+        (length(accentedText) - length(clean)).cast("long").as("n_removed"))
+    },
+
+    // Sliding-window chunking: 32-token windows every 24 tokens.
+    "q_chunk_sliding" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), explode(Curation.slidingChunks(split(col("text"), " "), 32, 24)).as("u"))
+        .select(col("doc_id"), col("u.chunk_id"), col("u.chunk_text"), col("u.chunk_tokens"))
+    },
+
+    // Contiguous sequence packing into 2048-token bins per (lang, shard).
+    "q_seq_pack" -> { (s, dir) =>
+      Curation.packSequences(
+        Tables(s, dir).documents,
+        idCol = "doc_id", stratumCol = "lang",
+        tokensCol = size(split(col("text"), " ")).cast("long"),
+        budget = 2048L, nShards = 8
+      ).select(col("doc_id"), col("lang"), col("shard").cast("long").as("shard"),
+        col("n_tokens"), col("bin").cast("long").as("bin"), col("pos"))
+    },
+
+    // Engine-portable deterministic sample (md5-hex threshold, ~25%).
+    "q_sample_hash" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .filter(Curation.hashSample(col("doc_id"), "40000000"))
+        .select(col("doc_id"), col("source"))
+    },
+
+    // SQL-reproducible polynomial fingerprint (vs xxhash64 rows-only).
+    "q_fingerprint_poly" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        Curation.polyFingerprint(col("text")).as("poly_fp"))
+    },
+
+    // Connected components over planted dup edges: chains i—(i+1) and
+    // skip-links i—(i+2) inside each block of 5 ids, so components are
+    // exactly the blocks and the oracle is closed-form.
+    "q_components" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val ids = d.select(col("doc_id"))
+      def linked(step: Int, modMax: Int) = ids.as("a")
+        .join(ids.as("b"), col("b.doc_id") === col("a.doc_id") + step)
+        .filter(pmod(col("a.doc_id"), lit(5)) <= modMax)
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      val edges = linked(1, 3).unionByName(linked(2, 2))
+      Graph.connectedComponentsAll(edges, "src", "dst", d, "doc_id")
+    }
+  )
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ssnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  private val phoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  private val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  private val piiCte =
+    """d AS (SELECT doc_id,
+      |  text || ' contact user' || doc_id || '@cs.example.edu or 650-555-' ||
+      |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-6789 host 171.64.' ||
+      |  CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+      |FROM documents)""".stripMargin
+
+  private val linedCte =
+    """d AS (SELECT doc_id,
+      |  text || chr(10) || '- bullet one' || chr(10) || '- bullet two' || chr(10) || 'last line...' ||
+      |  CASE WHEN doc_id % 7 = 0 THEN ' ### ## #' ELSE '' END AS t
+      |FROM documents)""".stripMargin
+
+  private val accentCte =
+    """d AS (SELECT doc_id,
+      |  text || ' cafe' || chr(769) || ' nai' || chr(776) || 've' || chr(1) || 'end' AS t
+      |FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_pii_redact" ->
+      s"""WITH $piiCte,
+         |s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS emails,
+         |         regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS t1 FROM d),
+         |s2 AS (SELECT doc_id, emails, CAST(len(regexp_extract_all(t1, '$ssnRe')) AS BIGINT) AS ssns,
+         |         regexp_replace(t1, '$ssnRe', '<SSN>', 'g') AS t2 FROM s1),
+         |s3 AS (SELECT doc_id, emails, ssns, CAST(len(regexp_extract_all(t2, '$phoneRe')) AS BIGINT) AS phones,
+         |         regexp_replace(t2, '$phoneRe', '<PHONE>', 'g') AS t3 FROM s2),
+         |s4 AS (SELECT doc_id, emails, ssns, phones, CAST(len(regexp_extract_all(t3, '$ipRe')) AS BIGINT) AS ips,
+         |         regexp_replace(t3, '$ipRe', '<IP>', 'g') AS redacted FROM s3)
+         |SELECT doc_id, redacted, emails, ssns, phones, ips FROM s4""".stripMargin,
+    "q_gopher_filter" ->
+      s"""WITH $linedCte,
+         |w AS (SELECT doc_id, t, string_split(t, ' ') AS ws, string_split(t, chr(10)) AS ls FROM d),
+         |m AS (SELECT doc_id, t, CAST(len(ws) AS BIGINT) AS n_words,
+         |        CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / greatest(len(ws), 1) AS mean_raw,
+         |        (length(t) - length(replace(t, '#', '')) + len(regexp_extract_all(t, '\\.\\.\\.'))) * 1.0
+         |          / greatest(len(ws), 1) AS sym_raw,
+         |        CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %')) AS DOUBLE) / len(ls) AS bullet_raw,
+         |        CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE) / len(ls) AS ell_raw,
+         |        len(list_filter(regexp_split_to_array(lower(t), '\\s+'),
+         |            w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS stop_hits
+         |      FROM w)
+         |SELECT doc_id, n_words, round(mean_raw, 4) AS mean_word_len, round(sym_raw, 4) AS symbol_ratio,
+         |       round(bullet_raw, 4) AS bullet_frac, round(ell_raw, 4) AS ellipsis_frac,
+         |       (n_words BETWEEN 50 AND 100000) AND (round(mean_raw, 4) BETWEEN 3 AND 10)
+         |         AND round(sym_raw, 4) < 0.1 AND round(bullet_raw, 4) < 0.9
+         |         AND round(ell_raw, 4) < 0.3 AND stop_hits >= 2 AS keep
+         |FROM m""".stripMargin,
+    "q_unicode_clean" ->
+      s"""WITH $accentCte,
+         |c AS (SELECT doc_id, length(t) AS n_dirty,
+         |        nfc_normalize(regexp_replace(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS clean
+         |      FROM d)
+         |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_clean_chars,
+         |       CAST(n_dirty - length(clean) AS BIGINT) AS n_removed
+         |FROM c""".stripMargin,
+    "q_chunk_sliding" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws), 1) + 1, 24),
+        |        s -> {'chunk_id': CAST((s - 1) // 24 AS BIGINT),
+        |              'chunk_text': array_to_string(list_slice(ws, s, s + 31), ' '),
+        |              'chunk_tokens': CAST(least(len(ws), s + 31) - s + 1 AS BIGINT)})) AS u
+        |      FROM w)
+        |SELECT doc_id, u.chunk_id AS chunk_id, u.chunk_text AS chunk_text, u.chunk_tokens AS chunk_tokens
+        |FROM c""".stripMargin,
+    "q_seq_pack" ->
+      """WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |p AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t)
+        |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
+        |       CAST(prev // 2048 AS BIGINT) AS bin,
+        |       CAST(row_number() OVER (PARTITION BY lang, shard, prev // 2048 ORDER BY doc_id) AS BIGINT) AS pos
+        |FROM p""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'""".stripMargin,
+    "q_fingerprint_poly" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ws,
+        |      w -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                         list_transform(range(1, length(w) + 1), i -> CAST(ascii(w[i]) AS BIGINT))),
+        |                       (a, b) -> (a * 131 + b) % 1000000007))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS poly_fp
+        |FROM w""".stripMargin,
+    "q_components" ->
+      """SELECT doc_id AS id, CAST((doc_id // 5) * 5 AS BIGINT) AS component FROM documents""".stripMargin
+  )
+}

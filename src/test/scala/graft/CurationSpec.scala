@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Graph}
+import graft.plans.NfcNormalize
+
+/** Unit coverage for the curation operators on crafted rows — the
+  * oracle queries (CurationQueries) verify them against DuckDB on the
+  * corpus; these pin the edge semantics on inputs the corpus lacks.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii scrubs email, ssn, phone, ip with typed tokens") {
+    val in = Seq(
+      "mail a.b+c@dept.example.org now",
+      "ssn 123-45-6789 phone 650-555-1234 alt 650 555 1234",
+      "ip 10.0.255.3 not 1234.5.6.7890",
+      "clean text").toDF("t")
+    val out = in.select(Curation.redactPii(col("t")).as("r")).as[String].collect()
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "ssn <SSN> phone <PHONE> alt <PHONE>")
+    // 1234.5.6.7890 has no digit-boundary: \b[0-9]{1,3} can't start
+    // inside 1234, so only the valid ip is redacted
+    assert(out(2).startsWith("ip <IP> not "))
+    assert(out(3) == "clean text")
+  }
+
+  test("piiCounts counts per class on progressively-redacted text") {
+    val in = Seq("a@b.co c@d.eu ssn 123-45-6789 ip 1.2.3.4").toDF("t")
+    val r = in.select(Curation.piiCounts(col("t")).as("c"))
+      .select(col("c.emails"), col("c.ssns"), col("c.phones"), col("c.ips"))
+      .head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((2, 1, 0, 1)))
+  }
+
+  test("NfcNormalize composes decomposed accents; idempotent on NFC; null-safe") {
+    val in = Seq("café", "café", "plain").toDF("t")
+    val out = in.select(NfcNormalize(col("t")).as("n")).as[String].collect()
+    assert(out(0) == "café" && out(1) == "café" && out(2) == "plain")
+    val n = Seq[Option[String]](None).toDF("t").select(NfcNormalize(col("t"))).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("cleanUnicode strips C0 controls but keeps tab/newline/cr") {
+    val out = Seq("ab\tc\nd\re").toDF("t")
+      .select(Curation.cleanUnicode(col("t"))).as[String].head()
+    assert(out == "ab\tc\nd\re")
+  }
+
+  test("slidingChunks covers all tokens with stride overlap; short doc = one chunk") {
+    val toks = (1 to 80).map(i => s"w$i")
+    val chunks = Seq(toks.mkString(" ")).toDF("t")
+      .select(explode(Curation.slidingChunks(split(col("t"), " "), 32, 24)).as("u"))
+      .select("u.chunk_id", "u.chunk_text", "u.chunk_tokens")
+      .collect()
+    // starts at 1, 25, 49, 73 → 4 chunks; last has 80-73+1 = 8 tokens
+    assert(chunks.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(chunks.map(_.getLong(2)).toSeq == Seq(32L, 32L, 32L, 8L))
+    assert(chunks(0).getString(1).startsWith("w1 w2 ") && chunks(3).getString(1) == toks.drop(72).mkString(" "))
+    // every token appears in some chunk
+    val seen = chunks.flatMap(_.getString(1).split(" ")).toSet
+    assert(seen == toks.toSet)
+    val one = Seq("a b c").toDF("t")
+      .select(explode(Curation.slidingChunks(split(col("t"), " "), 32, 24)).as("u"))
+      .select("u.chunk_tokens").as[Long].collect()
+    assert(one.toSeq == Seq(3L))
+  }
+
+  test("packSequences fills bins to budget within (stratum, shard)") {
+    val df = (0 until 40).map(i => (i.toLong, "en")).toDF("doc_id", "lang")
+    val packed = Curation.packSequences(df, "doc_id", "lang",
+      tokensCol = lit(600L), budget = 2048L, nShards = 1)
+    // 600-token docs: prefix sums 0,600,...; bin = prev//2048 → 4 docs per
+    // bin (prev 0/600/1200/1800), then 2400//2048=1...
+    val bins = packed.groupBy("bin").count().orderBy("bin").as[(Long, Long)].collect()
+    assert(bins.take(3).map(_._2).forall(c => c == 3L || c == 4L))
+    val pos = packed.filter(col("bin") === 0).orderBy("doc_id").select("pos").as[Long].collect()
+    assert(pos.toSeq == (1L to pos.length).toSeq)
+  }
+
+  test("hashSample is deterministic and near the target rate") {
+    val df = (0 until 4000).map(_.toLong).toDF("id")
+    val kept = df.filter(Curation.hashSample(col("id"), "40000000")).count()
+    val kept2 = df.filter(Curation.hashSample(col("id"), "40000000")).count()
+    assert(kept == kept2)
+    assert(math.abs(kept / 4000.0 - 0.25) < 0.03)
+  }
+
+  test("polyFingerprint distinguishes word order and equals a reference fold") {
+    val P = 1000000007L
+    def ref(s: String): Long =
+      s.split(" ").foldLeft(0L)((h, w) =>
+        (h * 31 + w.foldLeft(0L)((g, c) => (g * 131 + c.toInt) % P)) % P)
+    val rows = Seq("the quick fox", "fox quick the", "the quick fox").toDF("t")
+      .select(Curation.polyFingerprint(col("t"))).as[Long].collect()
+    assert(rows(0) == ref("the quick fox"))
+    assert(rows(1) == ref("fox quick the"))
+    assert(rows(0) != rows(1) && rows(0) == rows(2))
+  }
+
+  test("gopherStats measures line structure; gopherKeep thresholds") {
+    val good = ((1 to 60).map(i => s"word$i").mkString(" ") + " the of and") // 63 words, no bullets
+    val bullety = "- a\n- b\n- c\n- d\n- e\nthe of and to in is for on with a the of"
+    val df = Seq(good, bullety).toDF("t")
+    val out = df.select(
+      Curation.gopherStats(col("t")).as("s"),
+      functions.TextAnalysis.stopwordHits(col("t"), functions.TextAnalysis.langProfiles("en")).as("hits"))
+      .select(col("s.n_words"), col("s.bullet_frac"),
+        Curation.gopherKeep(col("s"), col("hits")).as("keep"))
+      .collect()
+    assert(out(0).getBoolean(2))                 // good doc kept
+    assert(out(1).getDouble(1) > 0.8)            // 5/6 lines bullets
+    assert(!out(1).getBoolean(2))                // dropped (bullets + too short)
+  }
+}
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+
+  /** Reference union-find for arbitrary edge lists. */
+  private def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("long chain collapses to min id (diameter >> rounds)") {
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.size == 201 && got.values.toSet == Set(0L))
+  }
+
+  test("random graph matches union-find reference") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong)).filter(e => e._1 != e._2)
+    assert(cc(edges) == brute(edges))
+  }
+
+  test("disjoint cliques and singletons via connectedComponentsAll") {
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("src", "dst")
+    val vertices = Seq(10L, 11L, 12L, 20L, 21L, 99L).toDF("id")
+    val got = Graph.connectedComponentsAll(edges, "src", "dst", vertices, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 99L -> 99L))
+  }
+
+  test("self-loops and duplicate edges are ignored") {
+    val got = cc(Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+}

@@ -183,6 +183,23 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // LSH buckets replicated with inlined ±1 hyperplane literals; the
+    // float-scaled variants round through REAL so every double matches
+    // the Spark floats bit for bit (raw-sim threshold compare is then
+    // exact, not approximate).
+    "q_dedup_embedding" ->
+      s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ev AS (SELECT id, v FROM e0
+         |       UNION ALL
+         |       SELECT id + 1000000 AS id,
+         |              list_transform(v, x -> CAST(CAST(x * 1.5 AS REAL) AS DOUBLE)) AS v
+         |       FROM e0 WHERE id % 10 = 0),
+         |b AS (SELECT id, v, ${VectorOps.bucketSqlDuck("v", 8, 64)} AS bucket,
+         |        sqrt(list_dot_product(v, v)) AS nrm FROM ev)
+         |SELECT x.id AS id_a, y.id AS id_b,
+         |       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS sim
+         |FROM b x JOIN b y ON y.bucket = x.bucket AND x.id < y.id
+         |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.99""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS p_ms, epoch_ms(e.ts) AS err_ms
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p

@@ -242,6 +242,21 @@ object LlmQueries {
          |        ELSE 1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws)),
          |                         i -> ws[i] || ' ' || ws[i + 1]))) AS DOUBLE) / (len(ws) - 1) END, 4) AS rep_ratio
          |FROM w""".stripMargin,
+    // Same inlined-hyperplane trick as q_dedup_embedding: the bucket
+    // assignment and rerank are deterministic, so the "approximate"
+    // result is still exactly reproducible.
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT id, v, ${VectorOps.bucketSqlDuck("v", 8, 64)} AS bucket,
+         |        sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |s AS (SELECT p.id AS probe_id, c.id AS neighbor_id,
+         |        list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS sim
+         |      FROM b p JOIN b c ON p.id % 20 = 0 AND c.bucket = p.bucket AND c.id <> p.id)
+         |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
+         |  SELECT probe_id, neighbor_id, sim,
+         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+         |  FROM s) t
+         |WHERE rn <= 3""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,

@@ -106,4 +106,15 @@ object VectorOps {
       .distinct() // a neighbor can surface via several probe buckets
     TopK.perKey(scored, Seq("probe_id"), struct(-col("sim"), col("neighbor_id")), k)
   }
+
+  /** DuckDB SQL expression computing the same sign-bit bucket as
+    * [[lshBucket]] over a DOUBLE[] column expression: the hyperplanes
+    * are deterministic, so they inline as ±1 literals — which is what
+    * lets the LSH queries be oracle-checked instead of rows-only.
+    */
+  def bucketSqlDuck(vExpr: String, planes: Int, dim: Int): String =
+    hyperplanes(planes, dim).zipWithIndex.map { case (p, j) =>
+      val lits = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($vExpr, $lits::DOUBLE[]) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

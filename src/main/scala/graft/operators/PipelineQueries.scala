@@ -40,6 +40,15 @@ object PipelineQueries {
         )
     },
 
+    // #12b exact dedup with bounded state: the batch twin of
+    // dropDuplicatesWithinWatermark (stream form in StreamingSpec).
+    "q_stream_dedup" -> { (s, dir) =>
+      EventStreams.dedupWithinWatermark(
+        Tables(s, dir).events, Seq("user_id", "event_type"), "10 minutes")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"))
+    },
+
     // #29 ORCID list: normalize + dedupe + sort + piped.
     "q_orcid_list" -> { (s, dir) =>
       Tables(s, dir).lineitem
@@ -105,6 +114,12 @@ object PipelineQueries {
         |SELECT user_id, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM z GROUP BY user_id, sid""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
     "q_orcid_list" ->
       """SELECT l_orderkey,
         |  string_agg(DISTINCT 's' || CAST(l_suppkey AS VARCHAR), '|' ORDER BY 's' || CAST(l_suppkey AS VARCHAR)) AS orcids

@@ -63,6 +63,28 @@ object EventStreams {
     ).drop("__rk")
   }
 
+  /** Exact dedup with bounded state — the streaming face of the LLM
+    * pipeline's exact-dedup operator (TextDedup.exactDupGroups) and of
+    * the reference's per-source upsert keys. Streaming uses
+    * dropDuplicatesWithinWatermark: a key's state is evicted once the
+    * watermark passes its event time, so state is bounded by the
+    * watermark window, not by all keys ever seen (a plain
+    * dropDuplicates on an unbounded stream leaks state forever). A
+    * duplicate arriving after the watermark passes is re-admitted —
+    * the contract is "no dups within the dedup horizon", which is
+    * the right trade for continuous ingest. Batch input gets the
+    * deterministic twin: first arrival by (ts, event_id).
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String], watermarkDelay: String,
+                           arrivalOrder: Seq[String] = Seq("ts", "event_id")): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay).dropDuplicatesWithinWatermark(keys)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(arrivalOrder.map(col): _*)
+      events.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+
   /** Snapshot sink — the reference marks a completed harvest snapshot
     * with a snapshot.json in the snapshot dir (README workflow step
     * 10). Streaming equivalent: every micro-batch lands as parquet

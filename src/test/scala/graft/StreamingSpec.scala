@@ -137,4 +137,33 @@ class StreamingSpec extends SparkSpec {
     val df = Seq(Event(1, ts(0), "a", 1.0), Event(1, ts(30), "a", 1.0)).toDS().toDF()
     assert(EventStreams.since(df, ts(10)).count() == 1)
   }
+
+  test("dedupWithinWatermark drops in-horizon dups, re-admits after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupWithinWatermark(
+      input.toDF(), Seq("user_id", "event_type"), "10 minutes")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), "a", 1.0), Event(1, ts(1), "a", 2.0), Event(2, ts(1), "a", 3.0))
+      q.processAllAvailable() // dup (1,a)@ts(1) dropped within horizon
+      input.addData(Event(9, ts(40), "b", 1.0))
+      q.processAllAvailable() // watermark -> ts(30): (1,a) state evicted
+      input.addData(Event(1, ts(35), "a", 9.0))
+      q.processAllAvailable() // same key after horizon: re-admitted
+      val rows = spark.sql("SELECT user_id, event_type, value FROM sdedup ORDER BY value")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, "a", 1.0), (2L, "a", 3.0), (9L, "b", 1.0), (1L, "a", 9.0)).sortBy(_._3))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark batch twin keeps deterministic first arrival") {
+    val df = Seq(
+      (1L, ts(5), "a", 10L), (1L, ts(0), "a", 7L), (1L, ts(0), "a", 3L),
+      (2L, ts(1), "a", 5L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventStreams.dedupWithinWatermark(df, Seq("user_id", "event_type"), "10 minutes")
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L), (2L, 5L))) // min (ts, event_id) wins
+  }
 }

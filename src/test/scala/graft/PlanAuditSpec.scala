@@ -47,6 +47,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("curation scan queries are single-pass map-only plans (zero shuffles)") {
+    for (name <- Seq("q_pii_redact", "q_gopher_filter", "q_unicode_clean",
+      "q_chunk_sliding", "q_fingerprint_poly", "q_sample_hash")) {
+      val s = formatted(name)
+      assert(countOp(s, "Exchange") == 0, s"$name shuffles: $s")
+      assert(countOp(s, "BroadcastExchange") == 0, s"$name joins: $s")
+    }
+  }
+
+  test("q_seq_pack reuses one (stratum, shard) shuffle for both windows") {
+    val s = formatted("q_seq_pack")
+    assert(countOp(s, "Exchange") == 1, s)
+  }
+
   test("lookup-join queries broadcast the lookup side") {
     val s1 = formatted("q_author_orcids")
     assert(countOp(s1, "BroadcastExchange") == 1 && countOp(s1, "Exchange") == 0, s1)

@@ -71,7 +71,12 @@ object Normalizers {
     */
   def flipName(c: Column): Column = {
     val parts = transform(split(c, ","), p => trim(p))
-    array_join(concat(slice(parts, 2, Int.MaxValue), slice(parts, 1, 1)), " ")
+    // slice length = size(parts), not Int.MaxValue: Slice's interpreted
+    // eval (used inside HOF lambdas and on local relations) overflows
+    // start+length and returns [], while codegen clamps — same
+    // expression, two answers. Bounding by the array size is correct
+    // on both paths.
+    array_join(concat(slice(parts, lit(2), size(parts)), slice(parts, lit(1), lit(1))), " ")
   }
 
   /** ISSN format check (distiller/journal_issn.py:34-50): 9 chars,

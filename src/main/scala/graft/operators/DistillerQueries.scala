@@ -280,6 +280,103 @@ object DistillerQueries {
           col("pub_id"), col("doi"),
           coalesce(col("n_merged"), lit(1L)).as("n_merged"),
           col("author_ids"), col("funder_ids"))
+    },
+
+    // distiller/author_names.py — the 7-rule author_list_names chain
+    // with list semantics: null jsonpath matches dropped, present-but-
+    // empty rule = miss (falls through), first/last positional names.
+    // Residue classes reach every arm incl. both WOS variants and the
+    // sulpub comma-flip.
+    "q_distill_author_names" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val k = col("o_orderkey")
+      val ks = k.cast("string")
+
+      val oaA = when(k % 5 === 0, array(
+          struct(struct(concat(lit("OA1_"), ks).as("display_name")).as("author")),
+          struct(struct(lit(null).cast("string").as("display_name")).as("author")),
+          struct(struct(concat(lit("OA2_"), ks).as("display_name")).as("author"))))
+        .when(k % 5 === 4, array().cast("array<struct<author:struct<display_name:string>>>"))
+      val dimA = when(k % 5 === 1, array(
+          struct(lit("Ann").as("first_name"), concat(lit("D"), ks).as("last_name")),
+          struct(lit("Bob").as("first_name"), concat(lit("E"), ks).as("last_name"))))
+        .when(k % 5 === 2, array().cast("array<struct<first_name:string,last_name:string>>"))
+      val pmA = when(k % 5 === 2, array(
+          struct(lit(null).cast("string").as("ForeName"), concat(lit("P"), ks).as("LastName")),
+          struct(lit("Q").as("ForeName"), concat(lit("R"), ks).as("LastName"))))
+      val wosList = when(k % 5 === 3 && k % 2 === 1,
+        array(concat(lit("W1_"), ks), concat(lit("W2_"), ks)))
+      val wosScalar = when(k % 5 === 3 && k % 2 === 0, concat(lit("Ws_"), ks))
+      val crA = when(k % 5 === 4 && k % 3 =!= 0,
+        array(struct(lit("Cg").as("given"), concat(lit("Cf"), ks).as("family"))))
+      val sulN = when(k % 5 === 4,
+        array(concat(lit("Zulu"), ks, lit(", F. M."))))
+
+      val names = Distillers.authorListNames(
+        transform(oaA, x => x.getField("author").getField("display_name")),
+        Distillers.joinedNames(dimA, "first_name", "last_name", strict = true),
+        Distillers.joinedNames(pmA, "ForeName", "LastName"),
+        wosList,
+        Distillers.one(wosScalar),
+        Distillers.joinedNames(crA, "given", "family"),
+        transform(sulN, graft.functions.Normalizers.flipName _))
+
+      o.select(
+        k,
+        array_join(names, "|").as("authors"),
+        Distillers.firstAuthorName(names).as("first_author"),
+        Distillers.lastAuthorName(names).as("last_author"),
+        size(names).cast("long").as("n_authors"))
+    },
+
+    // distiller/author_orcids.py — all-rules union (normalize, dedupe,
+    // sort, pipe) plus the first/last positional chains, incl. the
+    // pubmed @Source=="ORCID" identifier filter and the authors[-1]
+    // empty-orcid miss.
+    "q_distill_author_orcids" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val k = col("o_orderkey")
+      val lp = lpad((k % 9999).cast("string"), 4, "0")
+
+      val oaA = when(k % 2 === 0, array(
+        struct(struct(
+          when(k % 6 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("https://orcid.org/0000-0001-"), lp)).as("orcid")).as("author")),
+        struct(struct(concat(lit("0000-0006-"), lp).as("orcid")).as("author"))))
+      val dimA = when(k % 3 === 0, array(
+        struct(array(concat(lit("0000-0002-"), lp)).as("orcid")),
+        struct(array().cast("array<string>").as("orcid"))))
+      val pmA = when(k % 4 === 0, array(
+        struct(array(struct(lit("ORCID").as("source"), concat(lit("0000-0003-"), lp).as("text"))).as("identifiers")),
+        struct(array(struct(lit("GRID").as("source"), lit("grid.1").as("text"))).as("identifiers"))))
+      val wosA = when(k % 5 === 0, array(struct(concat(lit("0000-0004-"), lp).as("orcid_id"))))
+      val crA = when(k % 7 === 0, array(struct(concat(lit("HTTPS://ORCID.ORG/0000-0005-"), lp).as("ORCID"))))
+
+      val allOrcids = Distillers.authorListOrcids(
+        transform(oaA, x => x.getField("author").getField("orcid")),
+        flatten(transform(dimA, x => x.getField("orcid"))),
+        Distillers.pubmedOrcids(flatten(transform(pmA, x => x.getField("identifiers")))),
+        transform(wosA, x => x.getField("orcid_id")),
+        transform(crA, x => x.getField("ORCID")))
+
+      val firstOrcid = Distillers.positionalOrcid(
+        try_element_at(oaA, lit(1)).getField("author").getField("orcid"),
+        try_element_at(try_element_at(dimA, lit(1)).getField("orcid"), lit(1)),
+        try_element_at(Distillers.pubmedOrcids(try_element_at(pmA, lit(1)).getField("identifiers")), lit(1)),
+        try_element_at(wosA, lit(1)).getField("orcid_id"),
+        try_element_at(crA, lit(1)).getField("ORCID"))
+      val lastOrcid = Distillers.positionalOrcid(
+        try_element_at(oaA, lit(-1)).getField("author").getField("orcid"),
+        try_element_at(try_element_at(dimA, lit(-1)).getField("orcid"), lit(1)),
+        try_element_at(Distillers.pubmedOrcids(try_element_at(pmA, lit(-1)).getField("identifiers")), lit(1)),
+        try_element_at(wosA, lit(-1)).getField("orcid_id"),
+        try_element_at(crA, lit(-1)).getField("ORCID"))
+
+      o.select(
+        k,
+        array_join(allOrcids, "|").as("orcids"),
+        firstOrcid.as("first_orcid"),
+        lastOrcid.as("last_orcid"))
     }
   )
 
@@ -400,6 +497,46 @@ object DistillerQueries {
         |       aagg.author_ids, fagg.funder_ids
         |FROM fp JOIN aagg ON aagg.pid = fp.k
         |LEFT JOIN nm ON nm.new_id = fp.k
-        |LEFT JOIN fagg ON fagg.pid = fp.k""".stripMargin
+        |LEFT JOIN fagg ON fagg.pid = fp.k""".stripMargin,
+    "q_distill_author_names" ->
+      """WITH b AS (SELECT o_orderkey AS k FROM orders),
+        |n AS (SELECT k,
+        |  CASE k%5
+        |    WHEN 0 THEN ['OA1_'||k, 'OA2_'||k]
+        |    WHEN 1 THEN ['Ann D'||k, 'Bob E'||k]
+        |    WHEN 2 THEN ['P'||k, 'Q R'||k]
+        |    WHEN 3 THEN CASE WHEN k%2=1 THEN ['W1_'||k, 'W2_'||k] ELSE ['Ws_'||k] END
+        |    ELSE CASE WHEN k%3<>0 THEN ['Cg Cf'||k] ELSE ['F. M. Zulu'||k] END
+        |  END AS names
+        |  FROM b)
+        |SELECT k AS o_orderkey,
+        |  array_to_string(names, '|') AS authors,
+        |  names[1] AS first_author,
+        |  names[-1] AS last_author,
+        |  CAST(len(names) AS BIGINT) AS n_authors
+        |FROM n""".stripMargin,
+    "q_distill_author_orcids" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |             lpad(CAST(o_orderkey % 9999 AS VARCHAR), 4, '0') AS lp FROM orders),
+        |l AS (SELECT k, lp,
+        |  CAST([] AS VARCHAR[])
+        |  || (CASE WHEN k%2=0 AND k%6<>0 THEN ['0000-0001-'||lp] ELSE [] END)
+        |  || (CASE WHEN k%3=0 THEN ['0000-0002-'||lp] ELSE [] END)
+        |  || (CASE WHEN k%4=0 THEN ['0000-0003-'||lp] ELSE [] END)
+        |  || (CASE WHEN k%5=0 THEN ['0000-0004-'||lp] ELSE [] END)
+        |  || (CASE WHEN k%7=0 THEN ['0000-0005-'||lp] ELSE [] END)
+        |  || (CASE WHEN k%2=0 THEN ['0000-0006-'||lp] ELSE [] END) AS ids
+        |  FROM b)
+        |SELECT k AS o_orderkey,
+        |  COALESCE(array_to_string(list_sort(list_distinct(ids)), '|'), '') AS orcids,
+        |  CASE WHEN k%2=0 AND k%6<>0 THEN '0000-0001-'||lp
+        |       WHEN k%3=0 THEN '0000-0002-'||lp
+        |       WHEN k%4=0 THEN '0000-0003-'||lp
+        |       WHEN k%5=0 THEN '0000-0004-'||lp
+        |       WHEN k%7=0 THEN '0000-0005-'||lp END AS first_orcid,
+        |  CASE WHEN k%2=0 THEN '0000-0006-'||lp
+        |       WHEN k%5=0 THEN '0000-0004-'||lp
+        |       WHEN k%7=0 THEN '0000-0005-'||lp END AS last_orcid
+        |FROM l""".stripMargin
   )
 }

@@ -207,6 +207,64 @@ object Distillers {
     */
   def truthy(c: Column): Column = when(c =!= lit(""), c)
 
+  /** author_names.py:7-42 (author_list_names) — first rule hit wins;
+    * each candidate is an array<string> of per-source names (callers
+    * project them — [[joinedNames]], [[Normalizers.flipName]]).
+    * jsonpath matches whose value is null are dropped before the hit
+    * test; a present-but-EMPTY candidate is a rule MISS (utils.all
+    * drops `[]`), so it falls through; no rule hit → empty array (the
+    * reference coerces None to []).
+    */
+  def authorListNames(candidates: Column*): Column = {
+    val hit = coalesce(candidates.map { c =>
+      val nn = filter(c, x => x.isNotNull)
+      when(nn.isNotNull && size(nn) > 0, nn)
+    }: _*)
+    coalesce(hit, array().cast("array<string>"))
+  }
+
+  /** names[0] / names[-1] (author_names.py:45-52); NULL on empty. */
+  def firstAuthorName(names: Column): Column = try_element_at(names, lit(1))
+  def lastAuthorName(names: Column): Column = try_element_at(names, lit(-1))
+
+  /** Per-author "a b" name assembly over array<struct>: `strict=true`
+    * is dim's `first_name + " " + last_name` (a missing part nulls the
+    * name — the reference would KeyError); `strict=false` is
+    * join_keys (pubmed ForeName/LastName, crossref given/family):
+    * missing parts are skipped.
+    */
+  def joinedNames(authors: Column, aField: String, bField: String, strict: Boolean = false): Column =
+    transform(authors, x =>
+      if (strict) concat(x.getField(aField), lit(" "), x.getField(bField))
+      else concat_ws(" ", x.getField(aField), x.getField(bField)))
+
+  /** author_orcids.py:7-41 (author_list_orcids) — ALL rules
+    * contribute (utils.all), flattened, null ids dropped, normalized,
+    * deduped, sorted. Candidates are array<string> per source; NULL
+    * candidates contribute nothing.
+    */
+  def authorListOrcids(candidates: Column*): Column =
+    Normalizers.orcidList(
+      concat(candidates.map(c => coalesce(c, array().cast("array<string>"))): _*))
+
+  /** author_orcids.py:82-99 (_pubmed_orcids) — Identifier entries with
+    * @Source == "ORCID" yield their #text. `identifiers` is the
+    * flattened array<struct<source, text>> (the reference's
+    * dict-or-list Identifier variants are a parse concern; callers
+    * flatten per-author lists).
+    */
+  def pubmedOrcids(identifiers: Column): Column =
+    transform(
+      filter(identifiers, i => i.getField("source") === "ORCID"),
+      i => i.getField("text"))
+
+  /** first_author_orcid / last_author_orcid (author_orcids.py:44-80) —
+    * first non-null positional candidate, normalized. The positional
+    * jsonpaths ([0]/[-1]) are applied by the caller's projections.
+    */
+  def positionalOrcid(candidates: Column*): Column =
+    Normalizers.normalizeOrcid(coalesce(candidates: _*))
+
   /** The engine-level form of openalex.source_by_issn: join the pub's
     * piped ISSN string against a (small, broadcast) issn → source
     * lookup, keeping the match for the EARLIEST ISSN in the pub's own

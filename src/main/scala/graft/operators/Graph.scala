@@ -33,16 +33,21 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
 
+    // Convergence = identical edge set. Both sides are distinct (u,v)
+    // sets, so count + order-free xor-of-hashes is an exact compare
+    // (xor, not sum: sum overflows Long under ANSI mode). The previous
+    // round's signature is remembered, so each round runs ONE small
+    // aggregate over the just-checkpointed edges, not two.
+    val sig = (d: DataFrame) =>
+      d.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+    var prevSig = sig(e)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // Convergence = identical edge set. Both sides are distinct
-      // (u,v) sets, so count + order-free xor-of-hashes is an exact
-      // compare (xor, not sum: sum overflows Long under ANSI mode).
-      val sig = (d: DataFrame) =>
-        d.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      converged = sig(next) == sig(e)
+      val nextSig = sig(next)
+      converged = nextSig == prevSig
+      prevSig = nextSig
       e = next
       round += 1
     }

@@ -116,6 +116,51 @@ class CurationSpec extends SparkSpec {
   }
 }
 
+class AuthorDistillSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Distillers
+  import graft.functions.Normalizers
+
+  test("flipName is identical on codegen and interpreted (HOF-lambda) paths") {
+    // Regression: slice(parts, 2, Int.MaxValue) overflowed start+length
+    // in Slice's INTERPRETED eval (returning []) while codegen clamped —
+    // the same expression gave two answers depending on evaluation path.
+    val df = Seq("Stanford, L. D.").toDF("n")
+    val direct = df.select(Normalizers.flipName(col("n"))).as[String].head()
+    val inLambda = df.select(transform(array(col("n")), Normalizers.flipName _))
+      .as[Seq[String]].head().head
+    assert(direct == "L. D. Stanford" && inLambda == direct)
+  }
+
+  test("authorListNames: null matches dropped, empty rule falls through, no hit = []") {
+    val df = Seq(1).toDF("x")
+    val out = df.select(
+      Distillers.authorListNames(
+        array(lit(null).cast("string")),            // all-null hit -> miss
+        array().cast("array<string>"),              // present-but-empty -> miss
+        array(lit("A"), lit(null), lit("B")),       // winner, null dropped
+        array(lit("C"))                             // unreachable
+      ).as("n"),
+      Distillers.authorListNames(lit(null).cast("array<string>")).as("none"))
+    val r = out.head()
+    assert(r.getSeq[String](0) == Seq("A", "B"))
+    assert(r.getSeq[String](1) == Seq.empty)
+  }
+
+  test("first/last author orcid: positional chain + pubmed ORCID filter") {
+    val df = Seq(1).toDF("x")
+    val ids = array(
+      struct(lit("GRID").as("source"), lit("g1").as("text")),
+      struct(lit("ORCID").as("source"), lit("HTTPS://ORCID.ORG/0000-0001-0002").as("text")))
+    val r = df.select(
+      Distillers.pubmedOrcids(ids).as("pm"),
+      Distillers.positionalOrcid(lit(null).cast("string"),
+        lit(" https://sandbox.orcid.org/0000-0009-0008 ")).as("pos")).head()
+    assert(r.getSeq[String](0) == Seq("HTTPS://ORCID.ORG/0000-0001-0002"))
+    assert(r.getString(1) == "0000-0009-0008")
+  }
+}
+
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 

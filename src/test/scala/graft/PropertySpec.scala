@@ -51,4 +51,51 @@ class PropertySpec extends SparkSpec {
       .filter(col("a") =!= col("b")).count()
     assert(diff == 0)
   }
+
+  test("slidingChunks covers every token exactly under varying sizes/strides") {
+    import graft.operators.Curation
+    // stride <= size: full coverage is only promised for overlapping
+    // or back-to-back windows (stride > size is deliberate sampling)
+    val cases = samples(
+      Gen.choose(2, 40).flatMap(sz =>
+        Gen.zip(Gen.choose(1, 120), Gen.const(sz), Gen.choose(1, sz))), 20)
+    for ((n, size, stride) <- cases) {
+      val toks = (1 to n).map(i => s"t$i")
+      val chunks = Seq(toks.mkString(" ")).toDF("t")
+        .select(explode(Curation.slidingChunks(split(col("t"), " "), size, stride)).as("u"))
+        .select("u.chunk_text").as[String].collect()
+      // coverage: the union of chunk tokens is exactly the input tokens
+      assert(chunks.flatMap(_.split(" ")).toSet == toks.toSet, s"n=$n size=$size stride=$stride")
+      // the first chunk starts at token 1; consecutive chunks advance by stride
+      assert(chunks.head.startsWith("t1"), s"n=$n size=$size stride=$stride")
+    }
+  }
+
+  test("packSequences: bins respect the budget given per-doc tokens under budget") {
+    import graft.operators.Curation
+    val docs = samples(Gen.choose(1L, 500L), 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, if (i % 2 == 0) "en" else "de", t) }
+    val df = docs.toDF("doc_id", "lang", "n")
+    val packed = Curation.packSequences(df, "doc_id", "lang", col("n"), budget = 1000L, nShards = 3)
+    // every bin's token sum stays under budget + the largest member
+    // (contiguous fill can overshoot by at most one document)
+    val bad = packed.groupBy("lang", "shard", "bin")
+      .agg(sum("n_tokens").as("s"), max("n_tokens").as("m"))
+      .filter(col("s") >= lit(1000L) + col("m")).count()
+    assert(bad == 0)
+  }
+
+  test("connectedComponents is idempotent: re-running on star edges is stable") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val cc1 = Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+    val starEdges = cc1.filter(col("id") =!= col("component"))
+      .select(col("id").as("src"), col("component").as("dst"))
+    val cc2 = Graph.connectedComponents(starEdges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val m1 = cc1.as[(Long, Long)].collect().toMap
+    assert(cc2.forall { case (id, comp) => m1(id) == comp })
+  }
 }

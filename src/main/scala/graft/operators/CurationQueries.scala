@@ -104,6 +104,32 @@ object CurationQueries {
         Curation.polyFingerprint(col("text")).as("poly_fp"))
     },
 
+    // Flagship: the whole curation pipeline in ONE plan — quality gate
+    // (map) → exact dedup (1 shuffle: hash-prefix window) → hash
+    // sample (map) → sequence packing (1 shuffle: lang/shard windows).
+    // Two exchanges total for the end-to-end pass, guarded by
+    // PlanAuditSpec.
+    "q_curation_pipeline" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir).documents
+      val stats = d.select(
+        col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        TextAnalysis.stopwordHits(col("text"), enStops).as("stop_hits"))
+      val kept = stats.filter(col("n_tokens") >= 20 && col("stop_hits") >= 1)
+      val dedupW = Window
+        .partitionBy(sha2(lower(substring(col("text"), 1, 30)), 256))
+        .orderBy(col("doc_id"))
+      val deduped = kept
+        .withColumn("__rn", row_number().over(dedupW))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "text")
+      val sampled = deduped.filter(Curation.hashSample(col("doc_id"), "c0000000"))
+      Curation.packSequences(sampled, "doc_id", "lang", col("n_tokens"), budget = 2048L, nShards = 4)
+        .select(col("doc_id"), col("lang"), col("shard").cast("long").as("shard"),
+          col("n_tokens"), col("bin").cast("long").as("bin"), col("pos"))
+    },
+
     // Connected components over planted dup edges: chains i—(i+1) and
     // skip-links i—(i+2) inside each block of 5 ids, so components are
     // exactly the blocks and the oracle is closed-form.
@@ -211,6 +237,25 @@ object CurationQueries {
         |    (a, b) -> (a * 31 + b) % 1000000007) AS poly_fp
         |FROM w""".stripMargin,
     "q_components" ->
-      """SELECT doc_id AS id, CAST((doc_id // 5) * 5 AS BIGINT) AS component FROM documents""".stripMargin
+      """SELECT doc_id AS id, CAST((doc_id // 5) * 5 AS BIGINT) AS component FROM documents""".stripMargin,
+    "q_curation_pipeline" ->
+      """WITH s AS (SELECT doc_id, lang, text,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |             len(list_filter(string_split(lower(text), ' '),
+        |                 w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS stop_hits
+        |           FROM documents),
+        |k AS (SELECT * FROM s WHERE n_tokens >= 20 AND stop_hits >= 1),
+        |d AS (SELECT * FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY lower(substring(text, 1, 30)) ORDER BY doc_id) AS rn
+        |        FROM k) t WHERE rn = 1),
+        |sm AS (SELECT * FROM d WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'),
+        |p AS (SELECT doc_id, lang, doc_id % 4 AS shard, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, doc_id % 4 ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |      FROM sm)
+        |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
+        |       CAST(prev // 2048 AS BIGINT) AS bin,
+        |       CAST(row_number() OVER (PARTITION BY lang, shard, prev // 2048 ORDER BY doc_id) AS BIGINT) AS pos
+        |FROM p""".stripMargin
   )
 }

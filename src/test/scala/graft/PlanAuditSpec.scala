@@ -61,6 +61,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOp(s, "Exchange") == 1, s)
   }
 
+  test("q_curation_pipeline is end-to-end in two shuffles (dedup + packing)") {
+    val s = formatted("q_curation_pipeline")
+    assert(countOp(s, "Exchange") == 2, s)
+    assert(countOp(s, "BroadcastExchange") == 0, s)
+  }
+
   test("lookup-join queries broadcast the lookup side") {
     val s1 = formatted("q_author_orcids")
     assert(countOp(s1, "BroadcastExchange") == 1 && countOp(s1, "Exchange") == 0, s1)

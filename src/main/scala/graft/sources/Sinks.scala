@@ -112,6 +112,23 @@ object Sinks {
       throw new java.io.IOException(s"compact failed: could not rename $tmp to $target")
   }
 
+  /** Training-shard export: globally range-partitioned on the sort
+    * key, sorted within each shard, with a record cap per file — the
+    * layout a training loader wants (shard N's keys all precede shard
+    * N+1's, so a sequential read of shard files is a global key scan,
+    * and no shard file exceeds the loader's memory budget).
+    * repartitionByRange samples the key distribution, so skewed keys
+    * still yield balanced shards — a static `hash(key) % shards`
+    * cannot promise either property.
+    */
+  def writeRangeSharded(df: DataFrame, path: String, sortCol: String,
+                        shards: Int, maxRecordsPerFile: Long): Unit =
+    df.repartitionByRange(shards, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
   /** Z-order clustering write: sort by the bit-interleaved value of
     * two integer columns so range predicates on EITHER column touch
     * few files (parquet min/max skipping). Interleave is an unrolled

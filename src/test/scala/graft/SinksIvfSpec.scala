@@ -101,6 +101,26 @@ class SinksIvfSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 6000)
   }
 
+  test("writeRangeSharded: disjoint ascending key ranges, capped files, global order") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("rshard").toString + "/t"
+    Sinks.writeRangeSharded(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "lang"),
+      out, "doc_id", shards = 4, maxRecordsPerFile = 50)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 500)
+    // file cap respected
+    val perFile = back.groupBy(input_file_name()).count().select("count").as[Long].collect()
+    assert(perFile.forall(_ <= 50), perFile.toSeq.toString)
+    // per-file key ranges are disjoint: files sorted by their min key
+    // never overlap the previous file's max (global range layout +
+    // within-file order means a sequential read is a global key scan)
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .orderBy("lo").select("lo", "hi").as[(Long, Long)].collect()
+    assert(ranges.sliding(2).forall { case Array((_, h1), (l2, _)) => h1 < l2; case _ => true })
+  }
+
   test("multi-probe LSH recall >= single-bucket recall") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -104,6 +104,21 @@ object CurationQueries {
         Curation.polyFingerprint(col("text")).as("poly_fp"))
     },
 
+    // C4 boilerplate removal: corpus-global line dedup. Every doc gets
+    // a shared header line, a per-residue group line, and unique lines;
+    // only the first occurrence (min doc_id, pos) of each line survives.
+    "q_line_dedup" -> { (s, dir) =>
+      val id = col("doc_id")
+      val lined = Tables(s, dir).documents.select(
+        id,
+        concat_ws("\n",
+          lit("hdr-common"),
+          concat(lit("u-"), id.cast("string")),
+          concat(lit("grp-"), pmod(id, lit(5)).cast("string")),
+          substring(col("text"), 1, 20)).as("text"))
+      TextDedup.dedupLinesAcrossCorpus(lined, "doc_id", "text")
+    },
+
     // Flagship: the whole curation pipeline in ONE plan — quality gate
     // (map) → exact dedup (1 shuffle: hash-prefix window) → hash
     // sample (map) → sequence packing (1 shuffle: lang/shard windows).
@@ -238,6 +253,22 @@ object CurationQueries {
         |FROM w""".stripMargin,
     "q_components" ->
       """SELECT doc_id AS id, CAST((doc_id // 5) * 5 AS BIGINT) AS component FROM documents""".stripMargin,
+    "q_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |             'hdr-common' || chr(10) || 'u-' || doc_id || chr(10) ||
+        |             'grp-' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || substring(text, 1, 20) AS t
+        |           FROM documents),
+        |lines AS (SELECT doc_id, u.pos, u.line FROM (
+        |            SELECT doc_id, unnest(list_transform(string_split(t, chr(10)),
+        |                     (l, i) -> {'pos': i - 1, 'line': l})) AS u FROM d) q),
+        |kept AS (SELECT * FROM (
+        |           SELECT doc_id, pos, line,
+        |                  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |           FROM lines) t WHERE rn = 1),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |      FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN r USING (doc_id)""".stripMargin,
     "q_curation_pipeline" ->
       """WITH s AS (SELECT doc_id, lang, text,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -23,6 +23,41 @@ object TextDedup {
     df.groupBy(sha2(key, 256).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min(id).as("keeper_id"))
 
+  /** Corpus-global line dedup (C4's boilerplate removal, Raffel et al.
+    * 2020 §2.2): every line that occurs anywhere else in the corpus is
+    * dropped except its first occurrence — first = smallest (doc, pos),
+    * so the result is deterministic. Documents are reassembled in
+    * original line order; a document whose every line was boilerplate
+    * comes back empty (not missing).
+    *
+    * Scale shape: lines shuffle once keyed by the line value (the
+    * VALUE, not its hash: a hash collision would silently merge two
+    * distinct lines and drop a survivor — exactness over a few bytes
+    * of key width), then one keyed re-aggregation rebuilds the docs.
+    * 100 TB of docs ≈ the corpus shuffles ~twice; both keys are
+    * high-cardinality and AQE-skew-splittable (the pathological skew
+    * key IS the boilerplate line, which is exactly what AQE splits).
+    */
+  def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(
+      col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val w = Window.partitionBy(col("line")).orderBy(col(idCol), col("pos"))
+    val kept = lines
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")),
+        "\n").as("clean_text"))
+    // a doc whose every line was boilerplate survives as "" (C4 keeps
+    // the document; length filters downstream decide its fate)
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+  }
+
   /** MinHash signature: `h` permutations approximated by seeded
     * xxhash64. Uses the native codegen expression (graft.plans
     * .MinHashSig) — the composed HOF form below is semantically

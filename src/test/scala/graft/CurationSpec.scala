@@ -100,6 +100,18 @@ class CurationSpec extends SparkSpec {
     assert(rows(0) != rows(1) && rows(0) == rows(2))
   }
 
+  test("dedupLinesAcrossCorpus keeps first (doc, pos) occurrence; empty docs survive") {
+    import graft.operators.TextDedup
+    val docs = Seq(
+      (1L, "common\nalpha\ncommon"),  // dup line inside one doc too
+      (2L, "common\nbeta"),
+      (3L, "common")                  // all boilerplate -> ""
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dedupLinesAcrossCorpus(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "common\nalpha", 2L -> "beta", 3L -> ""))
+  }
+
   test("gopherStats measures line structure; gopherKeep thresholds") {
     val good = ((1 to 60).map(i => s"word$i").mkString(" ") + " the of and") // 63 words, no bullets
     val bullety = "- a\n- b\n- c\n- d\n- e\nthe of and to in is for on with a the of"

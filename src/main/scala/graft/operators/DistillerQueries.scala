@@ -282,6 +282,22 @@ object DistillerQueries {
           col("author_ids"), col("funder_ids"))
     },
 
+    // distiller/citation_count.py — max over sources incl. the WOS
+    // silo_tc jsonpath-filter rule (first coll_id=="WOS" entry wins;
+    // decoy silos before and after it must be skipped).
+    "q_citation_distill" -> { (s, dir) =>
+      val k = col("o_orderkey")
+      val oa = when(k % 2 === 0, pmod(k, lit(90)))
+      val dim = when(k % 3 === 0, pmod(k, lit(70)))
+      val wosSilo = when(k % 5 =!= 1, array(
+        struct(lit("SCI").as("coll_id"), (pmod(k, lit(40)) + 1000).as("local_count")),
+        struct(lit("WOS").as("coll_id"), pmod(k, lit(40)).as("local_count")),
+        struct(lit("WOS").as("coll_id"), lit(9999L).as("local_count"))))
+      Tables(s, dir).orders.select(
+        k,
+        Distillers.citationCount(oa, dim, wosSilo).as("citation_count"))
+    },
+
     // distiller/author_names.py — the 7-rule author_list_names chain
     // with list semantics: null jsonpath matches dropped, present-but-
     // empty rule = miss (falls through), first/last positional names.
@@ -498,6 +514,13 @@ object DistillerQueries {
         |FROM fp JOIN aagg ON aagg.pid = fp.k
         |LEFT JOIN nm ON nm.new_id = fp.k
         |LEFT JOIN fagg ON fagg.pid = fp.k""".stripMargin,
+    "q_citation_distill" ->
+      """SELECT o_orderkey,
+        |  greatest(
+        |    CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 90 END,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 70 END,
+        |    CASE WHEN o_orderkey % 5 <> 1 THEN o_orderkey % 40 END) AS citation_count
+        |FROM orders""".stripMargin,
     "q_distill_author_names" ->
       """WITH b AS (SELECT o_orderkey AS k FROM orders),
         |n AS (SELECT k,

@@ -207,6 +207,22 @@ object Distillers {
     */
   def truthy(c: Column): Column = when(c =!= lit(""), c)
 
+  /** citation_count.py — max over the int-typed rule hits: openalex
+    * cited_by_count, dim recent_citations, and the WOS
+    * `silo_tc[?@.coll_id == 'WOS'].local_count` jsonpath-filter rule
+    * (first matching silo entry). The reference drops non-int hits
+    * (`isinstance(count, int)`) — in a typed engine that means only
+    * integer-typed candidates participate; greatest() is null-skipping
+    * on both engines. `wosSiloTc` is array<struct<coll_id,
+    * local_count>>.
+    */
+  def citationCount(oaCitedBy: Column, dimRecent: Column, wosSiloTc: Column): Column = {
+    val wos = try_element_at(
+      filter(wosSiloTc, e => e.getField("coll_id") === "WOS"), lit(1)
+    ).getField("local_count")
+    greatest(oaCitedBy, dimRecent, wos)
+  }
+
   /** author_names.py:7-42 (author_list_names) — first rule hit wins;
     * each candidate is an array<string> of per-source names (callers
     * project them — [[joinedNames]], [[Normalizers.flipName]]).

@@ -36,7 +36,12 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = r4(results.collect { case (_, v) if v > 0 => v }.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Also land the line as a file: sbt prefixes stdout with "[info] ",
+    // which has broken downstream scraping of the bare JSON at least
+    // once — the file is the unambiguous copy.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), line + "\n")
     spark.stop()
   }
 }

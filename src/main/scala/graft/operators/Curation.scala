@@ -128,6 +128,25 @@ object Curation {
         .orderBy(col(idCol))).cast("long"))
   }
 
+  /** Materialize packed bins into one training sequence each:
+    * documents of a (stratum, shard, bin) concatenated in id order
+    * with an end-of-document separator. The groupBy keys extend the
+    * packing window's partitioning, so Catalyst reuses the same
+    * shuffle — pack + materialize is still a two-exchange plan from
+    * the raw corpus.
+    */
+  def materializeBins(packed: DataFrame, idCol: String, stratumCol: String,
+                      textCol: String, eod: String): DataFrame =
+    packed
+      .groupBy(col(stratumCol), col("shard"), col("bin"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            s => s.getField(textCol)),
+          eod).as("sequence"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+
   /** Deterministic hash-threshold sampling: keep rows whose md5-hex
     * prefix sorts below the threshold. Like Sampling.stratified this
     * is stable under AQE/retries, but md5 makes it reproducible by

@@ -90,6 +90,20 @@ object CurationQueries {
         col("n_tokens"), col("bin").cast("long").as("bin"), col("pos"))
     },
 
+    // Packed bins materialized into one training sequence per bin
+    // (same shuffle as the packing windows — two exchanges total).
+    "q_pack_materialize" -> { (s, dir) =>
+      val packed = Curation.packSequences(
+        Tables(s, dir).documents.select(col("doc_id"), col("lang"), col("text")),
+        idCol = "doc_id", stratumCol = "lang",
+        tokensCol = size(split(col("text"), " ")).cast("long"),
+        budget = 2048L, nShards = 8)
+      Curation.materializeBins(packed, "doc_id", "lang", "text", eod = "<eod>")
+        .select(col("lang"), col("shard").cast("long").as("shard"),
+          col("bin").cast("long").as("bin"), col("sequence"),
+          col("n_docs"), col("total_tokens"))
+    },
+
     // Engine-portable deterministic sample (md5-hex threshold, ~25%).
     "q_sample_hash" -> { (s, dir) =>
       Tables(s, dir).documents
@@ -242,6 +256,15 @@ object CurationQueries {
     "q_sample_hash" ->
       """SELECT doc_id, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'""".stripMargin,
+    "q_pack_materialize" ->
+      """WITH t AS (SELECT doc_id, lang, text, doc_id % 8 AS shard,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |p AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t)
+        |SELECT lang, CAST(shard AS BIGINT) AS shard, CAST(prev // 2048 AS BIGINT) AS bin,
+        |       string_agg(text, '<eod>' ORDER BY doc_id) AS sequence,
+        |       count(*) AS n_docs, sum(n_tokens) AS total_tokens
+        |FROM p GROUP BY lang, shard, prev // 2048""".stripMargin,
     "q_fingerprint_poly" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
         |SELECT doc_id,

@@ -61,6 +61,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOp(s, "Exchange") == 1, s)
   }
 
+  test("q_pack_materialize reuses the packing shuffle for the bin groupBy") {
+    val s = formatted("q_pack_materialize")
+    assert(countOp(s, "Exchange") <= 2, s)
+  }
+
   test("q_curation_pipeline is end-to-end in two shuffles (dedup + packing)") {
     val s = formatted("q_curation_pipeline")
     assert(countOp(s, "Exchange") == 2, s)

@@ -65,6 +65,27 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize stub for image-kind rows: the metadata transform is real
+    * (target dims land in `meta`, a real codec would be called in the
+    * partition loop), the payload "resample" is a deterministic prefix
+    * of ceil(len × targetPixels/origPixels) bytes — so byte accounting
+    * stays oracle-checkable end-to-end. Pure column algebra: resizing
+    * a 100 TB image corpus is one map pass.
+    */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val origPixels = col("meta.width").cast("double") * col("meta.height").cast("double")
+    val scale = least(lit(1.0), lit(targetW.toDouble * targetH) / origPixels)
+    val outLen = ceil(length(col("content")).cast("double") * scale).cast("int")
+    media
+      .filter(col("kind") === "image")
+      .select(
+        col("media_id"),
+        struct(
+          lit(targetW).as("width"), lit(targetH).as("height"),
+          col("meta.format").as("format")).as("meta"),
+        col("content").substr(lit(1), outLen).as("content"))
+  }
+
   /** Frame sampling stub for video-kind rows: every `stride`-th byte
     * window stands in for a frame; the plumbing (explode to one row per
     * frame with an index) matches a real frame sampler.

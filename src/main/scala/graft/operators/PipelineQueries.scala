@@ -80,6 +80,24 @@ object PipelineQueries {
       Multimodal.extractFeatures(media, dim = 8).select("media_id", "n_bytes")
     },
 
+    // #42 resize plumbing: target dims in metadata + deterministic
+    // byte resample, accounting oracle-checked.
+    "q_multimodal_resize" -> { (s, dir) =>
+      val media = Tables(s, dir).documents.select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("content"),
+        struct(
+          (lit(100) + pmod(col("doc_id"), lit(50)).cast("int")).as("width"),
+          lit(80).as("height"), lit("raw").as("format")).as("meta"))
+      Multimodal.resizeImages(media, targetW = 64, targetH = 64)
+        .select(
+          col("media_id"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          length(col("content")).cast("long").as("n_bytes_out"))
+    },
+
     // #42 multimodal plumbing: binary content → per-partition stub
     // decode → feature vector (rows-only; decode is env-stubbed).
     "q_multimodal_features" -> { (s, dir) =>
@@ -99,6 +117,10 @@ object PipelineQueries {
     // path preserves rows and content length
     "q_multimodal_bytes" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    "q_multimodal_resize" ->
+      """SELECT doc_id AS media_id, 64 AS width, 64 AS height,
+        |  CAST(ceil(strlen(text) * least(1.0, 4096.0 / ((100 + doc_id % 50) * 80.0))) AS BIGINT) AS n_bytes_out
         |FROM documents""".stripMargin,
     "q_stream_window" ->
       """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms, event_type,

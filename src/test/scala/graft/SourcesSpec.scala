@@ -68,6 +68,22 @@ class SourcesSpec extends SparkSpec {
     assert(again == feats)
   }
 
+  test("Multimodal resizeImages: target dims in meta, shrunken payload, image-only") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "image", "0123456789abcdef".getBytes, (4, 2, "raw")),
+      (2L, "video", "xxxx".getBytes, (4, 2, "raw"))
+    ).toDF("media_id", "kind", "content", "m")
+      .select(col("media_id"), col("kind"), col("content"),
+        struct(col("m._1").as("width"), col("m._2").as("height"), col("m._3").as("format")).as("meta"))
+    val out = Multimodal.resizeImages(media, targetW = 2, targetH = 2).collect()
+    assert(out.length == 1) // video row filtered
+    val r = out.head
+    assert(r.getStruct(1).getInt(0) == 2 && r.getStruct(1).getInt(1) == 2)
+    // 16 bytes x (4 target px / 8 orig px) = 8 bytes
+    assert(r.getAs[Array[Byte]]("content").length == 8)
+  }
+
   test("Multimodal sampleFrames explodes video content into frames") {
     val media = Seq((1L, "video", "0123456789"), (2L, "image", "xx")).toDF("media_id", "kind", "txt")
       .select(col("media_id"), col("kind"), encode(col("txt"), "UTF-8").as("content"))

@@ -157,6 +157,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation gates run unchanged on a document stream (quality + watermark dedup)") {
+    // The curation operators are stateless Column algebra, so the same
+    // expressions run on a stream; exact dedup gets bounded state from
+    // the watermark. This is the continuous-ingest form of
+    // q_curation_pipeline's first two stages.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Curation
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "event_id", "text")
+    val gated = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_tokens") >= 3 && !Curation.hashSample(col("event_id"), "00000001"))
+    val deduped = EventStreams.dedupWithinWatermark(gated, Seq("text"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("scur").outputMode("append").start()
+    try {
+      input.addData(
+        (ts(0), 1L, "alpha beta gamma"),
+        (ts(1), 2L, "alpha beta gamma"), // dup text -> dropped
+        (ts(1), 3L, "too short"),        // quality-gated
+        (ts(2), 4L, "delta epsilon zeta eta"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id FROM scur").collect().map(_.getLong(0)).toSet
+      assert(rows == Set(1L, 4L), rows.toString)
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark batch twin keeps deterministic first arrival") {
     val df = Seq(
       (1L, ts(5), "a", 10L), (1L, ts(0), "a", 7L), (1L, ts(0), "a", 3L),

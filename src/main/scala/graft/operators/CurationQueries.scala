@@ -118,6 +118,14 @@ object CurationQueries {
         Curation.polyFingerprint(col("text")).as("poly_fp"))
     },
 
+    // BM25 lexical retrieval: top-20 docs for a 3-term query; rounded
+    // scores rank deterministically across engines.
+    "q_bm25" -> { (s, dir) =>
+      TextRank.bm25TopK(Tables(s, dir).documents, "doc_id", "text",
+        query = Seq("spark", "window", "merge"), k = 20)
+        .select(col("id").as("doc_id"), col("score"), col("rank"))
+    },
+
     // C4 boilerplate removal: corpus-global line dedup. Every doc gets
     // a shared header line, a per-residue group line, and unique lines;
     // only the first occurrence (min doc_id, pos) of each line survives.
@@ -276,6 +284,22 @@ object CurationQueries {
         |FROM w""".stripMargin,
     "q_components" ->
       """SELECT doc_id AS id, CAST((doc_id // 5) * 5 AS BIGINT) AS component FROM documents""".stripMargin,
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |st AS (SELECT count(*) AS n, avg(len(ws)) AS avglen FROM w),
+        |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+        |      WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2, 3),
+        |d AS (SELECT term, count(*) AS df FROM f GROUP BY term),
+        |s AS (SELECT f.doc_id,
+        |        sum(ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |            * (f.tf * 2.2) / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / st.avglen))) AS score
+        |      FROM f JOIN d USING (term), st GROUP BY f.doc_id)
+        |SELECT doc_id, round(score, 4) AS score, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT doc_id, round(score, 4) AS score,
+        |         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rn
+        |  FROM s) q
+        |WHERE rn <= 20""".stripMargin,
     "q_line_dedup" ->
       """WITH d AS (SELECT doc_id,
         |             'hdr-common' || chr(10) || 'u-' || doc_id || chr(10) ||

@@ -100,6 +100,36 @@ class CurationSpec extends SparkSpec {
     assert(rows(0) != rows(1) && rows(0) == rows(2))
   }
 
+  test("bm25TopK matches a scalar reference implementation") {
+    import graft.operators.TextRank
+    val corpus = Seq(
+      (1L, "spark fast spark engine"),
+      (2L, "slow batch engine"),
+      (3L, "spark spark spark spark"),
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    val got = TextRank.bm25TopK(corpus, "doc_id", "text", Seq("spark", "batch"), k = 4)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+
+    // scalar BM25 with the same constants
+    val docs = Map(1L -> "spark fast spark engine", 2L -> "slow batch engine",
+      3L -> "spark spark spark spark", 4L -> "nothing relevant here")
+    val toks = docs.map { case (k, v) => k -> v.split(" ").toSeq }
+    val n = docs.size.toDouble
+    val avg = toks.values.map(_.size).sum / n
+    def score(id: Long): Double = Seq("spark", "batch").map { t =>
+      val tf = toks(id).count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else {
+        val df = toks.values.count(_.contains(t)).toDouble
+        val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * toks(id).size / avg))
+      }
+    }.sum
+    for ((id, s) <- got) assert(math.abs(s - score(id)) < 1e-3, s"doc $id: $s vs ${score(id)}")
+    assert(!got.contains(4L)) // no query terms -> not retrieved
+    assert(got(3L) > got(1L)) // more hits, shorter doc -> higher score
+  }
+
   test("dedupLinesAcrossCorpus keeps first (doc, pos) occurrence; empty docs survive") {
     import graft.operators.TextDedup
     val docs = Seq(

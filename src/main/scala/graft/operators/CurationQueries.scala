@@ -118,6 +118,13 @@ object CurationQueries {
         Curation.polyFingerprint(col("text")).as("poly_fp"))
     },
 
+    // Duplicated-substring stats: fraction of 8-token windows shared
+    // with other docs (the small vocab makes natural collisions, which
+    // the oracle reproduces exactly).
+    "q_substring_dup" -> { (s, dir) =>
+      TextDedup.duplicateWindowStats(Tables(s, dir).documents, "doc_id", "text", window = 8)
+    },
+
     // BM25 lexical retrieval: top-20 docs for a 3-term query; rounded
     // scores rank deterministically across engines.
     "q_bm25" -> { (s, dir) =>
@@ -284,6 +291,17 @@ object CurationQueries {
         |FROM w""".stripMargin,
     "q_components" ->
       """SELECT doc_id AS id, CAST((doc_id // 5) * 5 AS BIGINT) AS component FROM documents""".stripMargin,
+    "q_substring_dup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 7, 0) + 1),
+        |        s -> array_to_string(list_slice(ws, s, s + 7), ' '))) AS gram
+        |      FROM w WHERE len(ws) >= 8),
+        |x AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY gram) t WHERE c > 1),
+        |n AS (SELECT doc_id, count(*) AS n_windows FROM g GROUP BY doc_id),
+        |d AS (SELECT doc_id, count(*) AS dup_windows FROM g JOIN x USING (gram) GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_windows, COALESCE(d.dup_windows, 0) AS dup_windows,
+        |       round(COALESCE(d.dup_windows, 0) * 1.0 / n.n_windows, 4) AS dup_frac
+        |FROM n LEFT JOIN d USING (doc_id)""".stripMargin,
     "q_bm25" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |st AS (SELECT count(*) AS n, avg(len(ws)) AS avglen FROM w),

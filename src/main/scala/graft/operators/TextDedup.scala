@@ -58,6 +58,41 @@ object TextDedup {
       .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
   }
 
+  /** Duplicated-substring statistics (the measurement side of Lee et
+    * al. 2022's exact substring dedup): for each document, the count
+    * and fraction of its `window`-token sliding windows whose exact
+    * token sequence also occurs in ANOTHER document. Pipelines filter
+    * or trim on the fraction.
+    *
+    * Scale shape: one explode to (doc, window-gram) rows, one groupBy
+    * on the gram VALUE (same collision-exactness argument as
+    * dedupLinesAcrossCorpus) to find cross-doc grams, then a semi-ish
+    * join back and a per-doc count — text moves only as the grams
+    * themselves, and the cross-doc gram set is typically a small
+    * fraction of the corpus.
+    */
+  def duplicateWindowStats(df: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val starts = sequence(lit(1), greatest(size(toks) - (window - 1), lit(0)), lit(1))
+    val grams = df
+      .filter(size(toks) >= window)
+      .select(col(idCol),
+        explode(transform(starts, s => array_join(slice(toks, s, lit(window)), " "))).as("gram"))
+    val crossDoc = grams
+      .groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") > 1)
+      .select("gram")
+    val dupCounts = grams.join(crossDoc, "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("dup_windows"))
+    grams.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
+      .join(dupCounts, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        round(coalesce(col("dup_windows"), lit(0L)).cast("double") / col("n_windows"), 4).as("dup_frac"))
+  }
+
   /** MinHash signature: `h` permutations approximated by seeded
     * xxhash64. Uses the native codegen expression (graft.plans
     * .MinHashSig) — the composed HOF form below is semantically

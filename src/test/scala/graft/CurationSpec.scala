@@ -100,6 +100,25 @@ class CurationSpec extends SparkSpec {
     assert(rows(0) != rows(1) && rows(0) == rows(2))
   }
 
+  test("duplicateWindowStats flags cross-doc shared windows only") {
+    import graft.operators.TextDedup
+    val shared = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"$shared unique1 tail1"),
+      (2L, s"prefix2 $shared"),
+      (3L, "totally different words with no overlap at all here"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = TextDedup.duplicateWindowStats(corpus, "doc_id", "text", window = 8)
+      .select("doc_id", "n_windows", "dup_windows").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: 10 tokens -> 3 windows, the first (= shared) also in doc 2
+    assert(out(1L) == ((3L, 1L)))
+    // doc 2: 9 tokens -> 2 windows, the second is the shared one
+    assert(out(2L) == ((2L, 1L)))
+    assert(out(3L)._2 == 0L)         // no cross-doc windows
+    assert(!out.contains(4L))        // under window size -> no rows
+  }
+
   test("bm25TopK matches a scalar reference implementation") {
     import graft.operators.TextRank
     val corpus = Seq(

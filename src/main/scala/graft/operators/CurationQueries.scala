@@ -118,6 +118,17 @@ object CurationQueries {
         Curation.polyFingerprint(col("text")).as("poly_fp"))
     },
 
+    // Corpus stats: top-5 bigrams per language by document frequency,
+    // through the custom TopKPerKey physical operator (bounded heaps,
+    // no full sort of the gram counts).
+    "q_top_ngrams" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val counts = d
+        .select(col("lang"), explode(TextAnalysis.wordNgrams(col("text"), 2)).as("gram"))
+        .groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+      TopK.perKey(counts, Seq("lang"), struct(-col("df"), col("gram")), 5)
+    },
+
     // Duplicated-substring stats: fraction of 8-token windows shared
     // with other docs (the small vocab makes natural collisions, which
     // the oracle reproduces exactly).
@@ -291,6 +302,16 @@ object CurationQueries {
         |FROM w""".stripMargin,
     "q_components" ->
       """SELECT doc_id AS id, CAST((doc_id // 5) * 5 AS BIGINT) AS component FROM documents""".stripMargin,
+    "q_top_ngrams" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (SELECT lang, unnest(list_distinct(list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i + 1]))) AS gram FROM w),
+        |c AS (SELECT lang, gram, count(*) AS df FROM g GROUP BY lang, gram)
+        |SELECT lang, gram, df FROM (
+        |  SELECT lang, gram, df,
+        |         row_number() OVER (PARTITION BY lang ORDER BY df DESC, gram) AS rn
+        |  FROM c) t
+        |WHERE rn <= 5""".stripMargin,
     "q_substring_dup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 7, 0) + 1),

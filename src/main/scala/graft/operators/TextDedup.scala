@@ -78,14 +78,22 @@ object TextDedup {
       .filter(size(toks) >= window)
       .select(col(idCol),
         explode(transform(starts, s => array_join(slice(toks, s, lit(window)), " "))).as("gram"))
+    // "appears in >1 distinct doc" as min(id) != max(id): one
+    // map-side-partial aggregation instead of countDistinct's
+    // two-phase (gram, id)-distinct expansion.
     val crossDoc = grams
       .groupBy("gram")
-      .agg(countDistinct(col(idCol)).as("__docs"))
-      .filter(col("__docs") > 1)
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
       .select("gram")
     val dupCounts = grams.join(crossDoc, "gram")
       .groupBy(idCol).agg(count(lit(1)).as("dup_windows"))
-    grams.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
+    // n_windows = len - window + 1 is a per-doc map-side constant: no
+    // reason to re-shuffle half a million gram strings to count them.
+    val totals = df
+      .filter(size(toks) >= window)
+      .select(col(idCol), (size(toks) - (window - 1)).cast("long").as("n_windows"))
+    totals
       .join(dupCounts, Seq(idCol), "left")
       .select(col(idCol),
         col("n_windows"),

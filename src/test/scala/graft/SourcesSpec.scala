@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.operators.Multimodal
-import graft.sources.AuthorsCsv
+import graft.sources.{AuthorsCsv, JsonSource}
 import org.apache.spark.sql.functions._
 
 class SourcesSpec extends SparkSpec {
@@ -66,6 +66,35 @@ class SourcesSpec extends SparkSpec {
     // rerun must produce identical features (deterministic stub)
     val again = Multimodal.extractFeatures(media, dim = 4).orderBy("media_id").collect()(0).getSeq[Float](2)
     assert(again == feats)
+  }
+
+  test("JsonSource quarantines malformed lines, projects good rows to schema") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      """{"doi": "10.1/a", "year": 2020}
+        |not json at all
+        |{"doi": "10.1/b", "year": 2021}
+        |{"doi": "10.1/c", "year": "bad-int"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doi", StringType), StructField("year", IntegerType)))
+    val (good, bad) = JsonSource.loadWithQuarantine(spark, dir, schema)
+    // the unparseable line AND the type-mismatched line are quarantined
+    assert(bad.count() == 2)
+    val rows = good.orderBy("doi").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(rows.toSeq == Seq(("10.1/a", 2020), ("10.1/b", 2021)))
+    assert(good.schema.fieldNames.toSeq == Seq("doi", "year"))
+  }
+
+  test("ORC round-trip preserves rows and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    JsonSource.writeOrc(df, dir)
+    val back = JsonSource.readOrc(spark, dir).filter(col("o_orderkey") < 100)
+    assert(back.count() == df.filter(col("o_orderkey") < 100).count())
+    val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.toLowerCase.contains("orc") && scan.contains("o_orderkey"), scan)
   }
 
   test("Multimodal resizeImages: target dims in meta, shrunken payload, image-only") {

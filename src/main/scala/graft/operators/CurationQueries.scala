@@ -160,25 +160,24 @@ object CurationQueries {
     },
 
     // Flagship: the whole curation pipeline in ONE plan — quality gate
-    // (map) → exact dedup (1 shuffle: hash-prefix window) → hash
+    // (map) → exact dedup (1 shuffle: min-struct agg on the prefix
+    // hash; an aggregation, not a window, so giant duplicate groups
+    // partial-combine map-side instead of sorting in one task) → hash
     // sample (map) → sequence packing (1 shuffle: lang/shard windows).
     // Two exchanges total for the end-to-end pass, guarded by
     // PlanAuditSpec.
     "q_curation_pipeline" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val d = Tables(s, dir).documents
       val stats = d.select(
         col("doc_id"), col("lang"), col("text"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         TextAnalysis.stopwordHits(col("text"), enStops).as("stop_hits"))
       val kept = stats.filter(col("n_tokens") >= 20 && col("stop_hits") >= 1)
-      val dedupW = Window
-        .partitionBy(sha2(lower(substring(col("text"), 1, 30)), 256))
-        .orderBy(col("doc_id"))
       val deduped = kept
-        .withColumn("__rn", row_number().over(dedupW))
-        .filter(col("__rn") === 1)
-        .drop("__rn", "text")
+        .groupBy(sha2(lower(substring(col("text"), 1, 30)), 256).as("__h"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"))).as("__k"))
+        .select(col("__k.doc_id").as("doc_id"), col("__k.lang").as("lang"),
+          col("__k.n_tokens").as("n_tokens"))
       val sampled = deduped.filter(Curation.hashSample(col("doc_id"), "c0000000"))
       Curation.packSequences(sampled, "doc_id", "lang", col("n_tokens"), budget = 2048L, nShards = 4)
         .select(col("doc_id"), col("lang"), col("shard").cast("long").as("shard"),

@@ -34,18 +34,22 @@ object TextDedup {
     * VALUE, not its hash: a hash collision would silently merge two
     * distinct lines and drop a survivor — exactness over a few bytes
     * of key width), then one keyed re-aggregation rebuilds the docs.
-    * 100 TB of docs ≈ the corpus shuffles ~twice; both keys are
-    * high-cardinality and AQE-skew-splittable (the pathological skew
-    * key IS the boilerplate line, which is exactly what AQE splits).
+    *
+    * Keep-first is an AGGREGATION — min(struct(id, pos, line)) per
+    * line — not a row_number window: window operators get no AQE skew
+    * handling, so a boilerplate line occurring in 10^9 documents would
+    * sort in ONE window task; the aggregate's map-side partial combine
+    * reduces every mapper's copies of that line to a single row before
+    * the shuffle. The min-struct row carries the surviving occurrence
+    * itself, so no join-back is needed either.
     */
   def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lines = df.select(
       col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val w = Window.partitionBy(col("line")).orderBy(col(idCol), col("pos"))
     val kept = lines
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .groupBy("line")
+      .agg(min(struct(col(idCol), col("pos"))).as("__k"))
+      .select(col("__k")(idCol).as(idCol), col("__k.pos").as("pos"), col("line"))
     val rebuilt = kept
       .groupBy(idCol)
       .agg(array_join(

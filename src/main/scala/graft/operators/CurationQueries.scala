@@ -118,6 +118,13 @@ object CurationQueries {
         Curation.polyFingerprint(col("text")).as("poly_fp"))
     },
 
+    // Exactly-k-per-stratum deterministic sample (md5-ordered
+    // reservoir through TopKPerKey).
+    "q_sample_exactk" -> { (s, dir) =>
+      Sampling.exactKPerStratum(
+        Tables(s, dir).documents.select("doc_id", "lang"), "lang", "doc_id", k = 10)
+    },
+
     // Corpus stats: top-5 bigrams per language by document frequency,
     // through the custom TopKPerKey physical operator (bounded heaps,
     // no full sort of the gram counts).
@@ -301,6 +308,12 @@ object CurationQueries {
         |FROM w""".stripMargin,
     "q_components" ->
       """SELECT doc_id AS id, CAST((doc_id // 5) * 5 AS BIGINT) AS component FROM documents""".stripMargin,
+    "q_sample_exactk" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10""".stripMargin,
     "q_top_ngrams" ->
       """WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
         |g AS (SELECT lang, unnest(list_distinct(list_transform(range(1, len(ws)),

@@ -32,4 +32,19 @@ object Sampling {
       val bucket = (pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") / 1000000.0)
       df.filter(bucket < rate).withColumn("source_name", lit(name))
     }.reduce(_ unionByName _)
+
+  /** EXACTLY k rows per stratum (rate-based sampling only hits k in
+    * expectation): order each stratum by an md5 hash of the id (an
+    * engine-portable deterministic "random" order) and keep the first
+    * k via the bounded-heap TopKPerKey operator — a distributed
+    * reservoir sample without reservoir state. Ties impossible
+    * (md5 of distinct ids), so the sample is a pure function of the
+    * id set.
+    */
+  def exactKPerStratum(df: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame =
+    TopK.perKey(
+      df.withColumn("__h", md5(col(idCol).cast("string"))),
+      Seq(stratumCol),
+      struct(col("__h"), col(idCol)), k
+    ).drop("__h")
 }

@@ -118,6 +118,14 @@ object CurationQueries {
         Curation.polyFingerprint(col("text")).as("poly_fp"))
     },
 
+    // Compression-ratio quality signal (rows-only: no DuckDB deflate;
+    // monotonicity covered by spec).
+    "q_compress_ratio" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        round(graft.plans.CompressionRatio(col("text")), 4).as("deflate_ratio"))
+    },
+
     // Exactly-k-per-stratum deterministic sample (md5-ordered
     // reservoir through TopKPerKey).
     "q_sample_exactk" -> { (s, dir) =>

@@ -119,6 +119,20 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(4L))        // under window size -> no rows
   }
 
+  test("CompressionRatio orders repetitive below diverse text; handles edges") {
+    import graft.plans.CompressionRatio
+    val rep = ("spam " * 200).trim
+    val div = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val df = Seq(rep, div, "x", "").toDF("t")
+    val out = df.select(CompressionRatio(col("t"))).as[Double].collect()
+    assert(out(0) < out(1), s"repetitive ${out(0)} !< diverse ${out(1)}")
+    assert(out(0) < 0.1)             // 200x the same word compresses hard
+    assert(out(2) > 0.5 && out(3) == 1.0) // tiny + empty edges
+    // deterministic across evaluations
+    val again = df.select(CompressionRatio(col("t"))).as[Double].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("bm25TopK matches a scalar reference implementation") {
     import graft.operators.TextRank
     val corpus = Seq(

@@ -303,7 +303,7 @@ object CurationQueries {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t)
         |SELECT lang, CAST(shard AS BIGINT) AS shard, CAST(prev // 2048 AS BIGINT) AS bin,
         |       string_agg(text, '<eod>' ORDER BY doc_id) AS sequence,
-        |       count(*) AS n_docs, sum(n_tokens) AS total_tokens
+        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM p GROUP BY lang, shard, prev // 2048""".stripMargin,
     "q_fingerprint_poly" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)

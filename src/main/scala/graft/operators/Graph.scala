@@ -23,7 +23,11 @@ object Graph {
     * is the minimum vertex id in the connected component. Edges are
     * treated as undirected; self-loops ignored. `maxRounds` bounds the
     * driver loop (20 covers any graph up to ~2^20 diameter after the
-    * first round's star-collapse).
+    * first round's star-collapse). If the edge set has not converged
+    * when `maxRounds` is exhausted the mapping would be WRONG (some
+    * vertices not yet linked to their component minimum), so this
+    * throws rather than return it — raise `maxRounds` for adversarial
+    * graphs deeper than ~2^maxRounds.
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String, maxRounds: Int = 20): DataFrame = {
     val spark = edges.sparkSession
@@ -51,6 +55,10 @@ object Graph {
       e = next
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds; " +
+          "the partial mapping would be incorrect — increase maxRounds")
 
     // Final state is a star forest: (child, root) edges with root = min
     // id of the component. Roots name their own component.

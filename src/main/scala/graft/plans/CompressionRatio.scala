@@ -47,8 +47,19 @@ object CompressionRatio {
   def apply(text: Column): Column =
     GraftExpr.column(CompressionRatio(GraftExpr.expression(text)))
 
+  // One Deflater per task thread, reset per value (a per-row Deflater
+  // measures allocator throughput, not compression). Each holds ~256 KB
+  // of native zlib state; the Cleaner releases it via end() once its
+  // thread dies and is collected, so a bounded executor pool holds a
+  // bounded amount and short-lived threads don't leak it for the JVM
+  // lifetime.
+  private val cleaner = java.lang.ref.Cleaner.create()
   private val local: ThreadLocal[Deflater] = new ThreadLocal[Deflater] {
-    override def initialValue(): Deflater = new Deflater(Deflater.BEST_SPEED, true)
+    override def initialValue(): Deflater = {
+      val d = new Deflater(Deflater.BEST_SPEED, true)
+      cleaner.register(Thread.currentThread(), new Runnable { def run(): Unit = d.end() })
+      d
+    }
   }
 
   def ratio(s: UTF8String): Double = {

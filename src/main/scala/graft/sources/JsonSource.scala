@@ -23,21 +23,27 @@ object JsonSource {
   val CorruptCol = "_corrupt_record"
 
   /** Read JSONL with the given schema; returns (good rows projected to
-    * the schema, quarantined raw lines).
+    * the schema, quarantined raw lines, release handle).
+    *
+    * PERMISSIVE corrupt-record capture requires the parsed rows to be
+    * materialized before filtering on the corrupt column, so the parse
+    * is persisted — DISK_ONLY, not MEMORY: at corpus scale a memory
+    * cache of the full parse would evict everything else. The caller
+    * MUST invoke the returned release() once both sides are consumed
+    * (written / counted), or the persisted copy lives for the session.
     */
-  def loadWithQuarantine(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
+  def loadWithQuarantine(spark: SparkSession, path: String, schema: StructType)
+      : (DataFrame, DataFrame, () => Unit) = {
     val full = schema.add(CorruptCol, org.apache.spark.sql.types.StringType)
     val raw = spark.read
       .schema(full)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
-      // PERMISSIVE corrupt-record capture requires the parsed rows to
-      // be materialized before filtering on the corrupt column
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val good = raw.filter(col(CorruptCol).isNull).drop(CorruptCol)
     val bad = raw.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line"))
-    (good, bad)
+    (good, bad, () => { raw.unpersist(); () })
   }
 
   /** JSONL export (one object per line, gzip): the interchange format

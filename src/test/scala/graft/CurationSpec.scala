@@ -277,4 +277,12 @@ class GraphSpec extends SparkSpec {
     val got = cc(Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)))
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("exhausting maxRounds before convergence throws, never returns a wrong mapping") {
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graph.connectedComponents(chain, "src", "dst", maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }

@@ -79,12 +79,16 @@ class SourcesSpec extends SparkSpec {
         |""".stripMargin)
     val schema = StructType(Seq(
       StructField("doi", StringType), StructField("year", IntegerType)))
-    val (good, bad) = JsonSource.loadWithQuarantine(spark, dir, schema)
+    val (good, bad, release) = JsonSource.loadWithQuarantine(spark, dir, schema)
     // the unparseable line AND the type-mismatched line are quarantined
     assert(bad.count() == 2)
     val rows = good.orderBy("doi").collect().map(r => (r.getString(0), r.getInt(1)))
     assert(rows.toSeq == Seq(("10.1/a", 2020), ("10.1/b", 2021)))
     assert(good.schema.fieldNames.toSeq == Seq("doi", "year"))
+    // DISK_ONLY persist while live; release() drops it
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
   test("ORC round-trip preserves rows and pushes filters") {

@@ -22,14 +22,30 @@ object Bench {
     // Per query: one untimed warm-up + median of 3 timed runs. A
     // single sample at these runtimes is dominated by JIT/GC noise
     // and has produced phantom multi-x regressions round-to-round.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated subset (dev iteration); full run when unset.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val selected = subset.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    // Library queries that persist() intermediates (e.g. minhash
+    // shingles) return lazy DataFrames and so cannot unpersist them;
+    // left alone those caches accumulate across the 95+ query session
+    // and later queries run under memory/GC pressure (BENCH_r03
+    // recorded a 7x phantom slowdown on q_substring_dup from exactly
+    // this). Dropping them between queries keeps each measurement
+    // self-contained: within a query's own warm+3 runs the cache still
+    // works.
+    def clearAccumulatedCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         run(fn)
         val ts = (1 to 3).map { _ =>
           val t0 = System.nanoTime(); run(fn); (System.nanoTime() - t0) / 1e9
         }.sorted
+        clearAccumulatedCaches()
         name -> ts(1)
-      } catch { case _: Throwable => errors += name; name -> -1.0 }
+      } catch { case _: Throwable => errors += name; clearAccumulatedCaches(); name -> -1.0 }
     }
     def r4(v: Double): Double = math.round(v * 10000) / 10000.0
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }

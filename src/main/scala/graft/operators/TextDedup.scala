@@ -78,10 +78,15 @@ object TextDedup {
   def duplicateWindowStats(df: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
     val toks = split(col(textCol), " ")
     val starts = sequence(lit(1), greatest(size(toks) - (window - 1), lit(0)), lit(1))
+    // Windows travel as xxhash64 of the token-array slice, never as
+    // strings: the shuffle carries (long, long) rows instead of
+    // ~8-token gram strings (an order-of-magnitude fewer bytes, and no
+    // per-window string building). Hashing the ARRAY (not a re-joined
+    // string) keeps token boundaries significant.
     val grams = df
       .filter(size(toks) >= window)
       .select(col(idCol),
-        explode(transform(starts, s => array_join(slice(toks, s, lit(window)), " "))).as("gram"))
+        explode(transform(starts, s => xxhash64(slice(toks, s, lit(window))))).as("gram"))
     // "appears in >1 distinct doc" as min(id) != max(id): one
     // map-side-partial aggregation instead of countDistinct's
     // two-phase (gram, id)-distinct expansion.

@@ -117,7 +117,8 @@ object LlmQueries {
       )
     },
 
-    // Stratified sampling by language (hash-deterministic; rows-only).
+    // Stratified sampling by language — md5-prefix selection, so the
+    // exact sample is oracle-checked, not just its size.
     "q_sample_stratified" -> { (s, dir) =>
       Sampling.stratified(
         Tables(s, dir).documents,
@@ -127,7 +128,7 @@ object LlmQueries {
       ).select("doc_id", "lang")
     },
 
-    // Weighted source mixture (rows-only).
+    // Weighted source mixture — same portable selection hash.
     "q_sample_mixture" -> { (s, dir) =>
       val d = Tables(s, dir).documents
       Sampling.mixture(
@@ -221,6 +222,25 @@ object LlmQueries {
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q_inverted_rebuild" ->
       "SELECT doc_id, true AS ok FROM documents",
+    // md5-prefix selection is engine-portable, so the deterministic
+    // samples are exact-matchable, not just rows-counted.
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8) <
+         |  CASE lang WHEN 'en' THEN '${Sampling.hexThreshold(0.9)}'
+         |            WHEN 'de' THEN '${Sampling.hexThreshold(0.5)}'
+         |            WHEN 'es' THEN '${Sampling.hexThreshold(0.5)}'
+         |            WHEN 'fr' THEN '${Sampling.hexThreshold(0.5)}'
+         |            WHEN 'zh' THEN '${Sampling.hexThreshold(0.2)}'
+         |            ELSE '00000000' END""".stripMargin,
+    "q_sample_mixture" ->
+      s"""SELECT doc_id, 'web' AS source_name FROM documents
+         |WHERE source = 'src0'
+         |  AND substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) < '${Sampling.hexThreshold(1.0)}'
+         |UNION ALL
+         |SELECT doc_id, 'books' AS source_name FROM documents
+         |WHERE source <> 'src0'
+         |  AND substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) < '${Sampling.hexThreshold(0.3)}'""".stripMargin,
     "q_decontaminate" ->
       s"""WITH $wsCte,
          |g AS (SELECT doc_id,

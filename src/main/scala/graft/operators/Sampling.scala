@@ -13,15 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Selection hash: first 8 hex chars of md5(id ":" seed) — a uniform
+    * 32-bit bucket as a hex string. md5-prefix (not xxhash64) so the
+    * EXACT same selection is computable by any engine with md5 — the
+    * sample itself is oracle-checkable, not just its row count.
+    */
+  private def md5Bucket(id: org.apache.spark.sql.Column, seed: Long) =
+    substring(md5(concat(id.cast("string"), lit(":" + seed))), 1, 8)
+
+  /** `rate` as the hex threshold those buckets are compared against:
+    * P(bucket < threshold) = rate over the 2^32 bucket space.
+    */
+  def hexThreshold(rate: Double): String = {
+    val t = math.min(math.max((rate * 4294967296.0).toLong, 0L), 4294967295L)
+    f"$t%08x"
+  }
+
   /** Keep each row of stratum s with probability rates(s): hash-bucket
-    * the id into [0,1) and compare. Unknown strata default to 0.
+    * the id and compare against the stratum's threshold. Unknown strata
+    * default to 0 (threshold "00000000" admits nothing).
     */
   def stratified(df: DataFrame, stratumCol: String, idCol: String, rates: Map[String, Double], seed: Long): DataFrame = {
-    val bucket = (pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") / 1000000.0)
-    val rate = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
-      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    val threshold = rates.foldLeft(lit("00000000")) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(hexThreshold(r))).otherwise(acc)
     }
-    df.filter(bucket < rate)
+    df.filter(md5Bucket(col(idCol), seed) < threshold)
   }
 
   /** Weighted mixture of sources: per-source hash-rate downsampling
@@ -29,8 +45,8 @@ object Sampling {
     */
   def mixture(sources: Seq[(String, DataFrame, Double)], idCol: String, seed: Long): DataFrame =
     sources.map { case (name, df, rate) =>
-      val bucket = (pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)).cast("double") / 1000000.0)
-      df.filter(bucket < rate).withColumn("source_name", lit(name))
+      df.filter(md5Bucket(col(idCol), seed) < lit(hexThreshold(rate)))
+        .withColumn("source_name", lit(name))
     }.reduce(_ unionByName _)
 
   /** EXACTLY k rows per stratum (rate-based sampling only hits k in

@@ -204,15 +204,21 @@ object CurationQueries {
     // exactly the blocks and the oracle is closed-form.
     "q_components" -> { (s, dir) =>
       val d = Tables(s, dir).documents
-      val ids = d.select(col("doc_id"))
-      def linked(step: Int, modMax: Int) = ids.as("a")
-        .join(ids.as("b"), col("b.doc_id") === col("a.doc_id") + step)
-        .filter(pmod(col("a.doc_id"), lit(5)) <= modMax)
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      val edges = linked(1, 3).unionByName(linked(2, 2))
-      Graph.connectedComponentsAll(edges, "src", "dst", d, "doc_id")
+      Graph.connectedComponentsAll(plantedEdges(d), "src", "dst", d, "doc_id")
     }
   )
+
+  /** The planted dup-pair edge set used by q_components and
+    * q_canonical_pick: components are exactly the blocks of 5 ids.
+    */
+  private[operators] def plantedEdges(d: DataFrame): DataFrame = {
+    val ids = d.select(col("doc_id"))
+    def linked(step: Int, modMax: Int) = ids.as("a")
+      .join(ids.as("b"), col("b.doc_id") === col("a.doc_id") + step)
+      .filter(pmod(col("a.doc_id"), lit(5)) <= modMax)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    linked(1, 3).unionByName(linked(2, 2))
+  }
 
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val ssnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly planning operators — the steps between "curated
+  * corpus" and "training run": per-domain quality thresholds, mixture
+  * scheduling against a token budget, batch-padding economics, and
+  * canonical-document election for near-dup clusters.
+  *
+  * All four are exact, shuffle-minimal aggregations: the per-stratum
+  * statistics are tiny (one row per language / source / bucket /
+  * cluster), so every plan is one hash aggregate plus, at most, one
+  * broadcast join back to the corpus — nothing here re-shuffles
+  * document payloads.
+  */
+object TrainingMix {
+
+  /** Per-stratum exact-percentile floor: tag each row with its
+    * stratum's p-th percentile of `scoreCol` and whether it clears it.
+    * The reference pattern is per-domain quality cuts ("drop the
+    * bottom quartile of each language"), where a single global
+    * threshold would gut low-resource strata.
+    *
+    * Exact `percentile` (linear interpolation), not approx: the
+    * per-stratum agg output is one row per stratum, so exactness costs
+    * only the map-side digest; the join back is a broadcast.
+    */
+  def percentileCut(df: DataFrame, stratumCol: String, scoreCol: String, p: Double): DataFrame = {
+    val thr = df.groupBy(stratumCol)
+      .agg(percentile(col(scoreCol), lit(p)).as("__thr"))
+    df.join(broadcast(thr), stratumCol)
+      .withColumn("threshold", round(col("__thr"), 4))
+      .withColumn("keep", col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Mixture scheduling: given target weights per source and a total
+    * token budget, how many tokens each source owes and how many
+    * epochs (repeats) of it that implies. epochs > 1 flags sources the
+    * mix oversamples (upweighted domains); << 1 means heavy
+    * downsampling. One aggregate over (source, n_tokens) — the corpus
+    * contributes only its per-source token totals.
+    */
+  def mixPlan(df: DataFrame, sourceCol: String, tokensCol: Column,
+              weights: Map[String, Double], defaultWeight: Double, budget: Long): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    df.groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("n_tokens"))
+      .withColumn("weight", w)
+      .withColumn("target_tokens", round(lit(budget.toDouble) * col("weight")).cast("long"))
+      .withColumn("epochs", round(lit(budget.toDouble) * col("weight") / col("n_tokens"), 4))
+  }
+
+  /** Length-bucketed batching economics: bucket documents by
+    * floor(len / bucketSize), and report what padding every batch
+    * drawn from that bucket wastes when padded to the bucket's longest
+    * member. The decision input for choosing bucket granularity:
+    * finer buckets cut waste but shrink batch-assembly pools.
+    */
+  def paddingWaste(df: DataFrame, tokensCol: Column, bucketSize: Int): DataFrame =
+    df.select((floor(tokensCol / bucketSize) * bucketSize).cast("long").as("bucket"),
+        tokensCol.cast("long").as("__t"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__t")).as("sum_tokens"),
+        max(col("__t")).as("max_tokens"))
+      .withColumn("waste_frac",
+        round(lit(1.0) - col("sum_tokens") / (col("n_docs") * col("max_tokens")), 4))
+
+  /** Canonical-document election for duplicate clusters: given a
+    * (id, component) mapping (from Graph.connectedComponents*) and a
+    * per-document score, pick each cluster's best document — highest
+    * score, ties to the smallest id.
+    *
+    * One aggregation keyed by component; the arg-max rides in a
+    * min(struct(-score, id, ...)) so map-side partial aggregation
+    * applies (a window would shuffle whole clusters to one task each
+    * and gets no AQE skew handling — the giant boilerplate cluster is
+    * exactly the skewed case).
+    */
+  def electCanonical(components: DataFrame, docs: DataFrame,
+                     idCol: String, scoreCol: Column): DataFrame = {
+    val scored = docs.select(col(idCol).as("id"), scoreCol.cast("long").as("__score"))
+    components.join(scored, "id")
+      .groupBy("component")
+      .agg(
+        min(struct((-col("__score")).as("neg"), col("id"))).as("__best"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__score")).as("total_score"))
+      .select(col("component"), col("__best.id").as("canonical_id"),
+        col("n_docs"), col("total_score"))
+  }
+}

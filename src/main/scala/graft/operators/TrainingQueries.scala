@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Oracle-checked queries for the dataset-assembly planning operators
+  * (TrainingMix.scala). All use exact arithmetic the DuckDB twin
+  * reproduces bit-for-bit: quarter-percentiles over small integers
+  * interpolate exactly in doubles, and the mix weights multiply into
+  * exact token targets.
+  */
+object TrainingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def nTok = size(split(col("text"), " ")).cast("long")
+
+  private val mixWeights = Map("src0" -> 0.2, "src1" -> 0.15)
+  private val mixDefault = 0.0325
+  private val mixBudget = 10000000L
+
+  val queries: Map[String, Q] = Map(
+    // Per-language bottom-quartile quality cut: every doc tagged with
+    // its stratum's exact p25 token-count floor.
+    "q_quality_cut" -> { (s, dir) =>
+      TrainingMix.percentileCut(
+        Tables(s, dir).documents.select(col("doc_id"), col("lang"), nTok.as("n_tokens")),
+        stratumCol = "lang", scoreCol = "n_tokens", p = 0.25)
+    },
+
+    // Mixture schedule: token budget × per-source weight → epochs.
+    "q_mix_plan" -> { (s, dir) =>
+      TrainingMix.mixPlan(Tables(s, dir).documents, "source", nTok,
+        weights = mixWeights, defaultWeight = mixDefault, budget = mixBudget)
+    },
+
+    // Padding economics of 64-token length buckets.
+    "q_padding_waste" -> { (s, dir) =>
+      TrainingMix.paddingWaste(Tables(s, dir).documents, nTok, bucketSize = 64)
+    },
+
+    // Canonical-doc election over the planted dup clusters: longest
+    // doc wins, ties to smallest id.
+    "q_canonical_pick" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val cc = Graph.connectedComponentsAll(CurationQueries.plantedEdges(d), "src", "dst", d, "doc_id")
+      TrainingMix.electCanonical(cc, d, "doc_id", nTok)
+    }
+  )
+
+  private def weightCase: String =
+    "CASE source WHEN 'src0' THEN CAST(0.2 AS DOUBLE) WHEN 'src1' THEN CAST(0.15 AS DOUBLE) " +
+      "ELSE CAST(0.0325 AS DOUBLE) END"
+
+  val oracles: Map[String, String] = Map(
+    "q_quality_cut" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |q AS (SELECT lang, quantile_cont(n_tokens, 0.25) AS thr FROM t GROUP BY lang)
+        |SELECT t.lang, t.doc_id, t.n_tokens, round(q.thr, 4) AS threshold, t.n_tokens >= q.thr AS keep
+        |FROM t JOIN q USING (lang)""".stripMargin,
+    "q_mix_plan" ->
+      s"""WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |           FROM documents GROUP BY source)
+         |SELECT source, n_docs, n_tokens, $weightCase AS weight,
+         |       CAST(round(10000000.0 * ($weightCase)) AS BIGINT) AS target_tokens,
+         |       round(10000000.0 * ($weightCase) / n_tokens, 4) AS epochs
+         |FROM t""".stripMargin,
+    "q_padding_waste" ->
+      """WITH t AS (SELECT CAST((len(string_split(text, ' ')) // 64) * 64 AS BIGINT) AS bucket,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens,
+        |       CAST(max(tok) AS BIGINT) AS max_tokens,
+        |       round(CAST(1.0 AS DOUBLE) - sum(tok) / (count(*) * max(tok)), 4) AS waste_frac
+        |FROM t GROUP BY bucket""".stripMargin,
+    "q_canonical_pick" ->
+      """WITH t AS (SELECT doc_id, (doc_id // 5) * 5 AS component,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |r AS (SELECT component, doc_id, n_tokens,
+        |        row_number() OVER (PARTITION BY component ORDER BY n_tokens DESC, doc_id) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY component) AS BIGINT) AS total_score
+        |      FROM t)
+        |SELECT CAST(component AS BIGINT) AS component, doc_id AS canonical_id, n_docs, total_score
+        |FROM r WHERE rn = 1""".stripMargin
+  )
+}

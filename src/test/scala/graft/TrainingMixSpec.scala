@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, TrainingMix}
+
+class TrainingMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("percentileCut computes per-stratum interpolated p25 and keeps ties at the floor") {
+    // en scores 10,20,30,40 → p25 = 17.5; de scores 5,5,5 → p25 = 5 (ties keep)
+    val df = Seq(
+      ("a", "en", 10L), ("b", "en", 20L), ("c", "en", 30L), ("d", "en", 40L),
+      ("e", "de", 5L), ("f", "de", 5L), ("g", "de", 5L)
+    ).toDF("doc_id", "lang", "score")
+    val out = TrainingMix.percentileCut(df, "lang", "score", 0.25)
+      .select("doc_id", "threshold", "keep").as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("a") == (17.5, false))
+    assert(out("b") == (17.5, true))
+    assert(out("e") == (5.0, true) && out("g") == (5.0, true))
+  }
+
+  test("mixPlan turns weights and a budget into per-source epochs") {
+    val df = Seq.tabulate(10)(i => (i.toLong, if (i < 6) "web" else "books", 100L))
+      .toDF("id", "source", "tok")
+    val out = TrainingMix.mixPlan(df, "source", col("tok"),
+        weights = Map("web" -> 0.75), defaultWeight = 0.25, budget = 1200L)
+      .select("source", "n_docs", "n_tokens", "target_tokens", "epochs")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // web: 600 tokens, target 900 → 1.5 epochs; books: 400, target 300 → 0.75
+    assert(out("web") == (6L, 600L, 900L, 1.5))
+    assert(out("books") == (4L, 400L, 300L, 0.75))
+  }
+
+  test("paddingWaste reports per-bucket padding against the bucket max") {
+    val df = Seq(10L, 20L, 20L, 70L).toDF("tok")
+    val out = TrainingMix.paddingWaste(df, col("tok"), bucketSize = 64)
+      .select("bucket", "n_docs", "max_tokens", "waste_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // bucket 0: docs 10,20,20 padded to 20 → waste 1 - 50/60
+    assert(out(0L) == (0L, 3L, 20L, 0.1667))
+    assert(out(64L) == (64L, 1L, 70L, 0.0))
+  }
+
+  test("electCanonical picks highest score, ties to smallest id, across a skewed cluster") {
+    val edges = ((1L to 999L).map(i => (i, i + 1)) :+ (2000L, 2001L)).toDF("src", "dst")
+    val cc = Graph.connectedComponents(edges, "src", "dst")
+    val docs = ((1L to 1000L) ++ Seq(2000L, 2001L)).map { id =>
+      (id, if (id == 500L || id == 700L) 99L else 1L)
+    }.toDF("doc_id", "score")
+    val out = TrainingMix.electCanonical(cc, docs, "doc_id", col("score"))
+      .select("component", "canonical_id", "n_docs")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == (1L, 500L, 1000L)) // max score 99 twice; min id 500 wins
+    assert(out(2000L) == (2000L, 2000L, 2L))
+  }
+}

@@ -140,6 +140,19 @@ object LlmQueries {
       ).select("doc_id", "source_name")
     },
 
+    // Corpus-self bigram LM quality score (CCNet-style).
+    "q_bigram_lm" -> { (s, dir) =>
+      TextRank.bigramLmScore(Tables(s, dir).documents, "doc_id", "text")
+    },
+
+    // Embedding-space quality gate: cosine distance to the own-label
+    // centroid; flag on the rounded similarity for reproducibility.
+    "q_embed_outlier" -> { (s, dir) =>
+      VectorOps.centroidOutliers(
+        Tables(s, dir).embeddings.select(col("vec_id"), col("label"), col("embedding")),
+        stratumCol = "label", idCol = "vec_id", vecCol = "embedding", simThreshold = 0.0)
+    },
+
     // #33 MinHash-LSH near-dups find the planted variants (rows-only).
     "q_dedup_minhash" -> { (s, dir) =>
       TextDedup.minhashNearDups(planted(Tables(s, dir)), "doc_id", "text")
@@ -222,6 +235,27 @@ object LlmQueries {
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q_inverted_rebuild" ->
       "SELECT doc_id, true AS ok FROM documents",
+    "q_bigram_lm" ->
+      s"""WITH $wsCte,
+         |p AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+         |        SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |                 i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS u FROM w) t),
+         |c1 AS (SELECT w1, count(*) AS n1 FROM p GROUP BY w1),
+         |c2 AS (SELECT w1, w2, count(*) AS n2 FROM p GROUP BY w1, w2),
+         |lm AS (SELECT w1, w2, CAST(n2 AS DOUBLE) / n1 AS pr FROM c2 JOIN c1 USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       round(avg(log2(pr)), 4) AS avg_log2p
+         |FROM p JOIN lm USING (w1, w2) GROUP BY doc_id""".stripMargin,
+    "q_embed_outlier" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT label, unnest(list_transform(v, (x, i) -> {'pos': i, 'val': x})) AS u FROM e),
+        |c AS (SELECT label, u.pos AS pos, avg(u.val) AS m FROM d GROUP BY label, u.pos),
+        |cent AS (SELECT label, list(m ORDER BY pos) AS cv FROM c GROUP BY label),
+        |s AS (SELECT e.vec_id, e.label,
+        |        round(list_dot_product(e.v, cent.cv) /
+        |              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 4) AS sim
+        |      FROM e JOIN cent USING (label))
+        |SELECT vec_id, label, sim, sim < 0.0 AS is_outlier FROM s""".stripMargin,
     // md5-prefix selection is engine-portable, so the deterministic
     // samples are exact-matchable, not just rows-counted.
     "q_sample_stratified" ->

@@ -57,4 +57,36 @@ object TextRank {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
   }
+
+  /** Corpus-self bigram LM quality score (the CCNet idea with the
+    * corpus as its own LM): train bigram conditionals P(w2|w1) =
+    * c(w1,w2)/c(w1·) over the whole corpus, then score each document
+    * by its mean log2 bigram probability. Boilerplate scores high
+    * (its bigrams dominate the corpus), character soup scores low —
+    * a quality axis independent of the length/stopword heuristics.
+    *
+    * Scale shape: two narrow aggregations over (w1[,w2]) count pairs
+    * (map-side combine applies) and one join of the exploded bigrams
+    * back to the LM — text never shuffles, only word-pair tokens. The
+    * LM table is vocabulary-sized, not corpus-sized. Docs with < 2
+    * tokens have no bigrams and drop out, as in the oracle.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = split(lower(col(textCol)), " ")
+    val pairs = docs
+      // single-token docs first: sequence(1, 0) throws rather than
+      // yield [] (and a NULL-w2 pair would pollute the c(w1·) counts)
+      .filter(size(ws) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(ws) - 1, lit(1)),
+          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val firstCounts = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val lm = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .join(firstCounts, "w1")
+      .select(col("w1"), col("w2"), (col("c2").cast("double") / col("c1")).as("p"))
+    pairs.join(lm, Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(log2(col("p"))), 4).as("avg_log2p"))
+  }
 }

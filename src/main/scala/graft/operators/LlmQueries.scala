@@ -145,6 +145,27 @@ object LlmQueries {
       TextRank.bigramLmScore(Tables(s, dir).documents, "doc_id", "text")
     },
 
+    // Keyword extraction: top-3 TF-IDF terms per doc via TopKPerKey.
+    "q_tfidf_terms" -> { (s, dir) =>
+      TextRank.tfidfTopTerms(Tables(s, dir).documents, "doc_id", "text", k = 3)
+    },
+
+    // Corpus-health report: per-source vocabulary size, type-token
+    // ratio, hapax fraction (the Zipf-tail sanity check a corpus
+    // refresh is gated on).
+    "q_vocab_stats" -> { (s, dir) =>
+      val st = Tables(s, dir).documents
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      st.groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(col("cnt")).as("n_tokens"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+        .select(col("source"), col("vocab"), col("n_tokens"), col("hapax"),
+          round(col("vocab").cast("double") / col("n_tokens"), 4).as("ttr"),
+          round(col("hapax").cast("double") / col("vocab"), 4).as("hapax_frac"))
+    },
+
     // Embedding-space quality gate: cosine distance to the own-label
     // centroid; flag on the rounded similarity for reproducibility.
     "q_embed_outlier" -> { (s, dir) =>
@@ -246,6 +267,27 @@ object LlmQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |       round(avg(log2(pr)), 4) AS avg_log2p
          |FROM p JOIN lm USING (w1, w2) GROUP BY doc_id""".stripMargin,
+    "q_tfidf_terms" ->
+      s"""WITH $wsCte,
+         |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, term, tf, tfidf FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |         round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 4) AS tfidf,
+         |         row_number() OVER (PARTITION BY tf.doc_id
+         |           ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 4) DESC, tf.term) AS rn
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n) x
+         |WHERE rn <= 3""".stripMargin,
+    "q_vocab_stats" ->
+      """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |c AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY source, term)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |       round(count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS ttr,
+        |       round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS hapax_frac
+        |FROM c GROUP BY source""".stripMargin,
     "q_embed_outlier" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |d AS (SELECT label, unnest(list_transform(v, (x, i) -> {'pos': i, 'val': x})) AS u FROM e),

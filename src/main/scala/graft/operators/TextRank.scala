@@ -58,6 +58,26 @@ object TextRank {
         row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
   }
 
+  /** Top-k TF-IDF terms per document — keyword extraction for corpus
+    * topic tagging / cluster labeling. Same economics as bm25TopK:
+    * only (doc, term, count) triples shuffle, document frequencies
+    * aggregate from the already-distinct (doc, term) table (no second
+    * corpus pass), N rides along as a broadcast single-row frame, and
+    * the per-doc top-k runs through the bounded-heap TopKPerKey
+    * physical operator, not a full per-doc sort. Ranking compares the
+    * ROUNDED score (term as tiebreak) so results are engine-exact.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val terms = docs.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("term"))
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"),
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 4).as("tfidf"))
+    TopK.perKey(scored, Seq(idCol), struct((-col("tfidf")).as("neg"), col("term")), k)
+  }
+
   /** Corpus-self bigram LM quality score (the CCNet idea with the
     * corpus as its own LM): train bigram conditionals P(w2|w1) =
     * c(w1,w2)/c(w1·) over the whole corpus, then score each document

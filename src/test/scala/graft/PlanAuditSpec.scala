@@ -84,6 +84,12 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_tfidf_terms runs the bounded-heap TopKPerKey, not a per-doc sort window") {
+    val s = formatted("q_tfidf_terms")
+    assert(s.contains("PartialTopK") && s.contains("FinalTopK"), s)
+    assert(!s.contains("Window"), s"tfidf fell back to a window sort: $s")
+  }
+
   test("per-stratum stat queries broadcast the tiny stat table back, never shuffle payloads") {
     // percentile thresholds (one row per lang) and centroids (one row
     // per label) must come back as broadcasts; the only Exchanges are

@@ -160,9 +160,15 @@ object TextDedup {
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Also persisted: the self-join below evaluates its left and right
+    // side independently (a broadcast join reuses no exchange), so an
+    // unpersisted banded plan would compute the 64-hash signatures
+    // TWICE — measured as the dominant cost of the whole operator. The
+    // cache is (id, band, bh) rows: bands × corpus ids, no text.
     val banded = shingled
       .select(col("id"), explode(lshBands(minhashSignature(col("shingles"), h), bands, rows)).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Bucket join on (band, bh): only ids travel. Self-join with id_a <
     // id_b halves the pairs; distinct collapses multi-band collisions.

@@ -174,6 +174,14 @@ object LlmQueries {
         stratumCol = "label", idCol = "vec_id", vecCol = "embedding", simThreshold = 0.0)
     },
 
+    // Deterministic train/val/test assignment — md5-bucketed, so rows
+    // never migrate between splits as the corpus grows.
+    "q_split_assign" -> { (s, dir) =>
+      Sampling.assignSplit(Tables(s, dir).documents, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11L)
+        .select("doc_id", "source", "split")
+    },
+
     // #33 MinHash-LSH near-dups find the planted variants (rows-only).
     "q_dedup_minhash" -> { (s, dir) =>
       TextDedup.minhashNearDups(planted(Tables(s, dir)), "doc_id", "text")
@@ -298,6 +306,12 @@ object LlmQueries {
         |              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 4) AS sim
         |      FROM e JOIN cent USING (label))
         |SELECT vec_id, label, sim, sim < 0.0 AS is_outlier FROM s""".stripMargin,
+    "q_split_assign" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8) < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8) < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
     // md5-prefix selection is engine-portable, so the deterministic
     // samples are exact-matchable, not just rows-counted.
     "q_sample_stratified" ->

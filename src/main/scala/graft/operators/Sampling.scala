@@ -49,6 +49,23 @@ object Sampling {
         .withColumn("source_name", lit(name))
     }.reduce(_ unionByName _)
 
+  /** Deterministic train/val/test assignment: the id's md5 bucket
+    * against cumulative fraction thresholds. A pure function of the id
+    * — re-running on a grown corpus never moves an old row between
+    * splits (the property RNG-based splitters lose), and any engine
+    * with md5 reproduces the assignment exactly.
+    * `fractions` are (name, fraction) in order; the last split takes
+    * the remainder.
+    */
+  def assignSplit(df: DataFrame, idCol: String, fractions: Seq[(String, Double)], seed: Long): DataFrame = {
+    val bucket = md5Bucket(col(idCol), seed)
+    val cums = fractions.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val expr = fractions.init.zip(cums).foldRight(lit(fractions.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), cum), acc) => when(bucket < lit(hexThreshold(cum)), name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** EXACTLY k rows per stratum (rate-based sampling only hits k in
     * expectation): order each stratum by an md5 hash of the id (an
     * engine-portable deterministic "random" order) and keep the first

@@ -21,6 +21,23 @@ class SamplingSpec extends SparkSpec {
     assert(s3.exceptAll(s1).count() > 0)
   }
 
+  test("assignSplit covers every row, roughly respects fractions, and is growth-stable") {
+    val split = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11L)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.count().toDouble
+    assert(counts.values.sum == total.toLong) // partition, not filter
+    assert(counts("train") / total > 0.7 && counts("train") / total < 0.9)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // growth stability: assignments on a subset equal the full run's
+    val sub = Sampling.assignSplit(docs.filter(col("doc_id") < 100), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11L)
+      .select("doc_id", "split")
+    val full = split.filter(col("doc_id") < 100).select("doc_id", "split")
+    assert(sub.exceptAll(full).isEmpty && full.exceptAll(sub).isEmpty)
+  }
+
   test("mixture tags sources and applies per-source rates") {
     val m = Sampling.mixture(
       Seq(("a", docs.filter(col("doc_id") % 2 === 0), 1.0), ("b", docs.filter(col("doc_id") % 2 =!= 0), 0.0)),

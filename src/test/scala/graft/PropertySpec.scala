@@ -85,6 +85,52 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("assignSplit partitions every id and respects cumulative thresholds for random fractions") {
+    import graft.operators.Sampling
+    val rnd = new scala.util.Random(3)
+    val ids = Seq.fill(400)(rnd.nextLong().abs).distinct.toDF("id")
+    for (trainFrac <- Seq(0.5, 0.7, 0.95)) {
+      val rest = (1.0 - trainFrac) / 2
+      val out = Sampling.assignSplit(ids, "id",
+        Seq("a" -> trainFrac, "b" -> rest, "c" -> rest), seed = rnd.nextLong())
+      // a partition: every row labeled, labels only from the declared set
+      assert(out.filter(col("split").isNull).count() == 0)
+      assert(out.count() == ids.count())
+      val dist = out.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dist.keySet.subsetOf(Set("a", "b", "c")))
+      // md5 buckets are uniform: the observed major fraction tracks the target
+      val frac = dist.getOrElse("a", 0L).toDouble / ids.count()
+      assert(math.abs(frac - trainFrac) < 0.12, s"train frac $frac vs $trainFrac")
+    }
+  }
+
+  test("percentileCut keeps at least (1-p) of each stratum and tags every row") {
+    import graft.operators.TrainingMix
+    val rnd = new scala.util.Random(9)
+    val rows = Seq.tabulate(300)(i => (i.toLong, if (i % 3 == 0) "x" else "y", rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "stratum", "score")
+    val out = TrainingMix.percentileCut(df, "stratum", "score", 0.25)
+    assert(out.count() == 300) // tag, not filter
+    val kept = out.groupBy("stratum").agg(
+      count(lit(1)).as("n"), sum(when(col("keep"), 1L).otherwise(0L)).as("k")).collect()
+    kept.foreach { r =>
+      val frac = r.getLong(2).toDouble / r.getLong(1)
+      assert(frac >= 0.70, s"stratum ${r.getString(0)} kept only $frac") // >= 1-p minus tie slack
+    }
+  }
+
+  test("paddingWaste fractions are in [0, 1) and sums are consistent") {
+    import graft.operators.TrainingMix
+    val rnd = new scala.util.Random(5)
+    val toks = Seq.fill(500)((rnd.nextInt(500) + 1).toLong).toDF("tok")
+    val out = TrainingMix.paddingWaste(toks, col("tok"), bucketSize = 64)
+    val bad = out.filter(
+      col("waste_frac") < 0 || col("waste_frac") >= 1 ||
+        col("sum_tokens") > col("n_docs") * col("max_tokens") ||
+        col("max_tokens") < col("bucket")).count()
+    assert(bad == 0)
+  }
+
   test("connectedComponents is idempotent: re-running on star edges is stable") {
     import graft.operators.Graph
     val rnd = new scala.util.Random(11)

@@ -188,6 +188,14 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     },
 
+    // #33 proved end-to-end: the md5-portable MinHash-LSH variant is
+    // oracle-EXACT — shingle, signature, banding, bucket join, and
+    // Jaccard verify all reproduced by DuckDB.
+    "q_dedup_minhash_md5" -> { (s, dir) =>
+      TextDedup.minhashNearDupsPortable(planted(Tables(s, dir)), "doc_id", "text",
+        h = 8, bands = 4)
+    },
+
     // #34 SimHash hamming distance original vs planted variant (rows-only).
     "q_dedup_simhash" -> { (s, dir) =>
       val p = planted(Tables(s, dir))
@@ -275,6 +283,31 @@ object LlmQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |       round(avg(log2(pr)), 4) AS avg_log2p
          |FROM p JOIN lm USING (w1, w2) GROUP BY doc_id""".stripMargin,
+    "q_dedup_minhash_md5" ->
+      """WITH pl AS (SELECT doc_id, text FROM documents
+        |            UNION ALL
+        |            SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+        |            FROM documents WHERE doc_id % 5 = 0),
+        |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM pl),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
+        |      FROM w WHERE len(ws) >= 3),
+        |sg AS (SELECT doc_id,
+        |         list_transform(range(0, 8), i ->
+        |           list_min(list_transform(sh, s -> substr(md5(s || ':' || i), 1, 16)))) AS sig
+        |       FROM g),
+        |bd AS (SELECT doc_id, u.band AS band, u.bh AS bh FROM (
+        |         SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+        |           {'band': b, 'bh': array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '')})) AS u
+        |         FROM sg) t),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |         FROM bd x JOIN bd y ON y.band = x.band AND y.bh = x.bh AND x.doc_id < y.doc_id),
+        |j AS (SELECT c.id_a, c.id_b,
+        |        round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |          ELSE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        |               / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+        |      FROM cand c JOIN g a ON a.doc_id = c.id_a JOIN g b ON b.doc_id = c.id_b)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
     "q_tfidf_terms" ->
       s"""WITH $wsCte,
          |t AS (SELECT doc_id, unnest(ws) AS term FROM w),

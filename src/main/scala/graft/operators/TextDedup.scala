@@ -186,6 +186,53 @@ object TextDedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Engine-portable MinHash-LSH near-dups: identical algorithm to
+    * minhashNearDups but the permutation hashes are md5-hex prefixes
+    * (h_i(s) = first 16 hex of md5(s ":" i)) and band keys are the
+    * concatenated member minima — every step reproducible by any
+    * engine with md5, so the FULL pipeline (shingle → signature →
+    * band → bucket join → Jaccard verify) is oracle-checkable, not
+    * just spec-checked. The xxhash64 variant remains the performance
+    * path (native codegen, longs); this one exists to PROVE the
+    * algorithm end-to-end and uses the same candidate/verify plan
+    * shape.
+    */
+  def minhashNearDupsPortable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int = 3,
+      h: Int = 16,
+      bands: Int = 4,
+      minJaccard: Double = 0.5
+  ): DataFrame = {
+    val rows = h / bands
+    val shingled = docs
+      .select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), ngram).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sig = transform(sequence(lit(0), lit(h - 1)), i =>
+      array_min(transform(col("shingles"), s =>
+        substring(md5(concat(s, lit(":"), i.cast("string"))), 1, 16))))
+    val banded = shingled
+      .select(col("id"), sig.as("sig"))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+          struct(j.as("band"), concat_ws("", slice(col("sig"), j * rows + 1, lit(rows))).as("bh")))).as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
+    val candidates = banded.as("x")
+      .join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sh = shingled.select(col("id"), col("shingles"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(TextAnalysis.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Benchmark decontamination: fraction of each corpus document's
     * distinct n-grams that appear anywhere in the benchmark set.
     *

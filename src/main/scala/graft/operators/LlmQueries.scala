@@ -188,6 +188,11 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     },
 
+    // #34 proved end-to-end: md5-basis SimHash signatures, oracle-EXACT.
+    "q_simhash_md5" -> { (s, dir) =>
+      TextDedup.simhashPortable(planted(Tables(s, dir)), "doc_id", "text")
+    },
+
     // #33 proved end-to-end: the md5-portable MinHash-LSH variant is
     // oracle-EXACT — shingle, signature, banding, bucket join, and
     // Jaccard verify all reproduced by DuckDB.
@@ -283,6 +288,18 @@ object LlmQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |       round(avg(log2(pr)), 4) AS avg_log2p
          |FROM p JOIN lm USING (w1, w2) GROUP BY doc_id""".stripMargin,
+    "q_simhash_md5" ->
+      """WITH pl AS (SELECT doc_id, text FROM documents
+        |            UNION ALL
+        |            SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+        |            FROM documents WHERE doc_id % 5 = 0),
+        |w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM pl),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM w),
+        |v AS (SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS vs
+        |      FROM th, (SELECT unnest(range(0, 32)) AS b) bs GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN vs > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM v GROUP BY doc_id""".stripMargin,
     "q_dedup_minhash_md5" ->
       """WITH pl AS (SELECT doc_id, text FROM documents
         |            UNION ALL

@@ -277,6 +277,30 @@ object TextDedup {
       .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double"))
   }
 
+  /** Engine-portable SimHash (32-bit): token hashes are the first 32
+    * bits of md5, bit votes and the final signature are plain
+    * relational algebra — explode (doc, token) → (doc, bit, ±1 vote)
+    * → two keyed aggregations — so any engine with md5 reproduces the
+    * signature EXACTLY (the 64-bit xxhash64 variant stays the perf
+    * path; this one proves the algorithm against the oracle). The
+    * vote shuffle carries (id, bit, partial sum) with map-side
+    * combine — 32 rows per doc reach the final aggregate.
+    */
+  def simhashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokenize(col(textCol))).as("w"))
+      .select(col("id"), conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
+    val votes = toks
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      .select(col("id"), col("b"), expr("(shiftright(h, CAST(b AS INT)) & 1) * 2 - 1").as("v"))
+      .groupBy("id", "b").agg(sum(col("v")).as("vs"))
+    votes
+      .select(col("id"),
+        when(col("vs") > 0, expr("CAST(pow(2, b) AS BIGINT)")).otherwise(lit(0L)).as("bitval"))
+      .groupBy("id").agg(sum(col("bitval")).as("simhash"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** SimHash bit-vote vector (64 bits, as an array of 0/1 longs):
     * bit i is 1 when the sum over tokens of ±1 (by bit i of the token's
     * xxhash64) is positive. Token hashes are computed once, then 64

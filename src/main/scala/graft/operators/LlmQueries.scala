@@ -188,6 +188,25 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     },
 
+    // BPE-training primitive: adjacent-character pair frequencies over
+    // the word-frequency table (the inner statistic of every BPE merge
+    // round). Aggregating words FIRST means the pair explode runs over
+    // the vocab (×wc weights), not the corpus — the shape that makes
+    // tokenizer induction feasible at corpus scale.
+    "q_bpe_pairs" -> { (s, dir) =>
+      val words = Tables(s, dir).documents
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .filter(length(col("w")) >= 2)
+      val pairs = words
+        .select(col("w"), col("wc"), explode(sequence(lit(1), length(col("w")) - 1, lit(1))).as("i"))
+        .select(expr("substr(w, CAST(i AS INT), 2)").as("pair"), col("wc"))
+        .groupBy("pair").agg(sum(col("wc")).as("freq"))
+      pairs.orderBy(col("freq").desc, col("pair")).limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("freq").desc, col("pair"))).cast("long"))
+    },
+
     // #34 proved end-to-end: md5-basis SimHash signatures, oracle-EXACT.
     "q_simhash_md5" -> { (s, dir) =>
       TextDedup.simhashPortable(planted(Tables(s, dir)), "doc_id", "text")
@@ -288,6 +307,15 @@ object LlmQueries {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |       round(avg(log2(pr)), 4) AS avg_log2p
          |FROM p JOIN lm USING (w1, w2) GROUP BY doc_id""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH wds AS (SELECT w, count(*) AS wc FROM (
+        |         SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+        |       GROUP BY w HAVING length(w) >= 2),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INT), 2))) AS pair, wc
+        |      FROM wds),
+        |f AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p GROUP BY pair)
+        |SELECT pair, freq, CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rank
+        |FROM f ORDER BY freq DESC, pair LIMIT 10""".stripMargin,
     "q_simhash_md5" ->
       """WITH pl AS (SELECT doc_id, text FROM documents
         |            UNION ALL

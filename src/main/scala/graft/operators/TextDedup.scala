@@ -207,9 +207,13 @@ object TextDedup {
       minJaccard: Double = 0.5
   ): DataFrame = {
     val rows = h / bands
+    // Persisted like the xxhash64 variant: the self-join and the
+    // verify join would otherwise recompute the interpreted-md5
+    // signature lambdas per reference — measured as the dominant cost.
     val shingled = docs
       .select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), ngram).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = transform(sequence(lit(0), lit(h - 1)), i =>
       array_min(transform(col("shingles"), s =>
         substring(md5(concat(s, lit(":"), i.cast("string"))), 1, 16))))
@@ -219,6 +223,7 @@ object TextDedup {
         explode(transform(sequence(lit(0), lit(bands - 1)), j =>
           struct(j.as("band"), concat_ws("", slice(col("sig"), j * rows + 1, lit(rows))).as("bh")))).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = banded.as("x")
       .join(banded.as("y"), Seq("band", "bh"))
       .filter(col("x.id") < col("y.id"))

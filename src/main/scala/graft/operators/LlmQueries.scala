@@ -207,6 +207,19 @@ object LlmQueries {
           org.apache.spark.sql.expressions.Window.orderBy(col("freq").desc, col("pair"))).cast("long"))
     },
 
+    // Full BPE merge learning (driver-bounded loop over the vocab;
+    // rows-only — the merge recursion has no SQL oracle, BpeSpec pins
+    // the algorithm against hand-computed merge sequences).
+    "q_bpe_learn" -> { (s, dir) =>
+      val words = Tables(s, dir).documents
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val merges = Bpe.learnMerges(words, "w", "wc", nMerges = 5)
+      import s.implicits._
+      merges.zipWithIndex.map { case ((a, b), i) => (i + 1L, a, b, a + b) }
+        .toDF("rank", "a", "b", "merged")
+    },
+
     // #34 proved end-to-end: md5-basis SimHash signatures, oracle-EXACT.
     "q_simhash_md5" -> { (s, dir) =>
       TextDedup.simhashPortable(planted(Tables(s, dir)), "doc_id", "text")

@@ -46,6 +46,24 @@ object TrainingQueries {
       val d = Tables(s, dir).documents
       val cc = Graph.connectedComponentsAll(CurationQueries.plantedEdges(d), "src", "dst", d, "doc_id")
       TrainingMix.electCanonical(cc, d, "doc_id", nTok)
+    },
+
+    // ANALYZE-style corpus profile: one aggregation pass emits the
+    // dataset card a training run is gated on — row count, per-column
+    // null/distinct counts, value ranges, token totals. Exact distinct
+    // (not approx) so the oracle matches; swap in approx_count_distinct
+    // at 100 TB if the two-phase exact distinct ever dominates.
+    "q_profile_stats" -> { (s, dir) =>
+      Tables(s, dir).documents.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+        countDistinct(col("source")).as("d_source"),
+        countDistinct(col("lang")).as("d_lang"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(nTok).as("total_tokens"),
+        min(length(col("text"))).cast("long").as("min_chars"),
+        max(length(col("text"))).cast("long").as("max_chars"))
     }
   )
 
@@ -74,6 +92,16 @@ object TrainingQueries {
         |       CAST(max(tok) AS BIGINT) AS max_tokens,
         |       round(CAST(1.0 AS DOUBLE) - sum(tok) / (count(*) * max(tok)), 4) AS waste_frac
         |FROM t GROUP BY bucket""".stripMargin,
+    "q_profile_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS d_source,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS d_lang,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       CAST(min(length(text)) AS BIGINT) AS min_chars,
+        |       CAST(max(length(text)) AS BIGINT) AS max_chars
+        |FROM documents""".stripMargin,
     "q_canonical_pick" ->
       """WITH t AS (SELECT doc_id, (doc_id // 5) * 5 AS component,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),

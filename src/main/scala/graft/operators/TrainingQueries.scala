@@ -48,6 +48,21 @@ object TrainingQueries {
       TrainingMix.electCanonical(cc, d, "doc_id", nTok)
     },
 
+    // Incremental aggregate maintenance: yesterday's per-source state
+    // plus today's delta re-aggregate from (key, partial) PAIRS — the
+    // raw prior rows are never rescanned. The oracle computes the full
+    // aggregate directly, so the hash-match PROVES the incremental
+    // merge equals a from-scratch recompute.
+    "q_incr_agg" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val prior = d.filter(pmod(col("doc_id"), lit(10)) < 8)
+        .groupBy("source").agg(count(lit(1)).as("n"), sum(nTok).as("toks"))
+      val delta = d.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .groupBy("source").agg(count(lit(1)).as("n"), sum(nTok).as("toks"))
+      prior.unionByName(delta).groupBy("source")
+        .agg(sum(col("n")).as("n_docs"), sum(col("toks")).as("total_tokens"))
+    },
+
     // ANALYZE-style corpus profile: one aggregation pass emits the
     // dataset card a training run is gated on — row count, per-column
     // null/distinct counts, value ranges, token totals. Exact distinct
@@ -92,6 +107,10 @@ object TrainingQueries {
         |       CAST(max(tok) AS BIGINT) AS max_tokens,
         |       round(CAST(1.0 AS DOUBLE) - sum(tok) / (count(*) * max(tok)), 4) AS waste_frac
         |FROM t GROUP BY bucket""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY source""".stripMargin,
     "q_profile_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,

@@ -135,6 +135,18 @@ object AnalyticsQueries {
     // Sketch-based stats: approx distinct + approx quantiles next to
     // exact values (rows-only: sketch algorithms differ per engine,
     // but the spec asserts the approximations bracket the exact ones).
+    // Mergeable-sketch rolling distinct: per-source HLL sketches union
+    // into one corpus estimate WITHOUT rescanning the sources — the
+    // 100 TB rolling-window pattern (persist per-day sketches;
+    // re-aggregation cost is sketch-sized, not data-sized). Estimates
+    // are engine-specific → rows-only; the spec bounds error vs exact.
+    "q_hll_union" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      d.groupBy("source").agg(expr("hll_sketch_agg(doc_id)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("approx_docs"))
+        .crossJoin(d.agg(countDistinct(col("doc_id")).as("exact_docs")))
+    },
+
     "q_approx_stats" -> { (s, dir) =>
       val li = Tables(s, dir).lineitem
       // exact distinct in its own aggregation: mixing countDistinct

@@ -131,6 +131,12 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("HLL union of per-source sketches estimates the global distinct within 5%") {
+    val r = graft.operators.AnalyticsQueries.queries("q_hll_union")(spark, sfDir).head()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("connectedComponents is idempotent: re-running on star edges is stable") {
     import graft.operators.Graph
     val rnd = new scala.util.Random(11)

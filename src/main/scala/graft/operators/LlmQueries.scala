@@ -14,6 +14,11 @@ object LlmQueries {
 
   private val enStops = TextAnalysis.langProfiles("en")
 
+  // Single source of truth for the train/val/test boundaries — the
+  // query and its oracle both derive from it (via
+  // Sampling.cumulativeThresholds), never from hand-summed literals.
+  private val splitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
   /** documents ∪ perturbed copies (planted near-duplicates, id+1000000)
     * so near-dup operators have known positives to find.
     */
@@ -177,8 +182,7 @@ object LlmQueries {
     // Deterministic train/val/test assignment — md5-bucketed, so rows
     // never migrate between splits as the corpus grows.
     "q_split_assign" -> { (s, dir) =>
-      Sampling.assignSplit(Tables(s, dir).documents, "doc_id",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11L)
+      Sampling.assignSplit(Tables(s, dir).documents, "doc_id", splitFractions, seed = 11L)
         .select("doc_id", "source", "split")
     },
 
@@ -397,12 +401,19 @@ object LlmQueries {
         |              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 4) AS sim
         |      FROM e JOIN cent USING (label))
         |SELECT vec_id, label, sim, sim < 0.0 AS is_outlier FROM s""".stripMargin,
-    "q_split_assign" ->
+    // Thresholds come from Sampling.cumulativeThresholds — the SAME
+    // running-sum values the operator compares against, so a 1-ulp
+    // float-accumulation drift can't put oracle and operator one
+    // 2^-32 bucket apart.
+    "q_split_assign" -> {
+      val whens = Sampling.cumulativeThresholds(splitFractions).map { case (name, t) =>
+        s"WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8) < '$t' THEN '$name'"
+      }.mkString("\n       ")
       s"""SELECT doc_id, source,
-         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8) < '${Sampling.hexThreshold(0.8)}' THEN 'train'
-         |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8) < '${Sampling.hexThreshold(0.9)}' THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM documents""".stripMargin,
+         |  CASE $whens
+         |       ELSE '${splitFractions.last._1}' END AS split
+         |FROM documents""".stripMargin
+    },
     // md5-prefix selection is engine-portable, so the deterministic
     // samples are exact-matchable, not just rows-counted.
     "q_sample_stratified" ->
@@ -414,10 +425,12 @@ object LlmQueries {
          |            WHEN 'fr' THEN '${Sampling.hexThreshold(0.5)}'
          |            WHEN 'zh' THEN '${Sampling.hexThreshold(0.2)}'
          |            ELSE '00000000' END""".stripMargin,
+    // The rate-1.0 'web' stratum carries NO hash predicate: the
+    // operator keeps such strata unconditionally (strict `<` against
+    // 'ffffffff' would drop a bucket the caller asked to keep).
     "q_sample_mixture" ->
       s"""SELECT doc_id, 'web' AS source_name FROM documents
          |WHERE source = 'src0'
-         |  AND substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) < '${Sampling.hexThreshold(1.0)}'
          |UNION ALL
          |SELECT doc_id, 'books' AS source_name FROM documents
          |WHERE source <> 'src0'

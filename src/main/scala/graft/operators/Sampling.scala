@@ -31,22 +31,31 @@ object Sampling {
 
   /** Keep each row of stratum s with probability rates(s): hash-bucket
     * the id and compare against the stratum's threshold. Unknown strata
-    * default to 0 (threshold "00000000" admits nothing).
+    * default to 0 (threshold "00000000" admits nothing). A rate >= 1.0
+    * keeps the stratum unconditionally — the strict `<` against
+    * "ffffffff" would otherwise drop the ~1-in-2^32 ids whose bucket is
+    * exactly the max, which "keep all" must not.
     */
   def stratified(df: DataFrame, stratumCol: String, idCol: String, rates: Map[String, Double], seed: Long): DataFrame = {
-    val threshold = rates.foldLeft(lit("00000000")) { case (acc, (s, r)) =>
-      when(col(stratumCol) === s, lit(hexThreshold(r))).otherwise(acc)
+    val keep = rates.foldLeft(lit(false)) { case (acc, (s, r)) =>
+      val cond =
+        if (r >= 1.0) lit(true)
+        else md5Bucket(col(idCol), seed) < lit(hexThreshold(r))
+      when(col(stratumCol) === s, cond).otherwise(acc)
     }
-    df.filter(md5Bucket(col(idCol), seed) < threshold)
+    df.filter(keep)
   }
 
   /** Weighted mixture of sources: per-source hash-rate downsampling
-    * then union, tagging each row's origin.
+    * then union, tagging each row's origin. Rate >= 1.0 skips the hash
+    * filter entirely (see stratified).
     */
   def mixture(sources: Seq[(String, DataFrame, Double)], idCol: String, seed: Long): DataFrame =
     sources.map { case (name, df, rate) =>
-      df.filter(md5Bucket(col(idCol), seed) < lit(hexThreshold(rate)))
-        .withColumn("source_name", lit(name))
+      val kept =
+        if (rate >= 1.0) df
+        else df.filter(md5Bucket(col(idCol), seed) < lit(hexThreshold(rate)))
+      kept.withColumn("source_name", lit(name))
     }.reduce(_ unionByName _)
 
   /** Deterministic train/val/test assignment: the id's md5 bucket
@@ -59,11 +68,22 @@ object Sampling {
     */
   def assignSplit(df: DataFrame, idCol: String, fractions: Seq[(String, Double)], seed: Long): DataFrame = {
     val bucket = md5Bucket(col(idCol), seed)
-    val cums = fractions.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
-    val expr = fractions.init.zip(cums).foldRight(lit(fractions.last._1): org.apache.spark.sql.Column) {
-      case (((name, _), cum), acc) => when(bucket < lit(hexThreshold(cum)), name).otherwise(acc)
+    val expr = cumulativeThresholds(fractions).foldRight(lit(fractions.last._1): org.apache.spark.sql.Column) {
+      case ((name, threshold), acc) => when(bucket < lit(threshold), name).otherwise(acc)
     }
     df.withColumn("split", expr)
+  }
+
+  /** (name, hex threshold) per non-final split, from the RUNNING SUM of
+    * the fractions. The single source of truth for split boundaries:
+    * oracle SQL must embed these exact values rather than hex of a
+    * hand-computed literal sum — float accumulation can land 1 ulp away
+    * from the literal (0.8 + 0.1 vs 0.9), which is a different 2^-32
+    * bucket and would flip any id landing in it.
+    */
+  def cumulativeThresholds(fractions: Seq[(String, Double)]): Seq[(String, String)] = {
+    val cums = fractions.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    fractions.init.map(_._1).zip(cums.map(hexThreshold))
   }
 
   /** EXACTLY k rows per stratum (rate-based sampling only hits k in

@@ -150,25 +150,40 @@ object TextDedup {
       h: Int = 64,
       bands: Int = 16,
       minJaccard: Double = 0.5
-  ): DataFrame = {
+  ): DataFrame =
+    minhashNearDupsReleasable(docs, idCol, textCol, ngram, h, bands, minJaccard)._1
+
+  /** minhashNearDups with a [[CacheHandle]] for the persisted shingle
+    * and band tables (see CacheHandle's doc for the contract).
+    */
+  def minhashNearDupsReleasable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int = 3,
+      h: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5
+  ): (DataFrame, CacheHandle) = {
+    val handle = CacheHandle()
     val rows = h / bands
     // persisted: read three times (banding + both sides of the verify
     // join); shingles are ~2% the size of the raw text, so at cluster
     // scale this is a cheap cache, not a correctness requirement.
-    val shingled = docs
+    val shingled = handle.track(docs
       .select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), ngram).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // Also persisted: the self-join below evaluates its left and right
     // side independently (a broadcast join reuses no exchange), so an
     // unpersisted banded plan would compute the 64-hash signatures
     // TWICE — measured as the dominant cost of the whole operator. The
     // cache is (id, band, bh) rows: bands × corpus ids, no text.
-    val banded = shingled
+    val banded = handle.track(shingled
       .select(col("id"), explode(lshBands(minhashSignature(col("shingles"), h), bands, rows)).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // Bucket join on (band, bh): only ids travel. Self-join with id_a <
     // id_b halves the pairs; distinct collapses multi-band collisions.
@@ -179,11 +194,12 @@ object TextDedup {
       .distinct()
 
     // Join shingles back for candidates only, verify true Jaccard.
-    candidates
+    val verified = candidates
       .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), TextAnalysis.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    (verified, handle)
   }
 
   /** Engine-portable MinHash-LSH near-dups: identical algorithm to
@@ -205,15 +221,30 @@ object TextDedup {
       h: Int = 16,
       bands: Int = 4,
       minJaccard: Double = 0.5
-  ): DataFrame = {
+  ): DataFrame =
+    minhashNearDupsPortableReleasable(docs, idCol, textCol, ngram, h, bands, minJaccard)._1
+
+  /** minhashNearDupsPortable with a [[CacheHandle]] for its persisted
+    * intermediates (see CacheHandle's doc for the contract).
+    */
+  def minhashNearDupsPortableReleasable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int = 3,
+      h: Int = 16,
+      bands: Int = 4,
+      minJaccard: Double = 0.5
+  ): (DataFrame, CacheHandle) = {
+    val handle = CacheHandle()
     val rows = h / bands
     // Persisted like the xxhash64 variant: the self-join and the
     // verify join would otherwise recompute the interpreted-md5
     // signature lambdas per reference — measured as the dominant cost.
-    val shingled = docs
+    val shingled = handle.track(docs
       .select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), ngram).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sig = transform(sequence(lit(0), lit(h - 1)), i =>
       array_min(transform(col("shingles"), s =>
         substring(md5(concat(s, lit(":"), i.cast("string"))), 1, 16))))
@@ -224,18 +255,20 @@ object TextDedup {
           struct(j.as("band"), concat_ws("", slice(col("sig"), j * rows + 1, lit(rows))).as("bh")))).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    handle.track(banded)
     val candidates = banded.as("x")
       .join(banded.as("y"), Seq("band", "bh"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     val sh = shingled.select(col("id"), col("shingles"))
-    candidates
+    val verified = candidates
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(TextAnalysis.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+    (verified, handle)
   }
 
   /** Benchmark decontamination: fraction of each corpus document's

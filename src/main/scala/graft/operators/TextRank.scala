@@ -28,17 +28,33 @@ object TextRank {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                query: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tokens = split(lower(col(textCol)), " ")
-    val base = docs.select(col(idCol).as("id"), size(tokens).cast("long").as("dl"),
-      explode(tokens).as("term"))
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKReleasable(docs, idCol, textCol, query, k, k1, b)._1
+
+  /** bm25TopK with a [[CacheHandle]] for the persisted tokenized
+    * projection (see CacheHandle's doc for the contract).
+    */
+  def bm25TopKReleasable(docs: DataFrame, idCol: String, textCol: String,
+                         query: Seq[String], k: Int,
+                         k1: Double = 1.2, b: Double = 0.75): (DataFrame, CacheHandle) = {
+    val handle = CacheHandle()
+    // Persisted: the corpus stats (N, avg length) and the term explode
+    // both need the tokenization; computing them as separate subplans
+    // would scan and re-tokenize the corpus twice. The cache is one
+    // token array per document — raw-text-sized, not explode-sized —
+    // and the stats pass over it reads only array lengths.
+    val perDoc = handle.track(docs
+      .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val base = perDoc.select(col("id"), size(col("toks")).cast("long").as("dl"),
+      explode(col("toks")).as("term"))
     val hits = base.filter(col("term").isInCollection(query))
     val tfs = hits.groupBy("id", "term")
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val dfs = tfs.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docs.agg(
+    val stats = perDoc.agg(
       count(lit(1)).as("n"),
-      avg(size(split(lower(col(textCol)), " "))).as("avglen"))
+      avg(size(col("toks"))).as("avglen"))
     val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
     val termScore = idf * (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avglen")))
@@ -53,9 +69,10 @@ object TextRank {
     // orderBy+limit plans TakeOrderedAndProject (per-partition top-k,
     // driver merge of k rows) — not a single-partition global sort;
     // the rank window then runs over only k rows.
-    scored.orderBy(col("score").desc, col("id")).limit(k)
+    val ranked = scored.orderBy(col("score").desc, col("id")).limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+    (ranked, handle)
   }
 
   /** Top-k TF-IDF terms per document — keyword extraction for corpus
@@ -95,9 +112,23 @@ object TextRank {
     * Docs with < 2 tokens have no bigrams and drop out, as in the
     * oracle.
     */
-  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramLmScoreReleasable(docs, idCol, textCol)._1
+
+  /** bigramLmScore with a [[CacheHandle]] for the persisted pair table
+    * (see CacheHandle's doc for the contract).
+    */
+  def bigramLmScoreReleasable(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, CacheHandle) = {
+    val handle = CacheHandle()
     val ws = split(lower(col(textCol)), " ")
-    val pairs = docs
+    // Persisted: `pairs` feeds BOTH the LM count aggregation and the
+    // final scoring join, and the two consumers partition differently
+    // ((h12,h1) vs h12) so no exchange is reusable between them — an
+    // unpersisted plan runs the corpus explode + hash pass TWICE,
+    // measured as ~2x the whole query. Cached rows are (id, long,
+    // long) — the hashes, never the words.
+    val pairs = handle.track(docs
       // single-token docs first: sequence(1, 0) throws rather than
       // yield [] (and a NULL-w2 pair would pollute the c(w1·) counts)
       .filter(size(ws) >= 2)
@@ -109,6 +140,7 @@ object TextRank {
       // measured 35% slower than not hashing at all
       .select(col(idCol), xxhash64(col("bg.w1")).as("h1"),
         xxhash64(col("bg.w1"), col("bg.w2")).as("h12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // h1 is functionally dependent on h12 (same w1), so grouping by
     // both keeps it available without a second pass or a first() agg;
     // the w1-marginal c(w1·) then aggregates the VOCAB-sized bigram
@@ -118,8 +150,9 @@ object TextRank {
     val lm = bigramCounts
       .join(firstCounts, "h1")
       .select(col("h12"), (col("c2").cast("double") / col("c1")).as("p"))
-    pairs.join(lm, Seq("h12"))
+    val scored = pairs.join(lm, Seq("h12"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), round(avg(log2(col("p"))), 4).as("avg_log2p"))
+    (scored, handle)
   }
 }

@@ -83,7 +83,10 @@ object TrainingMix {
     */
   def electCanonical(components: DataFrame, docs: DataFrame,
                      idCol: String, scoreCol: Column): DataFrame = {
-    val scored = docs.select(col(idCol).as("id"), scoreCol.cast("long").as("__score"))
+    // The score keeps its NATIVE numeric type: casting to long here
+    // would truncate fractional quality scores, collapsing the arg-max
+    // to ties broken by min-id regardless of score.
+    val scored = docs.select(col(idCol).as("id"), scoreCol.as("__score"))
     components.join(scored, "id")
       .groupBy("component")
       .agg(

@@ -111,6 +111,20 @@ class PlanAuditSpec extends SparkSpec {
       "expected the (pub_id, school) pre-agg exchange to be reused:\n" + s.take(6000))
   }
 
+  test("q_bigram_lm explodes+hashes the corpus once: pair table cached, single scan") {
+    val s = formatted("q_bigram_lm")
+    assert(s.contains("InMemoryTableScan"), s"pair table not persisted:\n" + s.take(4000))
+    assert(countOp(s, "Scan parquet") <= 1,
+      s"corpus scanned more than once:\n" + s.take(4000))
+  }
+
+  test("q_bm25 tokenizes the corpus once: per-doc projection cached, single scan") {
+    val s = formatted("q_bm25")
+    assert(s.contains("InMemoryTableScan"), s"tokenized projection not persisted:\n" + s.take(4000))
+    assert(countOp(s, "Scan parquet") <= 1,
+      s"corpus scanned more than once:\n" + s.take(4000))
+  }
+
   test("no accidental cartesian products outside the intentional ones") {
     val intentional = Set("q_ann_bruteforce", "q_edit_distance", "q_range_join", "q_approx_stats")
     for (name <- SparkEntry.queries.keys if !intentional(name)) {

@@ -46,4 +46,24 @@ class SamplingSpec extends SparkSpec {
     assert(bySource.getOrElse("b", 0L) == 0L)
     assert(bySource("a") == docs.filter(col("doc_id") % 2 === 0).count())
   }
+
+  test("rate >= 1.0 strata carry no hash predicate at all (keep-all is unconditional)") {
+    // The strict `<` against 'ffffffff' would drop an id whose bucket
+    // is exactly the max — a rate-1.0 branch must not filter. Assert at
+    // the plan level: the single-source mixture at rate 1.0 plans no
+    // Filter, and the stratified keep-expression contains no md5 for
+    // the rate-1.0 stratum's branch.
+    val m = Sampling.mixture(Seq(("a", docs.select("doc_id"), 1.0)), "doc_id", seed = 1L)
+    val filters = m.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(filters.isEmpty, m.queryExecution.optimizedPlan.toString)
+
+    val s = Sampling.stratified(docs, "lang", "doc_id", Map("en" -> 1.0), seed = 42L)
+    val cond = s.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.sql
+    }.mkString
+    assert(!cond.toLowerCase.contains("md5"), cond)
+    assert(s.count() == docs.filter(col("lang") === "en").count())
+  }
 }

@@ -56,4 +56,18 @@ class TrainingMixSpec extends SparkSpec {
     assert(out(1L) == (1L, 500L, 1000L)) // max score 99 twice; min id 500 wins
     assert(out(2000L) == (2000L, 2000L, 2L))
   }
+
+  test("electCanonical respects fractional score differences (no long truncation)") {
+    // Scores 0.2 < 0.7 < 0.9 would all truncate to 0 as longs and the
+    // election would degenerate to min-id (doc 1); the real winner is 3.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val cc = Graph.connectedComponents(edges, "src", "dst")
+    val docs = Seq((1L, 0.2), (2L, 0.7), (3L, 0.9)).toDF("doc_id", "score")
+    val out = TrainingMix.electCanonical(cc, docs, "doc_id", col("score"))
+      .select("component", "canonical_id", "total_score")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1)
+    assert(out.head._2 == 3L)
+    assert(math.abs(out.head._3 - 1.8) < 1e-9)
+  }
 }

@@ -183,6 +183,29 @@ object AnalyticsQueries {
         .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
     },
 
+    // IVF recall gate, machine-checked per round: per-probe IVF hits
+    // are intersected with the IN-SPARK brute-force top-k (itself
+    // oracle-proven exact by q_ann_bruteforce), and the query emits
+    // the probe count plus whether aggregate recall clears the
+    // documented 0.6 floor. The oracle re-derives n_probes from the
+    // data and pins recall_floor_met TRUE — a recall regression flips
+    // the boolean and fails the hash compare.
+    "q_ann_ivf_recall" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val probes = e.filter(col("id") % 20 === 0)
+      val ivf = Ivf.topK(probes, e, k = 3, nlist = 8, nprobe = 3)
+        .select("probe_id", "neighbor_id")
+      val bf = VectorOps.bruteForceTopK(probes, e, 3).select("probe_id", "neighbor_id")
+      val hits = bf.join(ivf, Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+      bf.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("probe_id"), "left")
+        .agg(
+          count(lit(1)).as("n_probes"),
+          (sum(coalesce(col("n_hit"), lit(0L))).cast("double") / sum(col("n_exact")) >= 0.6)
+            .as("recall_floor_met"))
+    },
+
     // Embedding-cosine near-dup: planted scaled copies (same direction)
     // must collide in sign buckets and score cosine ~1 (rows-only).
     "q_dedup_embedding" -> { (s, dir) =>
@@ -195,6 +218,13 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // n_probes is real data arithmetic; TRUE is the documented recall
+    // floor (see q_ann_ivf_recall) — the Spark side computes actual
+    // recall against its own exact top-k, so a quality drop fails the
+    // compare even though DuckDB cannot run the IVF itself.
+    "q_ann_ivf_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_probes, TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin,
     // LSH buckets replicated with inlined ±1 hyperplane literals; the
     // float-scaled variants round through REAL so every double matches
     // the Spark floats bit for bit (raw-sim threshold compare is then

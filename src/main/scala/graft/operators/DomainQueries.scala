@@ -123,18 +123,36 @@ object DomainQueries {
 
     // #22 federal-funder membership: normalized name in the dataset OR
     // GRID id in the dataset (funders/dataset.py is_federal +
-    // is_federal_grid_id).
+    // is_federal_grid_id) OR — the OpenAlex path — a ROR id whose
+    // GRID equivalent is in the dataset (ror_grid_dataset.py
+    // convert_ror_to_grid at linker.py:178). The synthetic mapping
+    // covers ror r0..r19 → grid.90..grid.919; rors ≥ r20 translate to
+    // NULL like an unmapped ROR. grid.91..93 are federal ONLY through
+    // the translation (no direct grid column ever carries them).
     "q_federal_match" -> { (s, dir) =>
+      import s.implicits._
       val federal = (1 to 5).map(i => f"supplier#$i%09d")
-      val federalGrids = (1 to 5).map(i => s"grid.$i")
+      val federalGrids = (1 to 5).map(i => s"grid.$i") ++ (1 to 3).map(i => s"grid.9$i")
+      val rorGrid = (0 until 20)
+        .map(k => (s"https://ror.org/r$k", s"grid.9$k"))
+        .toDF("ror_id", "grid_id")
       val sup = Tables(s, dir).supplier
       val raw = concat(col("s_name"), when(col("s_suppkey") % 3 === 0, lit(" (FED)")).otherwise(lit("")))
       val grid = concat(lit("grid."), (col("s_suppkey") % 40).cast("string"))
-      sup.select(
+      val ror = concat(lit("https://ror.org/r"), (col("s_suppkey") % 50).cast("string"))
+      val withRor = Rialto.rorToGrid(
+        sup.select(col("s_suppkey"), raw.as("__raw"), grid.as("grid_id"), ror.as("ror_id")),
+        "ror_id", rorGrid)
+      withRor.select(
         col("s_suppkey"),
-        Normalizers.normalizeFunderName(raw).as("norm_name"),
-        grid.as("grid_id"),
-        (Rialto.isFederal(raw, federal) || Rialto.isFederalGridId(grid, federalGrids)).as("federal")
+        Normalizers.normalizeFunderName(col("__raw")).as("norm_name"),
+        col("grid_id"),
+        col("ror_id"),
+        col("grid_from_ror"),
+        (Rialto.isFederal(col("__raw"), federal) ||
+          Rialto.isFederalGridId(col("grid_id"), federalGrids) ||
+          coalesce(Rialto.isFederalGridId(col("grid_from_ror"), federalGrids), lit(false))
+        ).as("federal")
       )
     },
 
@@ -314,6 +332,24 @@ object DomainQueries {
       Reports.publications(pubs(t), pubFunder(t), funders(t))
     },
 
+    // #24b academic_council_authored / faculty_authored distill flags
+    // (harvest_incremental/distill.py:72-87): bool-any over the pub's
+    // joined authors; pubs with no authors coalesce to false like the
+    // reference's any([]).
+    "q_distill_authored" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val auth = t.supplier.select(
+        col("s_suppkey").as("author_id"),
+        (col("s_suppkey") % 7 === 0).as("academic_council"),
+        when(col("s_suppkey") % 3 === 0, "faculty").otherwise("staff").as("role"))
+      pubs(t)
+        .join(Reports.authoredFlags(pubAuthor(t), auth), Seq("pub_id"), "left")
+        .select(
+          col("pub_id"),
+          coalesce(col("academic_council_authored"), lit(false)).as("academic_council_authored"),
+          coalesce(col("faculty_authored"), lit(false)).as("faculty_authored"))
+    },
+
     // #25 publications_by_<dim> report (school ≈ supplier nation).
     "q_report_by_group" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -439,13 +475,19 @@ object DomainQueries {
         |       ELSE NULL END AS apc
         |FROM orders""".stripMargin,
     "q_federal_match" ->
-      """SELECT s_suppkey,
-        |  lower(regexp_replace(s_name || CASE WHEN s_suppkey % 3 = 0 THEN ' (FED)' ELSE '' END, ' ?\(.+\)$', '')) AS norm_name,
-        |  'grid.' || CAST(s_suppkey % 40 AS VARCHAR) AS grid_id,
-        |  (lower(regexp_replace(s_name || CASE WHEN s_suppkey % 3 = 0 THEN ' (FED)' ELSE '' END, ' ?\(.+\)$', ''))
-        |    IN ('supplier#000000001','supplier#000000002','supplier#000000003','supplier#000000004','supplier#000000005')
-        |   OR s_suppkey % 40 BETWEEN 1 AND 5) AS federal
-        |FROM supplier""".stripMargin,
+      """WITH rg AS (SELECT 'https://ror.org/r' || CAST(k AS VARCHAR) AS ror_id,
+        |                   'grid.9' || CAST(k AS VARCHAR) AS grid_id
+        |            FROM range(0, 20) t(k)),
+        |s AS (SELECT s_suppkey,
+        |        lower(regexp_replace(s_name || CASE WHEN s_suppkey % 3 = 0 THEN ' (FED)' ELSE '' END, ' ?\(.+\)$', '')) AS norm_name,
+        |        'grid.' || CAST(s_suppkey % 40 AS VARCHAR) AS grid_id,
+        |        'https://ror.org/r' || CAST(s_suppkey % 50 AS VARCHAR) AS ror_id
+        |      FROM supplier)
+        |SELECT s.s_suppkey, s.norm_name, s.grid_id, s.ror_id, rg.grid_id AS grid_from_ror,
+        |  (s.norm_name IN ('supplier#000000001','supplier#000000002','supplier#000000003','supplier#000000004','supplier#000000005')
+        |   OR s.s_suppkey % 40 BETWEEN 1 AND 5
+        |   OR COALESCE(rg.grid_id IN ('grid.1','grid.2','grid.3','grid.4','grid.5','grid.91','grid.92','grid.93'), FALSE)) AS federal
+        |FROM s LEFT JOIN rg ON s.ror_id = rg.ror_id""".stripMargin,
     "q_funder_link" ->
       """SELECT p_partkey AS funder_id, p_size > 25 AS federal, count(*) AS n_pubs
         |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
@@ -538,6 +580,17 @@ object DomainQueries {
          |SELECT o_orderkey AS pub_id, year(o_orderdate) AS pub_year, o_orderpriority AS title,
          |       COALESCE(ff.federally_funded, false) AS federally_funded
          |FROM orders LEFT JOIN ff ON ff.pub_id = o_orderkey""".stripMargin,
+    "q_distill_authored" ->
+      """WITH pa AS (SELECT DISTINCT l_orderkey AS pub_id, l_suppkey AS author_id FROM lineitem),
+        |af AS (SELECT pa.pub_id,
+        |         bool_or(s_suppkey % 7 = 0) AS academic_council_authored,
+        |         bool_or(s_suppkey % 3 = 0) AS faculty_authored
+        |       FROM pa JOIN supplier ON s_suppkey = pa.author_id
+        |       GROUP BY pa.pub_id)
+        |SELECT o_orderkey AS pub_id,
+        |  COALESCE(af.academic_council_authored, FALSE) AS academic_council_authored,
+        |  COALESCE(af.faculty_authored, FALSE) AS faculty_authored
+        |FROM orders LEFT JOIN af ON af.pub_id = o_orderkey""".stripMargin,
     "q_report_by_group" ->
       s"""WITH $ffCte
          |SELECT DISTINCT o_orderkey AS pub_id, n_name AS school, year(o_orderdate) AS pub_year,

@@ -43,11 +43,20 @@ object Ivf {
     */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int,
       fitSampleTarget: Long = 20000L): Seq[Seq[Double]] = {
-    val n = corpus.count()
-    val fit = (if (n > fitSampleTarget)
-        corpus.sample(withReplacement = false, fraction = fitSampleTarget.toDouble / n, seed = 42L)
-      else corpus)
+    // No corpus.count() pre-pass: deriving an exact sample fraction
+    // would spend a complete corpus scan before the fit even starts.
+    // Instead: constant-rate Bernoulli thinning (seeded, so the fit
+    // set is stable across runs) capped by LIMIT — the limit's scan
+    // stops as soon as fitSampleTarget rows surface, so fit cost is
+    // bounded regardless of corpus size. The cap takes rows from the
+    // leading partitions; a coarse quantizer needs a representative
+    // spread, not a uniform sample, and the thinning decorrelates the
+    // prefix from row order within those partitions (training the
+    // quantizer on a bounded prefix is standard IVF practice).
+    val fit = corpus
       .select(col("id"), col("vec"))
+      .sample(withReplacement = false, fraction = 0.5, seed = 42L)
+      .limit(fitSampleTarget.toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var centroids: Seq[Seq[Double]] = fit.orderBy("id").limit(k)

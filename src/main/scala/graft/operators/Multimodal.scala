@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * binary columns plus a typed metadata struct, with decode /
   * feature-extraction running per-partition.
   *
-  * The Spark-side contract is real and tested: schema, partition-local
-  * batch iteration, and output shape are what a production pipeline
-  * uses. The actual byte decoding is STUBBED (no image/audio codecs in
-  * this environment): `decodeStub` derives deterministic fake features
-  * from the raw bytes. A real deployment replaces only the inner
-  * function with a codec call — the distributed plumbing is unchanged.
+  * IMAGE decode is REAL: javax.imageio ships PNG/JPEG codecs with the
+  * JDK, so [[decodeImages]] reads true pixel data (proven by the
+  * encode→decode round-trip oracle on q_image_decode). Audio/video
+  * remain stubs — a bare JVM carries no codecs for them — with
+  * `decodeStub` deriving deterministic fake features from raw bytes;
+  * a real deployment replaces only that inner function, the
+  * distributed plumbing is identical.
   */
 object Multimodal {
 
@@ -63,6 +64,84 @@ object Multimodal {
         Row(r.getAs[Long]("media_id"), n, decodeStub(bytes, dim).toSeq)
       }
     }(enc)
+  }
+
+  /** REAL image decode via javax.imageio (PNG/JPEG — codecs in every
+    * JDK). Emits (media_id, decode_ok, width, height, pixel_sum) where
+    * pixel_sum = Σ blue-channel value over all pixels — for grayscale
+    * content a deterministic checksum an oracle can recompute without
+    * a codec. Null or undecodable content → decode_ok=false with null
+    * dims, never an exception: one poisoned blob must not kill a
+    * 100 TB decode pass. Partition-local map, no shuffle; ImageIO's
+    * reader lookup is per-call but codec instances are JVM-cached.
+    */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("pixel_sum", LongType, nullable = true)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row(r.getAs[Long]("media_id"), false, null, null, null)
+        else {
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          Row(r.getAs[Long]("media_id"), true, img.getWidth, img.getHeight, sum)
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthetic grayscale PNG per row — the encode half of the decode
+    * round-trip proof (and a generator for codec-path tests). Pixel
+    * (x, y) carries v = (id·31 + x·7 + y·13) mod 256 in all three
+    * channels; PNG is lossless, so a correct decoder must read exactly
+    * these values back and any oracle can recompute their sum as pure
+    * arithmetic. `df` needs (idCol: long, wCol: int, hCol: int).
+    */
+  def synthGrayPng(df: DataFrame, idCol: String, wCol: String, hCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(wCol).cast("int").as("w"), col(hCol).cast("int").as("h"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, "image", bos.toByteArray)
+        }
+      }(enc)
   }
 
   /** Resize stub for image-kind rows: the metadata transform is real

@@ -80,6 +80,19 @@ object PipelineQueries {
       Multimodal.extractFeatures(media, dim = 8).select("media_id", "n_bytes")
     },
 
+    // #42c REAL image decode (javax.imageio): synthesize a grayscale
+    // PNG per doc, decode it back, and let the oracle recompute dims
+    // and the pixel checksum as pure arithmetic — PNG is lossless, so
+    // a hash match proves the codec path reads true pixel data.
+    "q_image_decode" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(
+        col("doc_id"),
+        (col("doc_id") % 13 + 4).as("w"),
+        (col("doc_id") % 11 + 4).as("h"))
+      Multimodal.decodeImages(Multimodal.synthGrayPng(d, "doc_id", "w", "h"))
+        .select("media_id", "decode_ok", "width", "height", "pixel_sum")
+    },
+
     // #42 resize plumbing: target dims in metadata + deterministic
     // byte resample, accounting oracle-checked.
     "q_multimodal_resize" -> { (s, dir) =>
@@ -118,6 +131,18 @@ object PipelineQueries {
     "q_multimodal_bytes" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    // Recomputes the PNG round-trip's expected pixels as arithmetic:
+    // v(x,y) = (id*31 + x*7 + y*13) mod 256 summed over the w×h grid
+    // (ranges cover the max dims, filtered per row). PNG is lossless,
+    // so the decoded sum must equal this exactly.
+    "q_image_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents)
+        |SELECT d.doc_id AS media_id, TRUE AS decode_ok,
+        |  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+        |  CAST(sum((d.doc_id * 31 + x.k * 7 + y.k * 13) % 256) AS BIGINT) AS pixel_sum
+        |FROM d, range(0, 16) x(k), range(0, 14) y(k)
+        |WHERE x.k < d.w AND y.k < d.h
+        |GROUP BY d.doc_id, d.w, d.h""".stripMargin,
     "q_multimodal_resize" ->
       """SELECT doc_id AS media_id, 64 AS width, 64 AS height,
         |  CAST(ceil(strlen(text) * least(1.0, 4096.0 / ((100 + doc_id % 50) * 80.0))) AS BIGINT) AS n_bytes_out

@@ -31,6 +31,24 @@ object Reports {
       .groupBy("pub_id")
       .agg(bool_or(col("federal")).as("federally_funded"))
 
+  /** Per-publication authored flags (harvest_incremental/distill.py
+    * :72-87): `academic_council_authored` = any joined author flagged
+    * academic_council (_academic_council), `faculty_authored` = any
+    * author whose role is 'faculty' (_faculty_authored). Same engine
+    * shape as [[federallyFunded]]: broadcast the author dim into the
+    * association, one bool_or aggregation keyed by pub_id. Pubs with
+    * no author rows get no row here — the caller left-joins and
+    * coalesces to false, matching the reference's any([]) == False.
+    * `authors` must carry boolean `academic_council` and string `role`.
+    */
+  def authoredFlags(pubAuthor: DataFrame, authors: DataFrame): DataFrame =
+    pubAuthor
+      .join(broadcast(authors), "author_id")
+      .groupBy("pub_id")
+      .agg(
+        bool_or(col("academic_council")).as("academic_council_authored"),
+        bool_or(col("role") === "faculty").as("faculty_authored"))
+
   /** publications report: pub grain, aggregated funder flag. */
   def publications(pubs: DataFrame, pubFunder: DataFrame, funders: DataFrame): DataFrame =
     pubs

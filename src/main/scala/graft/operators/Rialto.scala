@@ -100,6 +100,24 @@ object Rialto {
   def isFederalGridId(gridId: Column, federalGridIds: Seq[String]): Column =
     gridId.isInCollection(federalGridIds)
 
+  /** ROR→GRID equivalence translation (funders/ror_grid_dataset.py:17-25,
+    * applied at linker.py:178 before the federal GRID-id test):
+    * OpenAlex funders carry ROR ids, and an OpenAlex-only federal
+    * funder is invisible to [[isFederalGridId]] until its ROR is
+    * translated. Left-joins the mapping and adds `grid_from_ror` —
+    * NULL where no equivalence exists (convert_ror_to_grid returns
+    * None), so callers must COALESCE any boolean built on it.
+    *
+    * The real mapping is ~100k rows — broadcast-join scale, far too
+    * big for a codegen literal map — so it arrives as a DataFrame
+    * (columns ror_id, grid_id), not a Scala Map.
+    */
+  def rorToGrid(df: DataFrame, rorCol: String, rorGrid: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val m = rorGrid.select(col("ror_id").as("__ror"), col("grid_id").as("grid_from_ror"))
+    df.join(broadcast(m), df(rorCol) === col("__ror"), "left").drop("__ror")
+  }
+
   /** The external APC dataset lookup (apc/__init__.py get_apc +
     * distiller/apc.py _apc_oa_dataset): for each publication, walk its
     * `issnsCol` array IN ORDER and take the first ISSN whose

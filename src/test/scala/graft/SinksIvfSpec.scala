@@ -148,4 +148,24 @@ class SinksIvfSpec extends SparkSpec {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
+
+  test("kmeansCentroids fit spends no full-corpus count pass") {
+    // The fit is collect-per-iteration plus one seed collect; a
+    // count() pre-pass (to size the sample fraction) would add a whole
+    // extra corpus scan as its own job. Pin the job budget: seed
+    // collect + iters iteration collects, with slack for AQE stage
+    // jobs — a reintroduced count() pushes past it.
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val iters = 2
+    Ivf.kmeansCentroids(e, k = 4, iters = iters) // warm: file listing etc.
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val cents = Ivf.kmeansCentroids(e, k = 4, iters = iters)
+    Thread.sleep(500) // statusTracker's store is async
+    val jobs = tracker.getJobIdsForGroup(null).length - before
+    assert(cents.length == 4)
+    val budget = 1 + iters * 3 // seed collect + ≤3 AQE stage jobs per iteration
+    assert(jobs <= budget, s"fit ran $jobs jobs (> $budget) — did a count() pre-pass sneak back in?")
+  }
 }

@@ -68,6 +68,36 @@ class SourcesSpec extends SparkSpec {
     assert(again == feats)
   }
 
+  test("Multimodal decodeImages reads true PNG pixel data; corrupt bytes degrade, not throw") {
+    // Hand-built 3x2 PNG via ImageIO directly, pixels 10,20,30 / 40,50,60.
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for ((v, i) <- Seq(10, 20, 30, 40, 50, 60).zipWithIndex)
+      img.setRGB(i % 3, i / 3, (v << 16) | (v << 8) | v)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      (1L, bos.toByteArray),
+      (2L, "not a png at all".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "content")
+    val out = Multimodal.decodeImages(media).orderBy("media_id").collect()
+    assert(out(0).getBoolean(1) && out(0).getInt(2) == 3 && out(0).getInt(3) == 2)
+    assert(out(0).getLong(4) == 10 + 20 + 30 + 40 + 50 + 60)
+    assert(!out(1).getBoolean(1) && out(1).isNullAt(2))
+    assert(!out(2).getBoolean(1) && out(2).isNullAt(4))
+  }
+
+  test("synthGrayPng → decodeImages round-trips dims and the arithmetic pixel sum") {
+    val d = Seq((7L, 5, 4), (8L, 16, 14)).toDF("doc_id", "w", "h")
+    val out = Multimodal.decodeImages(Multimodal.synthGrayPng(d, "doc_id", "w", "h"))
+      .orderBy("media_id").collect()
+    def expect(id: Long, w: Int, h: Int): Long =
+      (for (x <- 0 until w; y <- 0 until h) yield (id * 31 + x * 7 + y * 13) % 256).sum
+    assert(out(0).getBoolean(1) && out(0).getInt(2) == 5 && out(0).getInt(3) == 4)
+    assert(out(0).getLong(4) == expect(7L, 5, 4))
+    assert(out(1).getLong(4) == expect(8L, 16, 14))
+  }
+
   test("JsonSource quarantines malformed lines, projects good rows to schema") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toString

@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-ladder data generator: `runMain graft.tools.ScaleUp <inDir>
+  * <outDir> [factor]` writes a factor× (default 10×) copy of a
+  * testdata directory so Bench can measure how each query's wall time
+  * scales with data volume — the 100 TB posture argued from plan
+  * shapes, tested at one order of magnitude.
+  *
+  * Construction: facts and mid-size dims replicate as `factor`
+  * disjoint key-shifted copies (join fan-outs and per-key densities
+  * stay exactly those of the source); region/nation stay fixed like
+  * real-world small dims. Two decorrelations keep workload growth
+  * ~linear where naive duplication would be quadratic:
+  *   - documents: each copy's text goes through a cyclic letter
+  *     substitution (copy 0 untouched), so near-dup shingles differ
+  *     across copies — otherwise every doc gains factor-1 planted
+  *     twins and LSH candidate pairs grow ~factor², which benchmarks
+  *     the synthetic duplication, not the operator.
+  *   - embeddings: each copy's vector is cyclically rotated (norms
+  *     preserved, directions decorrelated), so ANN doesn't rank
+  *     factor-1 exact clones at sim 1.0 for every probe.
+  */
+object ScaleUp {
+  // larger than any key in the source data, and multiples of it stay
+  // clear of the +1000000 planted-near-dup id offset used by queries
+  private val Shift = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val inDir = args(0)
+    val outDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$inDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => f(df, i)).reduce(_ unionByName _)
+    def shifted(df: DataFrame, keys: String*): DataFrame =
+      copies(df)((d, i) => keys.foldLeft(d)((acc, k) => acc.withColumn(k, col(k) + i * Shift)))
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(shifted(read("customer"), "c_custkey"), "customer")
+    write(shifted(read("supplier"), "s_suppkey"), "supplier")
+    write(shifted(read("part"), "p_partkey"), "part")
+    write(shifted(read("orders"), "o_orderkey", "o_custkey"), "orders")
+    write(shifted(read("lineitem"), "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
+    // events keep their timestamps: factor× the rows in the SAME time
+    // range is the realistic shape for windowed/sessionized workloads
+    write(shifted(read("events"), "event_id", "user_id"), "events")
+
+    val alpha = "abcdefghij"
+    write(copies(read("documents")) { (d, i) =>
+      val r = i % alpha.length
+      val rot = alpha.drop(r) + alpha.take(r)
+      d.withColumn("doc_id", col("doc_id") + i * Shift)
+        .withColumn("text", if (r == 0) col("text") else translate(col("text"), alpha, rot))
+      // n_chars untouched: translate is length-preserving
+    }, "documents")
+
+    val dim = 64 // embedding width across the synthetic testdata
+    write(copies(read("embeddings")) { (d, i) =>
+      val r = i % dim
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r), slice(col("embedding"), 1, r))
+      d.withColumn("vec_id", col("vec_id") + i * Shift).withColumn("embedding", rotated)
+    }, "embeddings")
+
+    println(s"""{"scaled": "$outDir", "factor": $factor}""")
+    spark.stop()
+  }
+}

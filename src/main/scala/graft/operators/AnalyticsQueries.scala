@@ -179,7 +179,7 @@ object AnalyticsQueries {
     // (rows-only; recall vs brute force checked in spec).
     "q_ann_ivf" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Ivf.topK(e.filter(col("id") % 20 === 0), e, k = 3, nlist = 8, nprobe = 3)
+      Ivf.topK(e.filter(col("id") % 20 === 0), e, k = 3, nlist = 8, nprobe = 5)
         .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
     },
 
@@ -193,7 +193,7 @@ object AnalyticsQueries {
     "q_ann_ivf_recall" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val probes = e.filter(col("id") % 20 === 0)
-      val ivf = Ivf.topK(probes, e, k = 3, nlist = 8, nprobe = 3)
+      val ivf = Ivf.topK(probes, e, k = 3, nlist = 8, nprobe = 5)
         .select("probe_id", "neighbor_id")
       val bf = VectorOps.bruteForceTopK(probes, e, 3).select("probe_id", "neighbor_id")
       val hits = bf.join(ivf, Seq("probe_id", "neighbor_id"), "left_semi")

@@ -53,15 +53,28 @@ object Ivf {
     // spread, not a uniform sample, and the thinning decorrelates the
     // prefix from row order within those partitions (training the
     // quantizer on a bounded prefix is standard IVF practice).
-    val fit = corpus
+    var fit = corpus
       .select(col("id"), col("vec"))
       .sample(withReplacement = false, fraction = 0.5, seed = 42L)
       .limit(fitSampleTarget.toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var centroids: Seq[Seq[Double]] = fit.orderBy("id").limit(k)
+      var seeds = fit.orderBy("id").limit(k)
         .select(col("vec")).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      // Small-corpus guard, detected for free off the seed collect: if
+      // the 0.5-thinned fit set can't even seed k centroids, refit on
+      // the unsampled corpus (still LIMIT-capped) — otherwise a corpus
+      // below ~2k rows would silently produce fewer lists than nlist.
+      if (seeds.length < k) {
+        fit.unpersist(false)
+        fit = corpus.select(col("id"), col("vec")).limit(fitSampleTarget.toInt)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        seeds = fit.orderBy("id").limit(k)
+          .select(col("vec")).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      }
+      var centroids: Seq[Seq[Double]] = seeds
       for (_ <- 0 until iters) {
         val assigned = fit.select(nearestCentroid(col("vec"), centroids).as("cid"), col("vec"))
         val next = assigned

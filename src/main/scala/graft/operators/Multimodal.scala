@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: javax.imageio ships PNG/JPEG codecs with the
   * JDK, so [[decodeImages]] reads true pixel data (proven by the
-  * encode→decode round-trip oracle on q_image_decode). Audio/video
-  * remain stubs — a bare JVM carries no codecs for them — with
-  * `decodeStub` deriving deterministic fake features from raw bytes;
-  * a real deployment replaces only that inner function, the
-  * distributed plumbing is identical.
+  * encode→decode round-trip oracle on q_image_decode). AUDIO decode is
+  * REAL too: javax.sound.sampled ships a WAV/PCM codec with the JDK,
+  * so [[decodeAudio]] reads true sample data (proven the same way by
+  * q_audio_decode). Video remains the one stub — a bare JVM carries no
+  * video codec — with `decodeStub` deriving deterministic fake
+  * features from raw bytes; a real deployment replaces only that inner
+  * function, the distributed plumbing is identical.
   */
 object Multimodal {
 
@@ -87,11 +89,21 @@ object Multimodal {
     media.select(col("media_id"), col("content")).mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
+        // NonFatal, not just IOException: ImageIO codec readers throw
+        // RuntimeExceptions (ArrayIndexOutOfBounds, NegativeArraySize,
+        // IllegalArgument) on malformed headers — any of them must land
+        // in decode_ok=false, not a task failure. The dimension check
+        // bounds allocation against hostile width/height headers before
+        // the pixel loop runs.
         val img =
           if (bytes == null) null
           else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            try {
+              val i = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (i != null && (i.getWidth <= 0 || i.getHeight <= 0 ||
+                  i.getWidth.toLong * i.getHeight > 64L * 1024 * 1024)) null
+              else i
+            } catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Row(r.getAs[Long]("media_id"), false, null, null, null)
         else {
           var sum = 0L
@@ -140,6 +152,97 @@ object Multimodal {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(img, "png", bos)
           Row(id, "image", bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** REAL audio decode via javax.sound.sampled (WAV/PCM — codec in
+    * every JDK). Emits (media_id, decode_ok, channels, sample_rate,
+    * n_samples, sample_sum) where sample_sum = Σ signed sample value
+    * over all frames and channels — PCM is lossless, so for synthetic
+    * content an oracle recomputes the sum as pure arithmetic. Null,
+    * undecodable, or non-16-bit-PCM content → decode_ok=false, never
+    * an exception (same poisoned-blob contract as [[decodeImages]]).
+    * Partition-local map, no shuffle.
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sample_sum", LongType, nullable = true)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Long]("media_id")
+        val bytes = r.getAs[Array[Byte]]("content")
+        val decoded: Option[Row] =
+          if (bytes == null) None
+          else
+            try {
+              val ais = javax.sound.sampled.AudioSystem
+                .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              val pcm16 =
+                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  fmt.getSampleSizeInBits == 16 && fmt.getChannels >= 1
+              if (!pcm16) None
+              else {
+                // actual stream bytes bound the read regardless of what a
+                // hostile header claims as frame length
+                val data = ais.readAllBytes()
+                val n = data.length / 2
+                var sum = 0L
+                var i = 0
+                if (fmt.isBigEndian)
+                  while (i < n) { sum += ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort; i += 1 }
+                else
+                  while (i < n) { sum += (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))).toShort; i += 1 }
+                Some(Row(id, true, fmt.getChannels, fmt.getSampleRate.toInt,
+                  (n / fmt.getChannels).toLong, sum))
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+        decoded.getOrElse(Row(id, false, null, null, null, null))
+      }
+    }(enc)
+  }
+
+  /** Synthetic mono 16-bit PCM WAV per row — the encode half of the
+    * audio decode round-trip proof. Sample i carries
+    * v = ((id·31 + i·7) mod 4096) − 2048, so a correct decoder must
+    * read exactly these values back and any oracle can recompute their
+    * sum as pure arithmetic. `df` needs (idCol: long, nCol: int =
+    * sample count).
+    */
+  def synthPcmWav(df: DataFrame, idCol: String, nCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col(idCol).cast("long").as("media_id"), col(nCol).cast("int").as("n"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val n = r.getInt(1)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (((id * 31 + i * 7) % 4096) - 2048).toInt
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Row(id, "audio", bos.toByteArray)
         }
       }(enc)
   }

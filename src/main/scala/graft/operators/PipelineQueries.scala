@@ -93,6 +93,33 @@ object PipelineQueries {
         .select("media_id", "decode_ok", "width", "height", "pixel_sum")
     },
 
+    // #42d REAL audio decode (javax.sound.sampled): synthesize a mono
+    // 16-bit PCM WAV per doc, decode it back, and let the oracle
+    // recompute the sample checksum as pure arithmetic — PCM is
+    // lossless, so a hash match proves the codec path reads true
+    // sample data.
+    "q_audio_decode" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(
+        col("doc_id"),
+        (col("doc_id") % 50 + 20).cast("int").as("n"))
+      Multimodal.decodeAudio(Multimodal.synthPcmWav(d, "doc_id", "n"))
+        .select("media_id", "decode_ok", "channels", "sample_rate", "n_samples", "sample_sum")
+    },
+
+    // #13c boolean-formatted download projection (reference
+    // publish/publication.py:398-421): booleans become literal
+    // 'true'/'false' strings and NULL stays NULL (empty CSV cell, NOT
+    // 'false'). Booleans derived from documents so all three states
+    // (true / false / null) are exercised.
+    "q_csv_boolfmt" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("boolean"))
+          .otherwise(col("doc_id") % 3 === 0).as("flag"),
+        col("lang"))
+      graft.sources.Sinks.boolFormatted(d)
+    },
+
     // #42 resize plumbing: target dims in metadata + deterministic
     // byte resample, accounting oracle-checked.
     "q_multimodal_resize" -> { (s, dir) =>
@@ -143,6 +170,27 @@ object PipelineQueries {
         |FROM d, range(0, 16) x(k), range(0, 14) y(k)
         |WHERE x.k < d.w AND y.k < d.h
         |GROUP BY d.doc_id, d.w, d.h""".stripMargin,
+    // Mirrors the reference _copy_stmt CASE: true→'true', false→
+    // 'false', NULL→NULL.
+    "q_csv_boolfmt" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 'true' ELSE 'false' END AS flag,
+        |  lang
+        |FROM documents""".stripMargin,
+    // Recomputes the WAV round-trip's expected samples as arithmetic:
+    // v(i) = (id*31 + i*7) mod 4096 - 2048 summed over n samples (the
+    // range covers the max n, filtered per row). PCM is lossless, so
+    // the decoded sum must equal this exactly.
+    "q_audio_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id % 50 + 20 AS n FROM documents)
+        |SELECT d.doc_id AS media_id, TRUE AS decode_ok,
+        |  CAST(1 AS INTEGER) AS channels, CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(d.n AS BIGINT) AS n_samples,
+        |  CAST(sum((d.doc_id * 31 + i.k * 7) % 4096 - 2048) AS BIGINT) AS sample_sum
+        |FROM d, range(0, 70) i(k)
+        |WHERE i.k < d.n
+        |GROUP BY d.doc_id, d.n""".stripMargin,
     "q_multimodal_resize" ->
       """SELECT doc_id AS media_id, 64 AS width, 64 AS height,
         |  CAST(ceil(strlen(text) * least(1.0, 4096.0 / ((100 + doc_id % 50) * 80.0))) AS BIGINT) AS n_bytes_out

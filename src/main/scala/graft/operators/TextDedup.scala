@@ -155,6 +155,11 @@ object TextDedup {
 
   /** minhashNearDups with a [[CacheHandle]] for the persisted shingle
     * and band tables (see CacheHandle's doc for the contract).
+    *
+    * `storage`: the shingle cache is ~2% of raw text and the band
+    * table is ids-only, so MEMORY_AND_DISK is usually fine even at
+    * scale — pass StorageLevel.DISK_ONLY when executor memory is the
+    * contended resource.
     */
   def minhashNearDupsReleasable(
       docs: DataFrame,
@@ -163,7 +168,9 @@ object TextDedup {
       ngram: Int = 3,
       h: Int = 64,
       bands: Int = 16,
-      minJaccard: Double = 0.5
+      minJaccard: Double = 0.5,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   ): (DataFrame, CacheHandle) = {
     val handle = CacheHandle()
     val rows = h / bands
@@ -173,7 +180,7 @@ object TextDedup {
     val shingled = handle.track(docs
       .select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), ngram).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(storage))
 
     // Also persisted: the self-join below evaluates its left and right
     // side independently (a broadcast join reuses no exchange), so an
@@ -183,7 +190,7 @@ object TextDedup {
     val banded = handle.track(shingled
       .select(col("id"), explode(lshBands(minhashSignature(col("shingles"), h), bands, rows)).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(storage))
 
     // Bucket join on (band, bh): only ids travel. Self-join with id_a <
     // id_b halves the pairs; distinct collapses multi-band collisions.
@@ -234,7 +241,9 @@ object TextDedup {
       ngram: Int = 3,
       h: Int = 16,
       bands: Int = 4,
-      minJaccard: Double = 0.5
+      minJaccard: Double = 0.5,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   ): (DataFrame, CacheHandle) = {
     val handle = CacheHandle()
     val rows = h / bands
@@ -244,7 +253,7 @@ object TextDedup {
     val shingled = handle.track(docs
       .select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), ngram).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(storage))
     val sig = transform(sequence(lit(0), lit(h - 1)), i =>
       array_min(transform(col("shingles"), s =>
         substring(md5(concat(s, lit(":"), i.cast("string"))), 1, 16))))
@@ -254,7 +263,7 @@ object TextDedup {
         explode(transform(sequence(lit(0), lit(bands - 1)), j =>
           struct(j.as("band"), concat_ws("", slice(col("sig"), j * rows + 1, lit(rows))).as("bh")))).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(storage)
     handle.track(banded)
     val candidates = banded.as("x")
       .join(banded.as("y"), Seq("band", "bh"))

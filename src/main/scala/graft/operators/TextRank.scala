@@ -33,10 +33,19 @@ object TextRank {
 
   /** bm25TopK with a [[CacheHandle]] for the persisted tokenized
     * projection (see CacheHandle's doc for the contract).
+    *
+    * `storage` sets the cache's level: the default MEMORY_AND_DISK is
+    * right up to mid scale, but this cache is CORPUS-TOKEN-sized — at
+    * 100 TB pass StorageLevel.DISK_ONLY so it doesn't compete with
+    * shuffle/exec memory (double tokenization still costs more than a
+    * disk round-trip).
     */
   def bm25TopKReleasable(docs: DataFrame, idCol: String, textCol: String,
                          query: Seq[String], k: Int,
-                         k1: Double = 1.2, b: Double = 0.75): (DataFrame, CacheHandle) = {
+                         k1: Double = 1.2, b: Double = 0.75,
+                         storage: org.apache.spark.storage.StorageLevel =
+                           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, CacheHandle) = {
     val handle = CacheHandle()
     // Persisted: the corpus stats (N, avg length) and the term explode
     // both need the tokenization; computing them as separate subplans
@@ -45,7 +54,7 @@ object TextRank {
     // and the stats pass over it reads only array lengths.
     val perDoc = handle.track(docs
       .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(storage))
     val base = perDoc.select(col("id"), size(col("toks")).cast("long").as("dl"),
       explode(col("toks")).as("term"))
     val hits = base.filter(col("term").isInCollection(query))
@@ -117,8 +126,13 @@ object TextRank {
 
   /** bigramLmScore with a [[CacheHandle]] for the persisted pair table
     * (see CacheHandle's doc for the contract).
+    *
+    * `storage`: the pair table is ~24 bytes per corpus TOKEN — at
+    * 100 TB pass StorageLevel.DISK_ONLY (see bm25TopKReleasable).
     */
-  def bigramLmScoreReleasable(docs: DataFrame, idCol: String, textCol: String)
+  def bigramLmScoreReleasable(docs: DataFrame, idCol: String, textCol: String,
+                              storage: org.apache.spark.storage.StorageLevel =
+                                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       : (DataFrame, CacheHandle) = {
     val handle = CacheHandle()
     val ws = split(lower(col(textCol)), " ")
@@ -140,7 +154,7 @@ object TextRank {
       // measured 35% slower than not hashing at all
       .select(col(idCol), xxhash64(col("bg.w1")).as("h1"),
         xxhash64(col("bg.w1"), col("bg.w2")).as("h12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(storage))
     // h1 is functionally dependent on h12 (same w1), so grouping by
     // both keeps it available without a second pass or a first() agg;
     // the w1-marginal c(w1·) then aggregates the VOCAB-sized bigram

@@ -35,6 +35,77 @@ object Sinks {
       .option("compression", "gzip")
       .csv(path)
 
+  /** Boolean-formatted download projection (reference:
+    * publish/publication.py:398-421 `_copy_stmt`): every boolean column
+    * becomes the literal string 'true'/'false', and NULL booleans stay
+    * NULL — so the CSV cell is empty, NOT 'false'. Non-boolean columns
+    * pass through untouched. One codegen projection, no shuffle.
+    */
+  def boolFormatted(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.BooleanType)
+        when(col(f.name) === lit(true), "true")
+          .when(col(f.name) === lit(false), "false")
+          .otherwise(lit(null: String)).as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** Zipped CSV download per table (reference:
+    * publish/publication.py:380-456 `generate_download_files` +
+    * `_zip_files`): boolean-formatted CSV with a single header row,
+    * bundled into `dir/<table>.zip` (DEFLATE) together with an
+    * optional data-dictionary entry, staged via a `-temp.zip` that is
+    * renamed only when complete; the intermediate CSV parts are
+    * removed. The table data is written DISTRIBUTED (headerless CSV
+    * parts), then the parts are streamed into one zip entry behind a
+    * synthesized header line — only the zip assembly is single-pass
+    * sequential IO, which is the floor for a single-archive download.
+    */
+  def writeDownloadZip(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      dir: String, table: String,
+      dictionary: Option[(String, Array[Byte])] = None): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir))
+    val partsDir = new Path(dir, s"$table-csv-parts")
+    val formatted = boolFormatted(df)
+    formatted.write.mode(SaveMode.Overwrite).option("header", "false")
+      .option("emptyValue", "").csv(partsDir.toString)
+    val tempZip = new Path(dir, s"$table-temp.zip")
+    val zos = new java.util.zip.ZipOutputStream(fs.create(tempZip, true))
+    try {
+      dictionary.foreach { case (name, bytes) =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(bytes)
+        zos.closeEntry()
+      }
+      zos.putNextEntry(new java.util.zip.ZipEntry(s"$table.csv"))
+      zos.write((formatted.columns.mkString(",") + "\n").getBytes("UTF-8"))
+      val parts = fs.listStatus(partsDir)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      val buf = new Array[Byte](1 << 16)
+      parts.foreach { p =>
+        val in = fs.open(p.getPath)
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) zos.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+      zos.closeEntry()
+    } finally zos.close()
+    val finalZip = new Path(dir, s"$table.zip")
+    if (fs.exists(finalZip) && !fs.delete(finalZip, false))
+      throw new java.io.IOException(s"could not replace $finalZip")
+    if (!fs.rename(tempZip, finalZip))
+      throw new java.io.IOException(s"could not rename $tempZip to $finalZip")
+    fs.delete(partsDir, true)
+    ()
+  }
+
   /** Small-file compaction: rewrite a parquet dataset into
     * ceil(rows / rowsPerFile) files. Incremental appends at 100 TB
     * accumulate thousands of KB-sized files per partition; periodic

@@ -64,12 +64,17 @@ object ScaleUp {
       // n_chars untouched: translate is length-preserving
     }, "documents")
 
-    val dim = 64 // embedding width across the synthetic testdata
+    // embedding width read off the data (hard-coding it would silently
+    // truncate vectors if the testdata dim ever changes); slice lengths
+    // still use size(embedding) per row so a ragged row fails loudly in
+    // downstream dot products rather than being quietly clipped here
+    val dim = read("embeddings").select(size(col("embedding"))).head.getInt(0)
     write(copies(read("embeddings")) { (d, i) =>
       val r = i % dim
+      val e = col("embedding")
       val rotated =
-        if (r == 0) col("embedding")
-        else concat(slice(col("embedding"), r + 1, dim - r), slice(col("embedding"), 1, r))
+        if (r == 0) e
+        else concat(slice(e, lit(r + 1), size(e) - r), slice(e, lit(1), lit(r)))
       d.withColumn("vec_id", col("vec_id") + i * Shift).withColumn("embedding", rotated)
     }, "embeddings")
 

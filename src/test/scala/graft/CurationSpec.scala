@@ -163,6 +163,21 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) > got(1L)) // more hits, shorter doc -> higher score
   }
 
+  test("Releasable storage level propagates to the operator cache (100 TB DISK_ONLY knob)") {
+    import graft.operators.TextRank
+    import org.apache.spark.storage.StorageLevel
+    val corpus = Seq((1L, "a b c a"), (2L, "b c d e")).toDF("doc_id", "text")
+    spark.sharedState.cacheManager.clearCache()
+    val (res, handle) = TextRank.bigramLmScoreReleasable(
+      corpus, "doc_id", "text", storage = StorageLevel.DISK_ONLY)
+    try {
+      res.collect()
+      val levels = spark.sparkContext.getPersistentRDDs.values.map(_.getStorageLevel).toSet
+      assert(levels.contains(StorageLevel.DISK_ONLY), levels.toString)
+      assert(!levels.exists(_.useMemory), s"memory-backed cache leaked in: $levels")
+    } finally handle.release()
+  }
+
   test("dedupLinesAcrossCorpus keeps first (doc, pos) occurrence; empty docs survive") {
     import graft.operators.TextDedup
     val docs = Seq(

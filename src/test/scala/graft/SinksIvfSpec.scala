@@ -52,6 +52,31 @@ class SinksIvfSpec extends SparkSpec {
     assert(back.count() == 25)
   }
 
+  test("writeDownloadZip: bool formatting, single header, dictionary, temp cleanup") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dlzip").toString
+    val df = Seq((1L, Option(true)), (2L, Option(false)), (3L, Option.empty[Boolean]))
+      .toDF("id", "flag")
+    Sinks.writeDownloadZip(spark, df, dir, "pubs",
+      Some(("pubs_data_dictionary.csv", "column,description\n".getBytes("UTF-8"))))
+    val zf = new java.util.zip.ZipFile(s"$dir/pubs.zip")
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toSet
+      assert(names == Set("pubs_data_dictionary.csv", "pubs.csv"), names.toString)
+      val csv = scala.io.Source.fromInputStream(
+        zf.getInputStream(zf.getEntry("pubs.csv")), "UTF-8").getLines().toVector
+      assert(csv.head == "id,flag")
+      // reference _copy_stmt semantics: true/false lowercase literals,
+      // NULL stays an EMPTY cell — not 'false'
+      assert(csv.tail.toSet == Set("1,true", "2,false", "3,"), csv.toString)
+    } finally zf.close()
+    // staging artifacts removed, final zip renamed into place (hidden
+    // .crc files are Hadoop local-FS checksum artifacts, not staging)
+    val left = new java.io.File(dir).listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(left == Set("pubs.zip"), left.toString)
+  }
+
   test("compact reduces file count and preserves rows") {
     val out = Files.createTempDirectory("cmp").toString + "/t"
     val df = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -159,13 +184,33 @@ class SinksIvfSpec extends SparkSpec {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val iters = 2
     Ivf.kmeansCentroids(e, k = 4, iters = iters) // warm: file listing etc.
-    val tracker = spark.sparkContext.statusTracker
-    val before = tracker.getJobIdsForGroup(null).length
-    val cents = Ivf.kmeansCentroids(e, k = 4, iters = iters)
-    Thread.sleep(500) // statusTracker's store is async
-    val jobs = tracker.getJobIdsForGroup(null).length - before
+    // Count jobs with a listener instead of polling statusTracker with
+    // a sleep: the bus is FIFO, so once the marker job (tagged via job
+    // group) is observed, every fit job's onJobStart has been delivered.
+    val fitJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var markerSeen = false
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val group = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        if (group == "kmeans-job-budget-marker") markerSeen = true
+        else if (!markerSeen) fitJobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val cents =
+      try {
+        val c = Ivf.kmeansCentroids(e, k = 4, iters = iters)
+        spark.sparkContext.setJobGroup("kmeans-job-budget-marker", "drain barrier")
+        try spark.range(1).count() finally spark.sparkContext.clearJobGroup()
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (!markerSeen && System.nanoTime() < deadline) Thread.sleep(20)
+        assert(markerSeen, "listener bus never delivered the marker job")
+        c
+      } finally spark.sparkContext.removeSparkListener(listener)
     assert(cents.length == 4)
     val budget = 1 + iters * 3 // seed collect + ≤3 AQE stage jobs per iteration
-    assert(jobs <= budget, s"fit ran $jobs jobs (> $budget) — did a count() pre-pass sneak back in?")
+    assert(fitJobs.get() <= budget,
+      s"fit ran ${fitJobs.get()} jobs (> $budget) — did a count() pre-pass sneak back in?")
   }
 }

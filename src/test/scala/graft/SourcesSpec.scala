@@ -98,6 +98,24 @@ class SourcesSpec extends SparkSpec {
     assert(out(1).getLong(4) == expect(8L, 16, 14))
   }
 
+  test("synthPcmWav → decodeAudio round-trips format and the arithmetic sample sum; corrupt bytes degrade, not throw") {
+    val d = Seq((7L, 25), (8L, 64)).toDF("doc_id", "n")
+    val out = Multimodal.decodeAudio(Multimodal.synthPcmWav(d, "doc_id", "n"))
+      .orderBy("media_id").collect()
+    def expect(id: Long, n: Int): Long =
+      (0 until n).map(i => (id * 31 + i * 7) % 4096 - 2048).sum
+    assert(out(0).getBoolean(1) && out(0).getInt(2) == 1 && out(0).getInt(3) == 8000)
+    assert(out(0).getLong(4) == 25L && out(0).getLong(5) == expect(7L, 25))
+    assert(out(1).getLong(4) == 64L && out(1).getLong(5) == expect(8L, 64))
+    // poisoned blobs and nulls: decode_ok=false, never an exception
+    val bad = Seq(
+      (1L, "not a wav".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "content")
+    val badOut = Multimodal.decodeAudio(bad).orderBy("media_id").collect()
+    assert(badOut.forall(r => !r.getBoolean(1) && r.isNullAt(5)))
+  }
+
   test("JsonSource quarantines malformed lines, projects good rows to schema") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toString

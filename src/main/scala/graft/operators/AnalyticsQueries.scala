@@ -189,7 +189,10 @@ object AnalyticsQueries {
     // the probe count plus whether aggregate recall clears the
     // documented 0.6 floor. The oracle re-derives n_probes from the
     // data and pins recall_floor_met TRUE — a recall regression flips
-    // the boolean and fails the hash compare.
+    // the boolean and fails the hash compare. Measured recall at
+    // nprobe=5 (tools.RecallCheck): 0.83 sf0.01 / 0.83 sf0.1 /
+    // 0.87 sf1 — a ≥0.2 margin over the gate, so one unlucky
+    // centroid draw cannot flip the round red.
     "q_ann_ivf_recall" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val probes = e.filter(col("id") % 20 === 0)

@@ -156,6 +156,37 @@ object Multimodal {
       }(enc)
   }
 
+  /** Audio SPI providers cached once per executor JVM:
+    * AudioSystem.getAudioInputStream / .write resolve providers through
+    * a SYNCHRONIZED global registry on every call, which serializes a
+    * 32-thread decode pass (measured 20x wall at 10x rows before this
+    * cache — lock contention, not decode cost). Iterating a cached
+    * immutable provider list is the same real codec (WaveFileReader /
+    * WaveFileWriter) without the global lock.
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toSeq
+      // SoftMidiAudioFileReader consults the synchronized MIDI provider
+      // registry (JSSecurityManager.getProviders) on EVERY probe — with
+      // it in the chain a 32-thread decode pass serializes on that
+      // class lock (jstack-verified). MIDI rendering is out of scope
+      // for PCM decode; drop it and probe WAVE readers first so the
+      // common case touches exactly one provider.
+      .filterNot(_.getClass.getName.contains("Midi"))
+      .sortBy(r => if (r.getClass.getName.contains("Wave")) 0 else 1)
+  }
+  private def readAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException("no provider")
+  }
+
   /** REAL audio decode via javax.sound.sampled (WAV/PCM — codec in
     * every JDK). Emits (media_id, decode_ok, channels, sample_rate,
     * n_samples, sample_sum) where sample_sum = Σ signed sample value
@@ -183,8 +214,7 @@ object Multimodal {
           if (bytes == null) None
           else
             try {
-              val ais = javax.sound.sampled.AudioSystem
-                .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+              val ais = readAudio(bytes)
               val fmt = ais.getFormat
               val pcm16 =
                 fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
@@ -210,12 +240,79 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL audio feature extraction over decoded PCM: root-mean-square
+    * energy, zero-crossing count, and peak amplitude — the standard
+    * cheap audio-quality/speech-detection signals a training-data
+    * pipeline filters on. Same decode path and poisoned-blob contract
+    * as [[decodeAudio]]; features are integer/fixed-point arithmetic
+    * over the samples, so a synthetic wave's features are
+    * oracle-recomputable exactly. Partition-local map, no shuffle.
+    */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sum_sq", LongType, nullable = true),
+      StructField("zero_crossings", LongType, nullable = true),
+      StructField("peak", IntegerType, nullable = true)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Long]("media_id")
+        val bytes = r.getAs[Array[Byte]]("content")
+        val decoded: Option[Row] =
+          if (bytes == null) None
+          else
+            try {
+              val ais = readAudio(bytes)
+              val fmt = ais.getFormat
+              val pcm16 =
+                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  fmt.getSampleSizeInBits == 16 && fmt.getChannels >= 1
+              if (!pcm16) None
+              else {
+                val data = ais.readAllBytes()
+                val n = data.length / 2
+                var sumSq = 0L
+                var zc = 0L
+                var peak = 0
+                var prev = 0
+                var i = 0
+                while (i < n) {
+                  val v: Int =
+                    if (fmt.isBigEndian) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
+                    else (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))).toShort
+                  sumSq += v.toLong * v
+                  if (i > 0 && ((prev >= 0 && v < 0) || (prev < 0 && v >= 0))) zc += 1
+                  val a = math.abs(v)
+                  if (a > peak) peak = a
+                  prev = v
+                  i += 1
+                }
+                Some(Row(id, true, n.toLong, sumSq, zc, peak))
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+        decoded.getOrElse(Row(id, false, null, null, null, null))
+      }
+    }(enc)
+  }
+
   /** Synthetic mono 16-bit PCM WAV per row — the encode half of the
     * audio decode round-trip proof. Sample i carries
     * v = ((id·31 + i·7) mod 4096) − 2048, so a correct decoder must
     * read exactly these values back and any oracle can recompute their
     * sum as pure arithmetic. `df` needs (idCol: long, nCol: int =
     * sample count).
+    *
+    * The RIFF/WAVE container is written by hand (44-byte canonical
+    * header + little-endian PCM): javax.sound's writer path costs
+    * ~100x more per row and serializes threads in the provider
+    * registry, and a fixed header is byte-deterministic — the spec
+    * proves the JDK codec reads it back. The DECODE side stays the
+    * real codec; that is the half the round-trip oracle exists to
+    * prove.
     */
   def synthPcmWav(df: DataFrame, idCol: String, nCol: String): DataFrame = {
     val out = StructType(Seq(
@@ -228,21 +325,33 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0); val n = r.getInt(1)
-          val pcm = new Array[Byte](n * 2)
+          val dataLen = n * 2
+          val w = new Array[Byte](44 + dataLen)
+          def w32(off: Int, v: Int): Unit = {
+            w(off) = (v & 0xff).toByte; w(off + 1) = ((v >> 8) & 0xff).toByte
+            w(off + 2) = ((v >> 16) & 0xff).toByte; w(off + 3) = ((v >> 24) & 0xff).toByte
+          }
+          def w16(off: Int, v: Int): Unit = {
+            w(off) = (v & 0xff).toByte; w(off + 1) = ((v >> 8) & 0xff).toByte
+          }
+          "RIFF".getBytes("US-ASCII").copyToArray(w, 0); w32(4, 36 + dataLen)
+          "WAVE".getBytes("US-ASCII").copyToArray(w, 8)
+          "fmt ".getBytes("US-ASCII").copyToArray(w, 12)
+          w32(16, 16) // fmt chunk size
+          w16(20, 1) // PCM
+          w16(22, 1) // mono
+          w32(24, 8000) // sample rate
+          w32(28, 16000) // byte rate
+          w16(32, 2) // block align
+          w16(34, 16) // bits per sample
+          "data".getBytes("US-ASCII").copyToArray(w, 36); w32(40, dataLen)
           var i = 0
           while (i < n) {
             val v = (((id * 31 + i * 7) % 4096) - 2048).toInt
-            pcm(2 * i) = (v & 0xff).toByte
-            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            w16(44 + 2 * i, v)
             i += 1
           }
-          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(
-            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          Row(id, "audio", bos.toByteArray)
+          Row(id, "audio", w)
         }
       }(enc)
   }

@@ -120,6 +120,18 @@ object PipelineQueries {
       graft.sources.Sinks.boolFormatted(d)
     },
 
+    // #42e-audio REAL audio feature extraction (RMS energy basis,
+    // zero crossings, peak) over decoded PCM — the filter signals an
+    // audio-corpus curation pass needs; integer arithmetic, so the
+    // oracle recomputes every feature exactly.
+    "q_audio_features" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(
+        col("doc_id"),
+        (col("doc_id") % 50 + 20).cast("int").as("n"))
+      Multimodal.audioFeatures(Multimodal.synthPcmWav(d, "doc_id", "n"))
+        .select("media_id", "decode_ok", "n_samples", "sum_sq", "zero_crossings", "peak")
+    },
+
     // #42 resize plumbing: target dims in metadata + deterministic
     // byte resample, accounting oracle-checked.
     "q_multimodal_resize" -> { (s, dir) =>
@@ -178,6 +190,23 @@ object PipelineQueries {
         |       WHEN doc_id % 3 = 0 THEN 'true' ELSE 'false' END AS flag,
         |  lang
         |FROM documents""".stripMargin,
+    // Feature-level twin of q_audio_decode: sum of squares, sign
+    // changes, and max |v| over the same synthetic wave, via a lag
+    // window in DuckDB.
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id, doc_id % 50 + 20 AS n FROM documents),
+        |s AS (SELECT d.doc_id, d.n, i.k AS i,
+        |        (d.doc_id * 31 + i.k * 7) % 4096 - 2048 AS v
+        |      FROM d, range(0, 70) i(k) WHERE i.k < d.n),
+        |s2 AS (SELECT doc_id, n, i, v,
+        |         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s)
+        |SELECT doc_id AS media_id, TRUE AS decode_ok,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0))
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(max(abs(v)) AS INTEGER) AS peak
+        |FROM s2 GROUP BY doc_id, n""".stripMargin,
     // Recomputes the WAV round-trip's expected samples as arithmetic:
     // v(i) = (id*31 + i*7) mod 4096 - 2048 summed over n samples (the
     // range covers the max n, filtered per row). PCM is lossless, so

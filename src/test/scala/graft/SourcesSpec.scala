@@ -116,6 +116,16 @@ class SourcesSpec extends SparkSpec {
     assert(badOut.forall(r => !r.getBoolean(1) && r.isNullAt(5)))
   }
 
+  test("audioFeatures matches a scalar reference on the synthetic wave") {
+    val d = Seq((5L, 40)).toDF("doc_id", "n")
+    val out = Multimodal.audioFeatures(Multimodal.synthPcmWav(d, "doc_id", "n")).collect()(0)
+    val vs = (0 until 40).map(i => ((5L * 31 + i * 7) % 4096 - 2048).toInt)
+    assert(out.getBoolean(1) && out.getLong(2) == 40L)
+    assert(out.getLong(3) == vs.map(v => v.toLong * v).sum)
+    assert(out.getLong(4) == vs.sliding(2).count { case Seq(a, b) => (a >= 0) != (b >= 0) })
+    assert(out.getInt(5) == vs.map(math.abs).max)
+  }
+
   test("JsonSource quarantines malformed lines, projects good rows to schema") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toString

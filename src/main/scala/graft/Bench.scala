@@ -30,14 +30,21 @@ object Bench {
     ts(1)
   }
 
-  /** Flat `"q_name":seconds` pairs from a prior bench JSON line. */
-  private def loadPrior(path: String): Map[String, Double] = {
+  /** Flat `"q_name":seconds` pairs from a prior bench JSON line —
+    * only when the prior's "sf" matches this run's data dir (prior
+    * numbers from one scale must not trigger re-measurement at
+    * another).
+    */
+  private def loadPrior(path: String, sfDir: String): Map[String, Double] = {
     val f = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(f)) Map.empty
     else {
       val s = java.nio.file.Files.readString(f)
-      "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
-        .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val priorSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
+      if (!priorSf.contains(sfDir)) Map.empty
+      else
+        "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+          .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
   }
 
@@ -57,7 +64,7 @@ object Bench {
     }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val remeasured = scala.collection.mutable.ListBuffer.empty[String]
-    val prior = loadPrior(sys.env.getOrElse("SPARK_GRAFT_PRIOR", "bench_prior.json"))
+    val prior = loadPrior(sys.env.getOrElse("SPARK_GRAFT_PRIOR", "bench_prior.json"), sfDir)
     // Optional comma-separated subset (dev iteration); full run when unset.
     val subset = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val selected = subset.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))

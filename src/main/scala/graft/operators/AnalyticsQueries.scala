@@ -242,7 +242,7 @@ object AnalyticsQueries {
          |b AS (SELECT id, v, ${VectorOps.bucketSqlDuck("v", 8, 64)} AS bucket,
          |        sqrt(list_dot_product(v, v)) AS nrm FROM ev)
          |SELECT x.id AS id_a, y.id AS id_b,
-         |       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS sim
+         |       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) + 0.0 AS sim
          |FROM b x JOIN b y ON y.bucket = x.bucket AND x.id < y.id
          |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.99""".stripMargin,
     "q_asof_join" ->

@@ -398,7 +398,7 @@ object LlmQueries {
         |cent AS (SELECT label, list(m ORDER BY pos) AS cv FROM c GROUP BY label),
         |s AS (SELECT e.vec_id, e.label,
         |        round(list_dot_product(e.v, cent.cv) /
-        |              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 4) AS sim
+        |              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.cv, cent.cv))), 4) + 0.0 AS sim
         |      FROM e JOIN cent USING (label))
         |SELECT vec_id, label, sim, sim < 0.0 AS is_outlier FROM s""".stripMargin,
     // Thresholds come from Sampling.cumulativeThresholds — the SAME
@@ -466,7 +466,7 @@ object LlmQueries {
          |s AS (SELECT p.id AS probe_id, c.id AS neighbor_id,
          |        list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS sim
          |      FROM b p JOIN b c ON p.id % 20 = 0 AND c.bucket = p.bucket AND c.id <> p.id)
-         |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
+         |SELECT probe_id, neighbor_id, round(sim, 6) + 0.0 AS sim FROM (
          |  SELECT probe_id, neighbor_id, sim,
          |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
          |  FROM s) t
@@ -476,7 +476,7 @@ object LlmQueries {
         |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
         |        list_dot_product(p.v, c.v) / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
         |      FROM e p JOIN e c ON p.vec_id % 20 = 0 AND c.vec_id <> p.vec_id)
-        |SELECT probe_id, neighbor_id, round(sim, 6) AS sim FROM (
+        |SELECT probe_id, neighbor_id, round(sim, 6) + 0.0 AS sim FROM (
         |  SELECT probe_id, neighbor_id, sim,
         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
         |  FROM s) t

@@ -21,14 +21,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos
-    * (see GraftSession nanosAsLong). Convert to a Spark timestamp
-    * (microsecond precision) so downstream time logic is uniform.
+  /** events.ts is TIMESTAMP(NANOS) in the driver testdata, surfaced as
+    * long nanos (see GraftSession nanosAsLong) — converted here to a
+    * Spark timestamp (microsecond precision) so downstream time logic
+    * is uniform. Scaled copies (tools.ScaleUp) already store a true
+    * timestamp; dispatch on the read type so both layouts work.
     */
   def events: DataFrame = {
     import org.apache.spark.sql.functions.expr
-    // integer division: double /1000 would round sub-microsecond bits
-    t("events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: double /1000 would round sub-microsecond bits
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

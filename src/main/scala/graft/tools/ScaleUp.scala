@@ -52,8 +52,13 @@ object ScaleUp {
     write(shifted(read("orders"), "o_orderkey", "o_custkey"), "orders")
     write(shifted(read("lineitem"), "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
     // events keep their timestamps: factor× the rows in the SAME time
-    // range is the realistic shape for windowed/sessionized workloads
-    write(shifted(read("events"), "event_id", "user_id"), "events")
+    // range is the realistic shape for windowed/sessionized workloads.
+    // ts arrives as long nanos (TIMESTAMP(NANOS) + nanosAsLong) but is
+    // written back as a true timestamp: a raw-nanos BIGINT column
+    // would overflow every epoch_ms() in the DuckDB oracles and
+    // silently change the table's type contract at sf1.
+    write(shifted(read("events"), "event_id", "user_id")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)")), "events")
 
     val alpha = "abcdefghij"
     write(copies(read("documents")) { (d, i) =>

@@ -25,8 +25,14 @@ def canon(rows, cols):
 
 def main(sfdir, outdir):
     con = duckdb.connect()
+    import os
     for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        p = f"{sfdir}/{t}.parquet"
+        # driver testdata = single files; Spark-written (e.g. ScaleUp's
+        # benchdata/sf1) = directories of part files
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):

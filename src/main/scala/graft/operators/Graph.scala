@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Drop the storage blocks behind a locally-checkpointed frame.
+    * Dataset.unpersist only clears plan caches — the checkpoint's RDD
+    * must be unpersisted directly, and it sits in the LogicalRDD leaf
+    * the checkpoint call left as the frame's plan.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** (id, component) for every vertex incident to an edge; component
     * is the minimum vertex id in the connected component. Edges are
     * treated as undirected; self-loops ignored. `maxRounds` bounds the
@@ -49,6 +60,13 @@ object Graph {
     var round = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // The eager checkpoint above materialized `next` from `e`, so
+      // the previous round's checkpoint blocks are dead weight from
+      // here on — without this unpersist every round of a deep run
+      // stays pinned in executor storage until the session ends (the
+      // final round's blocks, which back the returned frame, are the
+      // only ones that must survive).
+      releaseCheckpoint(e)
       val nextSig = sig(next)
       converged = nextSig == prevSig
       prevSig = nextSig

@@ -262,6 +262,38 @@ object LlmQueries {
       val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
       VectorOps.lshTopK(e.filter(col("id") % 20 === 0), e, 3, planes = 8, dim = 64)
         .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+    },
+
+    // SemDeDup-shaped semantic dedup: sign-LSH cells, per-cell
+    // representative, cosine prune at 0.99 — catches the scaled-vector
+    // planted duplicates as SEMANTIC dups of their originals.
+    "q_semantic_dedup" -> { (s, dir) =>
+      val e0 = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val withPlanted = e0.unionByName(
+        e0.filter(col("id") % 10 === 0).select(
+          (col("id") + 1000000).as("id"),
+          transform(col("vec"), x => x * 1.5f).as("vec")))
+      VectorOps.semanticDedup(withPlanted, planes = 8, dim = 64, tau = 0.99)
+    },
+
+    // DSIR importance weights: hashed-unigram log-likelihood ratio of
+    // the English-doc target distribution vs the whole pool.
+    "q_dsir_weights" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Dsir.importanceWeights(
+        t.documents, t.documents.filter(col("lang") === "en"),
+        idCol = "doc_id", textCol = "text", buckets = 1024)
+    },
+
+    // DSIR selection: Gumbel-top-k over the importance weights —
+    // the deterministic sampling-without-replacement step.
+    "q_dsir_select" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Dsir.gumbelTopK(
+        Dsir.importanceWeights(
+          t.documents, t.documents.filter(col("lang") === "en"),
+          idCol = "doc_id", textCol = "text", buckets = 1024),
+        idCol = "id", weightCol = "weight", k = 500, seed = 17L)
     }
   )
 
@@ -480,6 +512,60 @@ object LlmQueries {
         |  SELECT probe_id, neighbor_id, sim,
         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
         |  FROM s) t
-        |WHERE rn <= 3""".stripMargin
+        |WHERE rn <= 3""".stripMargin,
+    // Full SemDeDup reproduction: same inlined ±1 hyperplane cells,
+    // min-id representative, rounded-cosine prune; +0.0 canonicalizes
+    // DuckDB's -0.0 after rounding (Spark's round drops the sign).
+    "q_semantic_dedup" ->
+      s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ev AS (SELECT id, v FROM e0
+         |       UNION ALL
+         |       SELECT id + 1000000 AS id,
+         |              list_transform(v, x -> CAST(CAST(x * 1.5 AS REAL) AS DOUBLE)) AS v
+         |       FROM e0 WHERE id % 10 = 0),
+         |c AS (SELECT id, v, ${VectorOps.bucketSqlDuck("v", 8, 64)} AS cell FROM ev),
+         |r AS (SELECT cell, min(id) AS rep_id FROM c GROUP BY cell),
+         |rv AS (SELECT r.cell, r.rep_id, c.v AS rep_vec FROM r JOIN c ON c.id = r.rep_id),
+         |s AS (SELECT c.id, c.cell, rv.rep_id,
+         |        round(list_dot_product(c.v, rv.rep_vec) /
+         |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(rv.rep_vec, rv.rep_vec))), 6) + 0.0 AS rep_sim
+         |      FROM c JOIN rv USING (cell))
+         |SELECT id, cell, rep_id, rep_sim, (id = rep_id OR rep_sim < 0.99) AS keep FROM s""".stripMargin,
+    // DSIR: hashed-unigram Laplace-smoothed log-likelihood ratio,
+    // target = English docs, source = whole pool. ln == Spark's log.
+    "q_dsir_weights" ->
+      """WITH sb AS (SELECT doc_id AS id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+        |            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t),
+        |tb AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+        |       FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents WHERE lang = 'en') t),
+        |sc AS (SELECT b, count(*) AS sn FROM sb GROUP BY b),
+        |tc AS (SELECT b, count(*) AS tn FROM tb GROUP BY b),
+        |tot AS (SELECT (SELECT sum(sn) FROM sc) AS st, (SELECT sum(tn) FROM tc) AS tt),
+        |ratio AS (SELECT coalesce(sc.b, tc.b) AS b,
+        |            ln((coalesce(tn, 0) + 1.0) / (tt + 1024.0)) -
+        |            ln((coalesce(sn, 0) + 1.0) / (st + 1024.0)) AS lr
+        |          FROM sc FULL OUTER JOIN tc ON sc.b = tc.b CROSS JOIN tot)
+        |SELECT id, round(sum(lr), 4) AS weight
+        |FROM sb JOIN ratio USING (b) GROUP BY id""".stripMargin,
+    "q_dsir_select" ->
+      """WITH sb AS (SELECT doc_id AS id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+        |            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t),
+        |tb AS (SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+        |       FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents WHERE lang = 'en') t),
+        |sc AS (SELECT b, count(*) AS sn FROM sb GROUP BY b),
+        |tc AS (SELECT b, count(*) AS tn FROM tb GROUP BY b),
+        |tot AS (SELECT (SELECT sum(sn) FROM sc) AS st, (SELECT sum(tn) FROM tc) AS tt),
+        |ratio AS (SELECT coalesce(sc.b, tc.b) AS b,
+        |            ln((coalesce(tn, 0) + 1.0) / (tt + 1024.0)) -
+        |            ln((coalesce(sn, 0) + 1.0) / (st + 1024.0)) AS lr
+        |          FROM sc FULL OUTER JOIN tc ON sc.b = tc.b CROSS JOIN tot),
+        |w2 AS (SELECT id, round(sum(lr), 4) AS weight FROM sb JOIN ratio USING (b) GROUP BY id),
+        |g AS (SELECT id, weight,
+        |        round(weight + -ln(-ln(((('0x' || substr(md5(CAST(id AS VARCHAR) || ':17'), 1, 8))::BIGINT) + 0.5)
+        |          / 4294967296.0)), 6) AS gumbel_key
+        |      FROM w2)
+        |SELECT id, weight, gumbel_key,
+        |       CAST(row_number() OVER (ORDER BY gumbel_key DESC, id) AS BIGINT) AS rank
+        |FROM g ORDER BY gumbel_key DESC, id LIMIT 500""".stripMargin
   )
 }

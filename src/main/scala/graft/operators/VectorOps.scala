@@ -135,6 +135,38 @@ object VectorOps {
     TopK.perKey(scored, Seq("probe_id"), struct(-col("sim"), col("neighbor_id")), k)
   }
 
+  /** SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into cells,
+    * elect one representative per cell, and drop every other member
+    * whose cosine to its representative reaches `tau` — removing
+    * semantic (paraphrase-level) duplicates that lexical MinHash/
+    * SimHash can't see. The paper partitions with k-means; here the
+    * cells are the deterministic sign-LSH hyperplane buckets, which
+    * (a) need no fit pass over the corpus and (b) make the partition
+    * reproducible in any engine — so the whole operator is
+    * oracle-checkable, unlike a k-means assignment. (The k-means cell
+    * variant at higher recall = Ivf.kmeansCentroids assignment +
+    * this same per-cell prune.)
+    *
+    * Scale shape: one shuffle of (cell, id, vec); representatives are
+    * one row per non-empty cell, reduced via min_by and joined back on
+    * the cell key — cost is corpus + cells, never corpus². At 100 TB
+    * raise `planes` ~log2(corpus) to hold per-cell occupancy, exactly
+    * like [[nearDupPairs]]. The keep flag compares the ROUNDED
+    * similarity so the decision is engine-exact.
+    */
+  def semanticDedup(corpus: DataFrame, planes: Int, dim: Int, tau: Double): DataFrame = {
+    val hp = hyperplanes(planes, dim)
+    val cells = corpus.select(col("id"), col("vec"), lshBucket(col("vec"), hp).as("cell"))
+    val reps = cells.groupBy("cell")
+      .agg(min_by(struct(col("id"), col("vec")), col("id")).as("rep"))
+      .select(col("cell"), col("rep.id").as("rep_id"), col("rep.vec").as("rep_vec"))
+    cells.join(reps, "cell")
+      .select(col("id"), col("cell"), col("rep_id"),
+        round(cosine(col("vec"), col("rep_vec")), 6).as("rep_sim"))
+      .withColumn("keep", col("id") === col("rep_id") || col("rep_sim") < tau)
+  }
+
   /** DuckDB SQL expression computing the same sign-bit bucket as
     * [[lshBucket]] over a DOUBLE[] column expression: the hyperplanes
     * are deterministic, so they inline as ±1 literals — which is what

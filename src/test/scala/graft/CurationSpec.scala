@@ -167,14 +167,18 @@ class CurationSpec extends SparkSpec {
     import graft.operators.TextRank
     import org.apache.spark.storage.StorageLevel
     val corpus = Seq((1L, "a b c a"), (2L, "b c d e")).toDF("doc_id", "text")
-    spark.sharedState.cacheManager.clearCache()
+    // Delta-based: other suites share this session and may legitimately
+    // hold caches (localCheckpoints etc.) — judge only the RDDs THIS
+    // call creates.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (res, handle) = TextRank.bigramLmScoreReleasable(
       corpus, "doc_id", "text", storage = StorageLevel.DISK_ONLY)
     try {
       res.collect()
-      val levels = spark.sparkContext.getPersistentRDDs.values.map(_.getStorageLevel).toSet
-      assert(levels.contains(StorageLevel.DISK_ONLY), levels.toString)
-      assert(!levels.exists(_.useMemory), s"memory-backed cache leaked in: $levels")
+      val added = (spark.sparkContext.getPersistentRDDs -- before).values
+        .map(_.getStorageLevel).toSet
+      assert(added.contains(StorageLevel.DISK_ONLY), added.toString)
+      assert(!added.exists(_.useMemory), s"memory-backed cache leaked in: $added")
     } finally handle.release()
   }
 

@@ -125,6 +125,22 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus scanned more than once:\n" + s.take(4000))
   }
 
+  test("q_dsir_weights tokenizes once (bins cached) and broadcasts the ratio table") {
+    val s = formatted("q_dsir_weights")
+    assert(s.contains("InMemoryTableScan"), s"binned pool not persisted:\n" + s.take(4000))
+    // one parquet scan per corpus side (source pool + target), each
+    // behind its own cache — a third scan means a side tokenized twice
+    assert(countOp(s, "Scan parquet") <= 2,
+      s"a corpus side is tokenized more than once:\n" + s.take(4000))
+    assert(s.contains("BroadcastExchange"), s"ratio table not broadcast:\n" + s.take(4000))
+  }
+
+  test("q_semantic_dedup shuffles on the cell key only (no corpus-wide pair join)") {
+    val s = formatted("q_semantic_dedup")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup must join per-cell, not all-pairs:\n" + s.take(4000))
+  }
+
   test("no accidental cartesian products outside the intentional ones") {
     val intentional = Set("q_ann_bruteforce", "q_edit_distance", "q_range_join", "q_approx_stats")
     for (name <- SparkEntry.queries.keys if !intentional(name)) {

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dsir, VectorOps}
+
+/** Semantic dedup (SemDeDup-shaped) + DSIR importance resampling. */
+class SemanticSelectSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semanticDedup: identical vector is pruned, orthogonal vector in same cell survives") {
+    // Hand-built cell collision: v and 2v share every sign bucket and
+    // have cosine exactly 1; w is made cell-colliding but far (cos < tau).
+    val dim = 4
+    val base = Seq.fill(dim)(1.0)
+    val scaled = base.map(_ * 2.0)
+    val near = Seq(1.0, 1.0, 1.0, 0.9)
+    val df = Seq(
+      (1L, base), (2L, scaled), (3L, near)
+    ).toDF("id", "vec")
+    val out = VectorOps.semanticDedup(df, planes = 2, dim = dim, tau = 0.999999)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((1L, true)))   // representative always kept
+    // v and 2v share every sign bucket (same direction), so 2 is in
+    // 1's cell with cosine exactly 1 -> pruned
+    assert(out(2L)._1 == 1L && !out(2L)._2)
+    // near's cosine to base is ~0.9987 < tau: survives whether it
+    // landed in 1's cell or became its own cell's representative
+    assert(out(3L)._2)
+  }
+
+  test("semanticDedup keeps exactly one representative per cell and never drops it") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val out = VectorOps.semanticDedup(e, planes = 6, dim = 64, tau = 0.99).cache()
+    val byCell = out.groupBy("cell").agg(
+      countDistinct("rep_id").as("n_reps"),
+      sum(when(col("id") === col("rep_id") && col("keep"), 1L).otherwise(0L)).as("rep_kept"))
+    assert(byCell.filter(col("n_reps") =!= 1L || col("rep_kept") =!= 1L).count() == 0)
+    // rep is the min id of its cell
+    val badRep = out.groupBy("cell").agg(min("id").as("min_id"), first("rep_id").as("rep_id"))
+      .filter(col("min_id") =!= col("rep_id"))
+    assert(badRep.count() == 0)
+    out.unpersist()
+  }
+
+  test("DSIR weights: an on-target document outscores an off-target one") {
+    // target speaks 'alpha beta'; pool has one aligned + one disjoint doc
+    val target = Seq((100L, "alpha beta alpha beta"), (101L, "beta alpha beta")).toDF("doc_id", "text")
+    val source = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val (wdf, h) = Dsir.importanceWeightsReleasable(source, target, "doc_id", "text", buckets = 64)
+    try {
+      val w = wdf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(w(1L) > w(2L))
+      assert(w(1L) > 0.0)  // target-aligned: likelier under target than pool
+      assert(w(2L) < 0.0)  // target-disjoint: penalized
+    } finally h.release()
+  }
+
+  test("DSIR weights are finite for every pool document and deterministic across runs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(): Map[Long, Double] = {
+      val (wdf, h) = Dsir.importanceWeightsReleasable(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 1024)
+      try wdf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      finally h.release()
+    }
+    val a = run()
+    val b = run()
+    assert(a == b)
+    assert(a.size == docs.count())
+    assert(a.values.forall(v => !v.isNaN && !v.isInfinity))
+  }
+
+  test("gumbelTopK: deterministic, correctly ranked, and weight-sensitive") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (w, h) = Dsir.importanceWeightsReleasable(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 1024)
+    try {
+      val sel = Dsir.gumbelTopK(w, "id", "weight", k = 20, seed = 17L).collect()
+      assert(sel.length == 20)
+      // ranks are 1..20 in descending noisy-key order
+      val keys = sel.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("gumbel_key"))
+      assert(keys.zip(keys.tail).forall { case (x, y) => x >= y })
+      // same seed reproduces the exact selection; different seed shifts it
+      val again = Dsir.gumbelTopK(w, "id", "weight", k = 20, seed = 17L)
+        .select("id").as[Long].collect().toSet
+      val other = Dsir.gumbelTopK(w, "id", "weight", k = 20, seed = 18L)
+        .select("id").as[Long].collect().toSet
+      assert(again == sel.map(_.getAs[Long]("id")).toSet)
+      assert(other != again) // Gumbel noise actually depends on the seed
+    } finally h.release()
+  }
+
+  test("releasable variant tracks and releases its cache") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (w, handle) = Dsir.importanceWeightsReleasable(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text", buckets = 256)
+    assert(w.count() > 0)
+    handle.release() // must not throw; idempotent
+    handle.release()
+  }
+}

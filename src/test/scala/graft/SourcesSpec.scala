@@ -137,6 +137,9 @@ class SourcesSpec extends SparkSpec {
         |""".stripMargin)
     val schema = StructType(Seq(
       StructField("doi", StringType), StructField("year", IntegerType)))
+    // Delta-based: other suites share this session and may hold their
+    // own caches — assert only on the RDDs THIS loader adds/removes.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (good, bad, release) = JsonSource.loadWithQuarantine(spark, dir, schema)
     // the unparseable line AND the type-mismatched line are quarantined
     assert(bad.count() == 2)
@@ -144,9 +147,9 @@ class SourcesSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("10.1/a", 2020), ("10.1/b", 2021)))
     assert(good.schema.fieldNames.toSeq == Seq("doi", "year"))
     // DISK_ONLY persist while live; release() drops it
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
     release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
   test("ORC round-trip preserves rows and pushes filters") {

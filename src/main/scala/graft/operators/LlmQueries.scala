@@ -294,6 +294,15 @@ object LlmQueries {
           t.documents, t.documents.filter(col("lang") === "en"),
           idCol = "doc_id", textCol = "text", buckets = 1024),
         idCol = "id", weightCol = "weight", k = 500, seed = 17L)
+    },
+
+    // On-corpus Naive Bayes: fit a language model on the corpus's own
+    // labels, predict every doc — train+predict end-to-end in one plan.
+    "q_nb_lang" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      NaiveBayes.predict(docs,
+        NaiveBayes.fit(docs, labelCol = "lang", textCol = "text", buckets = 1024),
+        idCol = "doc_id", textCol = "text", buckets = 1024)
     }
   )
 
@@ -566,6 +575,38 @@ object LlmQueries {
         |      FROM w2)
         |SELECT id, weight, gumbel_key,
         |       CAST(row_number() OVER (ORDER BY gumbel_key DESC, id) AS BIGINT) AS rank
-        |FROM g ORDER BY gumbel_key DESC, id LIMIT 500""".stripMargin
+        |FROM g ORDER BY gumbel_key DESC, id LIMIT 500""".stripMargin,
+    // Full NB reproduction: same md5 bins, Laplace smoothing, priors,
+    // per-class unseen-bin mass, and the rounded-score argmax with
+    // smallest-label tiebreak.
+    "q_nb_lang" ->
+      """WITH binned AS (SELECT class, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+        |                FROM (SELECT lang AS class, unnest(string_split(lower(text), ' ')) AS w
+        |                      FROM documents) t),
+        |counts AS (SELECT class, b, count(*) AS n FROM binned GROUP BY class, b),
+        |ctot AS (SELECT class, sum(n) AS ct FROM counts GROUP BY class),
+        |pri AS (SELECT lang AS class, count(*) AS docs FROM documents GROUP BY lang),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |model AS (SELECT c.class, c.b,
+        |            ln((c.n + 1.0) / (ctot.ct + 1024.0)) AS loglik,
+        |            ln(pri.docs * 1.0 / nd.nd) AS logprior,
+        |            ln(1.0 / (ctot.ct + 1024.0)) AS logmiss
+        |          FROM counts c JOIN ctot USING (class) JOIN pri USING (class) CROSS JOIN nd),
+        |db AS (SELECT id, b, count(*) AS cnt FROM
+        |        (SELECT doc_id AS id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+        |         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t)
+        |       GROUP BY id, b),
+        |cls AS (SELECT DISTINCT class, logprior, logmiss FROM model),
+        |sc AS (SELECT db.id, cls.class, cls.logprior,
+        |         cls.logprior + sum(db.cnt * coalesce(m.loglik, cls.logmiss)) AS score
+        |       FROM db CROSS JOIN cls
+        |       LEFT JOIN (SELECT class, b, loglik FROM model) m
+        |         ON m.class = cls.class AND m.b = db.b
+        |       GROUP BY db.id, cls.class, cls.logprior)
+        |SELECT id, class AS predicted, round(score, 4) AS score FROM (
+        |  SELECT id, class, score,
+        |         row_number() OVER (PARTITION BY id ORDER BY round(score, 4) DESC, class) AS rn
+        |  FROM sc) ranked
+        |WHERE rn = 1""".stripMargin
   )
 }

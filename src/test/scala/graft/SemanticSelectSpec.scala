@@ -96,6 +96,38 @@ class SemanticSelectSpec extends SparkSpec {
     } finally h.release()
   }
 
+  test("NaiveBayes separates a toy two-class corpus and breaks ties deterministically") {
+    import graft.operators.NaiveBayes
+    val train = Seq(
+      ("sport", "goal match team goal win"),
+      ("sport", "team match score"),
+      ("food", "bread cheese oven bake"),
+      ("food", "cheese bread recipe")
+    ).toDF("label", "text")
+    val model = NaiveBayes.fit(train, "label", "text", buckets = 256)
+    val out = NaiveBayes.predict(
+      Seq((1L, "team goal score"), (2L, "bread oven cheese")).toDF("doc_id", "text"),
+      model, "doc_id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "sport", 2L -> "food"))
+  }
+
+  test("NaiveBayes learns a planted class signal at corpus volume") {
+    import graft.operators.NaiveBayes
+    // The synthetic documents' lang labels are independent of the text
+    // (NB correctly degenerates to the prior argmax there), so plant a
+    // weak marker: three class tokens against ~100 noise tokens/doc.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("text", concat(col("text"),
+        concat_ws("", array_repeat(concat(lit(" mk"), col("lang")), 6))))
+    val pred = NaiveBayes.predict(docs,
+      NaiveBayes.fit(docs, "lang", "text", buckets = 1024), "doc_id", "text", buckets = 1024)
+    val joined = pred.join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+    val acc = joined.filter(col("predicted") === col("lang")).count().toDouble /
+      joined.count().toDouble
+    assert(acc > 0.95, s"NB should recover the planted class marker; accuracy $acc")
+  }
+
   test("releasable variant tracks and releases its cache") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val (w, handle) = Dsir.importanceWeightsReleasable(

@@ -554,7 +554,7 @@ object LlmQueries {
         |            ln((coalesce(tn, 0) + 1.0) / (tt + 1024.0)) -
         |            ln((coalesce(sn, 0) + 1.0) / (st + 1024.0)) AS lr
         |          FROM sc FULL OUTER JOIN tc ON sc.b = tc.b CROSS JOIN tot)
-        |SELECT id, round(sum(lr), 4) AS weight
+        |SELECT id, round(sum(lr), 4) + 0.0 AS weight
         |FROM sb JOIN ratio USING (b) GROUP BY id""".stripMargin,
     "q_dsir_select" ->
       """WITH sb AS (SELECT doc_id AS id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
@@ -568,10 +568,10 @@ object LlmQueries {
         |            ln((coalesce(tn, 0) + 1.0) / (tt + 1024.0)) -
         |            ln((coalesce(sn, 0) + 1.0) / (st + 1024.0)) AS lr
         |          FROM sc FULL OUTER JOIN tc ON sc.b = tc.b CROSS JOIN tot),
-        |w2 AS (SELECT id, round(sum(lr), 4) AS weight FROM sb JOIN ratio USING (b) GROUP BY id),
+        |w2 AS (SELECT id, round(sum(lr), 4) + 0.0 AS weight FROM sb JOIN ratio USING (b) GROUP BY id),
         |g AS (SELECT id, weight,
         |        round(weight + -ln(-ln(((('0x' || substr(md5(CAST(id AS VARCHAR) || ':17'), 1, 8))::BIGINT) + 0.5)
-        |          / 4294967296.0)), 6) AS gumbel_key
+        |          / 4294967296.0)), 6) + 0.0 AS gumbel_key
         |      FROM w2)
         |SELECT id, weight, gumbel_key,
         |       CAST(row_number() OVER (ORDER BY gumbel_key DESC, id) AS BIGINT) AS rank

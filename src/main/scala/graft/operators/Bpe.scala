@@ -86,4 +86,82 @@ object Bpe {
     val toks = merges.foldLeft(base: Column) { case (acc, (a, b)) => applyMerge(acc, a, b) }
     words.select(col(wordCol), toks.as("tokens"))
   }
+
+  /** Symbol-boundary markers for [[symbolizedColumn]]'s string-encoded
+    * symbol sequence: control chars tokenizer input text never
+    * contains. Every symbol is stored as L+sym+R; BOTH markers matter
+    * — a single separator admits two bugs: a pair search "e SEP e"
+    * falsely matches the SUFFIX of a neighboring symbol (["the","e"]
+    * would merge into "thee"), and a search that consumes its trailing
+    * separator breaks adjacency for the next greedy match ([e,e,e,e]
+    * would yield [ee,e,e], not [ee,ee]). Wrapped symbols make
+    * "La R Lb R" match exactly complete adjacent symbols and leave the
+    * neighbors' markers intact.
+    */
+  val SymL = "\u0001"
+  val SymR = "\u0002"
+
+  /** Symbol sequence of `wordCol` as a marker-wrapped string, with the
+    * merge list applied greedily left-to-right in order. KEY IDENTITY:
+    * standard string replace (non-overlapping, left-to-right) of
+    * "La R Lb R" → "Lab R" over wrapped symbols IS greedy BPE
+    * application of merge (a, b) — exactly [[applyMerge]]'s semantics
+    * (the new token can never re-match within the same pass: ab==a or
+    * ab==b would need an empty side) — so the whole encoder is a
+    * codegen'd string-function chain (no interpreted array lambda, no
+    * UDF) that any engine with replace() reproduces bit-for-bit.
+    */
+  def symbolizedColumn(wordCol: Column, merges: Seq[(String, String)]): Column = {
+    val base = regexp_replace(wordCol, "(.)", SymL + "$1" + SymR)
+    merges.foldLeft(base) { case (acc, (a, b)) =>
+      replace(acc, lit(SymL + a + SymR + SymL + b + SymR), lit(SymL + a + b + SymR))
+    }
+  }
+
+  /** Token count of a [[symbolizedColumn]] string: one R marker per
+    * symbol; empty word → 0 tokens. split with limit -1 keeps the
+    * trailing empty field so the count is exact on every engine.
+    */
+  def symbolTokenCount(sym: Column): Column =
+    (size(split(sym, SymR, -1)) - 1).cast("long")
+
+  /** Corpus tokenization stats under a FIXED merge list (the runtime
+    * half of BPE: a tokenizer learned once is applied to every corpus
+    * snapshot forever after). Returns per-document (n_words,
+    * bpe_tokens, fertility = tokens/word).
+    *
+    * Scale shape — the tokenize-the-VOCAB trick: the replace-chain
+    * encoder runs over DISTINCT words only; documents then join their
+    * per-word counts to the vocab-sized (word, n_tokens) table and
+    * aggregate. 100 TB of text pays one word-count aggregation plus a
+    * vocab-scale encode, never a per-occurrence encode. The join
+    * shuffles (word, count) pairs — AQE broadcasts the encoded vocab
+    * when it fits.
+    */
+  def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val perDocWord = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("cnt"))
+    val encoded = perDocWord.select("w").distinct()
+      .select(col("w"),
+        symbolTokenCount(symbolizedColumn(col("w"), merges)).as("ntoks"))
+    perDocWord.join(encoded, "w")
+      .groupBy(idCol)
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("ntoks")).as("bpe_tokens"))
+      .select(col(idCol), col("n_words"), col("bpe_tokens"),
+        round(col("bpe_tokens").cast("double") / col("n_words"), 4).as("fertility"))
+  }
+
+  /** DuckDB expression computing the same symbolized string as
+    * [[symbolizedColumn]] over SQL expression `w` — for oracle
+    * formulations.
+    */
+  def symbolizedSqlDuck(w: String, merges: Seq[(String, String)]): String = {
+    val base = s"regexp_replace($w, '(.)', chr(1)||'\\1'||chr(2), 'g')"
+    merges.foldLeft(base) { case (acc, (a, b)) =>
+      s"replace($acc, chr(1)||'$a'||chr(2)||chr(1)||'$b'||chr(2), chr(1)||'${a + b}'||chr(2))"
+    }
+  }
 }

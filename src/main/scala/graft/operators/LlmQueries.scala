@@ -19,6 +19,16 @@ object LlmQueries {
   // Sampling.cumulativeThresholds), never from hand-summed literals.
   private val splitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  // Single source of truth for q_bpe_encode's merge list — the query
+  // and its oracle both derive the replace chain from it. A FIXED
+  // (pre-learned) list is the runtime-tokenizer scenario; learning
+  // itself is covered by q_bpe_learn + BpeSpec. Later merges
+  // deliberately consume earlier outputs ((t,h) then (th,e)) so the
+  // oracle proves ordered application, not just single merges.
+  private[operators] val fixedMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r")
+
   /** documents ∪ perturbed copies (planted near-duplicates, id+1000000)
     * so near-dup operators have known positives to find.
     */
@@ -224,6 +234,16 @@ object LlmQueries {
         .toDF("rank", "a", "b", "merged")
     },
 
+    // #42ah BPE ENCODE (runtime tokenizer application) with a fixed
+    // merge list, oracle-EXACT: greedy merge application == standard
+    // left-to-right string replace (see Bpe.symbolizedColumn), so
+    // DuckDB reproduces the whole encoder with replace() chains. The
+    // encoder runs over the DISTINCT vocab, never per occurrence —
+    // the shape that tokenizes 100 TB for the cost of a word count.
+    "q_bpe_encode" -> { (s, dir) =>
+      Bpe.encodeTokenCounts(Tables(s, dir).documents, "doc_id", "text", LlmQueries.fixedMerges)
+    },
+
     // #34 proved end-to-end: md5-basis SimHash signatures, oracle-EXACT.
     "q_simhash_md5" -> { (s, dir) =>
       TextDedup.simhashPortable(planted(Tables(s, dir)), "doc_id", "text")
@@ -374,6 +394,17 @@ object LlmQueries {
         |f AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM p GROUP BY pair)
         |SELECT pair, freq, CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rank
         |FROM f ORDER BY freq DESC, pair LIMIT 10""".stripMargin,
+    "q_bpe_encode" ->
+      s"""WITH c AS (SELECT doc_id, w, count(*) AS cnt FROM (
+         |         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+         |       GROUP BY doc_id, w),
+         |e AS (SELECT w, CAST(len(string_split(
+         |         ${Bpe.symbolizedSqlDuck("w", fixedMerges)}, chr(2))) - 1 AS BIGINT) AS ntoks
+         |      FROM (SELECT DISTINCT w FROM c) v)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         |       CAST(sum(cnt * ntoks) AS BIGINT) AS bpe_tokens,
+         |       round(CAST(sum(cnt * ntoks) AS DOUBLE) / sum(cnt), 4) AS fertility
+         |FROM c JOIN e USING (w) GROUP BY doc_id""".stripMargin,
     "q_simhash_md5" ->
       """WITH pl AS (SELECT doc_id, text FROM documents
         |            UNION ALL

@@ -32,6 +32,49 @@ class BpeSpec extends SparkSpec {
     assert(enc.forall { case (w, ts) => ts.mkString == w })
   }
 
+  test("replace-chain encoder (symbolizedColumn) == array-fold encode on adversarial words") {
+    // overlapping merges, chained merges consuming earlier outputs,
+    // repeats, and words untouched by any merge
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "a", "e" -> "e")
+    val words = Seq("the", "thethe", "ththe", "aaaa", "aaaaa", "eee", "theee", "x", "").toDF("w")
+    val viaFold = Bpe.encode(words, "w", merges)
+      .select(col("w"), col("tokens"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // decode wrapped symbols: split on R markers, drop the trailing
+    // empty field, strip each token's leading L marker
+    val parts = split(Bpe.symbolizedColumn(col("w"), merges), Bpe.SymR, -1)
+    val viaChain = words
+      .select(col("w"),
+        transform(slice(parts, lit(1), size(parts) - 1),
+          t => t.substr(lit(2), length(t))).as("tokens"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // empty word excluded from the fold comparison: encode()'s
+    // sequence(1, length(w)) DESCENDS for length 0 (sequence(1,0) =
+    // [1,0]) and emits two empty symbols — the chain's [] is the sane
+    // answer, pinned below
+    words.collect().map(_.getString(0)).filter(_.nonEmpty).foreach { w =>
+      assert(viaChain(w) == viaFold(w), s"word '$w'")
+      assert(viaChain(w).mkString == w, s"reconstruction of '$w'")
+    }
+    assert(viaChain("") == Nil)
+    assert(viaChain("aaaa") == List("aa", "aa") && viaChain("aaaaa") == List("aa", "aa", "a"))
+    assert(viaChain("thethe") == List("the", "the"))
+  }
+
+  test("encodeTokenCounts: vocab-first counts match per-occurrence encoding") {
+    val docs = Seq((1L, "the cat the cat mat"), (2L, "in the rain"), (3L, "xyz")).toDF("doc_id", "text")
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "t", "i" -> "n")
+    val out = Bpe.encodeTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: the->1, cat->2 (c,at), mat->2 (m,at); words: the,cat,the,cat,mat = 5 words, 1+2+1+2+2=8 toks
+    assert(out(1L) == ((5L, 8L, 1.6)))
+    // doc 2: in->1, the->1, rain->3 (r,a,in... wait a+t no; r,ain? i+n merges: r-a-in = 3)
+    assert(out(2L) == ((3L, 5L, round4(5.0 / 3))))
+    assert(out(3L) == ((1L, 3L, 3.0)))
+  }
+
+  private def round4(d: Double): Double = math.rint(d * 10000) / 10000
+
   test("frequency-weighted argmax with deterministic tiebreak on the classic corpus") {
     // Sennrich-style toy: low x5, lower x2, newest x6, widest x3
     val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)).toDF("w", "wc")

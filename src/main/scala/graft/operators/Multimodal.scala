@@ -13,10 +13,12 @@ import org.apache.spark.sql.types._
   * encode→decode round-trip oracle on q_image_decode). AUDIO decode is
   * REAL too: javax.sound.sampled ships a WAV/PCM codec with the JDK,
   * so [[decodeAudio]] reads true sample data (proven the same way by
-  * q_audio_decode). Video remains the one stub — a bare JVM carries no
-  * video codec — with `decodeStub` deriving deterministic fake
-  * features from raw bytes; a real deployment replaces only that inner
-  * function, the distributed plumbing is identical.
+  * q_audio_decode). VIDEO decode is REAL for RIFF/AVI containers with
+  * uncompressed 24-bit DIB frames ([[decodeVideo]] — a hand-written
+  * parser of the standard format, proven by q_video_decode's
+  * round-trip oracle); compressed codecs (H.264 etc.) stay out of
+  * scope on a bare JVM — for those a deployment swaps only the inner
+  * per-frame decode, the distributed plumbing is identical.
   */
 object Multimodal {
 
@@ -375,6 +377,183 @@ object Multimodal {
           lit(targetW).as("width"), lit(targetH).as("height"),
           col("meta.format").as("format")).as("meta"),
         col("content").substr(lit(1), outLen).as("content"))
+  }
+
+  /** REAL video decode for RIFF/AVI containers with uncompressed
+    * 24-bit DIB frames (BI_RGB '00db'/'00dc' chunks) — the one video
+    * format a bare JVM can decode without a codec library, and the
+    * lossless one, so a synth→decode round-trip oracle is pure
+    * arithmetic (same proof pattern as q_image_decode/q_audio_decode).
+    * Emits (media_id, decode_ok, width, height, n_frames, n_sampled,
+    * pixel_sum) where pixel_sum = Σ blue-channel value over every
+    * `stride`-th frame (frame sampling fused into the decode — a
+    * training pipeline never materializes all frames). DIB rows are
+    * stored BOTTOM-UP and padded to 4-byte boundaries; the parser
+    * honors both. Poisoned-blob contract as [[decodeImages]]: any
+    * malformed header, truncated chunk, frame-size mismatch, or
+    * compressed/paletted content → decode_ok=false, never an
+    * exception; dimension and frame-count bounds cap allocation from
+    * hostile headers. Partition-local map, no shuffle.
+    */
+  def decodeVideo(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("n_sampled", IntegerType, nullable = true),
+      StructField("pixel_sum", LongType, nullable = true)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Long]("media_id")
+        val bytes = r.getAs[Array[Byte]]("content")
+        val decoded: Option[Row] =
+          if (bytes == null) None
+          else
+            try {
+              def u32(off: Int): Long =
+                ((bytes(off) & 0xffL)) | ((bytes(off + 1) & 0xffL) << 8) |
+                  ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+              def fourcc(off: Int): String =
+                new String(bytes, off, 4, "US-ASCII")
+              if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") None
+              else {
+                // One sequential walk over chunk headers: LIST chunks
+                // are stepped INTO (their payload is more chunks, so
+                // every position visited is a chunk header), leaf
+                // chunks are consumed or skipped whole. RIFF sizes
+                // exclude the 8-byte header; chunks pad to even.
+                var w = 0; var h = 0; var bitCount = 0; var compression = -1L
+                var haveFmt = false
+                var nFrames = 0; var nSampled = 0; var sum = 0L
+                var bad = false
+                var pos = 12
+                while (!bad && pos + 8 <= bytes.length) {
+                  val cc = fourcc(pos)
+                  val sz = u32(pos + 4)
+                  if (sz > bytes.length.toLong || pos + 8 + sz > bytes.length) bad = true
+                  else if (cc == "LIST") { pos += 12 }
+                  else {
+                    if (cc == "strf" && sz >= 40) {
+                      w = u32(pos + 8 + 4).toInt
+                      h = u32(pos + 8 + 8).toInt
+                      bitCount = ((bytes(pos + 8 + 14) & 0xff) | ((bytes(pos + 8 + 15) & 0xff) << 8))
+                      compression = u32(pos + 8 + 16)
+                      haveFmt = true
+                      if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024) bad = true
+                    } else if (cc == "00db" || cc == "00dc") {
+                      if (!haveFmt || compression != 0L || bitCount != 24) bad = true
+                      else {
+                        val rowBytes = ((w * 3 + 3) / 4) * 4
+                        if (sz != rowBytes.toLong * h || nFrames >= 1000000) bad = true
+                        else {
+                          if (nFrames % stride == 0) {
+                            nSampled += 1
+                            // bottom-up rows: stored row 0 is image row h-1 —
+                            // irrelevant for a sum, but walk honestly anyway
+                            var sy = 0
+                            while (sy < h) {
+                              val rowOff = pos + 8 + sy * rowBytes
+                              var x = 0
+                              while (x < w) { sum += bytes(rowOff + 3 * x) & 0xff; x += 1 }
+                              sy += 1
+                            }
+                          }
+                          nFrames += 1
+                        }
+                      }
+                    }
+                    pos += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+                  }
+                }
+                if (bad || !haveFmt || nFrames == 0) None
+                else Some(Row(id, true, w, h, nFrames, nSampled, sum))
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+        decoded.getOrElse(Row(id, false, null, null, null, null, null))
+      }
+    }(enc)
+  }
+
+  /** Synthetic uncompressed-DIB AVI per row — the encode half of the
+    * video decode round-trip proof. Frame f, pixel (x, y) carries
+    * v = (id·31 + f·17 + x·7 + y·13) mod 256 in all three channels
+    * (gray, so channel order is moot); rows are written bottom-up with
+    * 4-byte padding per the DIB spec. The container carries the full
+    * standard header chain (avih + strh('vids'/'DIB ') + strf
+    * BITMAPINFOHEADER) so any AVI-aware reader accepts it. `df` needs
+    * (idCol: long, wCol: int, hCol: int, nCol: int = frame count).
+    */
+  def synthDibAvi(df: DataFrame, idCol: String, wCol: String, hCol: String, nCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(wCol).cast("int").as("w"), col(hCol).cast("int").as("h"),
+        col(nCol).cast("int").as("n"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2); val n = r.getInt(3)
+          val rowBytes = ((w * 3 + 3) / 4) * 4
+          val frameSz = rowBytes * h
+          val hdrlSz = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40)) // 'hdrl' + avih + LIST strl
+          val moviSz = 4 + n * (8 + frameSz)
+          val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+          val buf = new Array[Byte](8 + riffSz)
+          var p = 0
+          def putCc(s: String): Unit = { s.getBytes("US-ASCII").copyToArray(buf, p); p += 4 }
+          def put32(v: Int): Unit = {
+            buf(p) = (v & 0xff).toByte; buf(p + 1) = ((v >> 8) & 0xff).toByte
+            buf(p + 2) = ((v >> 16) & 0xff).toByte; buf(p + 3) = ((v >> 24) & 0xff).toByte
+            p += 4
+          }
+          def put16(v: Int): Unit = {
+            buf(p) = (v & 0xff).toByte; buf(p + 1) = ((v >> 8) & 0xff).toByte; p += 2
+          }
+          putCc("RIFF"); put32(riffSz); putCc("AVI ")
+          putCc("LIST"); put32(hdrlSz); putCc("hdrl")
+          putCc("avih"); put32(56)
+          put32(100000); put32(frameSz * 10); put32(0); put32(0) // usec/frame, bytes/sec, pad, flags
+          put32(n); put32(0); put32(1); put32(frameSz) // frames, initial, streams, sugBuf
+          put32(w); put32(h); put32(0); put32(0); put32(0); put32(0) // dims + reserved
+          putCc("LIST"); put32(4 + (8 + 56) + (8 + 40)); putCc("strl")
+          putCc("strh"); put32(56)
+          putCc("vids"); putCc("DIB ")
+          put32(0); put32(0); put32(0) // flags, prio+lang, initialFrames
+          put32(1); put32(10) // scale, rate = 10 fps
+          put32(0); put32(n); put32(frameSz); put32(0); put32(0) // start, length, sugBuf, quality, sampleSize
+          put16(0); put16(0); put16(w); put16(h) // rcFrame
+          putCc("strf"); put32(40)
+          put32(40); put32(w); put32(h); put16(1); put16(24) // biSize, w, h, planes, bits
+          put32(0); put32(frameSz); put32(0); put32(0); put32(0); put32(0) // BI_RGB, sizeImage, ppm, clr
+          putCc("LIST"); put32(moviSz); putCc("movi")
+          var f = 0
+          while (f < n) {
+            putCc("00db"); put32(frameSz)
+            var sy = 0
+            while (sy < h) { // stored bottom-up: stored row sy = image row h-1-sy
+              val y = h - 1 - sy
+              var x = 0
+              while (x < w) {
+                val v = ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toByte
+                buf(p + 3 * x) = v; buf(p + 3 * x + 1) = v; buf(p + 3 * x + 2) = v
+                x += 1
+              }
+              p += rowBytes
+              sy += 1
+            }
+            f += 1
+          }
+          Row(id, "video", buf)
+        }
+      }(enc)
   }
 
   /** Frame sampling stub for video-kind rows: every `stride`-th byte

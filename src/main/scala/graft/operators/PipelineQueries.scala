@@ -106,6 +106,21 @@ object PipelineQueries {
         .select("media_id", "decode_ok", "channels", "sample_rate", "n_samples", "sample_sum")
     },
 
+    // #42am REAL video decode (RIFF/AVI with uncompressed 24-bit DIB
+    // frames — the lossless, codec-free video format): synthesize an
+    // AVI per doc, decode it back with frame sampling fused in
+    // (stride 2), and let the oracle recompute the sampled-frame
+    // pixel checksum as pure arithmetic.
+    "q_video_decode" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(
+        col("doc_id"),
+        (col("doc_id") % 9 + 4).cast("int").as("w"),
+        (col("doc_id") % 7 + 4).cast("int").as("h"),
+        (col("doc_id") % 5 + 2).cast("int").as("n"))
+      Multimodal.decodeVideo(Multimodal.synthDibAvi(d, "doc_id", "w", "h", "n"), stride = 2)
+        .select("media_id", "decode_ok", "width", "height", "n_frames", "n_sampled", "pixel_sum")
+    },
+
     // #13c boolean-formatted download projection (reference
     // publish/publication.py:398-421): booleans become literal
     // 'true'/'false' strings and NULL stays NULL (empty CSV cell, NOT
@@ -220,6 +235,23 @@ object PipelineQueries {
         |FROM d, range(0, 70) i(k)
         |WHERE i.k < d.n
         |GROUP BY d.doc_id, d.n""".stripMargin,
+    // Recomputes the AVI round-trip's sampled-frame pixel checksum as
+    // arithmetic: v(f,x,y) = (id*31 + f*17 + x*7 + y*13) mod 256,
+    // summed over even frames only (stride 2). Uncompressed DIB is
+    // lossless, so the decoded sum must equal this exactly.
+    "q_video_decode" ->
+      """WITH d AS (SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 7 + 4 AS h,
+        |                  doc_id % 5 + 2 AS n FROM documents)
+        |SELECT d.doc_id AS media_id, TRUE AS decode_ok,
+        |  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+        |  CAST(d.n AS INTEGER) AS n_frames,
+        |  CAST((d.n + 1) // 2 AS INTEGER) AS n_sampled,
+        |  CAST(sum(CASE WHEN f.k % 2 = 0
+        |           THEN (d.doc_id * 31 + f.k * 17 + x.k * 7 + y.k * 13) % 256
+        |           ELSE 0 END) AS BIGINT) AS pixel_sum
+        |FROM d, range(0, 6) f(k), range(0, 12) x(k), range(0, 10) y(k)
+        |WHERE f.k < d.n AND x.k < d.w AND y.k < d.h
+        |GROUP BY d.doc_id, d.w, d.h, d.n""".stripMargin,
     "q_multimodal_resize" ->
       """SELECT doc_id AS media_id, 64 AS width, 64 AS height,
         |  CAST(ceil(strlen(text) * least(1.0, 4096.0 / ((100 + doc_id % 50) * 80.0))) AS BIGINT) AS n_bytes_out

@@ -116,6 +116,43 @@ class SourcesSpec extends SparkSpec {
     assert(badOut.forall(r => !r.getBoolean(1) && r.isNullAt(5)))
   }
 
+  test("synthDibAvi → decodeVideo round-trips dims, frame counts, and the sampled-frame pixel sum") {
+    val d = Seq((7L, 5, 4, 3), (8L, 9, 6, 4), (9L, 4, 4, 1)).toDF("doc_id", "w", "h", "n")
+    val out = Multimodal.decodeVideo(Multimodal.synthDibAvi(d, "doc_id", "w", "h", "n"), stride = 2)
+      .orderBy("media_id").collect()
+    def expect(id: Long, w: Int, h: Int, n: Int): Long =
+      (for (f <- 0 until n if f % 2 == 0; x <- 0 until w; y <- 0 until h)
+        yield (id * 31 + f * 17 + x * 7 + y * 13) % 256).sum
+    // (7): frames 0,2 sampled of 3; (8): 0,2 of 4; (9): 0 of 1
+    assert(out(0).getBoolean(1) && out(0).getInt(2) == 5 && out(0).getInt(3) == 4)
+    assert(out(0).getInt(4) == 3 && out(0).getInt(5) == 2)
+    assert(out(0).getLong(6) == expect(7L, 5, 4, 3))
+    assert(out(1).getInt(4) == 4 && out(1).getInt(5) == 2)
+    assert(out(1).getLong(6) == expect(8L, 9, 6, 4))
+    assert(out(2).getInt(4) == 1 && out(2).getInt(5) == 1)
+    assert(out(2).getLong(6) == expect(9L, 4, 4, 1))
+  }
+
+  test("decodeVideo: poisoned blobs degrade to decode_ok=false, never throw") {
+    val good = Multimodal.synthDibAvi(Seq((1L, 4, 4, 2)).toDF("doc_id", "w", "h", "n"),
+      "doc_id", "w", "h", "n").collect()(0).getAs[Array[Byte]]("content")
+    val bad = Seq(
+      (1L, "not an avi".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, good.take(40)), // truncated mid-header
+      (4L, good.take(good.length - 5)), // truncated mid-frame
+      (5L, { val b = good.clone(); b(9) = 'X'.toByte; b }), // wrong RIFF type
+      (6L, { // frame-size/format mismatch: claim 8-bit in strf
+        val b = good.clone()
+        // strf biBitCount lives right after 'strf' size + 14 bytes
+        val i = b.indexOfSlice("strf".getBytes("US-ASCII"))
+        b(i + 8 + 14) = 8.toByte; b
+      })
+    ).toDF("media_id", "content")
+    val out = Multimodal.decodeVideo(bad, stride = 2).orderBy("media_id").collect()
+    assert(out.forall(r => !r.getBoolean(1) && r.isNullAt(6)))
+  }
+
   test("audioFeatures matches a scalar reference on the synthetic wave") {
     val d = Seq((5L, 40)).toDF("doc_id", "n")
     val out = Multimodal.audioFeatures(Multimodal.synthPcmWav(d, "doc_id", "n")).collect()(0)

@@ -151,6 +151,14 @@ object CurationQueries {
       TextDedup.duplicateWindowStats(Tables(s, dir).documents, "doc_id", "text", window = 8)
     },
 
+    // Duplicated-substring REMOVAL (Lee et al. 2022): tokens covered
+    // by any cross-doc-duplicated 8-token window are cut and the
+    // survivors rejoined — the full dedup, not just the stats.
+    // Reconstruction shuffles only AFFECTED documents' tokens.
+    "q_substring_remove" -> { (s, dir) =>
+      TextDedup.removeDuplicateWindows(Tables(s, dir).documents, "doc_id", "text", window = 8)
+    },
+
     // BM25 lexical retrieval: top-20 docs for a 3-term query; rounded
     // scores rank deterministically across engines.
     "q_bm25" -> { (s, dir) =>
@@ -349,6 +357,32 @@ object CurationQueries {
         |SELECT n.doc_id, n.n_windows, COALESCE(d.dup_windows, 0) AS dup_windows,
         |       round(COALESCE(d.dup_windows, 0) * 1.0 / n.n_windows, 4) AS dup_frac
         |FROM n LEFT JOIN d USING (doc_id)""".stripMargin,
+    // Same window equivalence as q_substring_dup (gram strings are
+    // injective for space-split tokens); positions covered by a
+    // duplicated window are cut, survivors string_agg'd in order, and
+    // a doc whose every token was cut rebuilds to '' (not NULL).
+    "q_substring_remove" ->
+      """WITH e AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(n - 7, 0) + 1),
+        |        s -> {'s': s, 'gram': array_to_string(list_slice(ws, s, s + 7), ' ')})) AS u
+        |      FROM e WHERE n >= 8),
+        |g2 AS (SELECT doc_id, u.s AS s, u.gram AS gram FROM g),
+        |x AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS c
+        |                        FROM g2 GROUP BY gram) t WHERE c > 1),
+        |dp AS (SELECT DISTINCT g2.doc_id, g2.s + o.k AS pos
+        |       FROM g2 JOIN x USING (gram), range(0, 8) o(k)),
+        |aff AS (SELECT DISTINCT doc_id FROM dp),
+        |tk AS (SELECT e.doc_id, unnest(range(1, e.n + 1)) AS pos FROM e JOIN aff USING (doc_id)),
+        |kept AS (SELECT tk.doc_id, tk.pos FROM tk ANTI JOIN dp USING (doc_id, pos)),
+        |rb AS (SELECT k.doc_id, string_agg(e.ws[k.pos], ' ' ORDER BY k.pos) AS rebuilt
+        |       FROM kept k JOIN e USING (doc_id) GROUP BY k.doc_id),
+        |rc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM dp GROUP BY doc_id)
+        |SELECT e.doc_id, CAST(e.n AS BIGINT) AS n_tokens,
+        |       COALESCE(rc.n_removed, 0) AS n_removed,
+        |       CASE WHEN rc.n_removed > 0 THEN COALESCE(rb.rebuilt, '')
+        |            ELSE e.text END AS clean_text
+        |FROM e LEFT JOIN rc USING (doc_id) LEFT JOIN rb USING (doc_id)""".stripMargin,
     "q_bm25" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |st AS (SELECT count(*) AS n, avg(len(ws)) AS avglen FROM w),

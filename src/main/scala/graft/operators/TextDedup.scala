@@ -115,6 +115,74 @@ object TextDedup {
         round(coalesce(col("dup_windows"), lit(0L)).cast("double") / col("n_windows"), 4).as("dup_frac"))
   }
 
+  /** Exact duplicated-substring REMOVAL (Lee et al. 2022,
+    * arXiv:2107.06499 §4 — "deduplicate-text-datasets"): every token
+    * covered by some `window`-token span that occurs in more than one
+    * document is cut, and the surviving tokens are rejoined in order.
+    * Returns (id, n_tokens, n_removed, clean_text) for every input
+    * row — untouched docs (too short, or no duplicated window) pass
+    * through with their original text.
+    */
+  def removeDuplicateWindows(df: DataFrame, idCol: String, textCol: String, window: Int): DataFrame =
+    removeDuplicateWindowsReleasable(df, idCol, textCol, window)._1
+
+  /** removeDuplicateWindows with a [[CacheHandle]] for the persisted
+    * gram table (see CacheHandle's doc for the contract; `storage` as
+    * in bm25TopKReleasable — the cache is ~24 B per corpus token, at
+    * 100 TB pass DISK_ONLY).
+    *
+    * Scale shape: windows travel as (id, start, xxhash64) longs — text
+    * never enters a shuffle until reconstruction, and reconstruction
+    * touches ONLY affected documents (a semi join gates the token
+    * explode), so a corpus with 1% contamination shuffles 1% of its
+    * tokens. The gram table feeds both the cross-doc count and the
+    * position join — two differently-partitioned consumers — hence the
+    * persist instead of a double corpus explode.
+    */
+  def removeDuplicateWindowsReleasable(
+      df: DataFrame, idCol: String, textCol: String, window: Int,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): (DataFrame, CacheHandle) = {
+    val handle = CacheHandle()
+    val toks = split(col(textCol), " ")
+    val starts = sequence(lit(1), greatest(size(toks) - (window - 1), lit(0)), lit(1))
+    val grams = handle.track(df
+      .filter(size(toks) >= window)
+      .select(col(idCol), toks.as("__toks"), explode(starts).as("s"))
+      .select(col(idCol), col("s"),
+        xxhash64(slice(col("__toks"), col("s"), lit(window))).as("gram"))
+      .persist(storage))
+    val dupGrams = grams.groupBy("gram")
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("gram")
+    // positions covered by any cross-doc-duplicated window, 1-based
+    val dupPos = grams.join(dupGrams, "gram")
+      .select(col(idCol), explode(sequence(col("s"), col("s") + (window - 1))).as("pos"))
+      .distinct()
+    val affected = dupPos.select(idCol).distinct()
+    val tokens = df
+      .join(affected, Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(toks).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("tok"))
+    val rebuilt = tokens.join(dupPos, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))), x => x("tok")),
+        " ").as("__rebuilt"))
+    val removedCnt = dupPos.groupBy(idCol).agg(count(lit(1)).as("__rm"))
+    val out = df.select(col(idCol), size(toks).cast("long").as("n_tokens"), col(textCol).as("__orig"))
+      .join(removedCnt, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__rm"), lit(0L)).as("n_removed"),
+        // a fully-removed doc has no surviving tokens and therefore no
+        // rebuilt row: empty text, not the original
+        when(col("__rm") > 0, coalesce(col("__rebuilt"), lit("")))
+          .otherwise(col("__orig")).as("clean_text"))
+    (out, handle)
+  }
+
   /** MinHash signature: `h` permutations approximated by seeded
     * xxhash64. Uses the native codegen expression (graft.plans
     * .MinHashSig) — the composed HOF form below is semantically

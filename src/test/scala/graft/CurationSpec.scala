@@ -119,6 +119,29 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(4L))        // under window size -> no rows
   }
 
+  test("removeDuplicateWindows cuts covered tokens, passes untouched docs through") {
+    import graft.operators.TextDedup
+    val shared = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"$shared unique1 tail1"),
+      (2L, s"prefix2 $shared"),
+      (3L, "totally different words with no overlap at all here"),
+      (4L, "short doc"),
+      (5L, shared)).toDF("doc_id", "text")
+    val out = TextDedup.removeDuplicateWindows(corpus, "doc_id", "text", window = 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: positions 1-8 covered -> "unique1 tail1" survives
+    assert(out(1L) == ((10L, 8L, "unique1 tail1")))
+    // doc 2: positions 2-9 covered -> "prefix2" survives
+    assert(out(2L) == ((9L, 8L, "prefix2")))
+    // doc 3: no duplicated window -> original text, zero removed
+    assert(out(3L) == ((9L, 0L, "totally different words with no overlap at all here")))
+    // doc 4: under window size -> untouched
+    assert(out(4L) == ((2L, 0L, "short doc")))
+    // doc 5: fully covered -> empty text, not the original and not null
+    assert(out(5L) == ((8L, 8L, "")))
+  }
+
   test("CompressionRatio orders repetitive below diverse text; handles edges") {
     import graft.plans.CompressionRatio
     val rep = ("spam " * 200).trim

@@ -89,6 +89,86 @@ object Curation {
   def cleanUnicode(text: Column): Column =
     NfcNormalize(regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
 
+  /** HTML entity decode table. `&amp;` is deliberately LAST in the
+    * chain: decoding it first would turn the literal text "&amp;lt;"
+    * into "&lt;" and then a second entry would double-decode it to
+    * "<" — with &amp; last, "&amp;lt;" decodes exactly once to "&lt;",
+    * matching single-pass entity semantics.
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&copy;" -> "©", "&amp;" -> "&")
+
+  /** Main-text extraction from HTML (the trafilatura/jusText step of a
+    * web-corpus pipeline, as pure column algebra): drop script/style
+    * payloads and comments whole, strip remaining tags to spaces,
+    * decode common entities, collapse whitespace. All patterns are
+    * RE2-compatible (inline (?is) flags + non-greedy, no lookaround)
+    * so the same strings drive the DuckDB oracle; the whole chain is
+    * one codegen pass — de-boilerplating 100 TB of HTML is one scan.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (e, v)) =>
+      replace(c, lit(e), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** UTF-8-read-as-Latin-1 mojibake repair table (the ftfy fix for the
+    * most common double-encoding corruption). Entries are mutually
+    * non-overlapping — lead bytes Ã/â/Â are distinct and second chars
+    * disambiguate — so chain order is irrelevant and match counts on
+    * the ORIGINAL string equal the fixes applied. Excluded: sequences
+    * whose mojibake form contains C1 control chars (e.g. the right
+    * double quote's 0x9D), which survive no text pipeline anyway.
+    */
+  val MojibakeTable: Seq[(String, String)] = Seq(
+    "\u00c3\u00a1" -> "\u00e1", "\u00c3\u00a9" -> "\u00e9", // U+00E1 U+00E9
+    "\u00c3\u00ad" -> "\u00ed", "\u00c3\u00b3" -> "\u00f3", // U+00ED U+00F3
+    "\u00c3\u00ba" -> "\u00fa", "\u00c3\u00b1" -> "\u00f1", // U+00FA U+00F1
+    "\u00c3\u00a4" -> "\u00e4", "\u00c3\u00b6" -> "\u00f6", // U+00E4 U+00F6
+    "\u00c3\u00bc" -> "\u00fc", "\u00c3\u00a8" -> "\u00e8", // U+00FC U+00E8
+    "\u00c3\u00a7" -> "\u00e7", "\u00e2\u20ac\u2122" -> "\u2019", // U+00E7 U+2019
+    "\u00e2\u20ac\u02dc" -> "\u2018", "\u00e2\u20ac\u0153" -> "\u201c", // U+2018 U+201C
+    "\u00e2\u20ac\u201c" -> "\u2013", "\u00e2\u20ac\u201d" -> "\u2014", // U+2013 U+2014
+    "\u00e2\u20ac\u00a6" -> "\u2026", "\u00c2\u00b0" -> "\u00b0", // U+2026 U+00B0
+    "\u00c2\u00b7" -> "\u00b7") // U+00B7
+
+  /** Repaired text: every table entry replaced. One codegen pass. */
+  def fixMojibake(text: Column): Column =
+    MojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
+  /** Number of mojibake sequences present, by length arithmetic
+    * ((len - len(without)) / len(pattern)) — counts on the original
+    * string, which equals fixes applied because entries never overlap.
+    * Pure integer math any engine reproduces.
+    */
+  def countMojibake(text: Column): Column =
+    MojibakeTable.map { case (bad, _) =>
+      ((length(text) - length(replace(text, lit(bad), lit("")))) / bad.length).cast("long")
+    }.reduce(_ + _)
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB replace-chain over SQL expression `e` for a literal
+    * (search, replacement) table — oracle twin of a foldLeft of
+    * replace() Columns.
+    */
+  def replaceChainSqlDuck(e: String, table: Seq[(String, String)]): String =
+    table.foldLeft(e) { case (acc, (a, b)) => s"replace($acc, ${sqlLit(a)}, ${sqlLit(b)})" }
+
+  /** DuckDB twin of [[countMojibake]] over SQL expression `e`. */
+  def mojibakeCountSqlDuck(e: String): String =
+    "CAST(" + MojibakeTable.map { case (bad, _) =>
+      s"(length($e) - length(replace($e, ${sqlLit(bad)}, ''))) // ${bad.length}"
+    }.mkString(" + ") + " AS BIGINT)"
+
   /** Sliding-window chunks over a token array: windows of `size`
     * tokens every `stride`, the final window truncated. Returns an
     * array of (chunk_id, chunk_text, chunk_tokens) structs; explode to

@@ -36,6 +36,14 @@ object CurationQueries {
   private def accentedText =
     concat(col("text"), lit(" café naïveend"))
 
+  /** Mojibake corruption constants shared by q_mojibake_fix and its
+    * oracle: 'a' -> cp1252-mojibake \u00e1, plus a suffix exercising
+    * the 3-char punctuation entries (left quote, ellipsis, apostrophe,
+    * en-dash, degree, em-dash).
+    */
+  private[operators] val MojiA = "\u00c3\u00a1"
+  private[operators] val MojiSuffix = " \u00e2\u20ac\u0153moji\u00e2\u20ac\u00a6 test\u00e2\u20ac\u2122s \u00e2\u20ac\u201c 25\u00c2\u00b0\u00e2\u20ac\u201d end"
+
   val queries: Map[String, Q] = Map(
     // PII scrub: typed placeholders + per-class counts, one codegen pass.
     "q_pii_redact" -> { (s, dir) =>
@@ -70,6 +78,35 @@ object CurationQueries {
         clean.as("clean"),
         length(clean).cast("long").as("n_clean_chars"),
         (length(accentedText) - length(clean)).cast("long").as("n_removed"))
+    },
+
+    // Main-text extraction from HTML: each doc wrapped in a realistic
+    // page (title, style/script payloads, comment, nav, entities) and
+    // de-boilerplated back to prose in one codegen pass.
+    "q_html_extract" -> { (s, dir) =>
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style><script>var x=1 && y<2;</script>" +
+          "</head><body><!-- nav --><div class=\"nav\">Home | About</div><p>"),
+        col("text"),
+        lit("</p><br><footer>&copy; 2026 Example &amp; Co &#39;q&#39;</footer></body></html>"))
+      val clean = Curation.extractHtmlText(html)
+      Tables(s, dir).documents.select(
+        col("doc_id"), clean.as("clean_text"), length(clean).cast("long").as("n_chars"))
+    },
+
+    // Mojibake repair (ftfy's cp1252 double-encoding fix): corruption
+    // injected deterministically (a -> mojibake-á plus a suffix
+    // exercising the multi-byte punctuation entries), then repaired;
+    // n_fixed counts by portable length arithmetic.
+    "q_mojibake_fix" -> { (s, dir) =>
+      val corrupted = concat(
+        replace(col("text"), lit("a"), lit(CurationQueries.MojiA)),
+        lit(CurationQueries.MojiSuffix))
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        Curation.countMojibake(corrupted).as("n_fixed"),
+        Curation.fixMojibake(corrupted).as("clean_text"))
     },
 
     // Sliding-window chunking: 32-token windows every 24 tokens.
@@ -288,6 +325,36 @@ object CurationQueries {
          |      FROM d)
          |SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_clean_chars,
          |       CAST(n_dirty - length(clean) AS BIGINT) AS n_removed
+         |FROM c""".stripMargin,
+    // Same page construction || same strip/decode chain; entity table
+    // and mojibake table are shared Scala constants, so the SQL is
+    // generated from the exact strings the Column chain uses.
+    "q_html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || doc_id ||
+         |  '</title><style>p{color:red}</style><script>var x=1 && y<2;</script>' ||
+         |  '</head><body><!-- nav --><div class="nav">Home | About</div><p>' ||
+         |  text ||
+         |  '</p><br><footer>&copy; 2026 Example &amp; Co &#39;q&#39;</footer></body></html>' AS html
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |    '(?s)<!--.*?-->', ' ', 'g'),
+         |    '<[^>]+>', ' ', 'g') AS t FROM h),
+         |c AS (SELECT doc_id,
+         |  trim(regexp_replace(${Curation.replaceChainSqlDuck("t", Curation.HtmlEntities)},
+         |       '\\s+', ' ', 'g')) AS clean_text FROM s)
+         |SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars
+         |FROM c""".stripMargin,
+    "q_mojibake_fix" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  replace(text, 'a', ${"'" + MojiA + "'"}) || ${"'" + MojiSuffix + "'"} AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${Curation.mojibakeCountSqlDuck("t")} AS n_fixed,
+         |  ${Curation.replaceChainSqlDuck("t", Curation.MojibakeTable)} AS clean_text
          |FROM c""".stripMargin,
     "q_chunk_sliding" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -106,7 +106,7 @@ object PipelineQueries {
         .select("media_id", "decode_ok", "channels", "sample_rate", "n_samples", "sample_sum")
     },
 
-    // #42am REAL video decode (RIFF/AVI with uncompressed 24-bit DIB
+    // #42 REAL video decode (RIFF/AVI with uncompressed 24-bit DIB
     // frames — the lossless, codec-free video format): synthesize an
     // AVI per doc, decode it back with frame sampling fused in
     // (stride 2), and let the oracle recompute the sampled-frame

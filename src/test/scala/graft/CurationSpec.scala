@@ -119,6 +119,35 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(4L))        // under window size -> no rows
   }
 
+  test("extractHtmlText strips script/style/comments/tags, decodes entities once") {
+    import graft.operators.Curation
+    val html = "<html><head><script type=\"text/javascript\">\nif (a < b && c > d) { alert('</p>?') }\n" +
+      "</script><style>\nbody { color: red }\n</style></head>" +
+      "<body><!-- comment\nspanning lines --><p>Hello &amp; welcome</p>" +
+      "<div>x &lt; y, &quot;quoted&quot;, &#39;apos&#39;, 5&nbsp;&copy;</div>" +
+      "<p>literal &amp;lt; stays</p></body></html>"
+    val out = Seq(html).toDF("h").select(Curation.extractHtmlText(col("h")).as("t"))
+      .as[String].head()
+    // single-pass entity semantics: "&amp;lt;" -> "&lt;", NOT "<"
+    assert(out == "Hello & welcome x < y, \"quoted\", 'apos', 5 © literal &lt; stays")
+  }
+
+  test("fixMojibake repairs cp1252 double-encoding; count matches fixes applied") {
+    import graft.operators.Curation
+    def moji(s: String) = new String(s.getBytes("UTF-8"), "windows-1252")
+    val dirty = s"caf${moji("é")} ${moji("“")}it${moji("’")}s 25${moji("°")}${moji("…")} ni${moji("ñ")}o"
+    val row = Seq(dirty).toDF("t")
+      .select(Curation.fixMojibake(col("t")).as("f"), Curation.countMojibake(col("t")).as("n"))
+      .as[(String, Long)].head()
+    assert(row._1 == "café “it’s 25°… niño")
+    assert(row._2 == 6L)
+    // already-clean text: untouched, zero count
+    val clean = Seq("café “it’s 25°… niño").toDF("t")
+      .select(Curation.fixMojibake(col("t")).as("f"), Curation.countMojibake(col("t")).as("n"))
+      .as[(String, Long)].head()
+    assert(clean == (("café “it’s 25°… niño", 0L)))
+  }
+
   test("removeDuplicateWindows cuts covered tokens, passes untouched docs through") {
     import graft.operators.TextDedup
     val shared = "one two three four five six seven eight"

@@ -54,6 +54,34 @@ object TrainingMix {
       .withColumn("epochs", round(lit(budget.toDouble) * col("weight") / col("n_tokens"), 4))
   }
 
+  /** Temperature-based mixture reweighting (the multilingual-LM
+    * sampling rule of Conneau & Lample 2019 §3.1, and the baseline
+    * UniMax improves on): sampling share p_s ∝ n_s^alpha with
+    * alpha ∈ (0,1] flattening the natural distribution so
+    * head sources stop drowning tail sources. alpha is fixed at 0.5
+    * (temperature 2, the common default) BECAUSE sqrt is IEEE-754
+    * correctly rounded and therefore bit-identical across engines —
+    * pow(x, alpha) for general alpha is not, and would make shares
+    * oracle-fragile. Returns natural vs tempered share, target tokens
+    * under `budget`, and implied epochs. One aggregate over per-source
+    * totals; the normalizer rides along as a broadcast single-row
+    * frame — no collect, corpus contributes only its totals.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, tokensCol: Column,
+                     budget: Long): DataFrame = {
+    val t = df.groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("n_tokens"))
+    val z = t.agg(sum(col("n_tokens")).as("__tot"),
+      sum(sqrt(col("n_tokens"))).as("__z"))
+    val tempered = sqrt(col("n_tokens")) / col("__z")
+    t.crossJoin(broadcast(z))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__tot"), 6).as("natural_share"),
+        round(tempered, 6).as("tempered_share"),
+        round(lit(budget.toDouble) * tempered).cast("long").as("target_tokens"),
+        round(lit(budget.toDouble) * tempered / col("n_tokens"), 4).as("epochs"))
+  }
+
   /** Length-bucketed batching economics: bucket documents by
     * floor(len / bucketSize), and report what padding every batch
     * drawn from that bucket wastes when padded to the bucket's longest

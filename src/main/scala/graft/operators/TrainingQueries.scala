@@ -35,6 +35,13 @@ object TrainingQueries {
         weights = mixWeights, defaultWeight = mixDefault, budget = mixBudget)
     },
 
+    // Temperature-2 mixture reweighting: p_s ∝ sqrt(n_s) flattens the
+    // natural source distribution (sqrt = IEEE-exact across engines).
+    "q_temperature_mix" -> { (s, dir) =>
+      TrainingMix.temperatureMix(Tables(s, dir).documents, "source", nTok,
+        budget = mixBudget)
+    },
+
     // Padding economics of 64-token length buckets.
     "q_padding_waste" -> { (s, dir) =>
       TrainingMix.paddingWaste(Tables(s, dir).documents, nTok, bucketSize = 64)
@@ -100,6 +107,17 @@ object TrainingQueries {
          |       CAST(round(10000000.0 * ($weightCase)) AS BIGINT) AS target_tokens,
          |       round(10000000.0 * ($weightCase) / n_tokens, 4) AS epochs
          |FROM t""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |z AS (SELECT sum(n_tokens) AS tot, sum(sqrt(n_tokens)) AS z FROM t)
+        |SELECT source, n_docs, n_tokens,
+        |       round(CAST(n_tokens AS DOUBLE) / z.tot, 6) AS natural_share,
+        |       round(sqrt(n_tokens) / z.z, 6) AS tempered_share,
+        |       CAST(round(10000000.0 * sqrt(n_tokens) / z.z) AS BIGINT) AS target_tokens,
+        |       round(10000000.0 * sqrt(n_tokens) / z.z / n_tokens, 4) AS epochs
+        |FROM t, z""".stripMargin,
     "q_padding_waste" ->
       """WITH t AS (SELECT CAST((len(string_split(text, ' ')) // 64) * 64 AS BIGINT) AS bucket,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents)

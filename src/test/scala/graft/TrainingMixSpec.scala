@@ -34,6 +34,21 @@ class TrainingMixSpec extends SparkSpec {
     assert(out("books") == (4L, 400L, 300L, 0.75))
   }
 
+  test("temperatureMix flattens shares: sqrt weighting, hand-computed 9:1 case") {
+    // two sources, 900 vs 100 tokens: natural 0.9/0.1; sqrt gives
+    // 30/(30+10)=0.75 and 10/40=0.25
+    val df = Seq.tabulate(10)(i => (i.toLong, if (i < 5) "web" else "books", if (i < 5) 180L else 20L))
+      .toDF("id", "source", "tok")
+    val out = TrainingMix.temperatureMix(df, "source", col("tok"), budget = 1000L)
+      .select("source", "n_tokens", "natural_share", "tempered_share", "target_tokens", "epochs")
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    assert(out("web") == (900L, 0.9, 0.75, 750L, 0.8333))
+    assert(out("books") == (100L, 0.1, 0.25, 250L, 2.5))
+    // tempering always moves shares toward uniform
+    assert(out("web")._3 < out("web")._2 && out("books")._3 > out("books")._2)
+  }
+
   test("paddingWaste reports per-bucket padding against the bucket max") {
     val df = Seq(10L, 20L, 20L, 70L).toDF("tok")
     val out = TrainingMix.paddingWaste(df, col("tok"), bucketSize = 64)

@@ -257,6 +257,25 @@ object LlmQueries {
         h = 8, bands = 4)
     },
 
+    // #42aq the FULL fuzzy-dedup pipeline fused end-to-end: MinHash-LSH
+    // candidates → Jaccard verify → connected components → canonical
+    // election, one composed job. This is the whole near-dup removal
+    // pass a 100 TB curation run executes: text is shuffled only as
+    // shingle sets inside the LSH stage, the component rounds move
+    // (id, id) pairs exclusively, and the election is a single
+    // map-side-partial aggregate (no per-cluster windows, so the giant
+    // boilerplate cluster stays AQE-splittable). Oracle-EXACT: DuckDB
+    // reproduces LSH via the md5 chain and the components via a
+    // recursive transitive closure.
+    "q_fuzzy_dedup" -> { (s, dir) =>
+      val docs = planted(Tables(s, dir))
+      val pairs = TextDedup.minhashNearDupsPortable(docs, "doc_id", "text", h = 8, bands = 4)
+      val cc = Graph.connectedComponentsAll(pairs, "id_a", "id_b", docs, "doc_id")
+      TrainingMix.electCanonical(cc, docs, "doc_id", length(col("text")))
+        .select(col("component"), col("canonical_id"), col("n_docs"),
+          col("total_score").cast("long").as("total_score"))
+    },
+
     // #34 SimHash hamming distance original vs planted variant (rows-only).
     "q_dedup_simhash" -> { (s, dir) =>
       val p = planted(Tables(s, dir))
@@ -328,6 +347,36 @@ object LlmQueries {
 
   private val wsCte =
     "w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)"
+
+  /** The md5-portable MinHash-LSH chain (planted docs → shingles →
+    * signatures → bands → verified pairs `j`), shared by
+    * q_dedup_minhash_md5 and q_fuzzy_dedup so the fused pipeline's
+    * oracle provably starts from the same candidate set.
+    */
+  private val minhashMd5Cte =
+    """pl AS (SELECT doc_id, text FROM documents
+      |            UNION ALL
+      |            SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
+      |            FROM documents WHERE doc_id % 5 = 0),
+      |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM pl),
+      |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+      |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
+      |      FROM w WHERE len(ws) >= 3),
+      |sg AS (SELECT doc_id,
+      |         list_transform(range(0, 8), i ->
+      |           list_min(list_transform(sh, s -> substr(md5(s || ':' || i), 1, 16)))) AS sig
+      |       FROM g),
+      |bd AS (SELECT doc_id, u.band AS band, u.bh AS bh FROM (
+      |         SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+      |           {'band': b, 'bh': array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '')})) AS u
+      |         FROM sg) t),
+      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |         FROM bd x JOIN bd y ON y.band = x.band AND y.bh = x.bh AND x.doc_id < y.doc_id),
+      |j AS (SELECT c.id_a, c.id_b,
+      |        round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+      |          ELSE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+      |               / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+      |      FROM cand c JOIN g a ON a.doc_id = c.id_a JOIN g b ON b.doc_id = c.id_b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -418,30 +467,31 @@ object LlmQueries {
         |       CAST(sum(CASE WHEN vs > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         |FROM v GROUP BY doc_id""".stripMargin,
     "q_dedup_minhash_md5" ->
-      """WITH pl AS (SELECT doc_id, text FROM documents
-        |            UNION ALL
-        |            SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text
-        |            FROM documents WHERE doc_id % 5 = 0),
-        |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM pl),
-        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
-        |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
-        |      FROM w WHERE len(ws) >= 3),
-        |sg AS (SELECT doc_id,
-        |         list_transform(range(0, 8), i ->
-        |           list_min(list_transform(sh, s -> substr(md5(s || ':' || i), 1, 16)))) AS sig
-        |       FROM g),
-        |bd AS (SELECT doc_id, u.band AS band, u.bh AS bh FROM (
-        |         SELECT doc_id, unnest(list_transform(range(0, 4), b ->
-        |           {'band': b, 'bh': array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '')})) AS u
-        |         FROM sg) t),
-        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |         FROM bd x JOIN bd y ON y.band = x.band AND y.bh = x.bh AND x.doc_id < y.doc_id),
-        |j AS (SELECT c.id_a, c.id_b,
-        |        round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-        |          ELSE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
-        |               / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
-        |      FROM cand c JOIN g a ON a.doc_id = c.id_a JOIN g b ON b.doc_id = c.id_b)
-        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+      s"""WITH $minhashMd5Cte
+         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+    // Fused pipeline: the SAME LSH chain, then components as a
+    // recursive transitive closure (comp labels propagate along
+    // symmetrized verified-pair edges; min label = component id, the
+    // same naming connectedComponents converges to), then the
+    // highest-score / min-id election electCanonical computes.
+    "q_fuzzy_dedup" ->
+      s"""WITH RECURSIVE $minhashMd5Cte,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.5
+         |      UNION ALL
+         |      SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard >= 0.5),
+         |r AS (SELECT doc_id AS id, doc_id AS comp FROM pl
+         |      UNION
+         |      SELECT e.dst AS id, r.comp FROM r JOIN e ON e.src = r.id),
+         |cc AS (SELECT id, min(comp) AS component FROM r GROUP BY id),
+         |sc AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS score FROM pl),
+         |el AS (SELECT cc.component, cc.id, sc.score FROM cc JOIN sc USING (id)),
+         |ag AS (SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(score) AS BIGINT) AS total_score
+         |       FROM el GROUP BY component),
+         |win AS (SELECT component, id, row_number() OVER (
+         |          PARTITION BY component ORDER BY score DESC, id) AS rn FROM el)
+         |SELECT w.component, w.id AS canonical_id, ag.n_docs, ag.total_score
+         |FROM win w JOIN ag USING (component) WHERE w.rn = 1""".stripMargin,
     "q_tfidf_terms" ->
       s"""WITH $wsCte,
          |t AS (SELECT doc_id, unnest(ws) AS term FROM w),

@@ -111,6 +111,15 @@ class PlanAuditSpec extends SparkSpec {
       "expected the (pub_id, school) pre-agg exchange to be reused:\n" + s.take(6000))
   }
 
+  test("q_fuzzy_dedup elects canonicals by aggregation, never per-cluster windows") {
+    // The giant boilerplate cluster is the skewed case: a Window would
+    // pin each component to one task; the min(struct) election gets
+    // map-side partials and AQE skew splitting instead.
+    val s = formatted("q_fuzzy_dedup")
+    assert(countOp(s, "Window") == 0, s"election planned a Window:\n" + s.take(4000))
+    assert(s.contains("HashAggregate"), s.take(4000))
+  }
+
   test("q_bigram_lm explodes+hashes the corpus once: pair table cached, single scan") {
     val s = formatted("q_bigram_lm")
     assert(s.contains("InMemoryTableScan"), s"pair table not persisted:\n" + s.take(4000))

@@ -12,7 +12,26 @@ import graft.sources.Tables
 object AnalyticsQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** PageRank's shared edge definition: the supplier→part supply
+    * graph from lineitem (parts offset into a disjoint id space).
+    * Directed one way, so every part vertex is dangling — the oracle
+    * exercises the dangling-mass redistribution path, not just the
+    * contribution sum.
+    */
+  private val pagerankEdgeCteDuck =
+    """e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000000 AS dst FROM lineitem)"""
+
   val queries: Map[String, Q] = Map(
+    // PageRank over the supplier→part graph: fixed power iterations,
+    // dangling mass redistributed uniformly. Edges hash-partitioned
+    // once and reused each round; ranks are the only per-round shuffle.
+    "q_pagerank" -> { (s, dir) =>
+      val edges = Tables(s, dir).lineitem.select(
+        col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey") + 1000000000L).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+    },
+
     // As-of join: each purchase matched to the user's latest earlier
     // error event. Union + running-last window: one shuffle per side.
     "q_asof_join" -> { (s, dir) =>
@@ -229,6 +248,9 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Unrolled programmatically from the SAME (iters, damping) the
+    // query passes — oracle and query cannot drift.
+    "q_pagerank" -> Graph.pageRankSqlDuck(pagerankEdgeCteDuck, iters = 3, damping = 0.85),
     // n_probes is real data arithmetic; TRUE is the documented recall
     // floor (see q_ann_ivf_recall) — the Spark side computes actual
     // recall against its own exact top-k, so a quality drop fails the

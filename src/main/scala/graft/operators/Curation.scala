@@ -49,6 +49,32 @@ object Curation {
     struct(e.as("emails"), s.as("ssns"), p.as("phones"), i.as("ips"))
   }
 
+  /** C4-style blocklist pattern (Raffel et al. 2020 §2.2: pages with
+    * any "bad word" are dropped). The list compiles to ONE
+    * case-insensitive alternation with word boundaries — "class" and
+    * "grass" never hit a blocked "ass" — so matching is a single DFA
+    * pass over the text, O(text) per row regardless of list size:
+    * never a per-word loop, and never a join against an exploded
+    * token table (which would cost a corpus-sized token explode).
+    * RE2-compatible (no backrefs/lookaround), so the identical
+    * pattern runs on Spark's Java regex and DuckDB/RE2 engines.
+    * Words must be plain `[A-Za-z0-9]+` literals; anything else is
+    * rejected rather than silently altering the pattern's meaning.
+    */
+  def blocklistPattern(words: Seq[String]): String = {
+    require(words.nonEmpty && words.forall(_.matches("[A-Za-z0-9]+")),
+      s"blocklist words must be non-empty alphanumeric literals: $words")
+    "(?i)\\b(" + words.mkString("|") + ")\\b"
+  }
+
+  /** Count of blocklisted-word occurrences in `text`. */
+  def blocklistHits(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit(blocklistPattern(words))).cast("long")
+
+  /** C4 keep decision: true iff no blocklisted word occurs. */
+  def blocklistKeep(text: Column, words: Seq[String]): Column =
+    blocklistHits(text, words) === 0L
+
   /** Gopher-style structural quality rules (Rae et al. 2021 §A1.1,
     * plus C4's line heuristics): word-count bounds, mean word length,
     * symbol-to-word ratio, bullet-line and ellipsis-line fractions.

@@ -244,6 +244,18 @@ object CurationQueries {
           col("n_tokens"), col("bin").cast("long").as("bin"), col("pos"))
     },
 
+    // C4 bad-words blocklist: per-doc hit count + keep flag, one
+    // codegen regexp pass (single alternation DFA). Planted words
+    // exercise case-insensitivity and the word boundary (every doc
+    // contains "classy", which must NOT hit blocked "class").
+    "q_blocklist" -> { (s, dir) =>
+      val t = blockText
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        Curation.blocklistHits(t, blockWords).as("hits"),
+        Curation.blocklistKeep(t, blockWords).as("keep"))
+    },
+
     // Connected components over planted dup edges: chains i—(i+1) and
     // skip-links i—(i+2) inside each block of 5 ids, so components are
     // exactly the blocks and the oracle is closed-form.
@@ -252,6 +264,19 @@ object CurationQueries {
       Graph.connectedComponentsAll(plantedEdges(d), "src", "dst", d, "doc_id")
     }
   )
+
+  /** Blocklist shared by q_blocklist and its oracle. "class" proves
+    * the word boundary (docs all contain "classy" via the suffix).
+    */
+  private val blockWords = Seq("spamword", "badphrase", "class")
+
+  /** doc text + " classy" always, plus planted blocklist hits: every
+    * 3rd doc a lowercase hit, every 7th a mixed-case phrase hit.
+    */
+  private def blockText = concat(
+    col("text"), lit(" classy"),
+    when(pmod(col("doc_id"), lit(3)) === 0, lit(" spamword")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(7)) === 0, lit(" BadPhrase end")).otherwise(lit("")))
 
   /** The planted dup-pair edge set used by q_components and
     * q_canonical_pick: components are exactly the blocks of 5 ids.
@@ -397,6 +422,17 @@ object CurationQueries {
         |FROM w""".stripMargin,
     "q_components" ->
       """SELECT doc_id AS id, CAST((doc_id // 5) * 5 AS BIGINT) AS component FROM documents""".stripMargin,
+    // Same pattern string as the query (Curation.blocklistPattern is
+    // the single source of truth); RE2 executes it identically.
+    "q_blocklist" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  text || ' classy' || CASE WHEN doc_id % 3 = 0 THEN ' spamword' ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' BadPhrase end' ELSE '' END AS t
+         |FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${Curation.blocklistPattern(blockWords)}')) AS BIGINT) AS hits,
+         |  len(regexp_extract_all(t, '${Curation.blocklistPattern(blockWords)}')) = 0 AS keep
+         |FROM d""".stripMargin,
     "q_sample_exactk" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

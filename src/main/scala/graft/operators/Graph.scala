@@ -99,6 +99,87 @@ object Graph {
     cc.unionByName(singletons)
   }
 
+  /** PageRank over a directed edge list: `iters` fixed power
+    * iterations with damping `d` and uniform dangling-mass
+    * redistribution (Page et al. 1999). Returns (id, rank) with rank
+    * rounded to 6 dp for cross-engine reproducibility.
+    *
+    * Scale design: the deduplicated edge table is hash-partitioned on
+    * src ONCE and checkpointed — every round's contribution join
+    * reuses that partitioning, so per round the only data movement is
+    * the (dst, contribution) aggregation shuffle and the
+    * (id, rank) pairs themselves; edges (the 100 TB side: the web
+    * link graph dwarfs its vertex set) never re-shuffle. The driver
+    * holds two scalars per round (dangling mass) plus N — never a
+    * vertex or edge collection. Each round's ranks are eagerly
+    * localCheckpoint'd (lineage would otherwise grow by three joins
+    * per iteration) and the previous round's blocks are released.
+    */
+  def pageRank(edges: DataFrame, src: String, dst: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val v = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    // (src, dst, deg): out-degree joined in once, not per round.
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(true)
+    // Vertices with no out-edges leak their rank each round; it is
+    // redistributed uniformly. The id set is fixed, computed once.
+    val dangling = v.join(e.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val n = v.count()
+    var ranks = v.select(col("id"), lit(1.0 / n).as("r")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dm = ranks.join(dangling, "id")
+        .agg(coalesce(sum(col("r")), lit(0.0))).head.getDouble(0)
+      val contribs = eDeg.join(ranks, eDeg("src") === ranks("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("deg")).as("m"))
+      val next = v.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("m"), lit(0.0)) + lit(dm / n))).as("r"))
+        .localCheckpoint(true)
+      releaseCheckpoint(ranks)
+      ranks = next
+    }
+    ranks.select(col("id"), round(col("r"), 6).as("rank"))
+  }
+
+  /** DuckDB SQL computing the identical fixed-iteration PageRank over
+    * `edgeCte` (a CTE named e with columns src, dst, already
+    * deduplicated and self-loop-free) — the oracle is UNROLLED
+    * programmatically from the same (iters, damping) parameters, so
+    * query and oracle cannot drift.
+    */
+  def pageRankSqlDuck(edgeCte: String, iters: Int = 3, damping: Double = 0.85): String = {
+    val d = damping
+    val base =
+      s"""$edgeCte,
+         |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM v),
+         |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM v)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val p = s"r${k - 1}"
+      s"""r$k AS (
+         |  SELECT v.id, (1 - $d) / (SELECT n FROM nn) + $d * (COALESCE(s.m, 0) +
+         |    (SELECT COALESCE(sum(p.r), 0) FROM $p p LEFT JOIN od ON od.src = p.id
+         |     WHERE od.src IS NULL) / (SELECT n FROM nn)) AS r
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.r / od.deg) AS m
+         |    FROM $p p JOIN e ON e.src = p.id JOIN od ON od.src = p.id
+         |    GROUP BY e.dst) s ON s.id = v.id)""".stripMargin
+    }
+    (base +: rounds).mkString("WITH ", ",\n", "") +
+      s"\nSELECT id, round(r, 6) AS rank FROM r$iters"
+  }
+
   /** Large-star: for every vertex u, link each strictly-larger
     * neighbor to the minimum of u's closed neighborhood. Keeps large
     * components shrinking toward their minimum in O(log n) rounds.

@@ -246,6 +246,22 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> "common\nalpha", 2L -> "beta", 3L -> ""))
   }
 
+  test("blocklist: word-boundary + case-insensitive hits; substrings never match") {
+    val words = Seq("ass", "casino")
+    val in = Seq(
+      "a classy grass assembly",   // every hit is embedded — zero matches
+      "an Ass and a CASINO",       // case-insensitive, both match
+      "ass casino ass",            // multiple hits counted
+      "").toDF("t")
+    val out = in.select(
+      Curation.blocklistHits(col("t"), words).as("h"),
+      Curation.blocklistKeep(col("t"), words).as("k")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 2L, 3L, 0L))
+    assert(out.map(_.getBoolean(1)).toSeq == Seq(true, false, false, true))
+    intercept[IllegalArgumentException](Curation.blocklistPattern(Seq("a|b")))
+    intercept[IllegalArgumentException](Curation.blocklistPattern(Nil))
+  }
+
   test("gopherStats measures line structure; gopherKeep thresholds") {
     val good = ((1 to 60).map(i => s"word$i").mkString(" ") + " the of and") // 63 words, no bullets
     val bullety = "- a\n- b\n- c\n- d\n- e\nthe of and to in is for on with a the of"
@@ -355,5 +371,31 @@ class GraphSpec extends SparkSpec {
       Graph.connectedComponents(chain, "src", "dst", maxRounds = 1).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("pageRank conserves mass, ranks hubs above leaves, matches scalar reference") {
+    // 1 and 2 both point at 3; 3 points at 1 and 4. Vertex 4 has no
+    // out-edges, so it is dangling: its rank must redistribute
+    // uniformly each round instead of leaking.
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    // Mass conservation: ranks always sum to 1 (dangling mass is
+    // redistributed, not dropped).
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+    // 3 has two in-edges of full out-weight; it must outrank everyone.
+    assert(got(3L) > got(1L) && got(3L) > got(2L) && got(3L) > got(4L))
+    // Scalar reference: same fixed iteration in plain Scala.
+    val n = 4
+    val out = Map(1L -> Seq(3L), 2L -> Seq(3L), 3L -> Seq(1L, 4L))
+    var r = Seq(1L, 2L, 3L, 4L).map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val dm = r.collect { case (k, v) if !out.contains(k) => v }.sum
+      val contribs = out.toSeq.flatMap { case (s, ds) => ds.map(_ -> r(s) / ds.size) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      r = r.keys.map(k => k ->
+        (0.15 / n + 0.85 * (contribs.getOrElse(k, 0.0) + dm / n))).toMap
+    }
+    for ((k, v) <- r) assert(math.abs(got(k) - v) < 1e-6, s"vertex $k: ${got(k)} vs $v")
   }
 }

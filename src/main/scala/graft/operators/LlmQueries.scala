@@ -105,6 +105,20 @@ object LlmQueries {
       )
     },
 
+    // Decontamination through the relational Bloom prefilter: same
+    // result as exact (no false negatives; verify join removes false
+    // positives) on a different benchmark split — the oracle proves
+    // the bloom path end-to-end without modeling the bitmap.
+    "q_bloom_decontaminate" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      TextDedup.decontaminateBloom(
+        corpus = d.filter(col("doc_id") % 40 =!= 0),
+        benchmark = d.filter(col("doc_id") % 40 === 0),
+        idCol = "doc_id", textCol = "text", ngram = 3, threshold = 0.05,
+        k = 5, mBits = 1 << 17
+      )
+    },
+
     // Intra-doc repetition ratio (1 - distinct/total bigrams).
     "q_repetition" -> { (s, dir) =>
       Tables(s, dir).documents.select(
@@ -570,6 +584,22 @@ object LlmQueries {
          |SELECT t.id AS id,
          |       round(COALESCE(h.hits, 0) * 1.0 / t.total, 4) AS overlap_ratio,
          |       COALESCE(h.hits, 0) * 1.0 / t.total > 0.1 AS contaminated
+         |FROM t LEFT JOIN h ON h.id = t.id""".stripMargin,
+    // Exact-overlap SQL: the bloom prefilter must be invisible in the
+    // result (no false negatives, FPs verified away).
+    "q_bloom_decontaminate" ->
+      s"""WITH $wsCte,
+         |g AS (SELECT doc_id,
+         |        unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+         |               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS g
+         |      FROM w),
+         |bs AS (SELECT DISTINCT g FROM g WHERE doc_id % 40 = 0),
+         |t AS (SELECT doc_id AS id, count(*) AS total FROM g WHERE doc_id % 40 <> 0 GROUP BY doc_id),
+         |h AS (SELECT doc_id AS id, count(*) AS hits
+         |      FROM g JOIN bs USING (g) WHERE doc_id % 40 <> 0 GROUP BY doc_id)
+         |SELECT t.id AS id,
+         |       round(COALESCE(h.hits, 0) * 1.0 / t.total, 4) AS overlap_ratio,
+         |       COALESCE(h.hits, 0) * 1.0 / t.total > 0.05 AS contaminated
          |FROM t LEFT JOIN h ON h.id = t.id""".stripMargin,
     "q_repetition" ->
       s"""WITH $wsCte

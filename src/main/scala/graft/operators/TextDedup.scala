@@ -382,6 +382,52 @@ object TextDedup {
       )
   }
 
+  /** [[decontaminate]] with a Bloom prefilter: the benchmark gram set
+    * is compressed to a relational bitmap ([[Bloom]]) and the corpus
+    * gram stream drops non-members map-side BEFORE the exact verify
+    * join, which then only the bloom survivors (true hits + the ~FPR
+    * false positives) pay. Output is IDENTICAL to [[decontaminate]] —
+    * a Bloom filter has no false negatives and the verify join removes
+    * its false positives — so the same oracle proves both paths.
+    *
+    * This is the 100 TB variant: the raw benchmark grams can exceed
+    * broadcast limits, the bitmap (~10 bits/gram at 1% FPR) cannot;
+    * and the per-doc `total` count rides the SAME gram stream, so the
+    * corpus is still exploded exactly once.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int,
+      threshold: Double,
+      k: Int = 5,
+      mBits: Int = 1 << 20
+  ): DataFrame = {
+    val grams = corpus.select(
+      col(idCol).as("id"),
+      explode(TextAnalysis.wordNgrams(col(textCol), ngram)).as("g")
+    )
+    val benchSet = benchmark
+      .select(explode(TextAnalysis.wordNgrams(col(textCol), ngram)).as("g"))
+      .distinct()
+    val bitmapRow = Bloom.build(benchSet, "g", k, mBits)
+    val totals = grams.groupBy("id").agg(count(lit(1)).as("total"))
+    val survivors = grams
+      .crossJoin(broadcast(bitmapRow))
+      .filter(Bloom.mightContain(col("g"), col("bitmap"), k, mBits))
+      .select(col("id"), col("g"))
+    val hits = survivors.join(benchSet, "g").groupBy("id").agg(count(lit(1)).as("hits"))
+    totals
+      .join(hits, Seq("id"), "left")
+      .select(
+        col("id"),
+        round(coalesce(col("hits"), lit(0L)) / col("total"), 4).as("overlap_ratio"),
+        (coalesce(col("hits"), lit(0L)) / col("total") > threshold).as("contaminated")
+      )
+  }
+
   /** Intra-document repetition ratio: 1 - distinct/total n-grams (a
     * Gopher-style quality signal; high values mean boilerplate loops).
     */

@@ -120,6 +120,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("HashAggregate"), s.take(4000))
   }
 
+  test("q_bloom_decontaminate broadcasts the bitmap row and prefilters before the verify join") {
+    val s = formatted("q_bloom_decontaminate")
+    // The one-row bitmap attaches via a broadcast nested-loop join
+    // (it has no key), and the bloom Filter must sit between it and
+    // the exact-verify hash join.
+    assert(countOp(s, "BroadcastNestedLoopJoin") >= 1, s.take(4000))
+    assert(s.contains("forall"), s"bloom probe missing from plan:\n" + s.take(4000))
+  }
+
   test("q_bigram_lm explodes+hashes the corpus once: pair table cached, single scan") {
     val s = formatted("q_bigram_lm")
     assert(s.contains("InMemoryTableScan"), s"pair table not persisted:\n" + s.take(4000))

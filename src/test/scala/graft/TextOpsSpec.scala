@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{TextDedup, TextRank, VectorOps}
+import graft.operators.{Bloom, TextDedup, TextRank, VectorOps}
 
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -107,5 +107,39 @@ class TextOpsSpec extends SparkSpec {
       .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // with 2 planes (4 buckets) some overlap of exact top-1 is expected
     assert(bf.nonEmpty && lsh.nonEmpty)
+  }
+
+  test("bloom filter: zero false negatives, FPR within theory, ragged word count") {
+    val k = 5
+    val mBits = 16384 // n=1000 keys -> kn/m ~ 0.3 -> FPR ~ 0.12%
+    val keys = (0 until 1000).map(i => s"member-$i").toDF("g")
+    val bitmap = Bloom.build(keys, "g", k, mBits)
+    // Membership is NEVER missed — a deterministic property, not a bound.
+    val fn = keys.crossJoin(broadcast(bitmap))
+      .filter(!Bloom.mightContain(col("g"), col("bitmap"), k, mBits)).count()
+    assert(fn == 0L, s"$fn false negatives")
+    // False positives stay near (1 - e^(-kn/m))^k; 8x headroom kills flake.
+    val fp = (0 until 10000).map(i => s"other-$i").toDF("g")
+      .crossJoin(broadcast(bitmap))
+      .filter(Bloom.mightContain(col("g"), col("bitmap"), k, mBits)).count()
+    assert(fp < 100, s"$fp false positives out of 10000 (theory ~12)")
+    // 63-bit words: mBits that is not a multiple of 63 still rounds up.
+    assert(Bloom.numWords(64) == 2 && Bloom.numWords(63) == 1)
+  }
+
+  test("decontaminateBloom is result-identical to exact decontaminate") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma nothing shared here at all"),
+      (3L, "completely different words everywhere today"),
+      (10L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 10)
+    val bench = docs.filter(col("doc_id") >= 10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.head.toString.toLong).toSeq
+    val exact = TextDedup.decontaminate(corpus, bench, "doc_id", "text", 3, 0.1)
+    val bloom = TextDedup.decontaminateBloom(corpus, bench, "doc_id", "text", 3, 0.1,
+      k = 5, mBits = 1 << 12)
+    assert(canon(exact) == canon(bloom))
   }
 }

@@ -49,6 +49,22 @@ object PipelineQueries {
           unix_millis(col("ts")).as("ts_ms"))
     },
 
+    // #42at streaming near-dup vs a static reference corpus: batch
+    // twin of TextDedup.nearDupsAgainstReference (stream form in
+    // StreamingSpec). md5-portable basis so the full stream-static
+    // probe chain is oracle-exact; planted variants of reference docs
+    // guarantee known positives.
+    "q_stream_neardup" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val ref = d.filter(col("doc_id") % 25 === 0).select("doc_id", "text")
+      val probe = d.filter(col("doc_id") % 25 =!= 0).select("doc_id", "text")
+        .unionByName(ref.select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra tail token")).as("text")))
+        .withColumn("ts", col("doc_id").cast("timestamp"))
+      TextDedup.nearDupsAgainstReference(probe, ref, "doc_id", "text",
+        tsCol = "ts", ngram = 3, h = 8, bands = 4, minJaccard = 0.5, portable = true)
+    },
+
     // #29 ORCID list: normalize + dedupe + sort + piped.
     "q_orcid_list" -> { (s, dir) =>
       Tables(s, dir).lineitem
@@ -178,7 +194,40 @@ object PipelineQueries {
     }
   )
 
+  /** Renders the md5 shingle+signature+band CTE pair over a docs CTE
+    * `src` (doc_id, text), prefixed `pfx` — both sides of
+    * q_stream_neardup derive from this one template (h=8, bands=4,
+    * ngram=3, matching the query's parameters).
+    */
+  private def minhashChainDuck(src: String, pfx: String): String =
+    s"""${pfx}g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+       |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
+       |      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM $src) t
+       |      WHERE len(ws) >= 3),
+       |${pfx}bd AS (SELECT doc_id, u.band AS band, u.bh AS bh FROM (
+       |      SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+       |        {'band': b, 'bh': array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '')})) AS u
+       |      FROM (SELECT doc_id, list_transform(range(0, 8), i ->
+       |              list_min(list_transform(sh, s -> substr(md5(s || ':' || i), 1, 16)))) AS sig
+       |            FROM ${pfx}g) s) t)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_stream_neardup" ->
+      s"""WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+         |pr AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0
+         |       UNION ALL
+         |       SELECT doc_id + 1000000 AS doc_id, text || ' extra tail token' AS text FROM ref),
+         |${minhashChainDuck("ref", "r")},
+         |${minhashChainDuck("pr", "p")},
+         |cand AS (SELECT DISTINCT p.doc_id AS id, r.doc_id AS ref_id
+         |         FROM pbd p JOIN rbd r ON r.band = p.band AND r.bh = p.bh
+         |         WHERE p.doc_id <> r.doc_id),
+         |j AS (SELECT c.id, c.ref_id,
+         |        round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |          ELSE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |               / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+         |      FROM cand c JOIN pg a ON a.doc_id = c.id JOIN rg b ON b.doc_id = c.ref_id)
+         |SELECT id, ref_id, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
     // byte accounting of the multimodal plumbing IS oracle-checkable
     // (the decode stub's features are not) — proves the mapPartitions
     // path preserves rows and content length

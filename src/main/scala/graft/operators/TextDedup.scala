@@ -348,6 +348,95 @@ object TextDedup {
     (verified, handle)
   }
 
+  /** Near-duplicate flagging of an incoming stream AGAINST A STATIC
+    * reference corpus — the continuous-ingest form of near-dedup: a
+    * harvested batch lands, and every new document is checked against
+    * the already-curated corpus without recomputing anything on the
+    * reference side.
+    *
+    * Completely state-free on the stream: each incoming doc computes
+    * its banded MinHash per-row (map-only), stream-static joins the
+    * reference's banded table on (band, bh), and verifies true
+    * Jaccard against reference shingles. The only streaming state is
+    * the within-watermark pair dedup (multi-band collisions of the
+    * same pair). At 100 TB the reference tables are persisted once
+    * (returned handle) and re-read per micro-batch — write them
+    * bucketed by (band, bh) via Sinks.writeBucketed for co-located
+    * probe joins.
+    *
+    * `portable = true` switches both sides to the md5 signature basis
+    * (engine-reproducible, oracle-checkable batch twin); the default
+    * xxhash64 path is the codegen perf form. Batch inputs get the
+    * deterministic twin: same joins, plain distinct.
+    */
+  def nearDupsAgainstReferenceReleasable(
+      stream: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      ngram: Int = 3,
+      h: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      portable: Boolean = false,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+  ): (DataFrame, CacheHandle) = {
+    val handle = CacheHandle()
+    val rows = h / bands
+    def shingle(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), col(textCol).as("__t"))
+      .select(col(as), TextAnalysis.wordNgrams(col("__t"), ngram).as(s"__sh_$as"))
+      .filter(size(col(s"__sh_$as")) > 0)
+    def bandCol(sh: Column): Column =
+      if (portable) {
+        val sig = transform(sequence(lit(0), lit(h - 1)), i =>
+          array_min(transform(sh, s =>
+            substring(md5(concat(s, lit(":"), i.cast("string"))), 1, 16))))
+        explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+          struct(j.as("band"), concat_ws("", slice(sig, j * rows + 1, lit(rows))).as("bh"))))
+      } else explode(lshBands(minhashSignature(sh, h), bands, rows))
+
+    val refShingled = handle.track(shingle(reference, "ref_id").persist(storage))
+    val refBanded = handle.track(refShingled
+      .select(col("ref_id"), bandCol(col("__sh_ref_id")).as("b"))
+      .select(col("ref_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .persist(storage))
+
+    val probe = stream
+      .select(col(idCol).as("id"), col(tsCol).as("__ts"),
+        TextAnalysis.wordNgrams(col(textCol), ngram).as("__sh_id"))
+      .filter(size(col("__sh_id")) > 0)
+    val cand = probe
+      .select(col("id"), col("__ts"), col("__sh_id"), bandCol(col("__sh_id")).as("b"))
+      .select(col("id"), col("__ts"), col("__sh_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .join(refBanded, Seq("band", "bh"))
+    val verified = cand
+      .join(refShingled, "ref_id")
+      .filter(col("id") =!= col("ref_id"))
+      .select(col("id"), col("__ts"), col("ref_id"),
+        round(TextAnalysis.jaccard(col("__sh_id"), col("__sh_ref_id")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    val out =
+      if (stream.isStreaming)
+        verified.withWatermark("__ts", watermarkDelay)
+          .dropDuplicatesWithinWatermark(Seq("id", "ref_id")).drop("__ts")
+      else verified.drop("__ts").distinct()
+    (out, handle)
+  }
+
+  /** [[nearDupsAgainstReferenceReleasable]] discarding the handle. */
+  def nearDupsAgainstReference(
+      stream: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      tsCol: String = "ts", watermarkDelay: String = "10 minutes",
+      ngram: Int = 3, h: Int = 64, bands: Int = 16, minJaccard: Double = 0.5,
+      portable: Boolean = false
+  ): DataFrame =
+    nearDupsAgainstReferenceReleasable(stream, reference, idCol, textCol, tsCol,
+      watermarkDelay, ngram, h, bands, minJaccard, portable)._1
+
   /** Benchmark decontamination: fraction of each corpus document's
     * distinct n-grams that appear anywhere in the benchmark set.
     *

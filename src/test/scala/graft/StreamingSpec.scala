@@ -183,6 +183,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupsAgainstReference flags stream docs colliding with the static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (200L, "completely unrelated reference text about spark plans")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val (flagged, handle) = graft.operators.TextDedup.nearDupsAgainstReferenceReleasable(
+      stream, reference, "doc_id", "text", tsCol = "ts",
+      ngram = 3, h = 8, bands = 4, minJaccard = 0.5)
+    val q = flagged.writeStream.format("memory").queryName("snd").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), "the quick brown fox jumps over the lazy dog today as well"),
+        (2L, ts(1), "nothing in common with anything in the corpus here"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, ref_id, jaccard FROM snd")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.map(x => (x._1, x._2)).toSet == Set((1L, 100L)), rows.mkString(","))
+      assert(rows.head._3 >= 0.5)
+      // batch twin over identical inputs produces the same pairs
+      val batch = Seq(
+        (1L, ts(0), "the quick brown fox jumps over the lazy dog today as well"),
+        (2L, ts(1), "nothing in common with anything in the corpus here")
+      ).toDF("doc_id", "ts", "text")
+      val twin = graft.operators.TextDedup.nearDupsAgainstReference(
+        batch, reference, "doc_id", "text", tsCol = "ts",
+        ngram = 3, h = 8, bands = 4, minJaccard = 0.5)
+        .select("id", "ref_id").as[(Long, Long)].collect().toSet
+      assert(twin == Set((1L, 100L)), twin.toString)
+    } finally { q.stop(); handle.release() }
+  }
+
   test("dedupWithinWatermark batch twin keeps deterministic first arrival") {
     val df = Seq(
       (1L, ts(5), "a", 10L), (1L, ts(0), "a", 7L), (1L, ts(0), "a", 3L),

@@ -111,6 +111,18 @@ class PlanAuditSpec extends SparkSpec {
       "expected the (pub_id, school) pre-agg exchange to be reused:\n" + s.take(6000))
   }
 
+  test("report association branches run distinct+agg on ONE shuffle each (3 total)") {
+    // Each association branch repartitions by pub_id once; hash(pub_id)
+    // satisfies the pair distinct and the per-pub agg, so no branch
+    // adds a second exchange. 3 shuffles total: author branch, funder
+    // branch, orders side of the final join. Regression here = the old
+    // 5-exchange shape (all-column distinct, then re-shuffle per agg).
+    for (name <- Seq("q_report_by_author", "q_report_by_dept")) {
+      val s = formatted(name)
+      assert(countOp(s, "Exchange") <= 3, s"$name extra shuffles:\n" + s.take(6000))
+    }
+  }
+
   test("q_fuzzy_dedup elects canonicals by aggregation, never per-cluster windows") {
     // The giant boilerplate cluster is the skewed case: a Window would
     // pin each component to one task; the min(struct) election gets

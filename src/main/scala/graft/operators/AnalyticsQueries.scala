@@ -21,6 +21,12 @@ object AnalyticsQueries {
   private val pagerankEdgeCteDuck =
     """e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000000 AS dst FROM lineitem)"""
 
+  /** Surname pool for q_record_linkage (shared with its oracle). */
+  private val linkSurnameList = Seq(
+    "miller", "smith", "garcia", "johnson", "brown", "davis",
+    "wilson", "moore", "taylor", "thomas", "martin", "clark")
+  private val linkSurnames = array(linkSurnameList.map(lit): _*)
+
   val queries: Map[String, Q] = Map(
     // PageRank over the supplier→part graph: fixed power iterations,
     // dangling mass redistributed uniformly. Edges hash-partitioned
@@ -30,6 +36,23 @@ object AnalyticsQueries {
         col("l_suppkey").cast("long").as("src"),
         (col("l_partkey") + 1000000000L).as("dst"))
       Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+    },
+
+    // Record linkage: Soundex-blocked fuzzy join, never all-pairs.
+    // Names are custkey-derived (letters lead so block keys spread);
+    // planted twins append a vowel (same Soundex, distance 1 — found),
+    // every 5th is reversed (different block — the documented blocking
+    // miss). Both the chain and levenshtein reproduce in DuckDB.
+    "q_record_linkage" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+      val name = concat(
+        translate(col("c_custkey").cast("string"), "0123456789", "BCDLMRFGST"),
+        element_at(linkSurnames, pmod(col("c_custkey"), lit(12)).cast("int") + 1))
+      val left = c.select(col("c_custkey").as("id_a"), name.as("name_a"))
+      val right = c.select((col("c_custkey") + 1000000L).as("id_b"),
+        when(pmod(col("c_custkey"), lit(5)) === 0, reverse(name))
+          .otherwise(concat(name, lit("e"))).as("name_b"))
+      Linkage.blockedFuzzyJoin(left, right, "id_a", "name_a", "id_b", "name_b", maxDist = 2)
     },
 
     // As-of join: each purchase matched to the user's latest earlier
@@ -251,6 +274,26 @@ object AnalyticsQueries {
     // Unrolled programmatically from the SAME (iters, damping) the
     // query passes — oracle and query cannot drift.
     "q_pagerank" -> Graph.pageRankSqlDuck(pagerankEdgeCteDuck, iters = 3, damping = 0.85),
+    // Soundex chain rendered by the same step list the query uses
+    // (Phonetic.soundexSqlDuck); levenshtein is built into both engines.
+    "q_record_linkage" -> {
+      val surnames = linkSurnameList.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH nm AS (SELECT c_custkey,
+         |        translate(CAST(c_custkey AS VARCHAR), '0123456789', 'BCDLMRFGST') ||
+         |        list_extract($surnames, CAST(c_custkey % 12 AS INT) + 1) AS name
+         |      FROM customer),
+         |l AS (SELECT c_custkey AS id_a, name AS name_a,
+         |        ${graft.functions.Phonetic.soundexSqlDuck("name")} AS blk FROM nm),
+         |r0 AS (SELECT c_custkey,
+         |         CASE WHEN c_custkey % 5 = 0 THEN reverse(name) ELSE name || 'e' END AS name_b
+         |       FROM nm),
+         |r AS (SELECT c_custkey + 1000000 AS id_b, name_b,
+         |        ${graft.functions.Phonetic.soundexSqlDuck("name_b")} AS blk FROM r0)
+         |SELECT id_a, id_b, name_a, name_b,
+         |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+         |FROM l JOIN r USING (blk)
+         |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin
+    },
     // n_probes is real data arithmetic; TRUE is the documented recall
     // floor (see q_ann_ivf_recall) — the Spark side computes actual
     // recall against its own exact top-k, so a quality drop fails the

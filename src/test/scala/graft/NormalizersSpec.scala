@@ -71,4 +71,19 @@ class NormalizersSpec extends SparkSpec {
     val r = run(normalizeFunderName(col("x")), "National Institutes of Health (NIH)")
     assert(r == "national institutes of health")
   }
+
+  test("soundex matches the census reference codes (h/w transparency, run collapse)") {
+    val cases = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163",     // classic pair
+      "Ashcraft" -> "A261", "Ashcroft" -> "A261", // h transparent between s/c
+      "Tymczak" -> "T522",                        // cz collapse, y separator
+      "Pfister" -> "P236",                        // pf collapse incl. first letter
+      "Honeyman" -> "H555",                       // h/w-initial: nothing dropped
+      "Euler" -> "E460",                          // vowel-initial, zero padding
+      "smith" -> "S530", "smyth" -> "S530",       // vowel typo, same block
+      "a-b c1" -> "A120",                         // non-letters stripped
+      "" -> "", "##" -> "")                       // degenerate inputs
+    for ((in, want) <- cases)
+      assert(run(graft.functions.Phonetic.soundex(col("x")), in) == want, s"soundex($in)")
+  }
 }

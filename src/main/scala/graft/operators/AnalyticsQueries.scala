@@ -55,6 +55,20 @@ object AnalyticsQueries {
       Linkage.blockedFuzzyJoin(left, right, "id_a", "name_a", "id_b", "name_b", maxDist = 2)
     },
 
+    // Fixed-grid resampling with forward fill (LOCF) at 1-hour slots:
+    // per-user grid over the user's own active span, gaps carry the
+    // last observed mean. Epoch-arithmetic slots, so DuckDB reproduces
+    // the grid and the IGNORE NULLS window exactly.
+    "q_resample_ffill" -> { (s, dir) =>
+      TimeSeries.resampleFfill(Tables(s, dir).events, "user_id", "ts", "value", 3600L)
+    },
+
+    // Cohort retention: users bucketed by first-activity week (epoch
+    // weeks), distinct-active counts per (cohort, age).
+    "q_cohort_retention" -> { (s, dir) =>
+      TimeSeries.cohortRetention(Tables(s, dir).events, "user_id", "ts", 604800L)
+    },
+
     // As-of join: each purchase matched to the user's latest earlier
     // error event. Union + running-last window: one shuffle per side.
     "q_asof_join" -> { (s, dir) =>
@@ -274,6 +288,28 @@ object AnalyticsQueries {
     // Unrolled programmatically from the SAME (iters, damping) the
     // query passes — oracle and query cannot drift.
     "q_pagerank" -> Graph.pageRankSqlDuck(pagerankEdgeCteDuck, iters = 3, damping = 0.85),
+    // Epoch-arithmetic slots; DuckDB's range() excludes the upper
+    // bound, hence s1 + step, and its IGNORE NULLS window matches
+    // Spark's last(_, ignoreNulls = true).
+    "q_resample_ffill" ->
+      """WITH e AS (SELECT user_id AS key, CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS slot,
+        |             value AS v FROM events),
+        |sa AS (SELECT key, slot, avg(v) AS v_obs FROM e GROUP BY key, slot),
+        |sp AS (SELECT key, min(slot) AS s0, max(slot) AS s1 FROM e GROUP BY key),
+        |g AS (SELECT key, unnest(range(s0, s1 + 3600, 3600)) AS slot FROM sp),
+        |j AS (SELECT g.key, g.slot, sa.v_obs FROM g LEFT JOIN sa ON sa.key = g.key AND sa.slot = g.slot)
+        |SELECT key, slot, round(v_obs, 4) AS v_obs,
+        |       round(last_value(v_obs IGNORE NULLS) OVER (
+        |         PARTITION BY key ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_filled,
+        |       v_obs IS NULL AS is_gap
+        |FROM j""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS key,
+        |             CAST(floor(epoch(ts)/604800)*604800 AS BIGINT) AS bucket FROM events),
+        |c AS (SELECT key, min(bucket) AS cohort FROM a GROUP BY key)
+        |SELECT c.cohort, CAST((a.bucket - c.cohort) / 604800 AS BIGINT) AS age,
+        |       CAST(count(*) AS BIGINT) AS n_active
+        |FROM a JOIN c USING (key) GROUP BY 1, 2""".stripMargin,
     // Soundex chain rendered by the same step list the query uses
     // (Phonetic.soundexSqlDuck); levenshtein is built into both engines.
     "q_record_linkage" -> {

@@ -373,6 +373,24 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("resampleFfill fills gaps with last observation, bounds grid to active span") {
+    val ev = Seq(
+      (1L, 0L, 10.0), (1L, 30L, 20.0),       // slot 0: mean 15
+      (1L, 7200L, 7.0),                      // slot 7200; slot 3600 is a gap
+      (2L, 3600L, 1.0)                       // second key: single slot, no gaps
+    ).map { case (u, s, v) => (u, new java.sql.Timestamp(s * 1000L), v) }
+      .toDF("user_id", "ts", "value")
+    val out = graft.operators.TimeSeries.resampleFfill(ev, "user_id", "ts", "value", 3600L)
+      .orderBy("key", "slot")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 15.0, 15.0, false),      // observed mean
+      (1L, 3600L, null, 15.0, true),    // gap carries forward
+      (1L, 7200L, 7.0, 7.0, false),
+      (2L, 3600L, 1.0, 1.0, false)))    // span bounded per key: no slot 0 row
+  }
+
   test("pageRank conserves mass, ranks hubs above leaves, matches scalar reference") {
     // 1 and 2 both point at 3; 3 points at 1 and 4. Vertex 4 has no
     // out-edges, so it is dangling: its rank must redistribute

@@ -55,6 +55,32 @@ object AnalyticsQueries {
       Linkage.blockedFuzzyJoin(left, right, "id_a", "name_a", "id_b", "name_b", maxDist = 2)
     },
 
+    // Snapshot diff between harvest runs: the "new" snapshot plants
+    // every 7th price changed, every 13th key removed, and a shifted
+    // id block added — one full-outer join, status per key.
+    "q_snapshot_diff" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val newSnap = o.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+        .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      DataOps.snapshotDiff(o, newSnap, "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
+    },
+
+    // Equi-width histogram with fixed bounds (no min/max pre-pass).
+    "q_histogram" -> { (s, dir) =>
+      DataOps.histogram(Tables(s, dir).orders, "o_totalprice", lo = 0.0, step = 25000.0, nBuckets = 24)
+    },
+
+    // Shuffle-key skew diagnostic: top-10 heaviest join keys + share.
+    "q_skew_profile" -> { (s, dir) =>
+      DataOps.keySkew(Tables(s, dir).lineitem, "l_orderkey", 10)
+    },
+
     // Fixed-grid resampling with forward fill (LOCF) at 1-hour slots:
     // per-user grid over the user's own active span, gaps carry the
     // last observed mean. Epoch-arithmetic slots, so DuckDB reproduces
@@ -288,6 +314,33 @@ object AnalyticsQueries {
     // Unrolled programmatically from the SAME (iters, damping) the
     // query passes — oracle and query cannot drift.
     "q_pagerank" -> Graph.pageRankSqlDuck(pagerankEdgeCteDuck, iters = 3, damping = 0.85),
+    "q_snapshot_diff" ->
+      """WITH n AS (
+        |  SELECT o_orderkey AS key,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS price,
+        |         o_orderstatus AS status FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS key, o_totalprice AS price, o_orderstatus AS status
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |o AS (SELECT o_orderkey AS key, o_totalprice AS price, o_orderstatus AS status FROM orders)
+        |SELECT COALESCE(o.key, n.key) AS key,
+        |       CASE WHEN o.key IS NULL THEN 'added'
+        |            WHEN n.key IS NULL THEN 'removed'
+        |            WHEN o.price IS DISTINCT FROM n.price
+        |              OR o.status IS DISTINCT FROM n.status THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON n.key = o.key""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (SELECT least(greatest(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 0), 23) AS bucket,
+        |             o_totalprice AS v FROM orders)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |       round(min(v), 4) AS v_min, round(max(v), 4) AS v_max, round(avg(v), 4) AS v_avg
+        |FROM b GROUP BY bucket""".stripMargin,
+    "q_skew_profile" ->
+      """WITH c AS (SELECT l_orderkey AS key, count(*) AS cnt FROM lineitem GROUP BY l_orderkey),
+        |t AS (SELECT count(*) AS total FROM lineitem)
+        |SELECT key, cnt, round(cnt * 1.0 / total, 6) AS share
+        |FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
     // Epoch-arithmetic slots; DuckDB's range() excludes the upper
     // bound, hence s1 + step, and its IGNORE NULLS window matches
     // Spark's last(_, ignoreNulls = true).

@@ -39,20 +39,29 @@ object AnalyticsQueries {
     },
 
     // Record linkage: Soundex-blocked fuzzy join, never all-pairs.
-    // Names are custkey-derived (letters lead so block keys spread);
-    // planted twins append a vowel (same Soundex, distance 1 — found),
-    // every 5th is reversed (different block — the documented blocking
-    // miss). Both the chain and levenshtein reproduce in DuckDB.
+    // Soundex alone has ~9k keys, so blocking is COMPOUND (the
+    // standard census design): phonetic key AND an exact attribute
+    // (here a birth-cohort stand-in both sides share) — measured
+    // without it, the bounded key space made in-block pairs grow
+    // super-linearly the moment the corpus outgrew the key count
+    // (20x wall at 10x data on the first construction). Names lead
+    // with reversed low-order digits so even within a cohort the
+    // phonetic keys spread. Planted twins append a vowel (same
+    // Soundex, distance 1 — found), every 5th is reversed (different
+    // block — the documented blocking miss). Chain + levenshtein
+    // reproduce in DuckDB.
     "q_record_linkage" -> { (s, dir) =>
       val c = Tables(s, dir).customer
       val name = concat(
-        translate(col("c_custkey").cast("string"), "0123456789", "BCDLMRFGST"),
+        translate(reverse(col("c_custkey").cast("string")), "0123456789", "BCDLMRFGST"),
         element_at(linkSurnames, pmod(col("c_custkey"), lit(12)).cast("int") + 1))
-      val left = c.select(col("c_custkey").as("id_a"), name.as("name_a"))
+      val cohort = pmod(col("c_custkey"), lit(9973)).as("cohort")
+      val left = c.select(col("c_custkey").as("id_a"), name.as("name_a"), cohort)
       val right = c.select((col("c_custkey") + 1000000L).as("id_b"),
         when(pmod(col("c_custkey"), lit(5)) === 0, reverse(name))
-          .otherwise(concat(name, lit("e"))).as("name_b"))
-      Linkage.blockedFuzzyJoin(left, right, "id_a", "name_a", "id_b", "name_b", maxDist = 2)
+          .otherwise(concat(name, lit("e"))).as("name_b"), cohort)
+      Linkage.blockedFuzzyJoin(left, right, "id_a", "name_a", "id_b", "name_b",
+        maxDist = 2, extraBlockCols = Seq("cohort"))
     },
 
     // Snapshot diff between harvest runs: the "new" snapshot plants
@@ -367,20 +376,20 @@ object AnalyticsQueries {
     // (Phonetic.soundexSqlDuck); levenshtein is built into both engines.
     "q_record_linkage" -> {
       val surnames = linkSurnameList.map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH nm AS (SELECT c_custkey,
-         |        translate(CAST(c_custkey AS VARCHAR), '0123456789', 'BCDLMRFGST') ||
+      s"""WITH nm AS (SELECT c_custkey, c_custkey % 9973 AS cohort,
+         |        translate(reverse(CAST(c_custkey AS VARCHAR)), '0123456789', 'BCDLMRFGST') ||
          |        list_extract($surnames, CAST(c_custkey % 12 AS INT) + 1) AS name
          |      FROM customer),
-         |l AS (SELECT c_custkey AS id_a, name AS name_a,
+         |l AS (SELECT c_custkey AS id_a, name AS name_a, cohort,
          |        ${graft.functions.Phonetic.soundexSqlDuck("name")} AS blk FROM nm),
-         |r0 AS (SELECT c_custkey,
+         |r0 AS (SELECT c_custkey, cohort,
          |         CASE WHEN c_custkey % 5 = 0 THEN reverse(name) ELSE name || 'e' END AS name_b
          |       FROM nm),
-         |r AS (SELECT c_custkey + 1000000 AS id_b, name_b,
+         |r AS (SELECT c_custkey + 1000000 AS id_b, name_b, cohort,
          |        ${graft.functions.Phonetic.soundexSqlDuck("name_b")} AS blk FROM r0)
          |SELECT id_a, id_b, name_a, name_b,
          |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
-         |FROM l JOIN r USING (blk)
+         |FROM l JOIN r USING (blk, cohort)
          |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin
     },
     // n_probes is real data arithmetic; TRUE is the documented recall

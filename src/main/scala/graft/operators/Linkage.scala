@@ -29,18 +29,27 @@ object Linkage {
     * a typo in the FIRST letter changes the block and the pair is
     * missed — recall is bounded by the blocking key, exactness only
     * inside blocks.
+    *
+    * `extraBlockCols` (same-named on both sides) AND-compose exact
+    * attributes into the block key — Soundex alone has at most
+    * 26·7³ ≈ 9k distinct keys, so occupancy (and the in-block
+    * quadratic term) grows linearly with ANY corpus; real linkage
+    * always compounds the phonetic key with an exact field (birth
+    * year, zip) to keep block population bounded. Without one, this
+    * operator is super-linear on large inputs by construction.
     */
   def blockedFuzzyJoin(
       a: DataFrame, b: DataFrame,
       idA: String, nameA: String,
       idB: String, nameB: String,
-      maxDist: Int
+      maxDist: Int,
+      extraBlockCols: Seq[String] = Nil
   ): DataFrame = {
-    val left = a.select(col(idA).as("id_a"), col(nameA).as("name_a"),
-      Phonetic.soundex(col(nameA)).as("__blk"))
-    val right = b.select(col(idB).as("id_b"), col(nameB).as("name_b"),
-      Phonetic.soundex(col(nameB)).as("__blk"))
-    left.join(right, "__blk")
+    val left = a.select(Seq(col(idA).as("id_a"), col(nameA).as("name_a"),
+      Phonetic.soundex(col(nameA)).as("__blk")) ++ extraBlockCols.map(col): _*)
+    val right = b.select(Seq(col(idB).as("id_b"), col(nameB).as("name_b"),
+      Phonetic.soundex(col(nameB)).as("__blk")) ++ extraBlockCols.map(col): _*)
+    left.join(right, "__blk" +: extraBlockCols)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)

@@ -98,6 +98,19 @@ object TextAnalysis {
     when(u === 0, lit(0.0)).otherwise(i / u)
   }
 
+  /** Containment (asymmetric Jaccard) of `a` in `b`: |A∩B| / |A|,
+    * 0 when A is empty. The doc-in-doc signal symmetric Jaccard
+    * misses — an excerpt quoted inside a much larger document scores
+    * near 1.0 here while its Jaccard stays low (the union is
+    * dominated by the big side), which is why dedup pipelines that
+    * only threshold Jaccard keep quote-of-a-document duplicates.
+    */
+  def containment(a: Column, b: Column): Column = {
+    val i = size(array_intersect(a, b)).cast("double")
+    val d = size(a).cast("double")
+    when(d === 0, lit(0.0)).otherwise(i / d)
+  }
+
   /** 64-bit content fingerprint (xxhash64 of the full text). */
   def fingerprint(text: Column): Column = xxhash64(text)
 

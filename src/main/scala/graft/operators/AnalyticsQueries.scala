@@ -104,6 +104,22 @@ object AnalyticsQueries {
       TimeSeries.cohortRetention(Tables(s, dir).events, "user_id", "ts", 604800L)
     },
 
+    // Median/MAD robust outlier gate on order totals per priority
+    // (k=1.5 so the uniform-ish price range exercises both branches) —
+    // the comparison runs on 2dp-rounded operands so the interpolated
+    // medians (1-ulp engine differences) can't flip the boolean.
+    "q_robust_outliers" -> { (s, dir) =>
+      DataOps.robustOutliers(Tables(s, dir).orders,
+        "o_orderpriority", "o_orderkey", "o_totalprice", k = 1.5)
+    },
+
+    // Closed-form per-user EWMA (α = 1/2 → exact power-of-two
+    // weights); (ts, event_id) is the total order.
+    "q_ewma" -> { (s, dir) =>
+      TimeSeries.ewmaLast(Tables(s, dir).events, "user_id",
+        Seq(col("ts"), col("event_id")), "value", alpha = 0.5)
+    },
+
     // As-of join: each purchase matched to the user's latest earlier
     // error event. Union + running-last window: one shuffle per side.
     "q_asof_join" -> { (s, dir) =>
@@ -270,7 +286,7 @@ object AnalyticsQueries {
     // (rows-only; recall vs brute force checked in spec).
     "q_ann_ivf" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Ivf.topK(e.filter(col("id") % 20 === 0), e, k = 3, nlist = 8, nprobe = 5)
+      Ivf.topK(e.filter(col("id") % 20 === 0 && col("id") < 20000), e, k = 3, nlist = 8, nprobe = 5)
         .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
     },
 
@@ -372,6 +388,30 @@ object AnalyticsQueries {
         |SELECT c.cohort, CAST((a.bucket - c.cohort) / 604800 AS BIGINT) AS age,
         |       CAST(count(*) AS BIGINT) AS n_active
         |FROM a JOIN c USING (key) GROUP BY 1, 2""".stripMargin,
+    // quantile_cont ≡ Spark's interpolated percentile; the outlier
+    // comparison mirrors the query's 2dp-rounded operands.
+    "q_robust_outliers" ->
+      """WITH v AS (SELECT o_orderpriority AS grp, o_orderkey AS id,
+        |             CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+        |med AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM v GROUP BY grp),
+        |mad AS (SELECT grp, quantile_cont(abs(v.v - med.med), 0.5) AS mad
+        |        FROM v JOIN med USING (grp) GROUP BY grp)
+        |SELECT v.grp, v.id, v.v, round(med.med, 4) AS med, round(mad.mad, 4) AS mad,
+        |       round(abs(v.v - med.med), 2) > round(1.5 * mad.mad, 2) AS is_outlier
+        |FROM v JOIN med USING (grp) JOIN mad USING (grp)""".stripMargin,
+    // Same closed-form weights: position from the identical
+    // (ts, event_id) order; pow(0.5, k) is an exact power of two in
+    // both engines, so only the final sum's addition order differs —
+    // absorbed by the rounding.
+    "q_ewma" ->
+      """WITH x AS (SELECT user_id, value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n
+        |      FROM events)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_obs,
+        |  round(sum(CASE WHEN rn = 1 THEN value * pow(0.5, n - 1)
+        |            ELSE value * 0.5 * pow(0.5, n - rn) END), 4) AS ewma
+        |FROM x GROUP BY user_id""".stripMargin,
     // Soundex chain rendered by the same step list the query uses
     // (Phonetic.soundexSqlDuck); levenshtein is built into both engines.
     "q_record_linkage" -> {

@@ -45,6 +45,23 @@ object CurationQueries {
   private[operators] val MojiSuffix = " \u00e2\u20ac\u0153moji\u00e2\u20ac\u00a6 test\u00e2\u20ac\u2122s \u00e2\u20ac\u201c 25\u00c2\u00b0\u00e2\u20ac\u201d end"
 
   val queries: Map[String, Q] = Map(
+    // Cross-source overlap matrix on md5 content fingerprints; a
+    // planted "mirror" source (every 9th doc's text) makes known
+    // overlaps with each real source.
+    "q_source_overlap" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val withMirror = d.select(col("source"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 9 === 0)
+          .select(lit("mirror").as("source"), col("text")))
+      DataOps.sourceOverlap(withMirror, "source", md5(col("text")))
+    },
+
+    // Per-source quantile normalization of a quality proxy (n_chars):
+    // percent_rank with doc_id tiebreak — engine-exact.
+    "q_quantile_norm" -> { (s, dir) =>
+      DataOps.quantileNorm(Tables(s, dir).documents, "source", "doc_id", "n_chars")
+    },
+
     // PII scrub: typed placeholders + per-class counts, one codegen pass.
     "q_pii_redact" -> { (s, dir) =>
       val counts = Curation.piiCounts(piiText)
@@ -314,6 +331,24 @@ object CurationQueries {
       |FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_source_overlap" ->
+      """WITH pool AS (SELECT source, text FROM documents
+        |              UNION ALL
+        |              SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 9 = 0),
+        |fps AS (SELECT DISTINCT source, md5(text) AS fp FROM pool),
+        |sz AS (SELECT source, count(*) AS n FROM fps GROUP BY source),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS overlap
+        |       FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        |       GROUP BY a.source, b.source)
+        |SELECT source_a, source_b, CAST(overlap AS BIGINT) AS overlap,
+        |       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |       round(CAST(overlap AS DOUBLE) / (na.n + nb.n - overlap), 6) AS jaccard
+        |FROM pr JOIN sz na ON na.source = pr.source_a JOIN sz nb ON nb.source = pr.source_b""".stripMargin,
+    "q_quantile_norm" ->
+      """SELECT source AS grp, doc_id AS id, CAST(n_chars AS DOUBLE) AS v,
+        |       round(percent_rank() OVER (
+        |         PARTITION BY source ORDER BY CAST(n_chars AS DOUBLE), doc_id), 6) AS q
+        |FROM documents""".stripMargin,
     "q_pii_redact" ->
       s"""WITH $piiCte,
          |s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS emails,

@@ -51,6 +51,74 @@ object DataOps {
         round(avg(col("v")), 4).as("v_avg"))
   }
 
+  /** Cross-source content-overlap matrix: for every pair of sources,
+    * how many distinct content fingerprints they share, plus the
+    * pairwise Jaccard — the corpus-governance report that tells you
+    * two "independent" crawls are actually the same feed before you
+    * double-weight them in a training mix. Shape: one distinct over
+    * (source, fp), a fp-keyed self-join (fingerprint groups are
+    * near-unique, so the join output is overlap-sized, never
+    * corpus²), and a broadcast of the per-source totals — the matrix
+    * itself is |sources|² rows.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: String, fpCol: Column): DataFrame = {
+    val fps = df.select(col(sourceCol).as("source"), fpCol.as("fp")).distinct()
+    val sizes = fps.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("overlap"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("overlap"), col("n_a"), col("n_b"),
+        round(col("overlap").cast("double") / (col("n_a") + col("n_b") - col("overlap")), 6)
+          .as("jaccard"))
+  }
+
+  /** Robust outlier flags per group: |x − median| > k·MAD (median
+    * absolute deviation) — the skew-immune alternative to mean/stddev
+    * z-scores (one whale order inflates a stddev gate into passing
+    * everything; the median/MAD gate doesn't move). Two exact
+    * percentile aggregations (group-keyed shuffles of (group, value)
+    * pairs) with the group-level stats broadcast back onto the rows.
+    * MAD = 0 (>50% of the group identical) flags only exact
+    * deviants, matching the convention that 0·k = 0 bounds.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, idCol: String,
+                     valueCol: String, k: Double): DataFrame = {
+    val v = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(valueCol).cast("double").as("v"))
+    val med = v.groupBy("grp").agg(expr("percentile(v, 0.5)").as("med"))
+    val mad = v.join(broadcast(med), "grp")
+      .select(col("grp"), abs(col("v") - col("med")).as("ad"))
+      .groupBy("grp").agg(expr("percentile(ad, 0.5)").as("mad"))
+    v.join(broadcast(med), "grp").join(broadcast(mad), "grp")
+      .select(col("grp"), col("id"), col("v"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+        // both comparison operands rounded to 2dp: the interpolated
+        // medians differ between engines at the 1-ulp level ((1-f)·lo
+        // + f·hi vs lo + (hi-lo)·f), and an unrounded knife-edge
+        // comparison would let that flip the boolean
+        (round(abs(col("v") - col("med")), 2) > round(lit(k) * col("mad"), 2)).as("is_outlier"))
+  }
+
+  /** Per-group quantile normalization: percent_rank of each row's
+    * value within its group (with the id as tiebreaker so ranks are a
+    * total order and reproduce on any engine) — how quality scores
+    * from differently-calibrated sources become comparable before a
+    * global cut. One window over the group clustering.
+    */
+  def quantileNorm(df: DataFrame, groupCol: String, idCol: String,
+                   valueCol: String): DataFrame = {
+    df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(valueCol).cast("double").as("v"))
+      .withColumn("q", round(percent_rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")
+          .orderBy(col("v"), col("id"))), 6))
+      .select(col("grp"), col("id"), col("v"), col("q"))
+  }
+
   /** Shuffle-key skew diagnostic: the top-k heaviest keys of a column
     * with their row share — the number an engineer reads before
     * deciding on salting or AQE skew thresholds. One keyed count

@@ -70,6 +70,15 @@ object LlmQueries {
       )
     },
 
+    // Character-distribution entropy (bits/char) — native codegen
+    // expression, map-only; junk/base64 scores high, degenerate
+    // repetition low.
+    "q_char_entropy" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        round(graft.plans.CharEntropy(col("text")), 4).as("entropy"))
+    },
+
     // #38 language-ID heuristic (stopword-profile argmax).
     "q_lang_id" -> { (s, dir) =>
       val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
@@ -92,6 +101,27 @@ object LlmQueries {
           col("b.doc_id").as("id_b"),
           round(TextAnalysis.jaccard(col("a.bg"), col("b.bg")), 4).as("jaccard")
         )
+    },
+
+    // Containment (asymmetric Jaccard): every 7th doc's middle third
+    // becomes a planted excerpt; containment of the excerpt in its
+    // source runs near 1.0 while symmetric Jaccard stays low — the
+    // quote-of-a-document dedup signal a Jaccard-only pipeline misses.
+    "q_containment" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val ws = split(lower(col("text")), " ")
+      val third = floor(size(ws) / 3).cast("int")
+      val excerpts = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("src_id"),
+          concat_ws(" ", slice(ws, third + 1, greatest(third, lit(1)))).as("frag_text"))
+      val g = d.select(col("doc_id").as("src_id"),
+        TextAnalysis.wordNgrams(col("text"), 2).as("bg"))
+      excerpts
+        .select(col("src_id"), TextAnalysis.wordNgrams(col("frag_text"), 2).as("fg"))
+        .join(g, "src_id")
+        .select(col("src_id"),
+          round(TextAnalysis.containment(col("fg"), col("bg")), 4).as("containment"),
+          round(TextAnalysis.jaccard(col("fg"), col("bg")), 4).as("jaccard"))
     },
 
     // Benchmark decontamination: corpus docs flagged by distinct
@@ -177,6 +207,12 @@ object LlmQueries {
     // Keyword extraction: top-3 TF-IDF terms per doc via TopKPerKey.
     "q_tfidf_terms" -> { (s, dir) =>
       TextRank.tfidfTopTerms(Tables(s, dir).documents, "doc_id", "text", k = 3)
+    },
+
+    // TextRank keywords: PageRank centrality over the word
+    // co-occurrence graph — top-25 corpus keywords.
+    "q_textrank_keywords" -> { (s, dir) =>
+      TextRank.textRankKeywords(Tables(s, dir).documents, "text", k = 25)
     },
 
     // Corpus-health report: per-source vocabulary size, type-token
@@ -306,14 +342,14 @@ object LlmQueries {
     // #36 exact ANN baseline: top-3 cosine neighbors per probe.
     "q_ann_bruteforce" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      VectorOps.bruteForceTopK(e.filter(col("id") % 20 === 0), e, 3)
+      VectorOps.bruteForceTopK(e.filter(col("id") % 20 === 0 && col("id") < 20000), e, 3)
         .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
     },
 
     // #37 LSH-bucketed ANN (rows-only; recall checked in spec).
     "q_ann_lsh" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      VectorOps.lshTopK(e.filter(col("id") % 20 === 0), e, 3, planes = 8, dim = 64)
+      VectorOps.lshTopK(e.filter(col("id") % 20 === 0 && col("id") < 20000), e, 3, planes = 8, dim = 64)
         .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
     },
 
@@ -435,6 +471,36 @@ object LlmQueries {
          |             ELSE CAST(len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE)
          |                  / len(list_distinct(list_concat(a.bg, b.bg))) END, 4) AS jaccard
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    // Same (n·log2(n) − Σ c·log2 c)/n association as the expression;
+    // empty text has no char rows, hence the COALESCE to 0.
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+        |st AS (SELECT doc_id, sum(cnt) AS n, sum(cnt * log2(cnt)) AS s FROM cc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(round((st.n * log2(st.n) - st.s) / st.n, 4), 0.0) AS entropy
+        |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin,
+    // The excerpt is rebuilt from the same middle-third token slice;
+    // bigrams and both scores recompute with list arithmetic.
+    "q_containment" ->
+      s"""WITH $wsCte,
+         |ex AS (SELECT doc_id AS src_id,
+         |         list_transform(range(len(ws) // 3 + 1,
+         |             len(ws) // 3 + greatest(len(ws) // 3, 1) + 1), i -> ws[i]) AS fws
+         |       FROM w WHERE doc_id % 7 = 0),
+         |fg AS (SELECT src_id, CASE WHEN len(fws) >= 2 THEN
+         |         list_distinct(list_transform(range(1, len(fws)), i -> fws[i] || ' ' || fws[i + 1]))
+         |         ELSE [] END AS fg FROM ex),
+         |bg AS (SELECT doc_id AS src_id, CASE WHEN len(ws) >= 2 THEN
+         |         list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))
+         |         ELSE [] END AS bg FROM w)
+         |SELECT src_id,
+         |  round(CASE WHEN len(fg) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(fg, x -> list_contains(bg, x))) AS DOUBLE) / len(fg) END, 4)
+         |    AS containment,
+         |  round(CASE WHEN len(list_distinct(list_concat(fg, bg))) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(fg, x -> list_contains(bg, x))) AS DOUBLE)
+         |             / len(list_distinct(list_concat(fg, bg))) END, 4) AS jaccard
+         |FROM fg JOIN bg USING (src_id)""".stripMargin,
     "q_inverted_rebuild" ->
       "SELECT doc_id, true AS ok FROM documents",
     "q_bigram_lm" ->
@@ -519,6 +585,31 @@ object LlmQueries {
          |           ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 4) DESC, tf.term) AS rn
          |  FROM tf JOIN dfq USING (term) CROSS JOIN n) x
          |WHERE rn <= 3""".stripMargin,
+    // The PageRank rounds are UNROLLED from the same (iters, damping)
+    // by Graph.pageRankSqlDuck, so query and oracle cannot drift; ids
+    // here are dense ranks over the sorted vocabulary — any
+    // collision-free labeling yields the same ranks, so the engines
+    // may label differently and still must agree on (word, rank).
+    "q_textrank_keywords" ->
+      s"""WITH $wsCte,
+         |p0 AS (SELECT unnest(list_transform(range(1, len(ws)),
+         |         i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS u FROM w WHERE len(ws) >= 2),
+         |pp AS (SELECT DISTINCT least(u.w1, u.w2) AS a, greatest(u.w1, u.w2) AS b FROM p0
+         |       WHERE u.w1 <> u.w2 AND regexp_matches(u.w1, '^[a-z]{3,}$$')
+         |         AND regexp_matches(u.w2, '^[a-z]{3,}$$')),
+         |words AS (SELECT word, CAST(dense_rank() OVER (ORDER BY word) AS BIGINT) AS id
+         |          FROM (SELECT a AS word FROM pp UNION SELECT b FROM pp) t),
+         |res AS (
+         |${Graph.pageRankSqlDuck(
+             """e AS (SELECT ia.id AS src, ib.id AS dst
+               |      FROM pp JOIN words ia ON ia.word = pp.a JOIN words ib ON ib.word = pp.b
+               |      UNION ALL
+               |      SELECT ib.id AS src, ia.id AS dst
+               |      FROM pp JOIN words ia ON ia.word = pp.a JOIN words ib ON ib.word = pp.b)""".stripMargin,
+             iters = 3, damping = 0.85)}
+         |)
+         |SELECT wd.word, res.rank FROM res JOIN words wd ON wd.id = res.id
+         |ORDER BY rank DESC, word LIMIT 25""".stripMargin,
     "q_vocab_stats" ->
       """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |c AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY source, term)
@@ -617,7 +708,7 @@ object LlmQueries {
          |        sqrt(list_dot_product(v, v)) AS nrm FROM e),
          |s AS (SELECT p.id AS probe_id, c.id AS neighbor_id,
          |        list_dot_product(p.v, c.v) / (p.nrm * c.nrm) AS sim
-         |      FROM b p JOIN b c ON p.id % 20 = 0 AND c.bucket = p.bucket AND c.id <> p.id)
+         |      FROM b p JOIN b c ON p.id % 20 = 0 AND p.id < 20000 AND c.bucket = p.bucket AND c.id <> p.id)
          |SELECT probe_id, neighbor_id, round(sim, 6) + 0.0 AS sim FROM (
          |  SELECT probe_id, neighbor_id, sim,
          |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
@@ -627,7 +718,7 @@ object LlmQueries {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
         |        list_dot_product(p.v, c.v) / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
-        |      FROM e p JOIN e c ON p.vec_id % 20 = 0 AND c.vec_id <> p.vec_id)
+        |      FROM e p JOIN e c ON p.vec_id % 20 = 0 AND p.vec_id < 20000 AND c.vec_id <> p.vec_id)
         |SELECT probe_id, neighbor_id, round(sim, 6) + 0.0 AS sim FROM (
         |  SELECT probe_id, neighbor_id, sim,
         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn

@@ -158,6 +158,192 @@ object Multimodal {
       }(enc)
   }
 
+  /** synthGrayPng with the pixel seed decoupled from the media id plus
+    * a single-pixel perturbation: pixel (x, y) carries
+    * v = ((seed·31 + x·7 + y·13)·(seed·13 + x·101 + y·31) div 16
+    *      + (x = y = 0 ? delta : 0)) mod 256.
+    * The PRODUCT of two seed-dependent linear forms makes the
+    * brightness-gradient structure itself a function of the seed — a
+    * purely additive seed term shifts every pixel equally, which a
+    * gradient hash like dHash is INVARIANT to (measured: ~40% of a
+    * 500-image additive-formula corpus collided at Hamming 0). Rows
+    * sharing a seed are near-identical images under different ids —
+    * the planted positives a perceptual-hash dedup oracle needs
+    * (delta = 0 → exact duplicate, small delta → near-duplicate).
+    * `df` needs (idCol: long, seedCol: long, wCol: int, hCol: int,
+    * deltaCol: int).
+    */
+  def synthGrayPngSeeded(df: DataFrame, idCol: String, seedCol: String,
+                         wCol: String, hCol: String, deltaCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col(idCol).cast("long").as("media_id"),
+        col(seedCol).cast("long").as("seed"),
+        col(wCol).cast("int").as("w"), col(hCol).cast("int").as("h"),
+        col(deltaCol).cast("int").as("delta"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val seed = r.getLong(1)
+          val w = r.getInt(2); val h = r.getInt(3); val delta = r.getInt(4)
+          val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val d = if (x == 0 && y == 0) delta else 0
+              val v = java.lang.Math.floorMod(
+                (seed * 31 + x * 7 + y * 13) * (seed * 13 + x * 101 + y * 31) / 16 + d, 256L).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, "image", bos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** Difference hash (dHash) — the standard perceptual image
+    * fingerprint (64 brightness-gradient bits from a 9x8 downsample;
+    * near-duplicate images differ in a few bits, so Hamming distance
+    * over dHash is how an image corpus deduplicates without pixel-exact
+    * matching). Integer-exact by construction: each of the 9x8 cells
+    * takes the SUM of the source pixels mapping to it (cell(cx) =
+    * pixels with x·9 div w = cx — every cell is non-empty when
+    * w >= 9, h >= 8, which the dimension guard enforces), and the
+    * left>right comparison cross-multiplies sums and counts instead of
+    * dividing — no float rounding anywhere, so an oracle recomputes
+    * the hash as pure arithmetic from known pixel values. The 64 bits
+    * ship as two non-negative 32-bit halves (hash_hi = grid rows 0-3,
+    * bit cx + 8·cy; hash_lo = rows 4-7) to keep sign/overflow
+    * semantics trivially portable across engines.
+    *
+    * Scale shape: partition-local map (decode + 72 integer cells per
+    * image), no shuffle; undecodable or sub-9x8 content →
+    * decode_ok = false, never an exception.
+    */
+  def dHashImages(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("hash_hi", LongType, nullable = true),
+      StructField("hash_lo", LongType, nullable = true)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val img =
+          if (bytes == null) null
+          else
+            try {
+              val i = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (i != null && (i.getWidth < 9 || i.getHeight < 8 ||
+                  i.getWidth.toLong * i.getHeight > 64L * 1024 * 1024)) null
+              else i
+            } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(r.getAs[Long]("media_id"), false, null, null)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = Array.ofDim[Long](9, 8)
+          val cnts = Array.ofDim[Long](9, 8)
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val cx = x * 9 / w
+              sums(cx)(cy) += (img.getRGB(x, y) & 0xff)
+              cnts(cx)(cy) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var hi = 0L; var lo = 0L
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              // avg(cx) > avg(cx+1)  ⇔  sum_l·cnt_r > sum_r·cnt_l
+              val bit = sums(cx)(cy) * cnts(cx + 1)(cy) > sums(cx + 1)(cy) * cnts(cx)(cy)
+              if (bit) {
+                if (cy < 4) hi |= 1L << (cx + 8 * cy)
+                else lo |= 1L << (cx + 8 * (cy - 4))
+              }
+              cx += 1
+            }
+            cy += 1
+          }
+          Row(r.getAs[Long]("media_id"), true, hi, lo)
+        }
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs over [[dHashImages]] output: banded
+    * LSH on the four 16-bit quarters of the 64-bit dHash (two images
+    * within Hamming distance `maxHamming` usually agree on at least
+    * one quarter — the same band/verify economics as MinHash-LSH, so
+    * a 100 TB image corpus shuffles (band, key, id) rows, never
+    * pixels), then an exact Hamming verify on the candidates. Banding
+    * recall is part of the CONTRACT (a pair differing in all four
+    * quarters is not a candidate), which is what makes the operator
+    * oracle-reproducible: the oracle implements the identical
+    * band+verify chain. Emits (media_id_a, media_id_b, hamming) with
+    * a < b.
+    *
+    * `bandBits` (16 or 32) is the scale knob: candidate pairs grow
+    * ~n²/2^bandBits (and faster where gradient structure clusters the
+    * band keys), so like the embedding dedup's hyperplane count it
+    * must grow with the corpus — at 16 the residual quadratic term is
+    * already visible at 180k images (measured ~10 s of a 27 s run);
+    * a 100 TB image corpus runs 2×32-bit bands (recall drops to
+    * pairs agreeing on one 32-bit half, i.e. hamming concentrated in
+    * the other half — acceptable when near-dups are hamming ≤ 2-3).
+    */
+  def dHashNearDup(hashes: DataFrame, maxHamming: Int, bandBits: Int = 16): DataFrame = {
+    require(bandBits == 16 || bandBits == 32, s"bandBits must be 16 or 32, got $bandBits")
+    // Eagerly materialized: both sides of the band self-join read this
+    // frame, and without the checkpoint Spark evaluates the upstream
+    // decode subtree TWICE — measured as ~2x the whole query, since
+    // the codec pass dwarfs the join. The checkpoint holds three longs
+    // per image, not pixels.
+    val h = hashes.filter(col("decode_ok"))
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"))
+      .localCheckpoint(true)
+    val bandStructs =
+      if (bandBits == 16) array(
+        struct(lit(0).as("band"), shiftright(col("hash_hi"), 16).as("key")),
+        struct(lit(1).as("band"), (col("hash_hi") % 65536).as("key")),
+        struct(lit(2).as("band"), shiftright(col("hash_lo"), 16).as("key")),
+        struct(lit(3).as("band"), (col("hash_lo") % 65536).as("key")))
+      else array(
+        struct(lit(0).as("band"), col("hash_hi").as("key")),
+        struct(lit(1).as("band"), col("hash_lo").as("key")))
+    val banded = h.select(col("media_id"), col("hash_hi"), col("hash_lo"),
+      explode(bandStructs).as("bk"))
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("media_id").as("id_a"),
+      col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"))
+    val b = banded.select(col("band"), col("key"), col("media_id").as("id_b"),
+      col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .select(col("id_a").as("media_id_a"), col("id_b").as("media_id_b"), col("hamming"))
+  }
+
   /** Audio SPI providers cached once per executor JVM:
     * AudioSystem.getAudioInputStream / .write resolve providers through
     * a SYNCHRONIZED global registry on every call, which serializes a

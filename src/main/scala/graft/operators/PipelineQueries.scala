@@ -137,6 +137,29 @@ object PipelineQueries {
         .select("media_id", "decode_ok", "width", "height", "n_frames", "n_sampled", "pixel_sum")
     },
 
+    // #42 perceptual-hash image near-dup: REAL decode → integer-exact
+    // dHash → banded LSH on 16-bit quarters → exact Hamming verify.
+    // Planted positives: every 5th doc gets a twin image under a
+    // shifted id — even ones byte-identical (hamming 0), odd ones
+    // with one perturbed pixel (small hamming). The oracle recomputes
+    // hash and pairs as pure arithmetic from the pixel formula.
+    "q_image_neardup" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val base = d.select(
+        col("doc_id").as("media"), col("doc_id").as("seed"),
+        (col("doc_id") % 13 + 9).cast("int").as("w"),
+        (col("doc_id") % 11 + 8).cast("int").as("h"),
+        lit(0).cast("int").as("delta"))
+      val twins = d.filter(col("doc_id") % 5 === 0).select(
+        (col("doc_id") + 1000000L).as("media"), col("doc_id").as("seed"),
+        (col("doc_id") % 13 + 9).cast("int").as("w"),
+        (col("doc_id") % 11 + 8).cast("int").as("h"),
+        (pmod(col("doc_id"), lit(2)) * 64).cast("int").as("delta"))
+      val media = Multimodal.synthGrayPngSeeded(
+        base.unionByName(twins), "media", "seed", "w", "h", "delta")
+      Multimodal.dHashNearDup(Multimodal.dHashImages(media), maxHamming = 6)
+    },
+
     // #13c boolean-formatted download projection (reference
     // publish/publication.py:398-421): booleans become literal
     // 'true'/'false' strings and NULL stays NULL (empty CSV cell, NOT
@@ -246,6 +269,48 @@ object PipelineQueries {
         |FROM d, range(0, 16) x(k), range(0, 14) y(k)
         |WHERE x.k < d.w AND y.k < d.h
         |GROUP BY d.doc_id, d.w, d.h""".stripMargin,
+    // Recomputes the dHash near-dup chain as pure arithmetic: pixel
+    // v(x,y) from the synth formula, 9x8 cell sums by the same
+    // floor-division mapping, left>right bits via the same
+    // cross-multiplication, then the identical band+verify candidate
+    // generation — so the decoded-pixel path is proven end to end.
+    "q_image_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed,
+        |         doc_id % 13 + 9 AS w, doc_id % 11 + 8 AS h, 0 AS delta FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, doc_id % 13 + 9, doc_id % 11 + 8,
+        |         (doc_id % 2) * 64 FROM documents WHERE doc_id % 5 = 0),
+        |pxx AS (SELECT media_id, seed, w, h, delta, unnest(range(w)) AS x FROM m),
+        |px AS (SELECT media_id, seed, w, h, delta, x, unnest(range(h)) AS y FROM pxx),
+        |pv AS (SELECT media_id, x * 9 // w AS cx, y * 8 // h AS cy,
+        |         ((seed * 31 + x * 7 + y * 13) * (seed * 13 + x * 101 + y * 31) // 16 +
+        |          CASE WHEN x = 0 AND y = 0 THEN delta ELSE 0 END) % 256 AS v
+        |       FROM px),
+        |cells AS (SELECT media_id, cx, cy, sum(v) AS s, count(*) AS c
+        |          FROM pv GROUP BY media_id, cx, cy),
+        |bits AS (SELECT l.media_id, l.cx, l.cy,
+        |           CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS bit
+        |         FROM cells l JOIN cells r
+        |           ON r.media_id = l.media_id AND r.cy = l.cy AND r.cx = l.cx + 1
+        |         WHERE l.cx < 8),
+        |hs AS (SELECT media_id,
+        |         CAST(sum(CASE WHEN cy < 4 THEN bit * (1::BIGINT << (cx + 8 * cy))
+        |                  ELSE 0 END) AS BIGINT) AS hash_hi,
+        |         CAST(sum(CASE WHEN cy >= 4 THEN bit * (1::BIGINT << (cx + 8 * (cy - 4)))
+        |                  ELSE 0 END) AS BIGINT) AS hash_lo
+        |       FROM bits GROUP BY media_id),
+        |bd AS (SELECT media_id, hash_hi, hash_lo, b.band,
+        |         CASE b.band WHEN 0 THEN hash_hi // 65536 WHEN 1 THEN hash_hi % 65536
+        |                     WHEN 2 THEN hash_lo // 65536 ELSE hash_lo % 65536 END AS key
+        |       FROM hs, (SELECT unnest(range(4)) AS band) b),
+        |cand AS (SELECT DISTINCT a.media_id AS ida, b2.media_id AS idb,
+        |                a.hash_hi AS ha, a.hash_lo AS la, b2.hash_hi AS hb, b2.hash_lo AS lb
+        |         FROM bd a JOIN bd b2
+        |           ON a.band = b2.band AND a.key = b2.key AND a.media_id < b2.media_id)
+        |SELECT ida AS media_id_a, idb AS media_id_b,
+        |       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6""".stripMargin,
     // Mirrors the reference _copy_stmt CASE: true→'true', false→
     // 'false', NULL→NULL.
     "q_csv_boolfmt" ->

@@ -104,6 +104,50 @@ object TextRank {
     TopK.perKey(scored, Seq(idCol), struct((-col("tfidf")).as("neg"), col("term")), k)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    * over the corpus-wide word co-occurrence graph — adjacent content
+    * words (lowercase alphabetic, length >= 3) become an undirected
+    * edge, and the stationary rank surfaces the corpus's central
+    * vocabulary. The LLM-pipeline use is corpus topic labeling and
+    * stopword-free keyword lists for cluster naming — graph centrality
+    * finds terms TF-IDF misses (a hub word with middling frequency).
+    *
+    * Scale shape: the corpus explodes once to adjacent pairs, which
+    * collapse to the DISTINCT vocabulary-bounded edge set before any
+    * iteration — PageRank then runs on (long, long) ids, never words
+    * (vertex ids are xxhash64(word): rank depends only on graph
+    * structure, so any collision-free labeling yields identical
+    * ranks; ~n²/2^64 collision odds on a vocabulary are negligible —
+    * and the word itself joins back only for the final top-k). The
+    * co-occurrence pair table is checkpointed so the corpus scan runs
+    * once, not once per consumer.
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String, k: Int,
+                       iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val ws = split(lower(col(textCol)), " ")
+    val wordRe = "^[a-z]{3,}$"
+    val pairs = docs
+      .filter(size(ws) >= 2)
+      .select(explode(transform(sequence(lit(1), size(ws) - 1, lit(1)),
+        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= col("w2") &&
+        col("w1").rlike(wordRe) && col("w2").rlike(wordRe))
+      .select(least(col("w1"), col("w2")).as("a"), greatest(col("w1"), col("w2")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val edges = pairs.select(xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
+      .unionByName(pairs.select(xxhash64(col("b")).as("src"), xxhash64(col("a")).as("dst")))
+    val words = pairs.select(col("a").as("word")).unionByName(pairs.select(col("b").as("word")))
+      .distinct()
+      .select(col("word"), xxhash64(col("word")).as("id"))
+    Graph.pageRank(edges, "src", "dst", iters, damping)
+      .join(words, "id")
+      .select(col("word"), col("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(k)
+  }
+
   /** Corpus-self bigram LM quality score (the CCNet idea with the
     * corpus as its own LM): train bigram conditionals P(w2|w1) =
     * c(w1,w2)/c(w1·) over the whole corpus, then score each document

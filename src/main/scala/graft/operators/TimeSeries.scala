@@ -46,6 +46,40 @@ object TimeSeries {
         col("v_obs").isNull.as("is_gap"))
   }
 
+  /** Final exponentially-weighted moving average per key, computed in
+    * CLOSED FORM rather than as a sequential fold: with rows numbered
+    * rn = 1..n per key in time order and the standard init
+    * ewma_1 = x_1,
+    *
+    *   ewma_n = (1-α)^(n-1)·x_1 + Σ_{rn≥2} α·(1-α)^(n-rn)·x_rn
+    *
+    * — one weight per row from its position, so the whole computation
+    * is a row_number window plus one aggregation (two key-clustered
+    * shuffles; a fold would serialize per key and an engine can't
+    * vectorize it). With α = 1/2^k the weights are exact powers of
+    * two (float multiplication by 2^-j is an exponent shift), so the
+    * only inexactness is the final sum's addition order — rounding
+    * absorbs it and any engine reproduces the value.
+    *
+    * `orderCols` must be a total order within a key (pass a unique
+    * tiebreaker) or rn — and the result — is nondeterministic.
+    */
+  def ewmaLast(events: DataFrame, keyCol: String, orderCols: Seq[Column],
+               valueCol: String, alpha: Double): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    val numbered = events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(keyCol)))
+      .select(col(keyCol), col(valueCol).cast("double").as("v"), col("rn"), col("n"))
+    numbered
+      .select(col(keyCol),
+        when(col("rn") === 1, col("v") * pow(lit(1 - alpha), col("n") - 1))
+          .otherwise(col("v") * alpha * pow(lit(1 - alpha), col("n") - col("rn"))).as("wv"),
+        col("n"))
+      .groupBy(keyCol)
+      .agg(first(col("n")).as("n_obs"), round(sum(col("wv")), 4).as("ewma"))
+  }
+
   /** Cohort retention: users grouped by their first-activity bucket,
     * counted per (cohort, age) — age in buckets since the cohort
     * bucket. One distinct (key, bucket) table feeds both the cohort

@@ -391,6 +391,69 @@ class GraphSpec extends SparkSpec {
       (2L, 3600L, 1.0, 1.0, false)))    // span bounded per key: no slot 0 row
   }
 
+  test("sourceOverlap counts shared fingerprints per source pair with pairwise Jaccard") {
+    val rows = Seq(
+      ("s1", "alpha"), ("s1", "beta"), ("s1", "gamma"),
+      ("s2", "beta"), ("s2", "gamma"), ("s2", "delta"),
+      ("s3", "zeta"), ("s3", "zeta")  // duplicate content collapses in the distinct
+    ).toDF("source", "text")
+    val got = graft.operators.DataOps.sourceOverlap(rows, "source", md5(col("text")))
+      .orderBy("source_a", "source_b").collect()
+    // only (s1, s2) share content: {beta, gamma} of 3 and 3 → J = 2/4
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getString(0) == "s1" && r.getString(1) == "s2" && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 3L && r.getLong(4) == 3L && math.abs(r.getDouble(5) - 0.5) < 1e-9)
+  }
+
+  test("robustOutliers: the whale is flagged, the cluster is not, MAD=0 flags exact deviants only") {
+    val rows = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 11.0), ("a", 3L, 9.0), ("a", 4L, 10.5), ("a", 5L, 1000.0),
+      ("b", 6L, 5.0), ("b", 7L, 5.0), ("b", 8L, 5.0), ("b", 9L, 99.0)
+    ).toDF("g", "id", "v")
+    val got = graft.operators.DataOps.robustOutliers(rows, "g", "id", "v", k = 3.0)
+      .orderBy("id").collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+    assert(got(5L))                                  // the whale
+    assert(!got(1L) && !got(2L) && !got(3L) && !got(4L))
+    assert(got(9L) && !got(6L))                      // MAD=0 group: only the deviant
+  }
+
+  test("quantileNorm: percent_rank spans [0,1] per group with deterministic tiebreak") {
+    val rows = Seq(("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 30.0), ("g", 4L, 20.0),
+      ("h", 5L, 7.0)).toDF("s", "id", "v")
+    val got = graft.operators.DataOps.quantileNorm(rows, "s", "id", "v")
+      .orderBy("id").collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // order in g: 10(1) < 20,id2(2) < 20,id4(3) < 30(4) → ranks 0, 1/3, 2/3, 1
+    assert(got(1L) == 0.0 && math.abs(got(2L) - 0.333333) < 1e-6)
+    assert(math.abs(got(4L) - 0.666667) < 1e-6 && got(3L) == 1.0)
+    assert(got(5L) == 0.0)  // single-row group
+  }
+
+  test("textRankKeywords ranks the co-occurrence hub first, conserves mass, filters non-content tokens") {
+    // alpha neighbors {beta, gamma, delta}; beta/gamma have 2; delta 1.
+    // "x" and "42" fail the [a-z]{3,} content filter; "tiny" has no
+    // co-occurring partner surviving the filter so it never enters.
+    val docs = Seq(
+      "alpha beta x 42", "beta gamma", "gamma alpha", "alpha delta", "tiny x"
+    ).toDF("text")
+    val got = graft.operators.TextRank.textRankKeywords(docs, "text", k = 10)
+      .as[(String, Double)].collect()
+    assert(got.map(_._1).toSet == Set("alpha", "beta", "gamma", "delta"))
+    assert(got.head._1 == "alpha", s"hub should rank first, got ${got.toSeq}")
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-4)  // undirected graph: no dangling leak
+    assert(got.map(_._2).sorted.reverse.toSeq == got.map(_._2).toSeq)  // sorted by rank desc
+  }
+
+  test("ewmaLast closed form equals the sequential fold") {
+    val ev = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 5.0), (1L, 4L, 40.0), (2L, 1L, 7.0))
+      .toDF("k", "o", "v")
+    val got = graft.operators.TimeSeries.ewmaLast(ev, "k", Seq(col("o")), "v", alpha = 0.5)
+      .orderBy("k").collect()
+    def fold(xs: Seq[Double]): Double = xs.reduceLeft((e, x) => 0.5 * x + 0.5 * e)
+    assert(got(0).getLong(1) == 4L && math.abs(got(0).getDouble(2) - fold(Seq(10, 20, 5, 40))) < 1e-3)
+    assert(got(1).getLong(1) == 1L && math.abs(got(1).getDouble(2) - 7.0) < 1e-9)  // single row: ewma = x1
+  }
+
   test("pageRank conserves mass, ranks hubs above leaves, matches scalar reference") {
     // 1 and 2 both point at 3; 3 points at 1 and 4. Vertex 4 has no
     // out-edges, so it is dangling: its rank must redistribute

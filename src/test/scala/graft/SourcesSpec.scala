@@ -98,6 +98,51 @@ class SourcesSpec extends SparkSpec {
     assert(out(1).getLong(4) == expect(8L, 16, 14))
   }
 
+  test("dHashImages matches an independent pixel-loop reference; dHashNearDup finds the planted twin; degenerate inputs degrade") {
+    // Independent reference: same pixel formula as synthGrayPngSeeded,
+    // dHash computed by a direct loop — the operator must agree through
+    // the PNG encode→decode round trip.
+    def ref(seed: Long, w: Int, h: Int, delta: Int): (Long, Long) = {
+      val sums = Array.ofDim[Long](9, 8); val cnts = Array.ofDim[Long](9, 8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val dd = if (x == 0 && y == 0) delta else 0
+        val v = java.lang.Math.floorMod(
+          (seed * 31 + x * 7 + y * 13) * (seed * 13 + x * 101 + y * 31) / 16 + dd, 256L)
+        sums(x * 9 / w)(y * 8 / h) += v; cnts(x * 9 / w)(y * 8 / h) += 1
+      }
+      var hi = 0L; var lo = 0L
+      for (cy <- 0 until 8; cx <- 0 until 8)
+        if (sums(cx)(cy) * cnts(cx + 1)(cy) > sums(cx + 1)(cy) * cnts(cx)(cy)) {
+          if (cy < 4) hi |= 1L << (cx + 8 * cy) else lo |= 1L << (cx + 8 * (cy - 4))
+        }
+      (hi, lo)
+    }
+    val d = Seq((1L, 5L, 9, 8, 0), (2L, 5L, 9, 8, 64), (3L, 77L, 12, 10, 0))
+      .toDF("media", "seed", "w", "h", "delta")
+    val hashed = Multimodal.dHashImages(
+      Multimodal.synthGrayPngSeeded(d, "media", "seed", "w", "h", "delta"))
+    val out = hashed.orderBy("media_id").collect()
+    for ((r, (seed, w, h, delta)) <- out.zip(Seq((5L, 9, 8, 0), (5L, 9, 8, 64), (77L, 12, 10, 0)))) {
+      val (hi, lo) = ref(seed, w, h, delta)
+      assert(r.getBoolean(1) && r.getLong(2) == hi && r.getLong(3) == lo,
+        s"media ${r.getLong(0)}: got (${r.getLong(2)},${r.getLong(3)}), want ($hi,$lo)")
+    }
+    // 1 and 2 share a seed (one perturbed pixel): the banded near-dup
+    // must surface exactly that pair among these three images.
+    val pairs = Multimodal.dHashNearDup(hashed, maxHamming = 6).collect()
+    assert(pairs.length == 1 &&
+      pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L && pairs(0).getLong(2) <= 6)
+    // sub-9x8 images and corrupt bytes: decode_ok=false, never a throw
+    val small = Seq((9L, 9L, 8, 8, 0)).toDF("media", "seed", "w", "h", "delta")
+    val smallOut = Multimodal.dHashImages(
+      Multimodal.synthGrayPngSeeded(small, "media", "seed", "w", "h", "delta")).collect()
+    assert(smallOut.length == 1 && !smallOut(0).getBoolean(1) && smallOut(0).isNullAt(2))
+    val bad = Seq((10L, "not a png".getBytes("UTF-8")), (11L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "content")
+    val badOut = Multimodal.dHashImages(bad).collect()
+    assert(badOut.forall(r => !r.getBoolean(1) && r.isNullAt(2)))
+  }
+
   test("synthPcmWav → decodeAudio round-trips format and the arithmetic sample sum; corrupt bytes degrade, not throw") {
     val d = Seq((7L, 25), (8L, 64)).toDF("doc_id", "n")
     val out = Multimodal.decodeAudio(Multimodal.synthPcmWav(d, "doc_id", "n"))

@@ -40,6 +40,41 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r - 0.5) < 1e-9)
   }
 
+  test("charEntropy: uniform/degenerate/empty/unicode cases exact") {
+    val df = Seq("aaaa", "ab", "abcd", "", "ééaa").toDF("t")
+    val got = df.select(graft.plans.CharEntropy(col("t")).as("e")).collect().map(_.getDouble(0))
+    assert(got(0) == 0.0)                       // one symbol: no surprise
+    assert(math.abs(got(1) - 1.0) < 1e-12)      // two equiprobable symbols
+    assert(math.abs(got(2) - 2.0) < 1e-12)      // four equiprobable symbols
+    assert(got(3) == 0.0)                       // empty: defined as 0
+    assert(math.abs(got(4) - 1.0) < 1e-12)      // non-ASCII counted per code point
+    val nul = Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(graft.plans.CharEntropy(col("t")).as("e")).collect()
+    assert(nul(0).isNullAt(0))                  // null in, null out
+  }
+
+  test("containment is asymmetric: full for a quote in its source, partial the other way, 0 on empty") {
+    val df = Seq(("b c d", "a b c d e f g")).toDF("frag", "src")
+    val r = df.select(
+      TextAnalysis.containment(
+        TextAnalysis.wordNgrams(col("frag"), 2), TextAnalysis.wordNgrams(col("src"), 2)).as("fwd"),
+      TextAnalysis.containment(
+        TextAnalysis.wordNgrams(col("src"), 2), TextAnalysis.wordNgrams(col("frag"), 2)).as("rev"),
+      TextAnalysis.jaccard(
+        TextAnalysis.wordNgrams(col("frag"), 2), TextAnalysis.wordNgrams(col("src"), 2)).as("j")
+    ).collect()(0)
+    // frag bigrams {b c, c d} ⊂ src's 6 bigrams: containment 1.0, but
+    // only 2 of src's 6 appear in frag, and Jaccard sees 2/6.
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 2.0 / 6) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 2.0 / 6) < 1e-9)
+    val empty = Seq(("x", "a b c")).toDF("frag", "src").select(
+      TextAnalysis.containment(
+        TextAnalysis.wordNgrams(col("frag"), 2), TextAnalysis.wordNgrams(col("src"), 2)).as("c")
+    ).collect()(0).getDouble(0)
+    assert(empty == 0.0)
+  }
+
   test("inverted index round-trips") {
     val df = Seq("to be or not to be").toDF("text")
     val r = df.select(

@@ -60,12 +60,28 @@ object ScaleUp {
     write(shifted(read("events"), "event_id", "user_id")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)")), "events")
 
-    val alpha = "abcdefghij"
+    // TWO independent cyclic substitutions so the per-copy text
+    // transformation stays INJECTIVE past 10 copies: rotating only
+    // "abcdefghij" by i%10 made copies i and i+10 byte-identical, so a
+    // factor-30 build planted every doc in exact triplicate and the
+    // sf3 ladder benchmarked that synthetic duplication, not the
+    // operators (q_substring_remove measured 6.5x at the 3x step; the
+    // whole corpus became "duplicated substrings"). The second wheel
+    // ("klmnopqrstuvwxyz", keyed by i/10) is identity for i < 10, so
+    // factor-10 output — and every committed sf1 measurement — is
+    // bit-identical to the old scheme; copies are pairwise distinct up
+    // to factor 160.
+    val alphaA = "abcdefghij"
+    val alphaB = "klmnopqrstuvwxyz"
     write(copies(read("documents")) { (d, i) =>
-      val r = i % alpha.length
-      val rot = alpha.drop(r) + alpha.take(r)
+      val rA = i % alphaA.length
+      val rB = (i / alphaA.length) % alphaB.length
+      val rotA = alphaA.drop(rA) + alphaA.take(rA)
+      val rotB = alphaB.drop(rB) + alphaB.take(rB)
+      val t0 = if (rA == 0) col("text") else translate(col("text"), alphaA, rotA)
+      val t1 = if (rB == 0) t0 else translate(t0, alphaB, rotB)
       d.withColumn("doc_id", col("doc_id") + i * Shift)
-        .withColumn("text", if (r == 0) col("text") else translate(col("text"), alpha, rot))
+        .withColumn("text", t1)
       // n_chars untouched: translate is length-preserving
     }, "documents")
 

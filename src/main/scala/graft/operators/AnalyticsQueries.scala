@@ -120,6 +120,33 @@ object AnalyticsQueries {
         Seq(col("ts"), col("event_id")), "value", alpha = 0.5)
     },
 
+    // Ordered view→click→purchase funnel: first-touch semantics, one
+    // user-keyed exchange, windowed conditional mins — no joins.
+    "q_funnel" -> { (s, dir) =>
+      TimeSeries.funnel(Tables(s, dir).events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+    },
+
+    // First-order Markov transition matrix over per-user event
+    // sequences; (ts, event_id) is the total order.
+    "q_transitions" -> { (s, dir) =>
+      TimeSeries.transitionMatrix(Tables(s, dir).events, "user_id",
+        Seq(col("ts"), col("event_id")), "event_type")
+    },
+
+    // Triangle count of the word co-occurrence graph — counts are
+    // label-invariant, so the query runs on xxhash64 ids while the
+    // oracle enumerates the same unordered word-pair edge set.
+    "q_triangles" -> { (s, dir) =>
+      val ws = split(lower(col("text")), " ")
+      val pairs = Tables(s, dir).documents
+        .filter(size(ws) >= 2)
+        .select(explode(transform(sequence(lit(1), size(ws) - 1, lit(1)),
+          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))).as("bg"))
+        .select(xxhash64(col("bg.w1")).as("src"), xxhash64(col("bg.w2")).as("dst"))
+      Graph.triangleCount(pairs, "src", "dst")
+    },
+
     // As-of join: each purchase matched to the user's latest earlier
     // error event. Union + running-last window: one shuffle per side.
     "q_asof_join" -> { (s, dir) =>
@@ -388,6 +415,49 @@ object AnalyticsQueries {
         |SELECT c.cohort, CAST((a.bucket - c.cohort) / 604800 AS BIGINT) AS age,
         |       CAST(count(*) AS BIGINT) AS n_active
         |FROM a JOIN c USING (key) GROUP BY 1, 2""".stripMargin,
+    // Same stage-windowed construction; ts comparisons stay inside
+    // one engine so the nanos-vs-micros representation cancels.
+    "q_funnel" ->
+      """WITH b AS (SELECT user_id AS k, ts, event_type AS ty FROM events),
+        |s0 AS (SELECT *, min(CASE WHEN ty = 'view' THEN ts END) OVER (PARTITION BY k) AS t0 FROM b),
+        |s1 AS (SELECT *, min(CASE WHEN ty = 'click' AND ts >= t0 THEN ts END)
+        |                   OVER (PARTITION BY k) AS t1 FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN ty = 'purchase' AND ts >= t1 THEN ts END)
+        |                   OVER (PARTITION BY k) AS t2 FROM s1),
+        |pk AS (SELECT k, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2 FROM s2 GROUP BY k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(count(t0) AS BIGINT) AS n_view,
+        |       CAST(count(t1) AS BIGINT) AS n_click,
+        |       CAST(count(t2) AS BIGINT) AS n_purchase,
+        |       round(count(t0) / CAST(count(*) AS DOUBLE), 4) AS rate_view,
+        |       round(count(t1) / CAST(count(*) AS DOUBLE), 4) AS rate_click,
+        |       round(count(t2) / CAST(count(*) AS DOUBLE), 4) AS rate_purchase
+        |FROM pk""".stripMargin,
+    "q_transitions" ->
+      """WITH p AS (SELECT user_id, event_type AS to_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |      FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM p
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS nf FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, round(c.n / CAST(t.nf AS DOUBLE), 4) AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin,
+    // Triangle/vertex/edge counts are invariant to the vertex
+    // labeling, so the oracle enumerates on the words themselves.
+    "q_triangles" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |p0 AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |         i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS u FROM w WHERE len(ws) >= 2),
+        |e AS (SELECT DISTINCT least(u.w1, u.w2) AS a, greatest(u.w1, u.w2) AS b
+        |      FROM p0 WHERE u.w1 <> u.w2),
+        |wed AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM e e1 JOIN e e2 ON e2.a = e1.b),
+        |tri AS (SELECT count(*) AS n_triangles FROM wed JOIN e e3 ON e3.a = wed.a AND e3.b = wed.c),
+        |v AS (SELECT count(DISTINCT x) AS n_vertices FROM
+        |        (SELECT a AS x FROM e UNION ALL SELECT b FROM e) t),
+        |ec AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT CAST(v.n_vertices AS BIGINT) AS n_vertices, CAST(ec.n_edges AS BIGINT) AS n_edges,
+        |       CAST(tri.n_triangles AS BIGINT) AS n_triangles
+        |FROM tri, v, ec""".stripMargin,
     // quantile_cont ≡ Spark's interpolated percentile; the outlier
     // comparison mirrors the query's 2dp-rounded operands.
     "q_robust_outliers" ->

@@ -180,6 +180,36 @@ object Graph {
       s"\nSELECT id, round(r, 6) AS rank FROM r$iters"
   }
 
+  /** Triangle count of an undirected graph — the local-clustering
+    * signal (spam/link-farm detection in a link graph, community
+    * density in a co-occurrence graph). Standard distributed
+    * enumeration: canonicalize edges a<b, build wedges by joining
+    * edges on the middle vertex (a<b<c so each triangle is built
+    * exactly once), close them against the edge set. Two equi-joins;
+    * wedge count is Σ deg²-bounded, so degree-skewed graphs want the
+    * high-degree vertices handled last (the a<b<c orientation already
+    * sends each triangle through its LOWEST vertex, the standard
+    * skew mitigation). Returns one row: (n_vertices, n_edges,
+    * n_triangles).
+    */
+  def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+        greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    val tri = wedges.join(e.as("e3"),
+      col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+    val verts = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v"))).distinct()
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(verts.agg(count(lit(1)).as("n_vertices"))))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
+  }
+
   /** Large-star: for every vertex u, link each strictly-larger
     * neighbor to the minimum of u's closed neighborhood. Keeps large
     * components shrinking toward their minimum in O(log n) rounds.

@@ -80,6 +80,61 @@ object TimeSeries {
       .agg(first(col("n")).as("n_obs"), round(sum(col("wv")), 4).as("ewma"))
   }
 
+  /** Ordered conversion funnel: for stages A → B → C, a key converts
+    * to stage i+1 only by an event of that type AT OR AFTER its first
+    * qualifying stage-i event (first-touch semantics — re-orderings
+    * like purchase-before-view do NOT count, which is what separates
+    * a funnel from three independent counts). One row out: total keys
+    * and per-stage converted counts with rates.
+    *
+    * Scale shape: one repartition by key, then every stage is a
+    * windowed conditional min over that same exchange — no joins, no
+    * per-stage passes over the corpus (stage i+1's window reads stage
+    * i's column). 100 TB of events pays one shuffle.
+    */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy("__k")
+    val base = events.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      col(typeCol).as("__ty")).repartition(col("__k"))
+    val withStages = stages.zipWithIndex.foldLeft(base) { case (df, (stage, i)) =>
+      val cond =
+        if (i == 0) col("__ty") === stage
+        else col("__ty") === stage && col("__ts") >= col(s"__t${i - 1}")
+      df.withColumn(s"__t$i", min(when(cond, col("__ts"))).over(w))
+    }
+    val stageAggs = stages.indices.map(i => max(col(s"__t$i")).as(s"t$i"))
+    val perKey = withStages.groupBy("__k").agg(stageAggs.head, stageAggs.tail: _*)
+    val aggs = count(lit(1)).as("n_keys") +:
+      stages.indices.map(i => count(col(s"t$i")).as(s"n_${stages(i)}"))
+    val counted = perKey.agg(aggs.head, aggs.tail: _*)
+    stages.indices.foldLeft(counted) { (df, i) =>
+      df.withColumn(s"rate_${stages(i)}",
+        round(col(s"n_${stages(i)}").cast("double") / col("n_keys"), 4))
+    }
+  }
+
+  /** First-order Markov transition matrix over an event stream: counts
+    * and conditional probabilities P(next | current) from consecutive
+    * events per key (ordered by ts with a unique tiebreaker). The
+    * per-key sequencing is one lag window on the key clustering; the
+    * matrix itself is |types|² rows.
+    */
+  def transitionMatrix(events: DataFrame, keyCol: String, orderCols: Seq[Column],
+                       typeCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    val pairs = events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+    val counts = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    counts.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 4).as("p"))
+  }
+
   /** Cohort retention: users grouped by their first-activity bucket,
     * counted per (cohort, age) — age in buckets since the cohort
     * bucket. One distinct (key, bucket) table feeds both the cohort

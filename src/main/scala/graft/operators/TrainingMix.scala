@@ -109,6 +109,35 @@ object TrainingMix {
     * and gets no AQE skew handling — the giant boilerplate cluster is
     * exactly the skewed case).
     */
+  /** Per-source unigram KL divergence from the corpus distribution,
+    * KL(source ‖ corpus) = Σ_w p_s(w)·log2(p_s(w)/p_c(w)) — the
+    * data-mix diagnostic that quantifies how DISTINCT each source's
+    * vocabulary is (a near-zero source duplicates the corpus mixture
+    * and adds little; a high-KL source shifts it). Every source word
+    * is in the corpus by construction, so the ratio is never
+    * division by zero.
+    *
+    * Shape: ONE corpus explode into (source, word) counts (map-side
+    * combine); the corpus marginal aggregates that vocab×sources
+    * table, not the corpus again; totals ride along broadcast. The
+    * KL sum itself is a vocab-sized aggregation.
+    */
+  def sourceKlDivergence(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val sw = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val wTot = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+    val sTot = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+    val n = sw.agg(sum(col("c_sw")).as("n"))
+    sw.join(wTot, "w").join(sTot, "source").crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"),
+        ((col("c_sw") / col("n_s")) *
+          log2((col("c_sw") / col("n_s")) / (col("c_w") / col("n")))).as("term"))
+      .groupBy("source")
+      .agg(first(col("n_s")).as("n_tokens"), round(sum(col("term")), 4).as("kl_bits"))
+  }
+
   def electCanonical(components: DataFrame, docs: DataFrame,
                      idCol: String, scoreCol: Column): DataFrame = {
     // The score keeps its NATIVE numeric type: casting to long here

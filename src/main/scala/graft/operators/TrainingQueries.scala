@@ -21,6 +21,12 @@ object TrainingQueries {
   private val mixBudget = 10000000L
 
   val queries: Map[String, Q] = Map(
+    // Per-source unigram KL divergence from the corpus mixture — the
+    // source-distinctiveness diagnostic behind mix reweighting.
+    "q_source_kl" -> { (s, dir) =>
+      TrainingMix.sourceKlDivergence(Tables(s, dir).documents, "source", "text")
+    },
+
     // Per-language bottom-quartile quality cut: every doc tagged with
     // its stratum's exact p25 token-count floor.
     "q_quality_cut" -> { (s, dir) =>
@@ -94,6 +100,18 @@ object TrainingQueries {
       "ELSE CAST(0.0325 AS DOUBLE) END"
 
   val oracles: Map[String, String] = Map(
+    "q_source_kl" ->
+      """WITH sw AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |c AS (SELECT source, w, count(*) AS c_sw FROM sw GROUP BY 1, 2),
+        |wt AS (SELECT w, sum(c_sw) AS c_w FROM c GROUP BY 1),
+        |st AS (SELECT source, sum(c_sw) AS n_s FROM c GROUP BY 1),
+        |n AS (SELECT sum(c_sw) AS n FROM c)
+        |SELECT c.source, CAST(st.n_s AS BIGINT) AS n_tokens,
+        |  round(sum((c.c_sw / CAST(st.n_s AS DOUBLE)) *
+        |            log2((c.c_sw / CAST(st.n_s AS DOUBLE)) / (wt.c_w / CAST(n.n AS DOUBLE)))), 4)
+        |    AS kl_bits
+        |FROM c JOIN wt USING (w) JOIN st USING (source) CROSS JOIN n
+        |GROUP BY c.source, st.n_s""".stripMargin,
     "q_quality_cut" ->
       """WITH t AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
         |q AS (SELECT lang, quantile_cont(n_tokens, 0.25) AS thr FROM t GROUP BY lang)

@@ -391,6 +391,42 @@ class GraphSpec extends SparkSpec {
       (2L, 3600L, 1.0, 1.0, false)))    // span bounded per key: no slot 0 row
   }
 
+  test("triangleCount: complete graph, triangle-free path, duplicate/reversed edges") {
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // K4: C(4,3) = 4 triangles over 6 edges
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4) == (4L, 6L, 4L))
+    // path graph: no triangles
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == (4L, 3L, 0L))
+    // one triangle given redundantly (reversed + duplicate edges + self-loop)
+    assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 3L))) == (3L, 3L, 1L))
+  }
+
+  test("funnel enforces stage order; transitionMatrix conditions on the from-state") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(1), "view", 101L), (1L, ts(2), "click", 102L), (1L, ts(3), "purchase", 103L),
+      (2L, ts(1), "purchase", 201L), (2L, ts(2), "view", 202L), (2L, ts(3), "click", 203L),
+      (3L, ts(1), "click", 301L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val f = graft.operators.TimeSeries.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).head()
+    // user 1 converts fully; user 2's purchase PRECEDES its view→click
+    // chain so it must not count; user 3 clicked but never viewed.
+    assert(f.getLong(0) == 3L && f.getLong(1) == 2L && f.getLong(2) == 2L && f.getLong(3) == 1L)
+    assert(f.getDouble(6) == 0.3333)  // rate_purchase = 1/3
+    val tm = graft.operators.TimeSeries.transitionMatrix(ev, "user_id",
+      Seq(col("ts"), col("event_id")), "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(tm(("view", "click")) == (2L, 1.0))       // both users 1 and 2
+    assert(tm(("click", "purchase")) == (1L, 1.0))
+    assert(tm(("purchase", "view")) == (1L, 1.0))
+    assert(tm.size == 3)                              // user 3 has no transitions
+  }
+
   test("sourceOverlap counts shared fingerprints per source pair with pairwise Jaccard") {
     val rows = Seq(
       ("s1", "alpha"), ("s1", "beta"), ("s1", "gamma"),

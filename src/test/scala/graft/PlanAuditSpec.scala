@@ -141,6 +141,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("forall"), s"bloom probe missing from plan:\n" + s.take(4000))
   }
 
+  test("q_image_neardup decodes the corpus once: band self-join reads the checkpointed hash table") {
+    // Both sides of the band join must read the materialized
+    // (id, hash_hi, hash_lo) RDD — if the codec subtree leaks into the
+    // plan, every run decodes the corpus twice (measured ~2x wall).
+    val df = SparkEntry.queries("q_image_neardup")(spark, sfDir)
+    val s = df.queryExecution.optimizedPlan.toString
+    assert(!s.contains("Scan parquet") && !s.contains("MapPartitions"),
+      s"decode subtree leaked past the checkpoint:\n" + s.take(4000))
+    assert(s.contains("LogicalRDD"), s"hash table not checkpointed:\n" + s.take(4000))
+  }
+
   test("q_bigram_lm explodes+hashes the corpus once: pair table cached, single scan") {
     val s = formatted("q_bigram_lm")
     assert(s.contains("InMemoryTableScan"), s"pair table not persisted:\n" + s.take(4000))

@@ -7,6 +7,21 @@ import graft.operators.{Graph, TrainingMix}
 class TrainingMixSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sourceKlDivergence: identical distributions score 0, disjoint vocabularies score log2(mix)") {
+    val df = Seq(
+      ("a", "w w z z"), ("a", "w z"),      // a: w:3 z:3
+      ("b", "w z w z w z")                 // b: w:3 z:3 — same distribution as a
+    ).toDF("source", "text")
+    val same = graft.operators.TrainingMix.sourceKlDivergence(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(same("a") == 0.0 && same("b") == 0.0)
+    val dis = Seq(("a", "x x"), ("b", "y y")).toDF("source", "text")
+    val got = graft.operators.TrainingMix.sourceKlDivergence(dis, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // each source's word has p_s = 1, p_c = 1/2 → KL = log2(2) = 1 bit
+    assert(got("a") == 1.0 && got("b") == 1.0)
+  }
+
   test("percentileCut computes per-stratum interpolated p25 and keeps ties at the floor") {
     // en scores 10,20,30,40 → p25 = 17.5; de scores 5,5,5 → p25 = 5 (ties keep)
     val df = Seq(

@@ -80,6 +80,37 @@ object AnalyticsQueries {
       DataOps.snapshotDiff(o, newSnap, "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
     },
 
+    // SCD Type-2 merge: open history + the snapshot-diff plants →
+    // closed/opened validity intervals at t=1000.
+    "q_scd2" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val hist = o.select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val snap = o.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+        .unionByName(o.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      DataOps.scd2Merge(hist, snap, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"), t = 1000L)
+    },
+
+    // Equi-depth histogram: percentile boundaries + map-side bucket
+    // assignment — no ntile, no global sort.
+    "q_equidepth" -> { (s, dir) =>
+      DataOps.equiDepthHistogram(Tables(s, dir).orders, "o_totalprice", nBuckets = 10)
+    },
+
+    // Session path mining: 10-min-gap sessions → ordered event-type
+    // path strings → top-20 by frequency.
+    "q_session_paths" -> { (s, dir) =>
+      TimeSeries.sessionPaths(Tables(s, dir).events, "user_id", "ts", "event_id",
+        "event_type", gapMs = 600000L, k = 20)
+    },
+
     // Equi-width histogram with fixed bounds (no min/max pre-pass).
     "q_histogram" -> { (s, dir) =>
       DataOps.histogram(Tables(s, dir).orders, "o_totalprice", lo = 0.0, step = 25000.0, nBuckets = 24)
@@ -415,6 +446,55 @@ object AnalyticsQueries {
         |SELECT c.cohort, CAST((a.bucket - c.cohort) / 604800 AS BIGINT) AS age,
         |       CAST(count(*) AS BIGINT) AS n_active
         |FROM a JOIN c USING (key) GROUP BY 1, 2""".stripMargin,
+    // Same plants as q_snapshot_diff; the two output arms mirror the
+    // query's close/open classification exactly.
+    "q_scd2" ->
+      """WITH o AS (SELECT o_orderkey AS key, o_totalprice, o_orderstatus FROM orders),
+        |snap AS (SELECT key,
+        |           CASE WHEN key % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+        |           o_orderstatus
+        |         FROM o WHERE key % 13 <> 0
+        |         UNION ALL
+        |         SELECT key + 10000000, o_totalprice, o_orderstatus FROM o WHERE key % 11 = 0),
+        |j AS (SELECT coalesce(o.key, s.key) AS key,
+        |        o.key IS NOT NULL AS in_old, s.key IS NOT NULL AS in_new,
+        |        o.o_totalprice AS op, o.o_orderstatus AS os,
+        |        s.o_totalprice AS np, s.o_orderstatus AS ns_,
+        |        (o.o_totalprice IS DISTINCT FROM s.o_totalprice) OR
+        |        (o.o_orderstatus IS DISTINCT FROM s.o_orderstatus) AS chg
+        |      FROM o FULL OUTER JOIN snap s ON s.key = o.key)
+        |SELECT key, CAST(0 AS BIGINT) AS valid_from,
+        |       CAST(CASE WHEN in_new AND NOT chg THEN NULL ELSE 1000 END AS BIGINT) AS valid_to,
+        |       op AS o_totalprice, os AS o_orderstatus
+        |FROM j WHERE in_old
+        |UNION ALL
+        |SELECT key, CAST(1000 AS BIGINT), CAST(NULL AS BIGINT), np, ns_
+        |FROM j WHERE in_new AND (NOT in_old OR chg)""".stripMargin,
+    // quantile_cont ≡ Spark's interpolated percentile; boundaries are
+    // rounded on both sides before the comparison.
+    "q_equidepth" -> {
+      val fracs = (1 until 10).map(i => i / 10.0).mkString(", ")
+      s"""WITH bs AS (SELECT list_transform(quantile_cont(o_totalprice, [$fracs]),
+         |              b -> round(b, 6)) AS bs FROM orders)
+         |SELECT CAST(len(list_filter(bs.bs, b -> b < round(v, 6))) AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       round(min(v), 4) AS v_min, round(max(v), 4) AS v_max
+         |FROM (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders) t, bs
+         |GROUP BY 1""".stripMargin
+    },
+    // The q_sessionize gap construction with the event_id tiebreak,
+    // then an ordered string_agg per session.
+    "q_session_paths" ->
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+        |y AS (SELECT *, CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 600000
+        |                THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS sid FROM y),
+        |p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |      FROM z GROUP BY user_id, sid),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path)
+        |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20""".stripMargin,
     // Same stage-windowed construction; ts comparisons stay inside
     // one engine so the nanos-vs-micros representation cancels.
     "q_funnel" ->

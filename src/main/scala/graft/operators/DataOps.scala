@@ -51,6 +51,72 @@ object DataOps {
         round(avg(col("v")), 4).as("v_avg"))
   }
 
+  /** SCD Type-2 merge: maintain a dimension's full change history as
+    * validity intervals. `history` carries (key, payload...,
+    * valid_from, valid_to) with valid_to NULL marking the open row;
+    * `snapshot` is the new state of the world at time `t`. Changed
+    * keys close their open row at t and open a new one; vanished keys
+    * just close; new keys open; unchanged rows pass through — so
+    * point-in-time queries (`valid_from <= x < valid_to`) keep
+    * working across harvest runs. ONE full-outer join on the key (the
+    * closed history is append-only and unions back untouched);
+    * classification and the close/open row fan-out are map-side
+    * (explode of a 2-element struct array).
+    */
+  def scd2Merge(history: DataFrame, snapshot: DataFrame, keyCol: String,
+                compareCols: Seq[String], t: Long): DataFrame = {
+    val open = history.filter(col("valid_to").isNull)
+    val closed = history.filter(col("valid_to").isNotNull)
+    val o = open.select(
+      col(keyCol).as("key") +: col("valid_from").as("o_from") +:
+        compareCols.map(c => col(c).as(s"o_$c")): _*)
+    val n = snapshot.select(
+      col(keyCol).as("key") +: lit(true).as("__n") +:
+        compareCols.map(c => col(c).as(s"n_$c")): _*)
+    val changed = compareCols.map(c => !(col(s"o_$c") <=> col(s"n_$c"))).reduce(_ || _)
+    val inOld = col("o_from").isNotNull
+    val inNew = col("__n").isNotNull
+    def rowStruct(from: Column, to: Column, side: String) =
+      struct(from.as("valid_from") +: to.as("valid_to") +:
+        compareCols.map(c => col(s"${side}_$c").as(c)): _*)
+    val merged = o.join(n, Seq("key"), "full_outer")
+      .select(col("key"), explode(filter(array(
+        // surviving/closing version of the OLD row
+        when(inOld && inNew && !changed, rowStruct(col("o_from"), lit(null).cast("long"), "o"))
+          .when(inOld && (!inNew || changed), rowStruct(col("o_from"), lit(t), "o")),
+        // newly-opened version from the snapshot
+        when(inNew && (!inOld || changed), rowStruct(lit(t), lit(null).cast("long"), "n"))
+      ), x => x.isNotNull)).as("r"))
+      .select(col("key") +: col("r.valid_from") +: col("r.valid_to") +:
+        compareCols.map(c => col(s"r.$c").as(c)): _*)
+    val closedNorm = closed.select(
+      col(keyCol).as("key") +: col("valid_from") +: col("valid_to") +:
+        compareCols.map(col): _*)
+    closedNorm.unionByName(merged)
+  }
+
+  /** Equi-DEPTH histogram: bucket boundaries from exact interpolated
+    * percentiles (one aggregation — the boundaries row is broadcast,
+    * there is no global sort, which is what makes this shape survive
+    * a 100 TB column where ntile() would pin a single partition),
+    * then a map-side bucket assignment counting boundaries below each
+    * value. Boundaries are rounded before comparison so interpolation
+    * ulp-differences between engines cannot move a value across a
+    * bucket edge.
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, nBuckets: Int): DataFrame = {
+    val fracs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, array(${fracs.mkString(",")}))").as("__bs"))
+      .select(transform(col("__bs"), b => round(b, 6)).as("__bs"))
+    df.select(col(valueCol).cast("double").as("v"))
+      .crossJoin(broadcast(bounds))
+      .select(col("v"), size(filter(col("__bs"), b => b < round(col("v"), 6))).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")), 4).as("v_min"), round(max(col("v")), 4).as("v_max"))
+  }
+
   /** Cross-source content-overlap matrix: for every pair of sources,
     * how many distinct content fingerprints they share, plus the
     * pairwise Jaccard — the corpus-governance report that tells you

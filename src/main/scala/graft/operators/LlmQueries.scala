@@ -209,6 +209,12 @@ object LlmQueries {
       TextRank.tfidfTopTerms(Tables(s, dir).documents, "doc_id", "text", k = 3)
     },
 
+    // Corpus-level inverted-index build: canonical postings strings
+    // make the full index engine-reproducible.
+    "q_build_postings" -> { (s, dir) =>
+      TextRank.buildPostings(Tables(s, dir).documents, "doc_id", "text")
+    },
+
     // TextRank keywords: PageRank centrality over the word
     // co-occurrence graph — top-25 corpus keywords.
     "q_textrank_keywords" -> { (s, dir) =>
@@ -585,6 +591,16 @@ object LlmQueries {
          |           ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfq.df), 4) DESC, tf.term) AS rn
          |  FROM tf JOIN dfq USING (term) CROSS JOIN n) x
          |WHERE rn <= 3""".stripMargin,
+    "q_build_postings" ->
+      s"""WITH $wsCte,
+         |tr AS (SELECT doc_id AS doc, unnest(ws) AS term,
+         |         unnest(range(1, len(ws) + 1)) AS pos FROM w),
+         |pd AS (SELECT term, doc, CAST(count(*) AS BIGINT) AS tf,
+         |         string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS poss
+         |       FROM tr GROUP BY term, doc)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS n_occ,
+         |       string_agg(CAST(doc AS VARCHAR) || ':' || poss, ';' ORDER BY doc) AS postings
+         |FROM pd GROUP BY term""".stripMargin,
     // The PageRank rounds are UNROLLED from the same (iters, damping)
     // by Graph.pageRankSqlDuck, so query and oracle cannot drift; ids
     // here are dense ranks over the sorted vocabulary — any

@@ -104,6 +104,37 @@ object TextRank {
     TopK.perKey(scored, Seq(idCol), struct((-col("tfidf")).as("neg"), col("term")), k)
   }
 
+  /** Corpus-level inverted-index BUILD: one row per term carrying
+    * document frequency, total occurrences, and the full postings —
+    * rendered as a canonical `doc:pos,pos;doc:pos` string (ordered by
+    * doc id, positions ascending) so any engine reproduces the index
+    * byte-for-byte. This is the search-index construction pass a
+    * corpus-mining stack runs once per snapshot; lookups then join
+    * terms instead of scanning text.
+    *
+    * Scale shape: one posexplode to (term, doc, pos) triples, one
+    * (term, doc) aggregation with map-side combine, one vocab-keyed
+    * aggregation. Stopword terms produce corpus-sized posting rows —
+    * real deployments shard those lists (or drop stopwords upstream);
+    * the per-term row IS the skew unit, which AQE splits at the
+    * aggregation.
+    */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val triples = docs.select(col(idCol).cast("long").as("doc"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("p0", "term")))
+      .select(col("term"), col("doc"), (col("p0") + 1).as("pos"))
+    val perDoc = triples.groupBy("term", "doc")
+      .agg(count(lit(1)).as("tf"),
+        array_join(transform(array_sort(collect_list(col("pos"))), _.cast("string")), ",").as("poss"))
+    perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("n_occ"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc"), col("poss")))),
+          x => concat(x.getField("doc").cast("string"), lit(":"), x.getField("poss"))),
+          ";").as("postings"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     * over the corpus-wide word co-occurrence graph — adjacent content
     * words (lowercase alphabetic, length >= 3) become an undirected

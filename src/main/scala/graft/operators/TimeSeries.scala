@@ -115,6 +115,33 @@ object TimeSeries {
     }
   }
 
+  /** Session path mining: sessionize by inactivity gap (lag + cumsum
+    * of session starts — the same construction the sessionize oracle
+    * uses), render each session's ordered event-type sequence as a
+    * `>`-joined path string, and return the top-k paths by frequency.
+    * The whole computation runs on the key clustering (two windows +
+    * one per-session aggregation), then a vocab-of-paths-sized count
+    * and a bounded top-k — no global sort.
+    */
+  def sessionPaths(events: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, typeCol: String, gapMs: Long, k: Int): DataFrame = {
+    val wOrd = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val starts = events
+      .withColumn("__prev", lag(col(tsCol), 1).over(wOrd))
+      .withColumn("__ns",
+        when(col("__prev").isNull ||
+          (unix_millis(col(tsCol)) - unix_millis(col("__prev"))) > gapMs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__ns")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = starts.groupBy(col(keyCol), col("__sid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(tsCol).as("ts"), col(tieCol).as("tie"),
+          col(typeCol).as("ty")))),
+        x => x.getField("ty")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+  }
+
   /** First-order Markov transition matrix over an event stream: counts
     * and conditional probabilities P(next | current) from consecutive
     * events per key (ordered by ts with a unique tiebreaker). The

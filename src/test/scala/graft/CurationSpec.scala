@@ -391,6 +391,50 @@ class GraphSpec extends SparkSpec {
       (2L, 3600L, 1.0, 1.0, false)))    // span bounded per key: no slot 0 row
   }
 
+  test("scd2Merge closes changed/vanished rows, opens new versions, passes through the rest") {
+    val hist = Seq(
+      ("A", 1.0, 0L, Some(5L)),   // already-closed history: untouched
+      ("A", 2.0, 5L, None),       // open, unchanged in snapshot
+      ("B", 3.0, 0L, None),       // open, price changes
+      ("C", 4.0, 0L, None)        // open, vanishes
+    ).toDF("k", "price", "valid_from", "valid_to")
+      .withColumn("valid_to", col("valid_to").cast("long"))
+    val snap = Seq(("A", 2.0), ("B", 9.0), ("D", 7.0)).toDF("k", "price")
+    val got = graft.operators.DataOps.scd2Merge(hist, snap, "k", Seq("price"), t = 10L)
+      .collect().map(r => (r.getString(0), if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(
+      ("A", 5L, 1.0),    // closed history preserved
+      ("A", -1L, 2.0),   // unchanged open row stays open
+      ("B", 10L, 3.0),   // old B closed at t
+      ("B", -1L, 9.0),   // new B version opened
+      ("C", 10L, 4.0),   // vanished C closed
+      ("D", -1L, 7.0)))  // new key opened
+  }
+
+  test("equiDepthHistogram buckets 1..10 into five equal-count buckets") {
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    val got = graft.operators.DataOps.equiDepthHistogram(df, "v", nBuckets = 5)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 5 && got.forall(_._2 == 2L))
+    assert(got.head == (0L, 2L, 1.0, 2.0) && got.last == (4L, 2L, 9.0, 10.0))
+  }
+
+  test("sessionPaths splits on the gap and ranks deterministic path strings") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), "view", 1L), (1L, ts(10), "click", 2L),     // session 1: view>click
+      (1L, ts(5000), "view", 3L), (1L, ts(5010), "click", 4L), // session 2 (gap): view>click
+      (2L, ts(0), "view", 5L), (2L, ts(1), "purchase", 6L)     // one session: view>purchase
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.operators.TimeSeries.sessionPaths(ev, "user_id", "ts", "event_id",
+      "event_type", gapMs = 600000L, k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // user 1's bursts are 4990 s apart > the 600 s gap → two view>click sessions
+    assert(got == Seq("view>click" -> 2L, "view>purchase" -> 1L))
+  }
+
   test("triangleCount: complete graph, triangle-free path, duplicate/reversed edges") {
     def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
       val r = Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst").head()

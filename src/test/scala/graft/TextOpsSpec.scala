@@ -40,6 +40,14 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r - 0.5) < 1e-9)
   }
 
+  test("buildPostings renders canonical ordered postings with df and occurrence totals") {
+    val docs = Seq((2L, "b a b"), (1L, "a b a")).toDF("doc_id", "text")
+    val got = TextRank.buildPostings(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got("a") == (2L, 3L, "1:1,3;2:2"))
+    assert(got("b") == (2L, 3L, "1:2;2:1,3"))
+  }
+
   test("charEntropy: uniform/degenerate/empty/unicode cases exact") {
     val df = Seq("aaaa", "ab", "abcd", "", "ééaa").toDF("t")
     val got = df.select(graft.plans.CharEntropy(col("t")).as("e")).collect().map(_.getDouble(0))

@@ -151,6 +151,17 @@ object AnalyticsQueries {
         Seq(col("ts"), col("event_id")), "value", alpha = 0.5)
     },
 
+    // Market-basket pairs: top-25 co-ordered part pairs by support.
+    "q_item_pairs" -> { (s, dir) =>
+      DataOps.frequentPairs(Tables(s, dir).lineitem, "l_orderkey", "l_partkey", k = 25)
+    },
+
+    // Rolling 4-row mean/min/max of event values per user.
+    "q_rolling" -> { (s, dir) =>
+      TimeSeries.rollingStats(Tables(s, dir).events, "user_id", "ts", "event_id",
+        "value", n = 4)
+    },
+
     // Ordered view→click→purchase funnel: first-touch semantics, one
     // user-keyed exchange, windowed conditional mins — no joins.
     "q_funnel" -> { (s, dir) =>
@@ -446,6 +457,21 @@ object AnalyticsQueries {
         |SELECT c.cohort, CAST((a.bucket - c.cohort) / 604800 AS BIGINT) AS age,
         |       CAST(count(*) AS BIGINT) AS n_active
         |FROM a JOIN c USING (key) GROUP BY 1, 2""".stripMargin,
+    "q_item_pairs" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |p AS (SELECT x.i AS item_a, y.i AS item_b, CAST(count(*) AS BIGINT) AS n
+        |      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),
+        |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi)
+        |SELECT item_a, item_b, n, round(n / CAST(nb.n_baskets AS DOUBLE), 6) AS support
+        |FROM p, nb ORDER BY n DESC, item_a, item_b LIMIT 25""".stripMargin,
+    "q_rolling" ->
+      """SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+        |  round(avg(value) OVER w, 4) AS roll_avg,
+        |  min(CAST(value AS DOUBLE)) OVER w AS roll_min,
+        |  max(CAST(value AS DOUBLE)) OVER w AS roll_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
     // Same plants as q_snapshot_diff; the two output arms mirror the
     // query's close/open classification exactly.
     "q_scd2" ->

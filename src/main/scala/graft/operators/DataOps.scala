@@ -185,6 +185,29 @@ object DataOps {
       .select(col("grp"), col("id"), col("v"), col("q"))
   }
 
+  /** Frequent co-occurrence pairs (market-basket / co-citation): for
+    * items grouped into baskets, the top-k item pairs by joint
+    * support. The self-join runs WITHIN basket (distinct (basket,
+    * item) first, a < b orientation), so the blow-up unit is the
+    * per-basket item count squared — bounded by basket size, never
+    * corpus² — and the pair table aggregates with map-side combine
+    * before the bounded top-k. Support = pair count / basket count
+    * (broadcast single row).
+    */
+  def frequentPairs(df: DataFrame, basketCol: String, itemCol: String, k: Int): DataFrame = {
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val pairs = bi.as("x").join(bi.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
+      .agg(count(lit(1)).as("n"))
+    val baskets = bi.select(col("b")).distinct().agg(count(lit(1)).as("n_baskets"))
+    pairs.crossJoin(broadcast(baskets))
+      .select(col("item_a"), col("item_b"), col("n"),
+        round(col("n").cast("double") / col("n_baskets"), 6).as("support"))
+      .orderBy(col("n").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
   /** Shuffle-key skew diagnostic: the top-k heaviest keys of a column
     * with their row share — the number an engineer reads before
     * deciding on salting or AQE skew thresholds. One keyed count

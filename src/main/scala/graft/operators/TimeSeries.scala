@@ -115,6 +115,24 @@ object TimeSeries {
     }
   }
 
+  /** Rolling window aggregate per key: mean/min/max of the value over
+    * the last `n` rows (current inclusive) in time order — the
+    * smoothing pass a metrics pipeline applies before anomaly gates.
+    * One window on the key clustering; rows-based framing so the
+    * result is engine-exact under the (ts, tiebreak) total order.
+    */
+  def rollingStats(events: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, valueCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    val v = col(valueCol).cast("double")
+    events.select(col(keyCol), col(tieCol),
+      v.as("v"),
+      round(avg(v).over(w), 4).as("roll_avg"),
+      min(v).over(w).as("roll_min"),
+      max(v).over(w).as("roll_max"))
+  }
+
   /** Session path mining: sessionize by inactivity gap (lag + cumsum
     * of session starts — the same construction the sessionize oracle
     * uses), render each session's ordered event-type sequence as a

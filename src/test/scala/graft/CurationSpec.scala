@@ -391,6 +391,31 @@ class GraphSpec extends SparkSpec {
       (2L, 3600L, 1.0, 1.0, false)))    // span bounded per key: no slot 0 row
   }
 
+  test("frequentPairs counts within-basket pairs once each with support share") {
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L), (3L, 10L)  // duplicate item in basket collapses
+    ).toDF("basket", "item")
+    val got = graft.operators.DataOps.frequentPairs(rows, "basket", "item", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.head == (10L, 20L, 3L, 1.0))           // in all 3 baskets
+    assert(got.toSet.contains((10L, 30L, 1L, 0.333333)))
+    assert(got.length == 3)                            // (10,20), (10,30), (20,30)
+  }
+
+  test("rollingStats: 4-row frame warms up from the first row") {
+    val ev = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0), (1L, 4L, 4.0), (1L, 5L, 5.0))
+      .map { case (u, t, v) => (u, new java.sql.Timestamp(t * 1000L), t, v) }
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = graft.operators.TimeSeries.rollingStats(ev, "user_id", "ts", "event_id", "value", n = 4)
+      .orderBy("event_id").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got(0) == (1.0, 1.0, 1.0))        // frame of one
+    assert(got(2) == (2.0, 1.0, 3.0))        // mean(1,2,3)
+    assert(got(4) == (3.5, 2.0, 5.0))        // mean(2,3,4,5): row 1 dropped
+  }
+
   test("scd2Merge closes changed/vanished rows, opens new versions, passes through the rest") {
     val hist = Seq(
       ("A", 1.0, 0L, Some(5L)),   // already-closed history: untouched

@@ -141,6 +141,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("forall"), s"bloom probe missing from plan:\n" + s.take(4000))
   }
 
+  test("q_funnel runs every stage on ONE user exchange; q_equidepth never range-partitions") {
+    // funnel: repartition(key) + the single-row final agg — any third
+    // exchange means a stage window lost the clustering.
+    val f = formatted("q_funnel")
+    assert(countOp(f, "Exchange") <= 2, s"funnel extra shuffles:\n" + f.take(6000))
+    // equi-depth: boundaries come from an aggregation, not a global
+    // sort — rangepartitioning in the plan means ntile snuck back in.
+    val e = formatted("q_equidepth")
+    assert(!e.contains("rangepartitioning"), s"equidepth global sort:\n" + e.take(6000))
+  }
+
   test("q_image_neardup decodes the corpus once: band self-join reads the checkpointed hash table") {
     // Both sides of the band join must read the materialized
     // (id, hash_hi, hash_lo) RDD — if the codec subtree leaks into the

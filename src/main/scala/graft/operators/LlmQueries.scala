@@ -245,6 +245,23 @@ object LlmQueries {
         stratumCol = "label", idCol = "vec_id", vecCol = "embedding", simThreshold = 0.0)
     },
 
+    // Leakage-safe split: assignment hashes the GROUP key (user), so
+    // every row of a user lands in one split — the guard against
+    // train/test contamination through correlated rows. The query
+    // emits per-split user/row counts plus a machine-checked
+    // leak count (users seen in >1 split), which must be 0.
+    "q_group_split" -> { (s, dir) =>
+      val a = Sampling.assignSplit(
+        Tables(s, dir).events.select(col("user_id"), col("event_id")),
+        "user_id", splitFractions, seed = 11L)
+      val leaks = a.groupBy("user_id")
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaks"))
+      a.groupBy("split")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(leaks))
+    },
+
     // Deterministic train/val/test assignment — md5-bucketed, so rows
     // never migrate between splits as the corpus grows.
     "q_split_assign" -> { (s, dir) =>
@@ -648,6 +665,19 @@ object LlmQueries {
     // running-sum values the operator compares against, so a 1-ulp
     // float-accumulation drift can't put oracle and operator one
     // 2^-32 bucket apart.
+    "q_group_split" -> {
+      val whens = Sampling.cumulativeThresholds(splitFractions).map { case (name, t) =>
+        s"WHEN substr(md5(CAST(user_id AS VARCHAR) || ':11'), 1, 8) < '$t' THEN '$name'"
+      }.mkString("\n       ")
+      s"""WITH a AS (SELECT user_id, event_id,
+         |  CASE $whens
+         |       ELSE '${splitFractions.last._1}' END AS split FROM events),
+         |lk AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaks FROM
+         |         (SELECT user_id, count(DISTINCT split) AS ns FROM a GROUP BY user_id) t)
+         |SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |       CAST(count(*) AS BIGINT) AS n_rows, lk.leaks
+         |FROM a, lk GROUP BY split, lk.leaks""".stripMargin
+    },
     "q_split_assign" -> {
       val whens = Sampling.cumulativeThresholds(splitFractions).map { case (name, t) =>
         s"WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 8) < '$t' THEN '$name'"

@@ -28,6 +28,45 @@ class PropertySpec extends SparkSpec {
     assert(p1.collect().map(_.getString(0)).toSeq == p2.collect().map(_.getString(0)).toSeq)
   }
 
+  test("containment bounds: in [0,1], >= jaccard, and 1 for any subset bag") {
+    val wordGen = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e", "f", "gh", "i"))
+    val pairs = samples(Gen.zip(wordGen, wordGen), 30)
+      .map { case (w1, w2) => (w1.mkString(" "), (w1 ++ w2).mkString(" ")) }
+    val df = pairs.toDF("frag", "sup")
+    // frag's words are a prefix of sup, so every frag bigram that
+    // stays inside the prefix is contained — but the general bound
+    // tested is containment ∈ [0,1] and containment >= jaccard.
+    val bad = df.select(
+      TextAnalysis.containment(
+        TextAnalysis.wordNgrams(col("frag"), 2), TextAnalysis.wordNgrams(col("sup"), 2)).as("c"),
+      TextAnalysis.jaccard(
+        TextAnalysis.wordNgrams(col("frag"), 2), TextAnalysis.wordNgrams(col("sup"), 2)).as("j")
+    ).filter(col("c") < 0 || col("c") > 1 || col("c") < col("j")).count()
+    assert(bad == 0)
+    // a true subset (same bag both sides) is fully contained
+    val full = Seq(("a b c d", "a b c d")).toDF("frag", "sup").select(
+      TextAnalysis.containment(
+        TextAnalysis.wordNgrams(col("frag"), 2), TextAnalysis.wordNgrams(col("sup"), 2)).as("c")
+    ).head().getDouble(0)
+    assert(full == 1.0)
+  }
+
+  test("ewmaLast lies within each key's [min, max] on random series") {
+    val valGen = Gen.listOfN(8, Gen.chooseNum(-100.0, 100.0))
+    val series = samples(valGen, 20).zipWithIndex.flatMap { case (vs, k) =>
+      vs.zipWithIndex.map { case (v, i) => (k.toLong, i.toLong, v) }
+    }
+    val df = series.toDF("k", "o", "v")
+    val got = graft.operators.TimeSeries.ewmaLast(df, "k", Seq(col("o")), "v", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val byKey = series.groupBy(_._1)
+    for ((k, rows) <- byKey) {
+      val vs = rows.map(_._3)
+      assert(got(k) >= vs.min - 1e-4 && got(k) <= vs.max + 1e-4,
+        s"key $k: ewma ${got(k)} outside [${vs.min}, ${vs.max}]")
+    }
+  }
+
   test("jaccard is symmetric and bounded on random word bags") {
     val wordGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f", "gh", "i"))
     val pairs = samples(Gen.zip(wordGen, wordGen), 30)

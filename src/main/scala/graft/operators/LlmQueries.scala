@@ -204,6 +204,12 @@ object LlmQueries {
       TextRank.bigramLmScore(Tables(s, dir).documents, "doc_id", "text")
     },
 
+    // Kneser-Ney smoothed bigram score — continuation-probability
+    // interpolation with d = 0.75.
+    "q_kn_score" -> { (s, dir) =>
+      TextRank.kneserNeyScore(Tables(s, dir).documents, "doc_id", "text")
+    },
+
     // Keyword extraction: top-3 TF-IDF terms per doc via TopKPerKey.
     "q_tfidf_terms" -> { (s, dir) =>
       TextRank.tfidfTopTerms(Tables(s, dir).documents, "doc_id", "text", k = 3)
@@ -536,6 +542,24 @@ object LlmQueries {
          |lm AS (SELECT w1, w2, CAST(n2 AS DOUBLE) / n1 AS pr FROM c2 JOIN c1 USING (w1))
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |       round(avg(log2(pr)), 4) AS avg_log2p
+         |FROM p JOIN lm USING (w1, w2) GROUP BY doc_id""".stripMargin,
+    // Same float expression chain (d exact in binary); counts on the
+    // words themselves — hashing is label-invariant for the counts.
+    "q_kn_score" ->
+      s"""WITH $wsCte,
+         |p AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+         |        SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |                 i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS u FROM w WHERE len(ws) >= 2) t),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2),
+         |lf AS (SELECT w1, sum(c12) AS c1, count(*) AS n1w FROM bc GROUP BY w1),
+         |ct AS (SELECT w2, count(*) AS n1dw FROM bc GROUP BY w2),
+         |tt AS (SELECT count(*) AS npairs FROM bc),
+         |lm AS (SELECT bc.w1, bc.w2,
+         |         (greatest(bc.c12 - 0.75, 0.0) +
+         |          0.75 * lf.n1w * (ct.n1dw / CAST(tt.npairs AS DOUBLE))) / lf.c1 AS pr
+         |       FROM bc JOIN lf USING (w1) JOIN ct USING (w2) CROSS JOIN tt)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       round(avg(log2(pr)), 4) AS kn_log2p
          |FROM p JOIN lm USING (w1, w2) GROUP BY doc_id""".stripMargin,
     "q_bpe_pairs" ->
       """WITH wds AS (SELECT w, count(*) AS wc FROM (

@@ -179,6 +179,68 @@ object TextRank {
       .limit(k)
   }
 
+  /** Kneser-Ney smoothed bigram LM score (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1998) — the standard upgrade
+    * over the MLE bigram scorer: mass discounted from seen bigrams is
+    * redistributed by CONTINUATION probability (how many distinct
+    * contexts a word follows), so boilerplate that always follows one
+    * context stops looking like fluent text and rare-but-natural
+    * continuations stop being punished. Per-doc score = mean log2
+    * P_KN over the doc's bigrams,
+    *
+    *   P_KN(w2|w1) = (max(c12 − d, 0) + d·N1+(w1·)·Pcont(w2)) / c(w1·)
+    *   Pcont(w2)   = N1+(·w2) / |distinct bigrams|
+    *
+    * with d = 0.75 (exact in binary: c12 − d and every product chain
+    * are the same float expressions in any engine, so the rounded
+    * score reproduces). Every count is derivable from ONE persisted
+    * pair table — c(w1·) and N1+(w1·) from the h1 group, N1+(·w2)
+    * from the h2 group, the pair total from one count — so the corpus
+    * explodes exactly once and everything downstream is vocab-sized
+    * (same economics as bigramLmScore; same xxhash64 hashed-token
+    * shuffle, same DISK_ONLY storage knob at 100 TB).
+    */
+  def kneserNeyScore(docs: DataFrame, idCol: String, textCol: String,
+                     discount: Double = 0.75): DataFrame =
+    kneserNeyScoreReleasable(docs, idCol, textCol, discount)._1
+
+  /** kneserNeyScore with a [[CacheHandle]] for the persisted pair
+    * table (see bigramLmScoreReleasable for the storage contract).
+    */
+  def kneserNeyScoreReleasable(docs: DataFrame, idCol: String, textCol: String,
+                               discount: Double = 0.75,
+                               storage: org.apache.spark.storage.StorageLevel =
+                                 org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, CacheHandle) = {
+    val handle = CacheHandle()
+    val ws = split(lower(col(textCol)), " ")
+    val pairs = handle.track(docs
+      .filter(size(ws) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(ws) - 1, lit(1)),
+          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))).as("bg"))
+      .select(col(idCol), xxhash64(col("bg.w1")).as("h1"),
+        xxhash64(col("bg.w2")).as("h2"),
+        xxhash64(col("bg.w1"), col("bg.w2")).as("h12"))
+      .persist(storage))
+    // h1/h2 are functionally dependent on h12; grouping by all three
+    // keeps them available without a second pass.
+    val bc = pairs.groupBy("h12", "h1", "h2").agg(count(lit(1)).as("c12"))
+    val left = bc.groupBy("h1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1w"))
+    val cont = bc.groupBy("h2").agg(count(lit(1)).as("n1dw"))
+    val total = bc.agg(count(lit(1)).as("npairs"))
+    val d = lit(discount)
+    val lm = bc.join(left, "h1").join(cont, "h2").crossJoin(broadcast(total))
+      .select(col("h12"),
+        ((greatest(col("c12") - d, lit(0.0)) +
+          d * col("n1w") * (col("n1dw").cast("double") / col("npairs"))) / col("c1")).as("p"))
+    val scored = pairs.join(lm, Seq("h12"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(log2(col("p"))), 4).as("kn_log2p"))
+    (scored, handle)
+  }
+
   /** Corpus-self bigram LM quality score (the CCNet idea with the
     * corpus as its own LM): train bigram conditionals P(w2|w1) =
     * c(w1,w2)/c(w1·) over the whole corpus, then score each document

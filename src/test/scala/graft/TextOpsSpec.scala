@@ -40,6 +40,20 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r - 0.5) < 1e-9)
   }
 
+  test("kneserNeyScore matches the hand-computed interpolated-KN probabilities") {
+    // corpus bigrams: (a,b)x2, (b,a)x1, (b,c)x1 → npairs=3, every word's
+    // continuation count is 1 → Pcont = 1/3 each.
+    //   P(b|a) = (2-0.75 + 0.75·1·⅓)/2 = 0.75
+    //   P(a|b) = (1-0.75 + 0.75·2·⅓)/2 = 0.375 = P(c|b)
+    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextRank.kneserNeyScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    val l75 = math.log(0.75) / math.log(2); val l375 = math.log(0.375) / math.log(2)
+    assert(got(1L) == (3L, r4((2 * l75 + l375) / 3)))
+    assert(got(2L) == (1L, r4(l375)))
+  }
+
   test("buildPostings renders canonical ordered postings with df and occurrence totals") {
     val docs = Seq((2L, "b a b"), (1L, "a b a")).toDF("doc_id", "text")
     val got = TextRank.buildPostings(docs, "doc_id", "text")

@@ -279,6 +279,18 @@ object CurationQueries {
     "q_components" -> { (s, dir) =>
       val d = Tables(s, dir).documents
       Graph.connectedComponentsAll(plantedEdges(d), "src", "dst", d, "doc_id")
+    },
+
+    // Dedup report: duplicate-cluster size distribution — the number
+    // a curation run publishes (how much of the corpus is how
+    // duplicated) from the same transitive closure as q_components.
+    "q_cluster_sizes" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Graph.connectedComponentsAll(plantedEdges(d), "src", "dst", d, "doc_id")
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
     }
   )
 
@@ -457,6 +469,12 @@ object CurationQueries {
         |FROM w""".stripMargin,
     "q_components" ->
       """SELECT doc_id AS id, CAST((doc_id // 5) * 5 AS BIGINT) AS component FROM documents""".stripMargin,
+    "q_cluster_sizes" ->
+      """WITH c AS (SELECT (doc_id // 5) * 5 AS comp FROM documents),
+        |s AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size FROM c GROUP BY comp)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM s GROUP BY cluster_size""".stripMargin,
     // Same pattern string as the query (Curation.blocklistPattern is
     // the single source of truth); RE2 executes it identically.
     "q_blocklist" ->

@@ -90,6 +90,16 @@ object LlmQueries {
       )
     },
 
+    // Language-ID confusion matrix: predicted vs labeled language —
+    // the classifier-eval table a lang-filter rollout is gated on.
+    "q_lang_confusion" -> { (s, dir) =>
+      val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
+      Tables(s, dir).documents
+        .select(col("lang"),
+          TextAnalysis.predictLang(col("text"), profiles, "und").as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    },
+
     // #35 n-gram Jaccard between consecutive documents.
     "q_ngram_jaccard" -> { (s, dir) =>
       val d = Tables(s, dir).documents
@@ -490,6 +500,25 @@ object LlmQueries {
          |            WHEN es = greatest(en, de, es, fr) THEN 'es'
          |            ELSE 'fr' END AS predicted
          |FROM h""".stripMargin,
+    // The q_lang_id argmax chain aggregated against the label column.
+    "q_lang_confusion" ->
+      s"""WITH $wsCte,
+         |h AS (SELECT doc_id,
+         |        CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS en,
+         |        CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS BIGINT) AS de,
+         |        CAST(len(list_filter(ws, w -> w IN ('el','la','de','los','las','y','es','en','un','una'))) AS BIGINT) AS es,
+         |        CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','des','est','un','une','dans','pour'))) AS BIGINT) AS fr
+         |      FROM w),
+         |p AS (SELECT doc_id,
+         |        CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         |             WHEN en = greatest(en, de, es, fr) THEN 'en'
+         |             WHEN de = greatest(en, de, es, fr) THEN 'de'
+         |             WHEN es = greatest(en, de, es, fr) THEN 'es'
+         |             ELSE 'fr' END AS predicted
+         |      FROM h)
+         |SELECT d.lang, p.predicted, CAST(count(*) AS BIGINT) AS n
+         |FROM documents d JOIN p USING (doc_id)
+         |GROUP BY d.lang, p.predicted""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $wsCte,
          |g AS (SELECT doc_id,

@@ -170,6 +170,13 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus scanned more than once:\n" + s.take(4000))
   }
 
+  test("q_kn_score explodes the corpus once: pair table cached, single scan") {
+    val s = formatted("q_kn_score")
+    assert(s.contains("InMemoryTableScan"), s"pair table not persisted:\n" + s.take(4000))
+    assert(countOp(s, "Scan parquet") <= 1,
+      s"corpus scanned more than once:\n" + s.take(4000))
+  }
+
   test("q_bm25 tokenizes the corpus once: per-doc projection cached, single scan") {
     val s = formatted("q_bm25")
     assert(s.contains("InMemoryTableScan"), s"tokenized projection not persisted:\n" + s.take(4000))

@@ -180,12 +180,8 @@ object AnalyticsQueries {
     // label-invariant, so the query runs on xxhash64 ids while the
     // oracle enumerates the same unordered word-pair edge set.
     "q_triangles" -> { (s, dir) =>
-      val ws = split(lower(col("text")), " ")
-      val pairs = Tables(s, dir).documents
-        .filter(size(ws) >= 2)
-        .select(explode(transform(sequence(lit(1), size(ws) - 1, lit(1)),
-          i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))).as("bg"))
-        .select(xxhash64(col("bg.w1")).as("src"), xxhash64(col("bg.w2")).as("dst"))
+      val pairs = TextRank.adjacentPairRows(Tables(s, dir).documents, "text")
+        .select(xxhash64(col("w1")).as("src"), xxhash64(col("w2")).as("dst"))
       Graph.triangleCount(pairs, "src", "dst")
     },
 

@@ -67,14 +67,17 @@ object DataOps {
                 compareCols: Seq[String], t: Long): DataFrame = {
     val open = history.filter(col("valid_to").isNull)
     val closed = history.filter(col("valid_to").isNotNull)
+    // presence marker, NOT valid_from-is-null: an open row with a NULL
+    // valid_from (unknown provenance) must still classify as present —
+    // inferring presence from a payload column would silently drop it
     val o = open.select(
-      col(keyCol).as("key") +: col("valid_from").as("o_from") +:
+      col(keyCol).as("key") +: lit(true).as("__o") +: col("valid_from").as("o_from") +:
         compareCols.map(c => col(c).as(s"o_$c")): _*)
     val n = snapshot.select(
       col(keyCol).as("key") +: lit(true).as("__n") +:
         compareCols.map(c => col(c).as(s"n_$c")): _*)
     val changed = compareCols.map(c => !(col(s"o_$c") <=> col(s"n_$c"))).reduce(_ || _)
-    val inOld = col("o_from").isNotNull
+    val inOld = col("__o").isNotNull
     val inNew = col("__n").isNotNull
     def rowStruct(from: Column, to: Column, side: String) =
       struct(from.as("valid_from") +: to.as("valid_to") +:
@@ -128,7 +131,11 @@ object DataOps {
     * itself is |sources|² rows.
     */
   def sourceOverlap(df: DataFrame, sourceCol: String, fpCol: Column): DataFrame = {
+    // distinct frame feeds both join sides and the totals: materialize
+    // once (corpus-distinct-sized) instead of re-running the corpus
+    // distinct per consumer
     val fps = df.select(col(sourceCol).as("source"), fpCol.as("fp")).distinct()
+      .localCheckpoint(true)
     val sizes = fps.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
@@ -195,7 +202,9 @@ object DataOps {
     * (broadcast single row).
     */
   def frequentPairs(df: DataFrame, basketCol: String, itemCol: String, k: Int): DataFrame = {
+    // same multi-consumer materialization as sourceOverlap's fps
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+      .localCheckpoint(true)
     val pairs = bi.as("x").join(bi.as("y"),
         col("x.b") === col("y.b") && col("x.i") < col("y.i"))
       .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))

@@ -529,13 +529,19 @@ object LlmQueries {
          |             ELSE CAST(len(list_filter(a.bg, x -> list_contains(b.bg, x))) AS DOUBLE)
          |                  / len(list_distinct(list_concat(a.bg, b.bg))) END, 4) AS jaccard
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
-    // Same (n·log2(n) − Σ c·log2 c)/n association as the expression;
-    // empty text has no char rows, hence the COALESCE to 0.
+    // Same (n·log2(n) − Σ c·log2 c)/n association as the expression.
+    // The expression is null-preserving and scores empty text 0; the
+    // CASE mirrors both (a NULL text produces no char rows, so st
+    // misses and the division yields NULL; '' also produces no rows
+    // but must score 0.0 like the expression).
     "q_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
         |cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
         |st AS (SELECT doc_id, sum(cnt) AS n, sum(cnt * log2(cnt)) AS s FROM cc GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(round((st.n * log2(st.n) - st.s) / st.n, 4), 0.0) AS entropy
+        |SELECT d.doc_id,
+        |       CASE WHEN d.text IS NULL THEN NULL
+        |            WHEN st.doc_id IS NULL THEN 0.0
+        |            ELSE round((st.n * log2(st.n) - st.s) / st.n, 4) END AS entropy
         |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin,
     // The excerpt is rebuilt from the same middle-third token slice;
     // bigrams and both scores recompute with list arithmetic.

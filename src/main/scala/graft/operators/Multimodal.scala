@@ -172,6 +172,16 @@ object Multimodal {
     * (delta = 0 → exact duplicate, small delta → near-duplicate).
     * `df` needs (idCol: long, seedCol: long, wCol: int, hCol: int,
     * deltaCol: int).
+    *
+    * The raw seed is first folded to s = (seed·2654435761) mod 10^8:
+    * without the fold the quadratic term overflows int64 for seeds
+    * ≥ ~1.5·10^8 — which ScaleUp's id-shifted copies actually reach —
+    * and a silent Scala wrap where the DuckDB oracle hard-errors
+    * would break the pure-arithmetic oracle contract exactly at the
+    * scales the ladder benchmarks. After the fold every intermediate
+    * fits int64 on both engines for any nonnegative seed; fold
+    * collisions merely plant extra (identically computed) duplicate
+    * pairs at ~n²/2·10^-8 odds.
     */
   def synthGrayPngSeeded(df: DataFrame, idCol: String, seedCol: String,
                          wCol: String, hCol: String, deltaCol: String): DataFrame = {
@@ -187,7 +197,8 @@ object Multimodal {
         col(deltaCol).cast("int").as("delta"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val id = r.getLong(0); val seed = r.getLong(1)
+          val id = r.getLong(0)
+          val seed = java.lang.Math.floorMod(r.getLong(1) * 2654435761L, 100000000L)
           val w = r.getInt(2); val h = r.getInt(3); val delta = r.getInt(4)
           val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
@@ -302,7 +313,8 @@ object Multimodal {
     * ~n²/2^bandBits (and faster where gradient structure clusters the
     * band keys), so like the embedding dedup's hyperplane count it
     * must grow with the corpus — at 16 the residual quadratic term is
-    * already visible at 180k images (measured ~10 s of a 27 s run);
+    * already visible at 180k images (measured ~17 s of a 20 s run
+    * after codec costs);
     * a 100 TB image corpus runs 2×32-bit bands (recall drops to
     * pairs agreeing on one 32-bit half, i.e. hamming concentrated in
     * the other half — acceptable when near-dups are hamming ≤ 2-3).

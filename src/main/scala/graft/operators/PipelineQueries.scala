@@ -284,9 +284,9 @@ object PipelineQueries {
         |pxx AS (SELECT media_id, seed, w, h, delta, unnest(range(w)) AS x FROM m),
         |px AS (SELECT media_id, seed, w, h, delta, x, unnest(range(h)) AS y FROM pxx),
         |pv AS (SELECT media_id, x * 9 // w AS cx, y * 8 // h AS cy,
-        |         ((seed * 31 + x * 7 + y * 13) * (seed * 13 + x * 101 + y * 31) // 16 +
+        |         ((s * 31 + x * 7 + y * 13) * (s * 13 + x * 101 + y * 31) // 16 +
         |          CASE WHEN x = 0 AND y = 0 THEN delta ELSE 0 END) % 256 AS v
-        |       FROM px),
+        |       FROM (SELECT *, (seed * 2654435761) % 100000000 AS s FROM px) t),
         |cells AS (SELECT media_id, cx, cy, sum(v) AS s, count(*) AS c
         |          FROM pv GROUP BY media_id, cx, cy),
         |bits AS (SELECT l.media_id, l.cx, l.cy,

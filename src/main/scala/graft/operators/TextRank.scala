@@ -135,6 +135,19 @@ object TextRank {
           ";").as("postings"))
   }
 
+  /** (w1, w2) adjacent-word pair rows from a corpus — the shared edge
+    * source for the word co-occurrence graph operators (TextRank
+    * keywords, triangle counting); one definition so tokenization or
+    * filtering fixes can't drift between them.
+    */
+  private[operators] def adjacentPairRows(docs: DataFrame, textCol: String): DataFrame = {
+    val ws = split(lower(col(textCol)), " ")
+    docs.filter(size(ws) >= 2)
+      .select(explode(transform(sequence(lit(1), size(ws) - 1, lit(1)),
+        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     * over the corpus-wide word co-occurrence graph — adjacent content
     * words (lowercase alphabetic, length >= 3) become an undirected
@@ -155,13 +168,8 @@ object TextRank {
     */
   def textRankKeywords(docs: DataFrame, textCol: String, k: Int,
                        iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val ws = split(lower(col(textCol)), " ")
     val wordRe = "^[a-z]{3,}$"
-    val pairs = docs
-      .filter(size(ws) >= 2)
-      .select(explode(transform(sequence(lit(1), size(ws) - 1, lit(1)),
-        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pairs = adjacentPairRows(docs, textCol)
       .filter(col("w1") =!= col("w2") &&
         col("w1").rlike(wordRe) && col("w2").rlike(wordRe))
       .select(least(col("w1"), col("w2")).as("a"), greatest(col("w1"), col("w2")).as("b"))

@@ -123,10 +123,16 @@ object TrainingMix {
     * KL sum itself is a vocab-sized aggregation.
     */
   def sourceKlDivergence(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    // Eagerly materialized: four consumers (word marginal, source
+    // totals, grand total, scoring join) read this table, and without
+    // the checkpoint each one re-runs the corpus explode (the same
+    // multi-consumer re-evaluation dHashNearDup documents as ~2x
+    // wall). The table itself is vocab x sources-sized — cheap.
     val sw = docs
       .select(col(sourceCol).as("source"),
         explode(split(lower(col(textCol)), " ")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(true)
     val wTot = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
     val sTot = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
     val n = sw.agg(sum(col("c_sw")).as("n"))

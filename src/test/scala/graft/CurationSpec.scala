@@ -435,6 +435,16 @@ class GraphSpec extends SparkSpec {
       ("B", -1L, 9.0),   // new B version opened
       ("C", 10L, 4.0),   // vanished C closed
       ("D", -1L, 7.0)))  // new key opened
+    // presence must come from the marker, not valid_from: an open row
+    // with NULL valid_from still closes when its key vanishes
+    val histNull = Seq(("E", 1.0)).toDF("k", "price")
+      .withColumn("valid_from", lit(null).cast("long"))
+      .withColumn("valid_to", lit(null).cast("long"))
+    val gone = graft.operators.DataOps.scd2Merge(
+      histNull, Seq.empty[(String, Double)].toDF("k", "price"), "k", Seq("price"), t = 10L)
+      .collect()
+    assert(gone.length == 1 && gone(0).getString(0) == "E" &&
+      gone(0).isNullAt(1) && gone(0).getLong(2) == 10L)
   }
 
   test("equiDepthHistogram buckets 1..10 into five equal-count buckets") {

@@ -170,6 +170,16 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus scanned more than once:\n" + s.take(4000))
   }
 
+  test("q_source_kl explodes the corpus once: (source, word) counts checkpointed") {
+    val df = SparkEntry.queries("q_source_kl")(spark, sfDir)
+    val s = df.queryExecution.optimizedPlan.toString
+    // four consumers read the checkpointed count table; the corpus
+    // explode must not appear in the final plan at all
+    assert(!s.contains("Scan parquet") && !s.contains("Generate"),
+      s"corpus explode leaked past the checkpoint:\n" + s.take(4000))
+    assert(s.contains("LogicalRDD"), s"count table not checkpointed:\n" + s.take(4000))
+  }
+
   test("q_kn_score explodes the corpus once: pair table cached, single scan") {
     val s = formatted("q_kn_score")
     assert(s.contains("InMemoryTableScan"), s"pair table not persisted:\n" + s.take(4000))

@@ -102,7 +102,8 @@ class SourcesSpec extends SparkSpec {
     // Independent reference: same pixel formula as synthGrayPngSeeded,
     // dHash computed by a direct loop — the operator must agree through
     // the PNG encode→decode round trip.
-    def ref(seed: Long, w: Int, h: Int, delta: Int): (Long, Long) = {
+    def ref(rawSeed: Long, w: Int, h: Int, delta: Int): (Long, Long) = {
+      val seed = java.lang.Math.floorMod(rawSeed * 2654435761L, 100000000L)
       val sums = Array.ofDim[Long](9, 8); val cnts = Array.ofDim[Long](9, 8)
       for (y <- 0 until h; x <- 0 until w) {
         val dd = if (x == 0 && y == 0) delta else 0

@@ -312,9 +312,9 @@ object Multimodal {
     * `bandBits` (16 or 32) is the scale knob: candidate pairs grow
     * ~n²/2^bandBits (and faster where gradient structure clusters the
     * band keys), so like the embedding dedup's hyperplane count it
-    * must grow with the corpus — at 16 the residual quadratic term is
-    * already visible at 180k images (measured ~17 s of a 20 s run
-    * after codec costs);
+    * must grow with the corpus — at 16 the quadratic term is already
+    * visible at 180k images (3.7 s → 20.4 s across a 3× data step,
+    * 5.5×, where the codec share alone would scale linearly);
     * a 100 TB image corpus runs 2×32-bit bands (recall drops to
     * pairs agreeing on one 32-bit half, i.e. hamming concentrated in
     * the other half — acceptable when near-dups are hamming ≤ 2-3).

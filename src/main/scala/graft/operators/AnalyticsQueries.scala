@@ -151,6 +151,42 @@ object AnalyticsQueries {
         Seq(col("ts"), col("event_id")), "value", alpha = 0.5)
     },
 
+    // Inter-arrival gap statistics per event type: lag window on the
+    // (user, type) clustering, then a types-sized aggregation — the
+    // arrival-process profile a capacity plan reads.
+    "q_interarrival" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .select(col("event_type"),
+          ((unix_millis(col("ts")) - unix_millis(col("__prev"))) / 1000.0).as("gap_s"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg(col("gap_s")), 2).as("avg_gap_s"),
+          round(max(col("gap_s")), 2).as("max_gap_s"))
+    },
+
+    // Winsorized mean per group: clamp at [p05, p95] (boundaries
+    // rounded on both sides so interpolation ulps can't move a clamp)
+    // — the robust center the plain mean isn't under heavy tails.
+    "q_winsorized" -> { (s, dir) =>
+      val v = col("o_totalprice").cast("double")
+      val b = Tables(s, dir).orders.groupBy("o_orderpriority")
+        .agg(round(expr("percentile(o_totalprice, 0.05)"), 6).as("lo"),
+          round(expr("percentile(o_totalprice, 0.95)"), 6).as("hi"))
+      Tables(s, dir).orders
+        .join(broadcast(b), "o_orderpriority")
+        .select(col("o_orderpriority"),
+          least(greatest(v, col("lo")), col("hi")).as("wv"),
+          v.as("v"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("v")), 2).as("mean"),
+          round(avg(col("wv")), 2).as("winsorized_mean"))
+    },
+
     // Market-basket pairs: top-25 co-ordered part pairs by support.
     "q_item_pairs" -> { (s, dir) =>
       DataOps.frequentPairs(Tables(s, dir).lineitem, "l_orderkey", "l_partkey", k = 25)
@@ -453,6 +489,25 @@ object AnalyticsQueries {
         |SELECT c.cohort, CAST((a.bucket - c.cohort) / 604800 AS BIGINT) AS age,
         |       CAST(count(*) AS BIGINT) AS n_active
         |FROM a JOIN c USING (key) GROUP BY 1, 2""".stripMargin,
+    "q_interarrival" ->
+      """WITH x AS (SELECT event_type, ts,
+        |        lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+        |      FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |       round(avg((epoch_ms(ts) - epoch_ms(prev)) / 1000.0), 2) AS avg_gap_s,
+        |       round(max((epoch_ms(ts) - epoch_ms(prev)) / 1000.0), 2) AS max_gap_s
+        |FROM x WHERE prev IS NOT NULL GROUP BY event_type""".stripMargin,
+    "q_winsorized" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |             round(quantile_cont(o_totalprice, 0.05), 6) AS lo,
+        |             round(quantile_cont(o_totalprice, 0.95), 6) AS hi
+        |           FROM orders GROUP BY o_orderpriority)
+        |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(CAST(o.o_totalprice AS DOUBLE)), 2) AS mean,
+        |       round(avg(least(greatest(CAST(o.o_totalprice AS DOUBLE), b.lo), b.hi)), 2)
+        |         AS winsorized_mean
+        |FROM orders o JOIN b USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority""".stripMargin,
     "q_item_pairs" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
         |p AS (SELECT x.i AS item_a, y.i AS item_b, CAST(count(*) AS BIGINT) AS n

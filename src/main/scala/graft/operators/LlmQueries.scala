@@ -253,6 +253,25 @@ object LlmQueries {
           round(col("hapax").cast("double") / col("vocab"), 4).as("hapax_frac"))
     },
 
+    // Count-min heavy hitters over corpus tokens: build a 4×1024
+    // sketch (integer-exact md5 bucketing, so the oracle rebuilds the
+    // IDENTICAL counters), estimate every distinct token, emit the
+    // top-15 by estimate with the exact count alongside — est ≥ exact
+    // for every key by the sketch's one-sided-error guarantee, and
+    // CountMinSpec checks that inequality over the whole vocabulary
+    // plus counter-wise mergeability across corpus halves.
+    "q_countmin" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+      val sk = CountMin.sketch(toks, "term", depth = 4, width = 1024, seed = 7L)
+      val est = CountMin.estimate(sk, toks.distinct(), "term", depth = 4, width = 1024, seed = 7L)
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, "term")
+        .orderBy(col("est").desc, col("term"))
+        .limit(15)
+        .select(col("term"), col("est"), col("exact_cnt"))
+    },
+
     // Embedding-space quality gate: cosine distance to the own-label
     // centroid; flag on the rounded similarity for reproducibility.
     "q_embed_outlier" -> { (s, dir) =>
@@ -849,6 +868,23 @@ object LlmQueries {
          |SELECT id, cell, rep_id, rep_sim, (id = rep_id OR rep_sim < 0.99) AS keep FROM s""".stripMargin,
     // DSIR: hashed-unigram Laplace-smoothed log-likelihood ratio,
     // target = English docs, source = whole pool. ln == Spark's log.
+    "q_countmin" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |depths AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cells AS (SELECT j AS depth,
+        |            ('0x' || substr(md5(term || ':7:' || j), 1, 8))::BIGINT % 1024 AS bucket,
+        |            count(*) AS cnt
+        |          FROM toks CROSS JOIN depths GROUP BY 1, 2),
+        |est AS (SELECT t.term, min(c.cnt) AS est
+        |        FROM (SELECT DISTINCT term FROM toks) t
+        |        CROSS JOIN depths d
+        |        JOIN cells c
+        |          ON c.depth = d.j
+        |         AND c.bucket = ('0x' || substr(md5(t.term || ':7:' || d.j), 1, 8))::BIGINT % 1024
+        |        GROUP BY t.term),
+        |ex AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY term)
+        |SELECT term, est, exact_cnt FROM est JOIN ex USING (term)
+        |ORDER BY est DESC, term LIMIT 15""".stripMargin,
     "q_dsir_weights" ->
       """WITH sb AS (SELECT doc_id AS id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
         |            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t),

@@ -19,7 +19,7 @@ object AnalyticsQueries {
     * contribution sum.
     */
   private val pagerankEdgeCteDuck =
-    """e AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000000 AS dst FROM lineitem)"""
+    """e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000000 AS dst FROM lineitem)"""
 
   /** Surname pool for q_record_linkage (shared with its oracle). */
   private val linkSurnameList = Seq(

@@ -159,15 +159,20 @@ object Graph {
     */
   def pageRankSqlDuck(edgeCte: String, iters: Int = 3, damping: Double = 0.85): String = {
     val d = damping
+    // MATERIALIZED on every multi-referenced CTE: each r_k is read
+    // twice (dangling-mass subquery + rank join), so without the hint
+    // DuckDB INLINES the chain and the expansion grows 2^iters copies
+    // of the full edge pipeline — measured as a >79 GB temp-spill
+    // blow-up at sf1 where the materialized form runs in seconds.
     val base =
       s"""$edgeCte,
-         |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
-         |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-         |nn AS (SELECT count(*) AS n FROM v),
-         |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM v)""".stripMargin
+         |v AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |od AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM v),
+         |r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM v)""".stripMargin
     val rounds = (1 to iters).map { k =>
       val p = s"r${k - 1}"
-      s"""r$k AS (
+      s"""r$k AS MATERIALIZED (
          |  SELECT v.id, (1 - $d) / (SELECT n FROM nn) + $d * (COALESCE(s.m, 0) +
          |    (SELECT COALESCE(sum(p.r), 0) FROM $p p LEFT JOIN od ON od.src = p.id
          |     WHERE od.src IS NULL) / (SELECT n FROM nn)) AS r

@@ -423,6 +423,19 @@ object LlmQueries {
       VectorOps.semanticDedup(withPlanted, planes = 8, dim = 64, tau = 0.99)
     },
 
+    // Johnson–Lindenstrauss random projection 64→16: the ANN pre-step
+    // that cuts every downstream dot product 4×. Deterministic ±1
+    // matrix inlined at plan time — oracle-exact per element (both
+    // engines fold the dot product in ascending order; the one
+    // division and the rounding are identical), distance-preservation
+    // measured in VectorSpec.
+    "q_jl_project" -> { (s, dir) =>
+      VectorOps.randomProject(
+        Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")),
+        "embedding", outDim = 16, dim = 64)
+        .select(col("vec_id"), col("proj"))
+    },
+
     // DSIR importance weights: hashed-unigram log-likelihood ratio of
     // the English-doc target distribution vs the whole pool.
     "q_dsir_weights" -> { (s, dir) =>
@@ -868,6 +881,9 @@ object LlmQueries {
          |SELECT id, cell, rep_id, rep_sim, (id = rep_id OR rep_sim < 0.99) AS keep FROM s""".stripMargin,
     // DSIR: hashed-unigram Laplace-smoothed log-likelihood ratio,
     // target = English docs, source = whole pool. ln == Spark's log.
+    "q_jl_project" ->
+      s"""SELECT vec_id, ${VectorOps.projectSqlDuck("embedding::DOUBLE[]", 16, 64)} AS proj
+         |FROM embeddings""".stripMargin,
     "q_countmin" ->
       """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |depths AS (SELECT unnest([0, 1, 2, 3]) AS j),

@@ -177,4 +177,40 @@ object VectorOps {
       val lits = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product($vExpr, $lits::DOUBLE[]) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * out_k = dot(vec, s_k) / sqrt(outDim) over the deterministic ±1
+    * rows of [[hyperplanes]] (Achlioptas 2001: ±1 entries satisfy the
+    * JL lemma like Gaussians do, and stay integer-exact until the one
+    * final division). The workhorse pre-step for ANN at scale: a
+    * 64→16 projection cuts every downstream dot product 4× while
+    * pairwise distances survive within 1±ε — the spec measures the
+    * distortion; the projection itself is oracle-exact because the
+    * matrix inlines as literals and both engines fold the dot product
+    * in ascending element order.
+    *
+    * Scale shape: one codegen projection per row (outDim fused VecDot
+    * expressions), no shuffle, no driver state; the matrix is plan-time
+    * constant — nothing is broadcast at runtime.
+    */
+  def randomProject(df: DataFrame, vecCol: String, outDim: Int, dim: Int): DataFrame = {
+    val hp = hyperplanes(outDim, dim)
+    val scale = math.sqrt(outDim.toDouble)
+    df.withColumn("proj",
+      array(hp.map(p => round(dot(col(vecCol), typedlit(p)) / scale, 4)): _*))
+  }
+
+  /** DuckDB twin of [[randomProject]]'s `proj` column (same inlined
+    * ±1 literals, same rounding) over a DOUBLE[] column expression.
+    * The `+ 0.0` is the house negative-zero guard: DuckDB's round
+    * keeps -0.0 for small negatives where Spark's BigDecimal round
+    * returns +0.0, and the driver compares stringified values.
+    */
+  def projectSqlDuck(vExpr: String, outDim: Int, dim: Int): String = {
+    val scale = math.sqrt(outDim.toDouble)
+    hyperplanes(outDim, dim).map { p =>
+      val lits = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+      s"round(list_dot_product($vExpr, $lits::DOUBLE[]) / $scale, 4) + 0.0"
+    }.mkString("[", ", ", "]")
+  }
 }

@@ -49,7 +49,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("curation scan queries are single-pass map-only plans (zero shuffles)") {
     for (name <- Seq("q_pii_redact", "q_gopher_filter", "q_unicode_clean",
-      "q_chunk_sliding", "q_fingerprint_poly", "q_sample_hash")) {
+      "q_chunk_sliding", "q_fingerprint_poly", "q_sample_hash", "q_jl_project")) {
       val s = formatted(name)
       assert(countOp(s, "Exchange") == 0, s"$name shuffles: $s")
       assert(countOp(s, "BroadcastExchange") == 0, s"$name joins: $s")
@@ -139,6 +139,13 @@ class PlanAuditSpec extends SparkSpec {
     // the exact-verify hash join.
     assert(countOp(s, "BroadcastNestedLoopJoin") >= 1, s.take(4000))
     assert(s.contains("forall"), s"bloom probe missing from plan:\n" + s.take(4000))
+  }
+
+  test("q_countmin broadcasts the kB-sized sketch to the candidate side") {
+    // The sketch is ≤ d×w rows by construction; a sort-merge join here
+    // would shuffle the vocabulary-sized candidate table against it.
+    val s = formatted("q_countmin")
+    assert(countOp(s, "BroadcastHashJoin") >= 1, s"sketch join not broadcast:\n" + s.take(6000))
   }
 
   test("q_funnel runs every stage on ONE user exchange; q_equidepth never range-partitions") {

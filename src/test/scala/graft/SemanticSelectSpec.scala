@@ -136,4 +136,34 @@ class SemanticSelectSpec extends SparkSpec {
     handle.release() // must not throw; idempotent
     handle.release()
   }
+
+  test("randomProject preserves norms in expectation and pairwise distances within JL distortion") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val p = VectorOps.randomProject(e, "embedding", outDim = 16, dim = 64)
+      .select(col("vec_id"), col("embedding"), col("proj"))
+    // E[||Pv||^2] = ||v||^2 for +-1/sqrt(k) projections; the mean ratio
+    // over the corpus concentrates tightly even though any single row
+    // can deviate ~1/sqrt(16)
+    val ratios = p.select(
+      (VectorOps.dot(col("proj"), col("proj")) /
+        VectorOps.dot(col("embedding"), col("embedding"))).as("r"))
+    val meanR = ratios.agg(avg(col("r"))).head().getDouble(0)
+    assert(meanR > 0.85 && meanR < 1.15, s"mean norm ratio $meanR outside [0.85, 1.15]")
+    // pairwise-distance distortion on consecutive-id pairs: the median
+    // squared-distance ratio must sit near 1 (JL lemma)
+    val a = p.select(col("vec_id").as("ia"), col("embedding").as("va"), col("proj").as("pa"))
+    val b = p.select((col("vec_id") + 1).as("ia"), col("embedding").as("vb"), col("proj").as("pb"))
+    val dr = a.join(b, "ia").select(
+      ((VectorOps.dot(col("pa"), col("pa")) - lit(2) * VectorOps.dot(col("pa"), col("pb")) +
+        VectorOps.dot(col("pb"), col("pb"))) /
+        (VectorOps.dot(col("va"), col("va")) - lit(2) * VectorOps.dot(col("va"), col("vb")) +
+          VectorOps.dot(col("vb"), col("vb")))).as("dr"))
+    val medDr = dr.agg(expr("percentile(dr, 0.5)")).head().getDouble(0)
+    assert(medDr > 0.7 && medDr < 1.3, s"median distance ratio $medDr outside [0.7, 1.3]")
+    // deterministic: same matrix every run
+    val again = VectorOps.randomProject(e, "embedding", outDim = 16, dim = 64)
+      .select(col("vec_id"), col("proj"))
+    assert(p.select(col("vec_id"), col("proj")).exceptAll(again).isEmpty)
+  }
 }

@@ -272,6 +272,27 @@ object LlmQueries {
         .select(col("term"), col("est"), col("exact_cnt"))
     },
 
+    // Zipf-exponent fit per source: OLS slope of log10(freq) over
+    // log10(rank) across the full vocabulary (rank by freq desc with
+    // term tiebreak, so the regression inputs are engine-exact; the
+    // slope rounds to 4dp to absorb sum-order ulps). Healthy natural
+    // text sits near -1; a slope collapsing toward 0 flags synthetic
+    // or boilerplate-heavy sources — the corpus-refresh companion to
+    // q_vocab_stats' type-token ratio. Two vocab-sized shuffles
+    // (term counts, then the per-source rank window); the corpus
+    // itself is touched once.
+    "q_zipf_slope" -> { (s, dir) =>
+      val tf = Tables(s, dir).documents
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("cnt").desc, col("term"))
+      tf.withColumn("rank", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          round(expr("regr_slope(log10(cnt), log10(rank))"), 4).as("zipf_slope"))
+    },
+
     // Embedding-space quality gate: cosine distance to the own-label
     // centroid; flag on the rounded similarity for reproducibility.
     "q_embed_outlier" -> { (s, dir) =>
@@ -881,6 +902,15 @@ object LlmQueries {
          |SELECT id, cell, rep_id, rep_sim, (id = rep_id OR rep_sim < 0.99) AS keep FROM s""".stripMargin,
     // DSIR: hashed-unigram Laplace-smoothed log-likelihood ratio,
     // target = English docs, source = whole pool. ln == Spark's log.
+    "q_zipf_slope" ->
+      """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |c AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY source, term),
+        |r AS (SELECT source, term, cnt,
+        |        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rank
+        |      FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |       round(regr_slope(log10(cnt), log10(rank)), 4) + 0.0 AS zipf_slope
+        |FROM r GROUP BY source""".stripMargin,
     "q_jl_project" ->
       s"""SELECT vec_id, ${VectorOps.projectSqlDuck("embedding::DOUBLE[]", 16, 64)} AS proj
          |FROM embeddings""".stripMargin,

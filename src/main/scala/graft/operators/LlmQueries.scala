@@ -325,6 +325,24 @@ object LlmQueries {
         .select("doc_id", "source", "split")
     },
 
+    // EXACT set-similarity join (prefix filter, SSJoin/PPJoin family):
+    // the zero-false-negative complement to MinHash-LSH — every
+    // (probe, corpus) pair with token-set Jaccard ≥ 0.9 is found,
+    // candidates bounded by the rarest-first frequency order instead
+    // of banding probability. Incremental framing (a new batch vs the
+    // standing corpus): the self-join form's OUTPUT alone is
+    // quadratic on this vocabulary-dense synthetic corpus (9.5k true
+    // pairs among 600 docs at sf0.01 — an output lower bound no exact
+    // algorithm beats), so the batch shape is both the realistic
+    // deployment and the honest benchmark.
+    "q_setsim_join" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val probes = d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" extra tail token")).as("text"))
+      TextDedup.prefixFilterProbe(probes, d.select("doc_id", "text"), "doc_id", "text", tau = 0.9)
+    },
+
     // #33 MinHash-LSH near-dups find the planted variants (rows-only).
     "q_dedup_minhash" -> { (s, dir) =>
       TextDedup.minhashNearDups(planted(Tables(s, dir)), "doc_id", "text")
@@ -902,6 +920,31 @@ object LlmQueries {
          |SELECT id, cell, rep_id, rep_sim, (id = rep_id OR rep_sim < 0.99) AS keep FROM s""".stripMargin,
     // DSIR: hashed-unigram Laplace-smoothed log-likelihood ratio,
     // target = English docs, source = whole pool. ln == Spark's log.
+    "q_setsim_join" ->
+      """WITH al AS MATERIALIZED (
+        |  SELECT doc_id + 1000000 AS id, text || ' extra tail token' AS text, TRUE AS is_probe
+        |  FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id AS id, text, FALSE AS is_probe FROM documents),
+        |tk AS MATERIALIZED (SELECT id, unnest(list_distinct(string_split(lower(text), ' '))) AS term FROM al),
+        |dfq AS MATERIALIZED (SELECT term, count(*) AS df FROM tk GROUP BY term),
+        |kk AS (SELECT id, lpad(df::VARCHAR, 10, '0') || term AS k FROM tk JOIN dfq USING (term)),
+        |st AS MATERIALIZED (SELECT id, list_sort(list(k)) AS ks, len(list(k)) AS n FROM kk GROUP BY id),
+        |pf AS MATERIALIZED (
+        |  SELECT st.id, st.n, al.is_probe,
+        |         unnest(list_slice(st.ks, 1, (st.n - ceil(0.9 * st.n) + 1)::INT)) AS k
+        |  FROM st JOIN al ON al.id = st.id),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM (SELECT * FROM pf WHERE is_probe) a
+        |         JOIN (SELECT * FROM pf WHERE NOT is_probe) b ON a.k = b.k
+        |         WHERE b.n * 0.9 <= a.n AND a.n * 0.9 <= b.n),
+        |v AS MATERIALIZED (
+        |  SELECT c.id_a, c.id_b, len(list_intersect(sa.ks, sb.ks)) AS inter,
+        |         sa.n AS n_a, sb.n AS n_b
+        |  FROM cand c JOIN st sa ON sa.id = c.id_a JOIN st sb ON sb.id = c.id_b)
+        |SELECT id_a, id_b,
+        |       round(inter::DOUBLE / (n_a + n_b - inter), 6) + 0.0 AS jaccard
+        |FROM v WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.9""".stripMargin,
     "q_zipf_slope" ->
       """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |c AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY source, term),

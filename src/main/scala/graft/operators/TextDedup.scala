@@ -597,4 +597,96 @@ object TextDedup {
   /** Hamming distance between two equal-length bit arrays. */
   def hamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => when(x =!= y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v)
+
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * SSJoin/PPJoin family: Chaudhuri et al., ICDE 2006; Xiao et al.,
+    * WWW 2008) — the deterministic complement to MinHash-LSH: zero
+    * false negatives, candidates bounded by token-frequency order
+    * instead of banding probability. Token sets order rarest-first by
+    * (document frequency, term) — encoded as one sortable string key,
+    * zero-padded df then term, so both engines compare bytewise — and
+    * a pair with Jaccard ≥ τ must share a token within EACH side's
+    * first |s| − ceil(τ·|s|) + 1 keys (if an |s|-set's prefix missed
+    * the intersection entirely, at most ceil(τ|s|) − 1 common tokens
+    * remain, below the ≥ ceil(τ|s|) a τ-similar pair needs on either
+    * side once the length filter holds). Frequent tokens — the ones
+    * that would explode a naive token join — sort to the END of the
+    * order and rarely enter a prefix.
+    *
+    * Scale shape: the candidate join shuffles (key, id, n) prefix
+    * rows only — no arrays, no text; the length filter
+    * (τ·max ≤ min) prunes cross-size pairs before the verify; the
+    * exact verify joins the two sorted key arrays back by id
+    * (id-keyed shuffles) and intersects per pair. The reported
+    * jaccard and the τ cut both use the 6dp-rounded value, so the
+    * decision is engine-exact; the length filter compares IEEE
+    * products identically on any engine.
+    */
+  def prefixFilterJoin(docs: DataFrame, idCol: String, textCol: String, tau: Double): DataFrame = {
+    val sets = sortedKeySets(docs, idCol, textCol)
+    val pref = prefixTokens(sets, tau)
+    val cand = pref.select(col("k"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(pref.select(col("k"), col("id").as("id_b"), col("n").as("n_b")), Seq("k"))
+      .filter(col("id_a") < col("id_b") &&
+        col("n_b") * lit(tau) <= col("n_a") && col("n_a") * lit(tau) <= col("n_b"))
+      .select("id_a", "id_b").distinct()
+    verifyPairs(cand, sets, sets, tau)
+  }
+
+  /** Incremental form of [[prefixFilterJoin]]: every (probe, corpus)
+    * pair with Jaccard ≥ τ — the shape a 100 TB deployment actually
+    * runs (today's batch against the standing corpus, cost ∝ batch ×
+    * per-probe partner density, never corpus²; the self-join form's
+    * output alone is quadratic on a vocabulary-dense corpus, which is
+    * an output lower bound no exact algorithm beats). The frequency
+    * order comes from the UNION of the two sides so both prefix sets
+    * agree on it. Emits (id_a = probe, id_b = corpus, jaccard).
+    */
+  def prefixFilterProbe(probes: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String, tau: Double): DataFrame = {
+    val all = probes.select(col(idCol).as("id"), col(textCol).as("text"), lit(true).as("is_probe"))
+      .unionByName(corpus.select(col(idCol).as("id"), col(textCol).as("text"), lit(false).as("is_probe")))
+    val sets = sortedKeySets(all, "id", "text")
+      .join(all.select(col("id"), col("is_probe")), "id")
+    val pref = prefixTokens(sets, tau)
+      .join(sets.select(col("id"), col("is_probe")), "id")
+    val cand = pref.filter(col("is_probe")).select(col("k"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(pref.filter(!col("is_probe")).select(col("k"), col("id").as("id_b"), col("n").as("n_b")), Seq("k"))
+      .filter(col("n_b") * lit(tau) <= col("n_a") && col("n_a") * lit(tau) <= col("n_b"))
+      .select("id_a", "id_b").distinct()
+    verifyPairs(cand, sets.filter(col("is_probe")), sets.filter(!col("is_probe")), tau)
+  }
+
+  /** (id, ks, n): the doc's distinct tokens as rarest-first sortable
+    * keys (zero-padded document frequency, then the term — bytewise
+    * order on any engine), sorted ascending.
+    */
+  private def sortedKeySets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(array_distinct(split(lower(col(textCol)), " "))).as("term"))
+    val dfreq = toks.groupBy("term").agg(count(lit(1)).as("df"))
+    toks.join(dfreq, "term")
+      .select(col("id"), concat(lpad(col("df").cast("string"), 10, "0"), col("term")).as("k"))
+      .groupBy("id").agg(array_sort(collect_list(col("k"))).as("ks"))
+      .select(col("id"), col("ks"), size(col("ks")).as("n"))
+  }
+
+  /** One row per prefix key: the first |s| − ceil(τ·|s|) + 1 keys. */
+  private def prefixTokens(sets: DataFrame, tau: Double): DataFrame =
+    sets.select(col("id"), col("n"),
+      explode(slice(col("ks"), lit(1),
+        (col("n") - ceil(lit(tau) * col("n")) + 1).cast("int"))).as("k"))
+
+  /** Exact verify: join the sorted key arrays back by id, intersect,
+    * keep the pairs whose 6dp-rounded Jaccard clears τ.
+    */
+  private def verifyPairs(cand: DataFrame, setsA: DataFrame, setsB: DataFrame, tau: Double): DataFrame =
+    cand
+      .join(setsA.select(col("id").as("id_a"), col("ks").as("ks_a"), col("n").as("n_a")), "id_a")
+      .join(setsB.select(col("id").as("id_b"), col("ks").as("ks_b"), col("n").as("n_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ks_a"), col("ks_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 }

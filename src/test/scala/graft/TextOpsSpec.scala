@@ -199,4 +199,38 @@ class TextOpsSpec extends SparkSpec {
       k = 5, mBits = 1 << 12)
     assert(canon(exact) == canon(bloom))
   }
+
+  test("prefixFilterJoin equals brute force exactly (zero false negatives, zero extras)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val got = TextDedup.prefixFilterJoin(docs, "doc_id", "text", tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over every pair, same token sets, same rounded cut
+    val sets = docs.select(col("doc_id").as("id"),
+        array_distinct(split(lower(col("text")), " ")).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa intersect sb).size
+      j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.8 &&
+        sa.size * 0.8 <= sb.size && sb.size * 0.8 <= sa.size
+    } yield (ia, ib, j)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty, "brute force found no pairs — test corpus too sparse to prove anything")
+  }
+
+  test("prefixFilterProbe finds each planted variant's original") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zq1 zq2")).as("text"))
+    val pairs = TextDedup.prefixFilterProbe(probes, docs, "doc_id", "text", tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = probes.select(col("doc_id")).collect().map(_.getLong(0))
+      .map(p => (p, p - 1000000)).toSet
+    assert(expected.subsetOf(pairs),
+      s"variants not matched to originals: ${(expected -- pairs).take(5)}")
+  }
 }

@@ -64,6 +64,29 @@ object AnalyticsQueries {
         maxDist = 2, extraBlockCols = Seq("cohort"))
     },
 
+    // Record linkage scored with the native Jaro-Winkler expression
+    // (plans/JaroWinkler — Spark ships no jaro): same synthesized
+    // name corpus as q_record_linkage, cohort-blocked pairs, keep
+    // jw ≥ 0.85. The DuckDB oracle scores with its OWN independent
+    // jaro_winkler_similarity implementation, so a hash-match
+    // cross-validates the native expression's exact semantics
+    // (byte-wise, integer transposition halving, 0.7 boost gate).
+    "q_jaro_linkage" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+      val name = concat(
+        translate(reverse(col("c_custkey").cast("string")), "0123456789", "BCDLMRFGST"),
+        element_at(linkSurnames, pmod(col("c_custkey"), lit(12)).cast("int") + 1))
+      val cohort = pmod(col("c_custkey"), lit(9973)).as("cohort")
+      val left = c.select(col("c_custkey").as("id_a"), name.as("name_a"), cohort)
+      val right = c.select((col("c_custkey") + 1000000L).as("id_b"),
+        when(pmod(col("c_custkey"), lit(5)) === 0, reverse(name))
+          .otherwise(concat(name, lit("e"))).as("name_b"), cohort)
+      left.join(right, "cohort")
+        .select(col("id_a"), col("id_b"),
+          round(graft.plans.JaroWinkler(col("name_a"), col("name_b")), 6).as("jw"))
+        .filter(col("jw") >= 0.85)
+    },
+
     // Snapshot diff between harvest runs: the "new" snapshot plants
     // every 7th price changed, every 13th key removed, and a shifted
     // id block added — one full-outer join, status per key.
@@ -658,6 +681,21 @@ object AnalyticsQueries {
          |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
          |FROM l JOIN r USING (blk, cohort)
          |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin
+    },
+    "q_jaro_linkage" -> {
+      val surnames = linkSurnameList.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH nm AS (SELECT c_custkey, c_custkey % 9973 AS cohort,
+         |        translate(reverse(CAST(c_custkey AS VARCHAR)), '0123456789', 'BCDLMRFGST') ||
+         |        list_extract($surnames, CAST(c_custkey % 12 AS INT) + 1) AS name
+         |      FROM customer),
+         |l AS (SELECT c_custkey AS id_a, name AS name_a, cohort FROM nm),
+         |r AS (SELECT c_custkey + 1000000 AS id_b, cohort,
+         |        CASE WHEN c_custkey % 5 = 0 THEN reverse(name) ELSE name || 'e' END AS name_b
+         |      FROM nm)
+         |SELECT id_a, id_b,
+         |       round(jaro_winkler_similarity(name_a, name_b), 6) + 0.0 AS jw
+         |FROM l JOIN r USING (cohort)
+         |WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.85""".stripMargin
     },
     // n_probes is real data arithmetic; TRUE is the documented recall
     // floor (see q_ann_ivf_recall) — the Spark side computes actual

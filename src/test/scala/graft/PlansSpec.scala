@@ -68,4 +68,38 @@ class PlansSpec extends SparkSpec {
     val v = df.select(VectorOps.dot(col("a"), col("b")).as("d")).collect()(0).getDouble(0)
     assert(math.abs(v - 32.0) < 1e-12)
   }
+
+  test("JaroWinkler matches the DuckDB-probed reference values exactly") {
+    // probed against duckdb jaro_winkler_similarity 2026-08-13: bytes,
+    // integer transposition halving, 0.7 boost gate, empty -> 0
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("crate", "trace", 0.7333333333333333),
+      ("prefix", "prefax", 0.9333333333333333),
+      ("a", "ab", 0.85),
+      ("abcd", "badc", 0.8333333333333334),
+      ("abcdef", "bcadef", 0.9444444444444445), // integer halving, not 0.9166...
+      ("abxxxxxxxx", "abyyyyyyyy", 0.4666666666666666), // below gate: no boost
+      ("abc", "abc", 1.0),
+      ("abc", "", 0.0),
+      ("", "", 0.0),
+      ("ab", "ba", 0.0),
+      ("üx", "üy", 0.8222222222222223) // byte-wise, not codepoint-wise
+    )
+    val df = cases.toDF("a", "b", "want")
+    val bad = df.select(col("a"), col("b"), col("want"),
+        graft.plans.JaroWinkler(col("a"), col("b")).as("got"))
+      .filter(abs(col("got") - col("want")) > 1e-12)
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+    // interpreted eval path agrees with codegen
+    import org.apache.spark.unsafe.types.UTF8String
+    for ((a, b, want) <- cases) {
+      val got = graft.plans.JaroWinkler.similarity(
+        UTF8String.fromString(a).getBytes, UTF8String.fromString(b).getBytes)
+      assert(math.abs(got - want) < 1e-12, s"eval($a, $b) = $got, want $want")
+    }
+  }
 }

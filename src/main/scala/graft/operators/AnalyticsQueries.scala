@@ -87,6 +87,33 @@ object AnalyticsQueries {
         .filter(col("jw") >= 0.85)
     },
 
+    // Transposition-aware linkage with the native TRUE
+    // Damerau-Levenshtein (plans/DamerauLevenshtein): every 5th right
+    // name carries an adjacent-swap typo — the most common human typo
+    // class — which dl scores 1 where levenshtein says 2, so the
+    // emitted (lev, dl) pairs document exactly the class the new
+    // distance wins on. Oracle cross-validates against DuckDB's own
+    // independent damerau_levenshtein.
+    "q_damerau_linkage" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+      val name = concat(
+        translate(reverse(col("c_custkey").cast("string")), "0123456789", "BCDLMRFGST"),
+        element_at(linkSurnames, pmod(col("c_custkey"), lit(12)).cast("int") + 1))
+      val named = c.select(col("c_custkey").as("ck"), name.as("nm"),
+        pmod(col("c_custkey"), lit(9973)).as("cohort"))
+      val left = named.select(col("ck").as("id_a"), col("nm").as("name_a"), col("cohort"))
+      val right = named.select((col("ck") + 1000000L).as("id_b"),
+        when(pmod(col("ck"), lit(5)) === 0,
+          concat(substring(col("nm"), 2, 1), substring(col("nm"), 1, 1),
+            substring(col("nm"), 3, 1000)))
+          .otherwise(concat(col("nm"), lit("e"))).as("name_b"), col("cohort"))
+      left.join(right, "cohort")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("name_a"), col("name_b")).as("lev"),
+          graft.plans.DamerauLevenshtein(col("name_a"), col("name_b")).as("dl"))
+        .filter(col("dl") <= 2)
+    },
+
     // Snapshot diff between harvest runs: the "new" snapshot plants
     // every 7th price changed, every 13th key removed, and a shifted
     // id block added — one full-outer join, status per key.
@@ -681,6 +708,23 @@ object AnalyticsQueries {
          |       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
          |FROM l JOIN r USING (blk, cohort)
          |WHERE levenshtein(name_a, name_b) <= 2""".stripMargin
+    },
+    "q_damerau_linkage" -> {
+      val surnames = linkSurnameList.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH n0 AS (SELECT c_custkey AS ck, c_custkey % 9973 AS cohort,
+         |        translate(reverse(CAST(c_custkey AS VARCHAR)), '0123456789', 'BCDLMRFGST') ||
+         |        list_extract($surnames, CAST(c_custkey % 12 AS INT) + 1) AS nm
+         |      FROM customer),
+         |l AS (SELECT ck AS id_a, nm AS name_a, cohort FROM n0),
+         |r AS (SELECT ck + 1000000 AS id_b, cohort,
+         |        CASE WHEN ck % 5 = 0 THEN substr(nm, 2, 1) || substr(nm, 1, 1) || substr(nm, 3)
+         |             ELSE nm || 'e' END AS name_b
+         |      FROM n0)
+         |SELECT id_a, id_b,
+         |       CAST(levenshtein(name_a, name_b) AS INT) AS lev,
+         |       CAST(damerau_levenshtein(name_a, name_b) AS INT) AS dl
+         |FROM l JOIN r USING (cohort)
+         |WHERE damerau_levenshtein(name_a, name_b) <= 2""".stripMargin
     },
     "q_jaro_linkage" -> {
       val surnames = linkSurnameList.map(s => s"'$s'").mkString("[", ", ", "]")

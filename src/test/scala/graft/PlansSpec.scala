@@ -69,6 +69,34 @@ class PlansSpec extends SparkSpec {
     assert(math.abs(v - 32.0) < 1e-12)
   }
 
+  test("DamerauLevenshtein matches the DuckDB-probed reference values (TRUE Damerau, not OSA)") {
+    // probed against duckdb damerau_levenshtein 2026-08-13
+    val cases = Seq(
+      ("ca", "abc", 2), // OSA would say 3 — the defining TRUE-Damerau case
+      ("abc", "acb", 1),
+      ("abcdef", "abcfed", 2),
+      ("kitten", "sitting", 3),
+      ("", "abc", 3),
+      ("", "", 0),
+      ("a", "a", 0),
+      ("ab", "ba", 1),
+      ("abab", "baba", 2),
+      ("aXbY", "abXY", 1),
+      ("üx", "xü", 2) // byte-wise, not codepoint-wise
+    )
+    val df = cases.toDF("a", "b", "want")
+    val bad = df.select(col("a"), col("b"), col("want"),
+        graft.plans.DamerauLevenshtein(col("a"), col("b")).as("got"))
+      .filter(col("got") =!= col("want"))
+    assert(bad.count() == 0, bad.collect().mkString("; "))
+    import org.apache.spark.unsafe.types.UTF8String
+    for ((a, b, want) <- cases) {
+      val got = graft.plans.DamerauLevenshtein.distance(
+        UTF8String.fromString(a).getBytes, UTF8String.fromString(b).getBytes)
+      assert(got == want, s"eval($a, $b) = $got, want $want")
+    }
+  }
+
   test("JaroWinkler matches the DuckDB-probed reference values exactly") {
     // probed against duckdb jaro_winkler_similarity 2026-08-13: bytes,
     // integer transposition halving, 0.7 boost gate, empty -> 0

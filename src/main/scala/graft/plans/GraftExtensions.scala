@@ -23,7 +23,49 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => RewriteThresholdedLevenshtein)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+  }
+}
+
+/** Optimizer rule: a bounded edit-distance predicate
+  *
+  *   levenshtein(a, b) <= k        (or k >= levenshtein(a, b))
+  *
+  * computes the FULL O(|a|·|b|) DP and then throws the distance away.
+  * Spark's own Levenshtein carries an optional threshold argument that
+  * runs the banded O(k·min(|a|,|b|)) DP, bails out the moment every
+  * band cell exceeds k, and short-circuits on |len(a) − len(b)| > k
+  * without touching the matrix — returning −1 for "above threshold".
+  * The predicate is therefore exactly
+  *
+  *   levenshtein(a, b, k) >= 0
+  *
+  * and this rule rewrites one to the other wherever it appears
+  * (filters, projections, join conditions). A fuzzy join's verify
+  * predicate — the hot inner loop of blocked record linkage — gets
+  * the banded algorithm for free; the SQL author keeps writing the
+  * natural form. Naturally idempotent: the rewritten node carries a
+  * threshold and no longer matches. Long-typed comparisons (Spark
+  * promotes `<= 2` against a bigint column) match through the cast.
+  */
+object RewriteThresholdedLevenshtein extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  private def thresholded(a: Expression, b: Expression, k: Int): Expression =
+    GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(k))), Literal(0))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case LessThanOrEqual(Levenshtein(a, b, None), Literal(k: Int, IntegerType)) if k >= 0 =>
+      thresholded(a, b, k)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None)) if k >= 0 =>
+      thresholded(a, b, k)
+    case LessThanOrEqual(Cast(Levenshtein(a, b, None), LongType, tz, m), Literal(k: Long, LongType))
+        if k >= 0 && k <= Int.MaxValue =>
+      GreaterThanOrEqual(Cast(Levenshtein(a, b, Some(Literal(k.toInt))), LongType, tz, m), Literal(0L))
+    case GreaterThanOrEqual(Literal(k: Long, LongType), Cast(Levenshtein(a, b, None), LongType, tz, m))
+        if k >= 0 && k <= Int.MaxValue =>
+      GreaterThanOrEqual(Cast(Levenshtein(a, b, Some(Literal(k.toInt))), LongType, tz, m), Literal(0L))
   }
 }
 

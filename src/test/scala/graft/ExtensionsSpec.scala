@@ -34,6 +34,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(plan.contains("FinalTopK") && plan.contains("PartialTopK"))
   }
 
+  test("RewriteThresholdedLevenshtein: banded form in the plan, identical results, pinned -1 semantics") {
+    // pin Spark's documented threshold semantics the rewrite relies on:
+    // <= threshold -> the distance, above it -> -1
+    val sem = Seq(("kitten", "sitting"), ("abc", "abd"), ("same", "same"))
+      .toDF("a", "b")
+      .selectExpr("levenshtein(a, b, 2) AS t2", "levenshtein(a, b) AS full")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(sem.toSeq == Seq((-1, 3), (1, 1), (0, 0)), sem.toSeq.toString)
+
+    val names = spark.read.parquet(s"$sfDir/customer.parquet").limit(300)
+      .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+    val pairs = names.as("x").crossJoin(names.as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.nm").as("na"), col("y.nm").as("nb"))
+    val filtered = pairs.filter(expr("levenshtein(na, nb)") <= 2)
+    // the rule fired: optimized filter carries the 3-arg thresholded form
+    val rewritten = graft.plans.RewriteThresholdedLevenshtein(filtered.queryExecution.analyzed)
+    assert(rewritten.expressions.exists(_.exists {
+      case org.apache.spark.sql.catalyst.expressions.Levenshtein(_, _, Some(_)) => true
+      case _ => false
+    }), rewritten.toString.take(2000))
+    // identical results: rewritten predicate vs driver-side full-DP check
+    val got = filtered.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pairs.selectExpr("id_a", "id_b", "levenshtein(na, nb) AS d")
+      .collect().filter(_.getInt(2) <= 2).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("saltedEquiJoin equals the plain join") {
     val big = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_orderkey", "l_partkey", "l_quantity")
     val small = spark.read.parquet(s"$sfDir/part.parquet").select("p_partkey", "p_size")

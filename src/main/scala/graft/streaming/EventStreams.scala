@@ -30,6 +30,27 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"), col("cnt"), col("sum_value"))
   }
 
+  /** Streaming count-min sketch over a key column: the d×w counter
+    * table IS the entire streaming state — bounded regardless of key
+    * cardinality, where a naive per-key streaming count grows without
+    * bound on an open-vocabulary stream. That is the whole reason the
+    * sketch family exists in a streaming engine: heavy-hitter tracking
+    * over an unbounded stream in kilobytes of state. Update/complete-
+    * mode aggregation (no watermark — counters are cumulative); the
+    * same plan runs unbounded on a batch frame, and StreamingSpec
+    * proves the streamed counters equal graft.operators.CountMin
+    * .sketch over the same rows (whose construction q_countmin proves
+    * oracle-exact against DuckDB). Estimates come from
+    * CountMin.estimate against the latest counter snapshot.
+    */
+  def streamingCountMin(events: DataFrame, keyCol: String,
+                        depth: Int, width: Int, seed: Long): DataFrame =
+    events.select(org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.array((0 until depth).map(j =>
+          graft.operators.CountMin.bucket(col(keyCol), j, width, seed)): _*))
+        .as(Seq("depth", "bucket")))
+      .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
+
   /** Incremental-harvest filter: only events after the previous
     * harvest's completion timestamp (Harvest.get_previous()).
     */

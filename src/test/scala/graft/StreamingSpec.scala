@@ -31,6 +31,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCountMin: streamed counters equal the batch sketch across multiple batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val batch1 = Seq(
+      Event(1, ts(1), "click", 1.0), Event(2, ts(2), "click", 1.0),
+      Event(3, ts(3), "buy", 1.0), Event(4, ts(4), "scroll", 1.0))
+    val batch2 = Seq(
+      Event(5, ts(5), "click", 1.0), Event(6, ts(6), "buy", 1.0),
+      Event(7, ts(7), "click", 1.0), Event(8, ts(8), "error", 1.0))
+    input.addData(batch1: _*)
+    val q = EventStreams.streamingCountMin(input.toDF(), "event_type",
+        depth = 4, width = 64, seed = 7L)
+      .writeStream.format("memory").queryName("cms").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT depth, bucket, cnt FROM cms")
+      val batch = graft.operators.CountMin.sketch(
+        (batch1 ++ batch2).toDF(), "event_type", depth = 4, width = 64, seed = 7L)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed counter table diverges from the batch sketch")
+      // state is sketch-sized: at most depth*width rows ever
+      assert(streamed.count() <= 4 * 64)
+    } finally q.stop()
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) closes sessions on gap") {
     // batch run of the stateful operator: state starts empty, closed
     // sessions are emitted, the open tail session stays in state

@@ -194,6 +194,15 @@ object AnalyticsQueries {
         "o_orderpriority", "o_orderkey", "o_totalprice", k = 1.5)
     },
 
+    // Trailing 1-hour RANGE window per user: frame membership decided
+    // by the ORDER BY value (floor-epoch-seconds), so simultaneous
+    // events land in or out together — deterministic without a
+    // tiebreak, which no ROWS frame gives under duplicate timestamps.
+    "q_range_window" -> { (s, dir) =>
+      TimeSeries.trailingRangeStats(Tables(s, dir).events,
+        "user_id", "ts", "event_id", "value", windowSec = 3600L)
+    },
+
     // Closed-form per-user EWMA (α = 1/2 → exact power-of-two
     // weights); (ts, event_id) is the total order.
     "q_ewma" -> { (s, dir) =>
@@ -565,6 +574,14 @@ object AnalyticsQueries {
         |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi)
         |SELECT item_a, item_b, n, round(n / CAST(nb.n_baskets AS DOUBLE), 6) AS support
         |FROM p, nb ORDER BY n DESC, item_a, item_b LIMIT 25""".stripMargin,
+    "q_range_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS win_cnt,
+        |  round(sum(CAST(value AS DOUBLE)) OVER w, 2) + 0.0 AS win_sum
+        |FROM (SELECT event_id, user_id, value,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_rolling" ->
       """SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
         |  round(avg(value) OVER w, 4) AS roll_avg,

@@ -133,6 +133,34 @@ object TimeSeries {
       max(v).over(w).as("roll_max"))
   }
 
+  /** Trailing time-RANGE window stats: for every event, the count and
+    * sum of the key's events in the preceding `windowSec` seconds
+    * inclusive of the current row. A RANGE frame, not ROWS: membership
+    * is decided by the ORDER BY VALUE, so ties (simultaneous events)
+    * are always wholly in or out together — deterministic under
+    * duplicate timestamps, where a row-count frame's tail is whatever
+    * tiebreak you remembered to add. Second granularity by contract
+    * (the ordering value is floor-epoch-seconds on both engines).
+    * One key-partitioned exchange; the frame is computed by Spark's
+    * sliding-window aggregation, never a self-join.
+    */
+  def trailingRangeStats(events: DataFrame, keyCol: String, tsCol: String,
+                         idCol: String, valueCol: String, windowSec: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-windowSec, Window.currentRow)
+    // SUM, not AVG: the frame average of 2-decimal values lands
+    // EXACTLY on .xx5 rounding boundaries (avg of two 2dp values has a
+    // 3rd decimal of 0 or 5), where a 1-ulp summation difference flips
+    // round(x, 2) by a full cent across engines. The frame sum's true
+    // value IS a 2-decimal number, so every engine's double sits ~1 ulp
+    // from it and 0.005 from the nearest boundary - round(sum, 2) is
+    // engine-exact where round(avg, 2) is a coin flip. Consumers divide
+    // by win_cnt when they want the mean.
+    events.select(col(idCol), col(keyCol),
+      count(lit(1)).over(w).as("win_cnt"),
+      round(sum(col(valueCol).cast("double")).over(w), 2).as("win_sum"))
+  }
+
   /** Session path mining: sessionize by inactivity gap (lag + cumsum
     * of session starts — the same construction the sessionize oracle
     * uses), render each session's ordered event-type sequence as a

@@ -272,6 +272,26 @@ object LlmQueries {
         .select(col("term"), col("est"), col("exact_cnt"))
     },
 
+    // Corpus novelty curve: distinct trigrams bucketed by the doc-id
+    // decile of their FIRST occurrence — the diminishing-returns curve
+    // a corpus refresh is judged on (a flat tail means new data is
+    // adding no new n-grams; a healthy growing corpus keeps minting
+    // them). Gram-keyed min aggregation (one corpus explode, the same
+    // shuffle economics as tfidf); bounds broadcast back as one row;
+    // decile arithmetic is integer-fed float division identical on
+    // both engines.
+    "q_novelty_curve" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val firsts = d
+        .select(col("doc_id"), explode(TextAnalysis.wordNgrams(col("text"), 3)).as("g"))
+        .groupBy("g").agg(min(col("doc_id")).as("first_id"))
+      val bounds = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      firsts.crossJoin(broadcast(bounds))
+        .select(least(floor((col("first_id") - col("lo")) * 10 /
+            (col("hi") - col("lo") + 1)), lit(9L)).cast("long").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("new_grams"))
+    },
+
     // Zipf-exponent fit per source: OLS slope of log10(freq) over
     // log10(rank) across the full vocabulary (rank by freq desc with
     // term tiebreak, so the regression inputs are engine-exact; the
@@ -945,6 +965,16 @@ object LlmQueries {
         |SELECT id_a, id_b,
         |       round(inter::DOUBLE / (n_a + n_b - inter), 6) + 0.0 AS jaccard
         |FROM v WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.9""".stripMargin,
+    "q_novelty_curve" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |gr AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |         i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS g
+        |       FROM w WHERE len(ws) >= 3),
+        |f AS (SELECT g, min(doc_id) AS first_id FROM gr GROUP BY g),
+        |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents)
+        |SELECT CAST(least(floor((first_id - lo) * 10 / (hi - lo + 1)), 9) AS BIGINT) AS decile,
+        |       count(*) AS new_grams
+        |FROM f CROSS JOIN b GROUP BY 1""".stripMargin,
     "q_zipf_slope" ->
       """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |c AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY source, term),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsQueries, CoreQueries, CurationQueries, DistillerQueries, DomainQueries, LlmQueries, PipelineQueries, TrainingQueries}
+import graft.operators.{AnalyticsQueries, CoreQueries, CurationQueries, DistillerQueries, DomainQueries, LlmQueries, PipelineQueries, ScaleQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +15,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DomainQueries.queries ++ LlmQueries.queries ++
       PipelineQueries.queries ++ AnalyticsQueries.queries ++ DistillerQueries.queries ++
-      CurationQueries.queries ++ TrainingQueries.queries
+      CurationQueries.queries ++ TrainingQueries.queries ++ ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -23,5 +23,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ DomainQueries.oracles ++ LlmQueries.oracles ++
       PipelineQueries.oracles ++ AnalyticsQueries.oracles ++ DistillerQueries.oracles ++
-      CurationQueries.oracles ++ TrainingQueries.oracles
+      CurationQueries.oracles ++ TrainingQueries.oracles ++ ScaleQueries.oracles
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.ZOrder2
+
+/** Physical data layout for 100 TB scans and training-output fan-out:
+  * Z-order multi-dimensional clustering (write-side data skipping) and
+  * deterministic shard assignment (the final "shuffle and shard the
+  * mix" step of a training-data build).
+  *
+  * Reference analog: rialto keeps its tables small enough to index in
+  * Postgres; at lake scale the same "find my slice fast" need is met
+  * by file layout — min-max pruning against parquet footers — which
+  * only works if the writer clustered the data. These operators are
+  * that writer.
+  */
+object Layout {
+
+  /** Equal-width integer normalization of `c` into [0, 2^bits) given
+    * the column's max — integer-exact ((x * 2^bits) div (max+1)), so
+    * any engine reproduces the scaled key.
+    */
+  private def scaleTo(c: Column, maxC: Column, bits: Int): Column =
+    // Long / long is double division in the Column API; the truncating
+    // cast is exact floor here (operands are far below 2^53, and the
+    // true quotient can't sit within a double ulp of an integer
+    // without being one), so this matches the oracle's integer `//`.
+    ((c.cast("long") * (1L << bits)) / (maxC.cast("long") + 1L)).cast("long")
+
+  /** Attach the z-value of (xCol, yCol) as `z`, both keys normalized
+    * to `bits` by their own max (computed in one tiny agg and
+    * broadcast — the corpus is not shuffled for it).
+    */
+  def withZ(df: DataFrame, xCol: String, yCol: String, bits: Int): DataFrame = {
+    val m = df.agg(max(col(xCol)).as("__xm"), max(col(yCol)).as("__ym"))
+    df.crossJoin(broadcast(m))
+      .withColumn("z", ZOrder2(
+        scaleTo(col(xCol), col("__xm"), bits),
+        scaleTo(col(yCol), col("__ym"), bits), bits))
+      .drop("__xm", "__ym")
+  }
+
+  /** Z-order clustered layout: range-partition on z (sampled bounds,
+    * one exchange) and sort within partitions — the shape to write
+    * parquet in so row-group/file min-max stats bound BOTH keys per
+    * file and selective scans on either key prune. `numFiles` is the
+    * target file count (at 100 TB: total size / desired file size).
+    */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String, bits: Int, numFiles: Int): DataFrame =
+    withZ(df, xCol, yCol, bits)
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions("z")
+
+  /** Deterministic shard id in [0, nShards): md5 of (id ":" seed) —
+    * the house engine-portable hash (Sampling.md5Bucket, conv ↔
+    * DuckDB '0x'||substr cast). Rows never migrate between shards as
+    * the corpus grows (assignment depends only on the id), and a
+    * re-run or a retry lands every row in the same shard — the two
+    * properties a training-output writer needs for reproducible
+    * epochs.
+    */
+  def shardId(id: Column, nShards: Int, seed: Long = 11L): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(":" + seed))), 1, 8), 16, 10)
+      .cast("long"), lit(nShards.toLong))
+
+  /** Per-shard balance report: doc count, token total, source spread,
+    * and each shard's token share of a perfectly even split
+    * (share ≈ 1.0 everywhere is what the md5 assignment buys — no
+    * planner, no rebalancing pass). One groupBy on the shard id; the
+    * grand total joins back from a one-row broadcast agg.
+    */
+  def shardBalance(docs: DataFrame, idCol: String, tokensCol: Column,
+      sourceCol: String, nShards: Int, seed: Long = 11L): DataFrame = {
+    val perShard = docs
+      .select(shardId(col(idCol), nShards, seed).as("shard"),
+        tokensCol.as("__tok"), col(sourceCol).as("__src"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("__tok")).as("tokens"),
+        countDistinct(col("__src")).as("sources"))
+    val total = perShard.agg(sum(col("tokens")).as("__t"))
+    perShard.crossJoin(broadcast(total))
+      .select(col("shard"), col("docs"), col("tokens"), col("sources"),
+        round(col("tokens") * nShards.toLong / col("__t"), 4).as("even_share"))
+  }
+
+  /** DuckDB twin of [[shardId]]. */
+  def shardSqlDuck(idExpr: String, nShards: Int, seed: Long = 11L): String =
+    s"(('0x' || substr(md5($idExpr || ':$seed'), 1, 8))::BIGINT % $nShards)"
+}

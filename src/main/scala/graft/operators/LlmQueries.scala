@@ -443,6 +443,29 @@ object LlmQueries {
           col("total_score").cast("long").as("total_score"))
     },
 
+    // #42bh dedup-aware leakage-safe split: split assignment hashes
+    // the near-dup CLUSTER id (the fuzzy-dedup component), so a doc
+    // and its near-duplicates land in ONE split — assigning by doc id
+    // would put a train doc's 0.99-Jaccard twin in test, the classic
+    // contamination. Same md5-threshold boundaries as q_split_assign;
+    // split is a pure function of the component, so the no-leak
+    // property holds by construction and the spec machine-checks it
+    // on the verified pairs.
+    "q_cluster_split" -> { (s, dir) =>
+      val docs = planted(Tables(s, dir))
+      val pairs = TextDedup.minhashNearDupsPortable(docs, "doc_id", "text", h = 8, bands = 4)
+      val cc = Graph.connectedComponentsAll(pairs, "id_a", "id_b", docs, "doc_id")
+      Sampling.assignSplit(cc, "component", splitFractions, seed = 11L)
+        .select(col("id").as("doc_id"), col("component"), col("split"))
+    },
+
+    // #42bi per-doc OOV rate vs the corpus's own top-500 vocabulary —
+    // the tokenizer-planning / source-health signal (high OOV docs
+    // fragment into subwords or unks).
+    "q_oov_rate" -> { (s, dir) =>
+      TextRank.oovRate(Tables(s, dir).documents, "doc_id", "text", vocabK = 500)
+    },
+
     // #34 SimHash hamming distance original vs planted variant (rows-only).
     "q_dedup_simhash" -> { (s, dir) =>
       val p = planted(Tables(s, dir))
@@ -745,6 +768,37 @@ object LlmQueries {
          |          PARTITION BY component ORDER BY score DESC, id) AS rn FROM el)
          |SELECT w.component, w.id AS canonical_id, ag.n_docs, ag.total_score
          |FROM win w JOIN ag USING (component) WHERE w.rn = 1""".stripMargin,
+    // Same recursive-closure components as q_fuzzy_dedup, then the
+    // SAME md5 split boundaries as q_split_assign applied to the
+    // component id.
+    "q_cluster_split" -> {
+      val whens = Sampling.cumulativeThresholds(splitFractions).map { case (name, t) =>
+        s"WHEN substr(md5(CAST(component AS VARCHAR) || ':11'), 1, 8) < '$t' THEN '$name'"
+      }.mkString("\n       ")
+      s"""WITH RECURSIVE $minhashMd5Cte,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.5
+         |      UNION ALL
+         |      SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard >= 0.5),
+         |r AS (SELECT doc_id AS id, doc_id AS comp FROM pl
+         |      UNION
+         |      SELECT e.dst AS id, r.comp FROM r JOIN e ON e.src = r.id),
+         |cc AS (SELECT id, min(comp) AS component FROM r GROUP BY id)
+         |SELECT id AS doc_id, component,
+         |  CASE $whens
+         |       ELSE '${splitFractions.last._1}' END AS split
+         |FROM cc""".stripMargin
+    },
+    "q_oov_rate" ->
+      """WITH c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+        |         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+        |       GROUP BY doc_id, w),
+        |g AS (SELECT w, sum(tf) AS cnt FROM c GROUP BY w),
+        |v AS (SELECT w FROM (SELECT w, row_number() OVER (ORDER BY cnt DESC, w) AS rn FROM g) x
+        |      WHERE rn <= 500)
+        |SELECT c.doc_id, CAST(sum(c.tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.w IS NULL THEN c.tf ELSE 0 END) AS BIGINT) AS n_oov,
+        |       round(sum(CASE WHEN v.w IS NULL THEN c.tf ELSE 0 END)::DOUBLE / sum(c.tf), 4) + 0.0 AS oov_rate
+        |FROM c LEFT JOIN v ON v.w = c.w GROUP BY c.doc_id""".stripMargin,
     "q_tfidf_terms" ->
       s"""WITH $wsCte,
          |t AS (SELECT doc_id, unnest(ws) AS term FROM w),

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.ZOrder2
+import graft.sources.Tables
+
+/** Oracle-checked queries for the physical-layout and semantic-
+  * decontamination operators (Layout.scala, VectorOps
+  * .decontaminateByEmbedding). Everything here is integer/rounded
+  * arithmetic a DuckDB twin reproduces bit-for-bit.
+  */
+object ScaleQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val zBits = 8
+  // Sits inside the max-benchmark-cosine distribution at every sf
+  // (measured quartiles ~0.21..0.34), so the gate fires both ways and
+  // the oracle checks a real decision, not a constant column.
+  private val decontamTau = 0.3
+
+  val queries: Map[String, Q] = Map(
+    // Z-order clustering proof: bucket lineitem by the top 4 bits of
+    // z(l_partkey, l_suppkey) and report each bucket's bounding box in
+    // BOTH source dimensions — the min-max spans parquet footers would
+    // carry if the table were written in this order, i.e. the data-
+    // skipping contract itself (a selective filter on either key
+    // prunes every bucket whose box misses it). The interleave is the
+    // native ZOrder2 expression; keys normalize to [0,256) by their
+    // max so the math is integer-exact and engine-portable.
+    "q_zorder_layout" -> { (s, dir) =>
+      Layout.withZ(
+        Tables(s, dir).lineitem.select(col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", zBits)
+        .groupBy((col("z") / lit(1L << (2 * zBits - 4))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+    },
+
+    // Embedding-space benchmark decontamination: every 20th embedding
+    // (id-capped, like the ANN probe sets) plays the held-out eval
+    // suite; each remaining corpus vector reports its max benchmark
+    // cosine and whether it survives the gate. Corpus × benchmark
+    // scoring partial-aggregates map-side — only one row per corpus
+    // doc ever shuffles.
+    "q_embed_decontam" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val bench = e.filter(col("id") % 20 === 0 && col("id") < 20000)
+      VectorOps.decontaminateByEmbedding(
+        e.filter(col("id") % 20 =!= 0), bench, decontamTau)
+    },
+
+    // Training-output shard fan-out: 32 md5-assigned shards with
+    // per-shard doc/token/source totals and the token share vs a
+    // perfectly even split — the report that signs off "write the
+    // mix" (imbalance here means stragglers at training time).
+    "q_shard_balance" -> { (s, dir) =>
+      Layout.shardBalance(Tables(s, dir).documents, "doc_id",
+        size(split(col("text"), " ")).cast("long"), "source", nShards = 32)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_zorder_layout" ->
+      s"""WITH m AS (SELECT max(l_partkey) AS xm, max(l_suppkey) AS ym FROM lineitem),
+         |z AS (SELECT ${ZOrder2.sqlDuck(
+               s"((l_partkey * ${1L << zBits}) // (xm + 1))",
+               s"((l_suppkey * ${1L << zBits}) // (ym + 1))", zBits)} AS zv,
+         |             l_partkey, l_suppkey
+         |      FROM lineitem CROSS JOIN m)
+         |SELECT zv // ${1L << (2 * zBits - 4)} AS bucket, count(*) AS cnt,
+         |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+         |FROM z GROUP BY 1""".stripMargin,
+
+    "q_embed_decontam" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT id, v FROM e WHERE id % 20 = 0 AND id < 20000),
+         |c AS (SELECT id, v FROM e WHERE id % 20 <> 0),
+         |s AS (SELECT c.id,
+         |        round(list_dot_product(c.v, b.v) /
+         |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+         |      FROM c CROSS JOIN b)
+         |SELECT id, max(sim) + 0.0 AS max_bench_sim,
+         |       sum(CASE WHEN sim >= $decontamTau THEN 1 ELSE 0 END) AS n_bench_hits,
+         |       max(sim) < $decontamTau AS keep
+         |FROM s GROUP BY id""".stripMargin,
+
+    "q_shard_balance" ->
+      s"""WITH d AS (SELECT ${Layout.shardSqlDuck("doc_id::VARCHAR", 32)} AS shard,
+         |             len(string_split(text, ' ')) AS tok, source
+         |           FROM documents),
+         |p AS (SELECT shard, count(*) AS docs, sum(tok) AS tokens,
+         |             count(DISTINCT source) AS sources
+         |      FROM d GROUP BY shard),
+         |t AS (SELECT sum(tokens) AS tt FROM p)
+         |SELECT shard, docs, tokens, sources,
+         |       round(tokens::DOUBLE * 32 / tt::DOUBLE, 4) + 0.0 AS even_share
+         |FROM p CROSS JOIN t""".stripMargin
+  )
+}

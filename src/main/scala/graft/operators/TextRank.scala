@@ -314,4 +314,35 @@ object TextRank {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(log2(col("p"))), 4).as("avg_log2p"))
     (scored, handle)
   }
+
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabK` word vocabulary — the tokenizer-planning signal: a
+    * doc whose tokens mostly miss the frequency-built vocab will
+    * fragment into subwords (high fertility) or unks, and a SOURCE
+    * whose OOV rate is high is a candidate for its own vocab budget.
+    *
+    * Scale shape: the corpus explodes ONCE into the per-doc term-
+    * frequency table; the global counts, the top-K vocabulary (a
+    * TakeOrdered over the vocab-sized count table, deterministic
+    * (count desc, word) order), and the per-doc rollup all derive from
+    * that tf table — docs × distinct-words-sized, far below raw
+    * tokens. The vocab joins back broadcast, so nothing corpus-sized
+    * shuffles twice. OOV rate compares exact integer counts; the
+    * rounded ratio reproduces in any engine.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("w").agg(sum(col("tf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(vocabK)
+      .select(col("w"), lit(1).as("__iv"))
+    tf.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(idCol)
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("__iv").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 4).as("oov_rate"))
+  }
 }

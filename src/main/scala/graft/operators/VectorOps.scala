@@ -200,6 +200,42 @@ object VectorOps {
       array(hp.map(p => round(dot(col(vecCol), typedlit(p)) / scale, 4)): _*))
   }
 
+  /** Embedding-space benchmark decontamination — the semantic twin of
+    * the n-gram decontaminate in TextDedup: drop every corpus document
+    * whose embedding sits within cosine `tau` of ANY held-out
+    * benchmark item, so paraphrased eval leakage (which lexical
+    * n-gram overlap misses) leaves the training mix. Emits one row per
+    * corpus doc: the max benchmark similarity, how many benchmark
+    * items clear `tau`, and the keep flag.
+    *
+    * Scale shape: the benchmark side is small by construction (an eval
+    * suite, not a corpus) and broadcasts whole; the corpus × benchmark
+    * scoring is a BroadcastNestedLoopJoin whose output NEVER
+    * materializes — the per-doc max/count partial-aggregates in the
+    * same stage, map-side, so the only shuffle carries one row per
+    * corpus doc (the final agg). That makes the operator a distributed
+    * GEMM: compute-bound, corpus read once, nothing corpus-sized
+    * moves. An exact max over the full benchmark — unlike an
+    * LSH/IVF prefilter — can't false-keep a contaminated doc, which
+    * is the property a decontamination gate is for.
+    *
+    * Engine-exactness: the keep decision compares the ROUNDED
+    * similarity (6 dp), same as [[semanticDedup]], so the kept set
+    * reproduces in any engine.
+    */
+  def decontaminateByEmbedding(corpus: DataFrame, bench: DataFrame, tau: Double): DataFrame = {
+    val b = bench.select(col("id").as("bench_id"), col("vec").as("bv"), l2norm(col("vec")).as("bn"))
+    val c = corpus.select(col("id"), col("vec").as("cv"), l2norm(col("vec")).as("cn"))
+    c.crossJoin(broadcast(b))
+      .select(col("id"),
+        round(dot(col("cv"), col("bv")) / (col("cn") * col("bn")), 6).as("sim"))
+      .groupBy("id")
+      .agg(max(col("sim")).as("max_bench_sim"),
+        sum(when(col("sim") >= tau, 1L).otherwise(0L)).as("n_bench_hits"))
+      .select(col("id"), col("max_bench_sim"), col("n_bench_hits"),
+        (col("max_bench_sim") < tau).as("keep"))
+  }
+
   /** DuckDB twin of [[randomProject]]'s `proj` column (same inlined
     * ±1 literals, same rounding) over a DOUBLE[] column expression.
     * The `+ 0.0` is the house negative-zero guard: DuckDB's round

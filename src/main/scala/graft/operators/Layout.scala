@@ -89,4 +89,58 @@ object Layout {
   /** DuckDB twin of [[shardId]]. */
   def shardSqlDuck(idExpr: String, nShards: Int, seed: Long = 11L): String =
     s"(('0x' || substr(md5($idExpr || ':$seed'), 1, 8))::BIGINT % $nShards)"
+
+  /** 2-D range (point-in-box) join via space-filling-curve cell cover
+    * — the spatial-join shape Spark has no native operator for (the
+    * technique under Sedona/GeoMesa-style indexing, here composed
+    * from ZOrder2 + a broadcast hash join instead of a custom
+    * physical op).
+    *
+    * Both coordinates normalize to a 2^level × 2^level grid by their
+    * max (same integer arithmetic as [[withZ]], so any engine
+    * reproduces the cells). Each box explodes into the grid cells its
+    * rectangle overlaps (its cover — boxes × overlapped-cells rows,
+    * tiny for any realistic box list); each point computes its single
+    * cell. The join is then a broadcast HASH join on the cell id —
+    * every point probes a hash table once instead of testing every
+    * box (the broadcast nested-loop a plain conjunctive range join
+    * degenerates to) — followed by the exact bounds filter, which
+    * keeps the composition EXACT: the cover over-approximates, never
+    * misses.
+    *
+    * Scale shape: points are never shuffled (map-side probe + exact
+    * filter); output is the matched pairs. `level` trades cover size
+    * against candidate selectivity — 2^level cells per axis, cover
+    * rows ≈ boxes × (box area / cell area); pick level so a cell is
+    * no larger than a typical box edge.
+    */
+  def zCellRangeJoin(points: DataFrame, pxCol: String, pyCol: String,
+      boxes: DataFrame, level: Int): DataFrame = {
+    val cells = 1L << level
+    val m = points.agg(max(col(pxCol)).as("__xm"), max(col(pyCol)).as("__ym"))
+    def cellOf(c: Column, maxC: Column): Column =
+      ((c.cast("long") * cells) / (maxC.cast("long") + 1L)).cast("long")
+    // Box cover: every (cx, cy) cell the rectangle intersects. Bounds
+    // clamp to the grid (a box edge past the max still covers the
+    // last cell, not a phantom one).
+    val clamp: Column => Column = c => least(greatest(c, lit(0L)), lit(cells - 1L))
+    val cover = boxes.crossJoin(broadcast(m))
+      .select(col("box_id"), col("x0"), col("x1"), col("y0"), col("y1"),
+        explode(sequence(clamp(cellOf(col("x0"), col("__xm"))),
+          clamp(cellOf(col("x1"), col("__xm"))))).as("cx"),
+        col("__ym"))
+      .select(col("box_id"), col("x0"), col("x1"), col("y0"), col("y1"), col("cx"),
+        explode(sequence(clamp(cellOf(col("y0"), col("__ym"))),
+          clamp(cellOf(col("y1"), col("__ym"))))).as("cy"))
+      .withColumn("cell", graft.plans.ZOrder2(col("cx"), col("cy"), level))
+      .drop("cx", "cy")
+    points.crossJoin(broadcast(m))
+      .withColumn("cell", graft.plans.ZOrder2(
+        cellOf(col(pxCol), col("__xm")), cellOf(col(pyCol), col("__ym")), level))
+      .drop("__xm", "__ym")
+      .join(broadcast(cover), "cell")
+      .filter(col(pxCol) >= col("x0") && col(pxCol) <= col("x1") &&
+        col(pyCol) >= col("y0") && col(pyCol) <= col("y1"))
+      .drop("cell", "x0", "x1", "y0", "y1")
+  }
 }

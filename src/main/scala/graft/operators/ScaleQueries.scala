@@ -52,6 +52,27 @@ object ScaleQueries {
         e.filter(col("id") % 20 =!= 0), bench, decontamTau)
     },
 
+    // 2-D point-in-box spatial join via z-cell cover: eight
+    // deterministic overlapping boxes over the (l_partkey, l_suppkey)
+    // plane, matched by a broadcast HASH join on the grid cell + exact
+    // bounds verify — the spatial-join shape Spark lacks natively.
+    // Per-box rollup keeps the output stable under lineitem's
+    // by-design duplicate rows.
+    "q_spatial_join" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem.select(col("l_partkey"), col("l_suppkey"))
+      val m = li.agg(max(col("l_partkey")).as("xm"), max(col("l_suppkey")).as("ym"))
+      val boxes = s.range(0, 8).crossJoin(broadcast(m)).select(
+        col("id").as("box_id"),
+        ((col("id") * (col("xm") + 1L)) / 8L).cast("long").as("x0"),
+        (((col("id") + 2L) * (col("xm") + 1L)) / 8L).cast("long").minus(1L).as("x1"),
+        (((col("id") % 4L) * (col("ym") + 1L)) / 4L).cast("long").as("y0"),
+        ((((col("id") % 4L) + 2L) * (col("ym") + 1L)) / 4L).cast("long").minus(1L).as("y1"))
+      Layout.zCellRangeJoin(li, "l_partkey", "l_suppkey", boxes, level = 5)
+        .groupBy("box_id")
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("l_partkey")).as("sum_pk"), sum(col("l_suppkey")).as("sum_sk"))
+    },
+
     // Training-output shard fan-out: 32 md5-assigned shards with
     // per-shard doc/token/source totals and the token share vs a
     // perfectly even split — the report that signs off "write the
@@ -87,6 +108,23 @@ object ScaleQueries {
          |       sum(CASE WHEN sim >= $decontamTau THEN 1 ELSE 0 END) AS n_bench_hits,
          |       max(sim) < $decontamTau AS keep
          |FROM s GROUP BY id""".stripMargin,
+
+    // The oracle needs no cells: the cover join is exact by
+    // construction (over-approximate candidates + exact verify), so
+    // the naive BETWEEN join IS the semantics.
+    "q_spatial_join" ->
+      """WITH m AS (SELECT max(l_partkey) AS xm, max(l_suppkey) AS ym FROM lineitem),
+        |ks AS (SELECT range AS k FROM range(0, 8)),
+        |b AS (SELECT k AS box_id,
+        |        (k * (xm + 1)) // 8 AS x0, ((k + 2) * (xm + 1)) // 8 - 1 AS x1,
+        |        ((k % 4) * (ym + 1)) // 4 AS y0, (((k % 4) + 2) * (ym + 1)) // 4 - 1 AS y1
+        |      FROM ks CROSS JOIN m)
+        |SELECT b.box_id, CAST(count(*) AS BIGINT) AS n_points,
+        |       CAST(sum(l.l_partkey) AS BIGINT) AS sum_pk,
+        |       CAST(sum(l.l_suppkey) AS BIGINT) AS sum_sk
+        |FROM lineitem l JOIN b ON l.l_partkey BETWEEN b.x0 AND b.x1
+        |                      AND l.l_suppkey BETWEEN b.y0 AND b.y1
+        |GROUP BY b.box_id""".stripMargin,
 
     "q_shard_balance" ->
       s"""WITH d AS (SELECT ${Layout.shardSqlDuck("doc_id::VARCHAR", 32)} AS shard,

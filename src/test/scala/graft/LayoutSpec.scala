@@ -103,6 +103,27 @@ class LayoutSpec extends SparkSpec {
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
 
+  test("zCellRangeJoin equals the naive theta-join and its cover misses nothing") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_partkey", "l_suppkey")
+    val m = li.agg(max(col("l_partkey")).as("xm"), max(col("l_suppkey")).as("ym"))
+    val boxes = spark.range(0, 6).crossJoin(broadcast(m)).select(
+      col("id").as("box_id"),
+      ((col("id") * (col("xm") + 1L)) / 6L).cast("long").as("x0"),
+      (((col("id") + 2L) * (col("xm") + 1L)) / 6L).cast("long").minus(1L).as("x1"),
+      (((col("id") % 3L) * (col("ym") + 1L)) / 3L).cast("long").as("y0"),
+      ((((col("id") % 3L) + 2L) * (col("ym") + 1L)) / 3L).cast("long").minus(1L).as("y1"))
+
+    def counts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy("box_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val viaCells = counts(Layout.zCellRangeJoin(li, "l_partkey", "l_suppkey", boxes, level = 4))
+    val naive = counts(li.crossJoin(boxes)
+      .filter(col("l_partkey") >= col("x0") && col("l_partkey") <= col("x1") &&
+        col("l_suppkey") >= col("y0") && col("l_suppkey") <= col("y1")))
+    assert(viaCells == naive, "cell-cover join disagrees with naive theta join")
+    assert(naive.values.sum > 0)
+  }
+
   test("cluster split never separates a verified near-dup pair across splits") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val variants = docs.filter(col("doc_id") % 5 === 0)

@@ -466,6 +466,32 @@ object LlmQueries {
       TextRank.oovRate(Tables(s, dir).documents, "doc_id", "text", vocabK = 500)
     },
 
+    // #42bk mergeable MinHash maintenance: each doc's shingle set is
+    // split into two deterministic "harvest chunks" (md5 first-hex
+    // parity), each chunk signatured independently, and the chunks
+    // folded by elementwise min — which must equal the full-document
+    // signature exactly, because sig(A ∪ B) = min(sig(A), sig(B)).
+    // The incremental-dedup ledger property: new chunks fold into
+    // stored signatures without re-reading old text.
+    "q_minhash_merge" -> { (s, dir) =>
+      val h = 8
+      val g = Tables(s, dir).documents
+        .select(col("doc_id"), TextAnalysis.wordNgrams(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val chunks = g.select(col("doc_id"),
+          filter(col("sh"), x => substring(md5(x), 1, 1) < "8").as("shc"))
+        .unionByName(g.select(col("doc_id"),
+          filter(col("sh"), x => substring(md5(x), 1, 1) >= "8").as("shc")))
+        .filter(size(col("shc")) > 0)
+        .select(col("doc_id"), TextDedup.portableSignature(col("shc"), h).as("sig"))
+      val merged = TextDedup.mergeSignatures(chunks, "doc_id", "sig")
+        .select(col("doc_id"), concat_ws("", col("sig")).as("sig_merged"))
+      val full = g.select(col("doc_id"),
+        concat_ws("", TextDedup.portableSignature(col("sh"), h)).as("sig_full"))
+      merged.join(full, "doc_id")
+        .withColumn("is_equal", col("sig_merged") === col("sig_full"))
+    },
+
     // #34 SimHash hamming distance original vs planted variant (rows-only).
     "q_dedup_simhash" -> { (s, dir) =>
       val p = planted(Tables(s, dir))
@@ -788,6 +814,28 @@ object LlmQueries {
          |       ELSE '${splitFractions.last._1}' END AS split
          |FROM cc""".stripMargin
     },
+    // Chunked path and full path computed independently; equality is
+    // the mergeability theorem, checked per doc.
+    "q_minhash_merge" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
+        |      FROM w WHERE len(ws) >= 3),
+        |ch AS (SELECT doc_id, list_filter(sh, s -> substr(md5(s), 1, 1) < '8') AS shc FROM g
+        |       UNION ALL
+        |       SELECT doc_id, list_filter(sh, s -> substr(md5(s), 1, 1) >= '8') FROM g),
+        |chs AS (SELECT doc_id, list_transform(range(0, 8), i ->
+        |          list_min(list_transform(shc, s -> substr(md5(s || ':' || i), 1, 16)))) AS sig
+        |        FROM ch WHERE len(shc) > 0),
+        |ex AS (SELECT doc_id, i.range AS i, sig[i.range + 1] AS v
+        |       FROM chs CROSS JOIN range(0, 8) i),
+        |mg AS (SELECT doc_id, i, min(v) AS v FROM ex GROUP BY doc_id, i),
+        |merged AS (SELECT doc_id, string_agg(v, '' ORDER BY i) AS sig_merged FROM mg GROUP BY doc_id),
+        |fs AS (SELECT doc_id, array_to_string(list_transform(range(0, 8), i ->
+        |         list_min(list_transform(sh, s -> substr(md5(s || ':' || i), 1, 16)))), '') AS sig_full
+        |       FROM g)
+        |SELECT m.doc_id, m.sig_merged, f.sig_full, m.sig_merged = f.sig_full AS is_equal
+        |FROM merged m JOIN fs f USING (doc_id)""".stripMargin,
     "q_oov_rate" ->
       """WITH c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
         |         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t

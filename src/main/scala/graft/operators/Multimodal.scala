@@ -556,6 +556,123 @@ object Multimodal {
       }(enc)
   }
 
+  /** Synthetic mono PCM WAV carrying a pure sine tone at DFT bin
+    * `(id % 8 + 1) * 4` of an N-sample window — the encode half of
+    * the spectral-analysis proof: by DFT orthogonality a full-window
+    * Goertzel at exactly that bin captures (essentially) all the
+    * tone's energy, so [[audioBandEnergy]]'s dominant band must equal
+    * the planted bin. Same hand-rolled RIFF header as
+    * [[synthPcmWav]] (and the same reason: the provider-registry
+    * writer serializes threads).
+    */
+  def synthToneWav(df: DataFrame, idCol: String, nCol: String): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = true)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    df.select(col(idCol).cast("long").as("media_id"), col(nCol).cast("int").as("n"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val n = r.getInt(1)
+          val bin = ((id % 8) + 1) * 4
+          val dataLen = n * 2
+          val w = new Array[Byte](44 + dataLen)
+          def w32(off: Int, v: Int): Unit = {
+            w(off) = (v & 0xff).toByte; w(off + 1) = ((v >> 8) & 0xff).toByte
+            w(off + 2) = ((v >> 16) & 0xff).toByte; w(off + 3) = ((v >> 24) & 0xff).toByte
+          }
+          def w16(off: Int, v: Int): Unit = {
+            w(off) = (v & 0xff).toByte; w(off + 1) = ((v >> 8) & 0xff).toByte
+          }
+          "RIFF".getBytes("US-ASCII").copyToArray(w, 0); w32(4, 36 + dataLen)
+          "WAVE".getBytes("US-ASCII").copyToArray(w, 8)
+          "fmt ".getBytes("US-ASCII").copyToArray(w, 12)
+          w32(16, 16); w16(20, 1); w16(22, 1); w32(24, 8000); w32(28, 16000)
+          w16(32, 2); w16(34, 16)
+          "data".getBytes("US-ASCII").copyToArray(w, 36); w32(40, dataLen)
+          var i = 0
+          while (i < n) {
+            val v = (8000.0 * StrictMath.sin(2.0 * StrictMath.PI * bin * i / n)).toInt
+            w16(44 + 2 * i, v)
+            i += 1
+          }
+          Row(id, "audio", w)
+        }
+      }(enc)
+  }
+
+  /** Spectral band energy over decoded PCM via the Goertzel recurrence
+    * — the per-bin DFT power without an FFT library, the standard
+    * cheap spectral fingerprint (tone/DTMF detection, bandwidth
+    * estimation, speech-vs-silence gating) a multimodal curation pass
+    * computes per clip. `bands` are DFT bin numbers of the full
+    * sample window. Emits the argmax band index (ties → lowest) and
+    * the rounded fraction of measured energy it holds. Same decode
+    * path and poisoned-blob contract as [[decodeAudio]];
+    * partition-local map, no shuffle — at 100 TB this is scan-bound
+    * exactly like the image decode pass.
+    */
+  def audioBandEnergy(media: DataFrame, bands: Seq[Int]): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("dominant_band", IntegerType, nullable = true),
+      StructField("dominant_share", DoubleType, nullable = true)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    val bandArr = bands.toArray
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getAs[Long]("media_id")
+        val bytes = r.getAs[Array[Byte]]("content")
+        val decoded: Option[Row] =
+          if (bytes == null) None
+          else
+            try {
+              val ais = readAudio(bytes)
+              val fmt = ais.getFormat
+              val pcm16 =
+                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+              if (!pcm16) None
+              else {
+                val data = ais.readAllBytes()
+                val n = data.length / 2
+                if (n == 0) None
+                else {
+                  val x = new Array[Double](n)
+                  var i = 0
+                  if (fmt.isBigEndian)
+                    while (i < n) { x(i) = ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort.toDouble; i += 1 }
+                  else
+                    while (i < n) { x(i) = (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))).toShort.toDouble; i += 1 }
+                  val powers = bandArr.map { k =>
+                    val w = 2.0 * StrictMath.PI * k / n
+                    val c = 2.0 * StrictMath.cos(w)
+                    var s1 = 0.0; var s2 = 0.0
+                    var j = 0
+                    while (j < n) { val s0 = x(j) + c * s1 - s2; s2 = s1; s1 = s0; j += 1 }
+                    s1 * s1 + s2 * s2 - c * s1 * s2
+                  }
+                  var best = 0; var total = 0.0
+                  var b = 0
+                  while (b < powers.length) {
+                    total += powers(b)
+                    if (powers(b) > powers(best)) best = b
+                    b += 1
+                  }
+                  val share = if (total > 0) powers(best) / total else 0.0
+                  Some(Row(id, true, best, math.rint(share * 100) / 100))
+                }
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+        decoded.getOrElse(Row(id, false, null, null))
+      }
+    }(enc)
+  }
+
   /** Resize stub for image-kind rows: the metadata transform is real
     * (target dims land in `meta`, a real codec would be called in the
     * partition loop), the payload "resample" is a deterministic prefix

@@ -122,6 +122,24 @@ object PipelineQueries {
         .select("media_id", "decode_ok", "channels", "sample_rate", "n_samples", "sample_sum")
     },
 
+    // #42bl REAL spectral analysis (Goertzel band energy) over decoded
+    // PCM: each doc's WAV carries a pure sine at DFT bin
+    // (doc_id%8+1)*4; by orthogonality the dominant measured band must
+    // be exactly the planted one with share 1.00 — physics the oracle
+    // pins per row, while the Spark side runs the real decode + DFT
+    // recurrence.
+    "q_audio_spectrum" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(
+        col("doc_id"),
+        (col("doc_id") % 4 * 64 + 256).cast("int").as("n"))
+      Multimodal.audioBandEnergy(
+        Multimodal.synthToneWav(d, "doc_id", "n"), Seq(4, 8, 12, 16, 20, 24, 28, 32))
+        .withColumn("expected_band", (col("media_id") % 8).cast("int"))
+        .withColumn("matches", col("dominant_band") === col("expected_band"))
+        .select("media_id", "decode_ok", "dominant_band", "dominant_share",
+          "expected_band", "matches")
+    },
+
     // #42 REAL video decode (RIFF/AVI with uncompressed 24-bit DIB
     // frames — the lossless, codec-free video format): synthesize an
     // AVI per doc, decode it back with frame sampling fused in
@@ -349,6 +367,17 @@ object PipelineQueries {
         |FROM d, range(0, 70) i(k)
         |WHERE i.k < d.n
         |GROUP BY d.doc_id, d.n""".stripMargin,
+    // The spectral physics pinned per row: a full-window pure tone at
+    // DFT bin (id%8+1)*4 puts all measured energy in that Goertzel
+    // band (orthogonal bins read ~0), so dominant = planted and the
+    // rounded share is exactly 1.0.
+    "q_audio_spectrum" ->
+      """SELECT doc_id AS media_id, TRUE AS decode_ok,
+        |  CAST(doc_id % 8 AS INTEGER) AS dominant_band,
+        |  CAST(1.0 AS DOUBLE) AS dominant_share,
+        |  CAST(doc_id % 8 AS INTEGER) AS expected_band,
+        |  TRUE AS matches
+        |FROM documents""".stripMargin,
     // Recomputes the AVI round-trip's sampled-frame pixel checksum as
     // arithmetic: v(f,x,y) = (id*31 + f*17 + x*7 + y*13) mod 256,
     // summed over even frames only (stride 2). Uncompressed DIB is

@@ -191,6 +191,36 @@ object TextDedup {
   def minhashSignature(shingles: Column, h: Int): Column =
     graft.plans.MinHashSig(shingles, h)
 
+  /** Engine-portable (md5-hex) MinHash signature of a shingle array —
+    * the per-chunk building block of [[mergeSignatures]]; identical to
+    * the signature inside minhashNearDupsPortableReleasable.
+    */
+  def portableSignature(shingles: Column, h: Int): Column =
+    transform(sequence(lit(0), lit(h - 1)), i =>
+      array_min(transform(shingles, s =>
+        substring(md5(concat(s, lit(":"), i.cast("string"))), 1, 16))))
+
+  /** Mergeable MinHash maintenance: a signature is an elementwise
+    * minimum, so sig(A ∪ B) = elementwise_min(sig(A), sig(B)) — an
+    * incremental harvest signatures only its NEW chunks and folds them
+    * into the stored per-doc signature without ever re-reading old
+    * text. This is the property that keeps corpus-scale near-dup
+    * state maintainable: the ledger is ids × h hashes, the merge is a
+    * (id, pos) min aggregation (map-side partial, no text, no
+    * shuffle beyond the id-keyed agg).
+    *
+    * `sigs`: one row per (doc, chunk) with `sigCol` an array column;
+    * returns one row per doc with the merged signature. min on the
+    * fixed-length hex strings is the same order any engine computes,
+    * so the merge is oracle-exact.
+    */
+  def mergeSignatures(sigs: DataFrame, idCol: String, sigCol: String): DataFrame =
+    sigs.select(col(idCol), posexplode(col(sigCol)).as(Seq("pos", "v")))
+      .groupBy(idCol, "pos").agg(min(col("v")).as("v"))
+      .groupBy(idCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as(sigCol))
+
   /** Reference HOF formulation of minhashSignature (bit-identical). */
   def minhashSignatureHof(shingles: Column, h: Int): Column =
     transform(

@@ -162,6 +162,26 @@ class SourcesSpec extends SparkSpec {
     assert(badOut.forall(r => !r.getBoolean(1) && r.isNullAt(5)))
   }
 
+  test("synthToneWav → audioBandEnergy: a planted pure tone dominates exactly its Goertzel bin") {
+    val d = Seq((0L, 256), (3L, 320), (5L, 384), (7L, 448)).toDF("doc_id", "n")
+    val out = Multimodal.audioBandEnergy(
+      Multimodal.synthToneWav(d, "doc_id", "n"), Seq(4, 8, 12, 16, 20, 24, 28, 32))
+      .orderBy("media_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1), s"decode failed for $id")
+      assert(r.getInt(2) == (id % 8).toInt, s"dominant band ${r.getInt(2)} != planted ${id % 8}")
+      assert(r.getDouble(3) == 1.0, s"tone share ${r.getDouble(3)} not 1.0 for $id")
+    }
+    // poisoned blobs and nulls: decode_ok=false, never an exception
+    val bad = Seq(
+      (1L, "not a wav".getBytes("UTF-8")),
+      (2L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "content")
+    val badOut = Multimodal.audioBandEnergy(bad, Seq(4, 8)).orderBy("media_id").collect()
+    assert(badOut.forall(r => !r.getBoolean(1) && r.isNullAt(2)))
+  }
+
   test("synthDibAvi → decodeVideo round-trips dims, frame counts, and the sampled-frame pixel sum") {
     val d = Seq((7L, 5, 4, 3), (8L, 9, 6, 4), (9L, 4, 4, 1)).toDF("doc_id", "w", "h", "n")
     val out = Multimodal.decodeVideo(Multimodal.synthDibAvi(d, "doc_id", "w", "h", "n"), stride = 2)

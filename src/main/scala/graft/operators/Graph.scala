@@ -99,6 +99,73 @@ object Graph {
     cc.unionByName(singletons)
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, deterministic variant): every vertex starts as its own
+    * label; each round every vertex adopts the most frequent label
+    * among its neighbors AND itself (the self-vote damps the
+    * two-cycle oscillation synchronous LPA exhibits on symmetric
+    * structures — an isolated pair otherwise swaps labels forever),
+    * ties broken by smallest label — so the fixed `iters`-round
+    * result is a pure function of the edge set, reproducible by an
+    * engine that unrolls the same rounds ([[labelPropSqlDuck]]). Communities are denser-than-their-
+    * surroundings vertex groups — finer structure than connected
+    * components (which merge everything reachable) and the standard
+    * cheap community pass over co-occurrence / interaction graphs.
+    *
+    * Labels are the vertex keys themselves (any orderable type —
+    * strings keep it engine-portable). Scale shape per round: one
+    * (neighbor → label) join keyed on the vertex id, one
+    * (vertex, label) count agg, one min(struct) argmax agg — edges
+    * and labels only, payloads never move; rounds checkpoint eagerly
+    * and release the previous round's blocks like [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, src: String, dst: String, iters: Int): DataFrame = {
+    val e0 = edges.select(col(src).as("u"), col(dst).as("v")).filter(col("u") =!= col("v"))
+    val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var labels = e.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = e.join(labels, e("v") === labels("id"))
+        .select(col("u"), col("label"))
+        .unionByName(labels.select(col("id").as("u"), col("label")))
+      val counts = votes.groupBy(col("u"), col("label")).agg(count(lit(1)).as("c"))
+      val next = counts
+        .groupBy(col("u").as("id"))
+        .agg(min_by(col("label"), struct((-col("c")).as("nc"), col("label").as("l"))).as("label"))
+        .localCheckpoint(true)
+      releaseCheckpoint(labels)
+      labels = next
+    }
+    labels
+  }
+
+  /** DuckDB SQL computing the identical fixed-iteration label
+    * propagation over `edgeCte` (a CTE named e with columns u, v,
+    * directed, self-loop-free) — rounds unrolled from the same
+    * `iters` so query and oracle cannot drift.
+    */
+  def labelPropSqlDuck(edgeCte: String, iters: Int): String = {
+    val base =
+      s"""$edgeCte,
+         |sym AS MATERIALIZED (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+         |l0 AS (SELECT DISTINCT u AS id, u AS label FROM sym)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val p = s"l${k - 1}"
+      s"""l$k AS MATERIALIZED (
+         |  SELECT u AS id, label FROM (
+         |    SELECT u, label, count(*) AS c,
+         |           row_number() OVER (PARTITION BY u
+         |             ORDER BY count(*) DESC, label) AS rn
+         |    FROM (SELECT s.u, p.label FROM sym s JOIN $p p ON p.id = s.v
+         |          UNION ALL SELECT id AS u, label FROM $p)
+         |    GROUP BY u, label) t
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (base +: rounds).mkString("WITH ", ",\n", "") +
+      s"\nSELECT id, label FROM l$iters"
+  }
+
   /** PageRank over a directed edge list: `iters` fixed power
     * iterations with damping `d` and uniform dangling-mass
     * redistribution (Page et al. 1999). Returns (id, rank) with rank

@@ -237,6 +237,25 @@ object LlmQueries {
       TextRank.textRankKeywords(Tables(s, dir).documents, "text", k = 25)
     },
 
+    // #42bm label-propagation communities over the verified near-dup
+    // pair graph: three deterministic synchronous rounds (majority
+    // neighbor label, min-label tie-break), labels are the doc ids —
+    // the whole iteration engine-portable and unrolled identically in
+    // the oracle. On this graph (disjoint duplicate clusters) the
+    // communities must COINCIDE with connected components — so the
+    // oracle doubles as a cross-validation of both iterative
+    // operators; the finer-than-CC behavior on bridged cliques is
+    // spec-proven (LabelPropSpec). Output: community → member count
+    // (clusters of ≥2).
+    "q_communities" -> { (s, dir) =>
+      val pairs = TextDedup.minhashNearDupsPortable(
+        planted(Tables(s, dir)), "doc_id", "text", h = 8, bands = 4)
+      Graph.labelPropagation(pairs, "id_a", "id_b", iters = 3)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+    },
+
     // Corpus-health report: per-source vocabulary size, type-token
     // ratio, hapax fraction (the Zipf-tail sanity check a corpus
     // refresh is gated on).
@@ -875,6 +894,17 @@ object LlmQueries {
     // here are dense ranks over the sorted vocabulary — any
     // collision-free labeling yields the same ranks, so the engines
     // may label differently and still must agree on (word, rank).
+    // Rounds unrolled by Graph.labelPropSqlDuck from the same iters —
+    // query and oracle cannot drift; edges are the same oracle-exact
+    // LSH chain as q_dedup_minhash_md5/q_fuzzy_dedup.
+    "q_communities" -> {
+      val edgeCte =
+        s"""$minhashMd5Cte,
+           |e AS (SELECT id_a AS u, id_b AS v FROM j WHERE jaccard >= 0.5)""".stripMargin
+      s"""SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members FROM (
+         |${Graph.labelPropSqlDuck(edgeCte, 3)}
+         |) t GROUP BY label HAVING count(*) >= 2""".stripMargin
+    },
     "q_textrank_keywords" ->
       s"""WITH $wsCte,
          |p0 AS (SELECT unnest(list_transform(range(1, len(ws)),

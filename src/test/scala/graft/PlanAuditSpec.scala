@@ -217,6 +217,30 @@ class PlanAuditSpec extends SparkSpec {
       s"semantic dedup must join per-cell, not all-pairs:\n" + s.take(4000))
   }
 
+  test("q_embed_decontam is a broadcast GEMM: benchmark broadcast, pairs never shuffle") {
+    val s = formatted("q_embed_decontam")
+    // corpus × benchmark scoring happens in a BroadcastNestedLoopJoin
+    assert(countOp(s, "BroadcastNestedLoopJoin") == 1, s.take(3000))
+    // the ×m pair stream collapses BEFORE any exchange: a partial
+    // HashAggregate must sit below the (single) data shuffle
+    assert(countOp(s, "Exchange") == 1, s"pairs leaked into a shuffle:\n" + s.take(3000))
+    assert(!s.contains("SortMergeJoin"), s.take(3000))
+  }
+
+  test("q_spatial_join probes a broadcast hash join on the cell id — no SMJ, no box nested-loop") {
+    val s = formatted("q_spatial_join")
+    assert(countOp(s, "BroadcastHashJoin") == 1, s.take(3000))
+    assert(!s.contains("SortMergeJoin"), s.take(3000))
+    // BNLJs only for attaching the one-row bounds frame (box build,
+    // cover, and points side), never for the candidate matching itself
+    assert(countOp(s, "BroadcastNestedLoopJoin") <= 3, s.take(3000))
+  }
+
+  test("q_minhash_merge folds chunk signatures by (id, pos) aggregation — no window, no join for the merge") {
+    val s = formatted("q_minhash_merge")
+    assert(!s.contains("Window"), s"merge must be an agg, not a window:\n" + s.take(3000))
+  }
+
   test("no accidental cartesian products outside the intentional ones") {
     val intentional = Set("q_ann_bruteforce", "q_edit_distance", "q_range_join", "q_approx_stats")
     for (name <- SparkEntry.queries.keys if !intentional(name)) {

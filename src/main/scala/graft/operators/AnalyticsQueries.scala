@@ -130,6 +130,20 @@ object AnalyticsQueries {
       DataOps.snapshotDiff(o, newSnap, "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
     },
 
+    // #42bn PSI drift between harvest snapshots per source: an
+    // md5-parity half-split of each source plays the old/new halves
+    // (doc-id parity is perfectly source-correlated in this data —
+    // every source would land wholly on one side), token-count
+    // distributions binned 20×10 — the production drift gate a corpus
+    // refresh runs before the mix retrains on a silently-changed
+    // source.
+    "q_psi_drift" -> { (s, dir) =>
+      DataOps.psiDrift(Tables(s, dir).documents, "source",
+        isNew = substring(md5(col("doc_id").cast("string")), 1, 1) >= "8",
+        value = size(split(col("text"), " ")),
+        binWidth = 10L, nBins = 20)
+    },
+
     // SCD Type-2 merge: open history + the snapshot-diff plants →
     // closed/opened validity intervals at t=1000.
     "q_scd2" -> { (s, dir) =>
@@ -499,6 +513,27 @@ object AnalyticsQueries {
     // Unrolled programmatically from the SAME (iters, damping) the
     // query passes — oracle and query cannot drift.
     "q_pagerank" -> Graph.pageRankSqlDuck(pagerankEdgeCteDuck, iters = 3, damping = 0.85),
+    // Same fixed binning, Laplace smoothing, and 4-dp rounding; ln is
+    // the only transcendental and sits inside the rounded sum.
+    "q_psi_drift" ->
+      """WITH d AS (SELECT source AS g, substr(md5(doc_id::VARCHAR), 1, 1) >= '8' AS nw,
+        |             least(greatest(CAST(floor(len(string_split(text, ' '))::DOUBLE / 10) AS BIGINT), 0), 19) AS bin
+        |           FROM documents),
+        |c AS (SELECT g, nw, bin, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2, 3),
+        |t AS (SELECT g, nw, sum(c) AS t FROM c GROUP BY 1, 2),
+        |grid AS (SELECT gg.g, b.range AS bin, s.nw
+        |         FROM (SELECT DISTINCT g FROM d) gg
+        |         CROSS JOIN range(0, 20) b
+        |         CROSS JOIN (VALUES (false), (true)) s(nw)),
+        |p AS (SELECT grid.g, grid.nw, grid.bin,
+        |        (COALESCE(c.c, 0) + 0.5) / (t.t + 10.0) AS p, t.t
+        |      FROM grid LEFT JOIN c USING (g, nw, bin) JOIN t USING (g, nw)),
+        |o AS (SELECT g, bin, p AS po, t AS n_old FROM p WHERE NOT nw),
+        |n AS (SELECT g, bin, p AS pn, t AS n_new FROM p WHERE nw)
+        |SELECT o.g AS source, CAST(max(o.n_old) AS BIGINT) AS n_old,
+        |       CAST(max(n.n_new) AS BIGINT) AS n_new,
+        |       round(sum((n.pn - o.po) * ln(n.pn / o.po)), 4) + 0.0 AS psi
+        |FROM o JOIN n USING (g, bin) GROUP BY o.g""".stripMargin,
     "q_snapshot_diff" ->
       """WITH n AS (
         |  SELECT o_orderkey AS key,

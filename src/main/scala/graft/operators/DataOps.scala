@@ -34,6 +34,48 @@ object DataOps {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Population Stability Index between two corpus snapshots, per
+    * group — the standard production drift gate (PSI < 0.1 stable,
+    * 0.1-0.25 drifting, > 0.25 act): Σ_bins (p_new − p_old) ·
+    * ln(p_new / p_old) over a fixed equal-width binning of `value`,
+    * Laplace-smoothed (+0.5 per bin) so empty bins contribute finite
+    * terms. A harvest pipeline runs this on every refresh to catch a
+    * source silently changing shape (truncated documents, a new
+    * boilerplate injector, a collapsed field) before the mix trains
+    * on it.
+    *
+    * Scale shape: one (group, side, bin) count over the corpus, then
+    * everything downstream is groups × bins × 2 rows; the bin grid is
+    * enumerated with a sequence explode so zero-count bins smooth
+    * instead of vanishing. Deterministic: fixed bounds (no min/max
+    * pre-pass), and the PSI compares ROUNDED (4 dp) sums, which both
+    * engines reproduce.
+    */
+  def psiDrift(df: DataFrame, groupCol: String, isNew: Column, value: Column,
+               binWidth: Long, nBins: Int): DataFrame = {
+    val bin = least(greatest(floor(value.cast("double") / binWidth).cast("long"), lit(0L)),
+      lit(nBins - 1L))
+    val sided = df.select(col(groupCol).as("g"), isNew.cast("boolean").as("nw"), bin.as("bin"))
+    val counts = sided.groupBy("g", "nw", "bin").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("g", "nw").agg(sum(col("c")).as("t"))
+    val grid = sided.select("g").distinct()
+      .select(col("g"), explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
+      .select(col("g"), col("bin"), explode(array(lit(false), lit(true))).as("nw"))
+    val probs = grid.join(counts, Seq("g", "nw", "bin"), "left")
+      .select(col("g"), col("nw"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+      .join(tot, Seq("g", "nw"))
+      .select(col("g"), col("nw"), col("bin"),
+        ((col("c") + 0.5) / (col("t") + 0.5 * nBins)).as("p"), col("t"))
+    val o = probs.filter(!col("nw"))
+      .select(col("g"), col("bin"), col("p").as("po"), col("t").as("told"))
+    val nw = probs.filter(col("nw"))
+      .select(col("g"), col("bin"), col("p").as("pn"), col("t").as("tnew"))
+    o.join(nw, Seq("g", "bin"))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("told")).as("n_old"), max(col("tnew")).as("n_new"),
+        round(sum((col("pn") - col("po")) * log(col("pn") / col("po"))), 4).as("psi"))
+  }
+
   /** Equi-width histogram of a numeric column with FIXED bounds (no
     * min/max pre-pass — deterministic and one aggregation): bucket i
     * covers [lo + i·step, lo + (i+1)·step); values outside clamp to

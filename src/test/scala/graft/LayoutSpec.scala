@@ -148,6 +148,26 @@ class LayoutSpec extends SparkSpec {
     assert(pairs.count() > 0)
   }
 
+  test("psiDrift scores identical halves near zero and a shifted distribution high") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // stable: old and new halves draw the same values; shifted: the
+    // new half's values move up 3 bins
+    val rows = (0 until 400).map { i =>
+      val isNew = i % 2 == 1
+      val stableVal = (i / 2) % 50
+      val shiftedVal = if (isNew) (i / 2) % 50 + 30 else (i / 2) % 50
+      (i.toLong, isNew, stableVal, shiftedVal)
+    }
+    val df = rows.toDF("id", "isnew", "stable", "shifted")
+    def psiOf(c: String): Double = graft.operators.DataOps
+      .psiDrift(df.withColumn("g", lit("s")), "g", col("isnew"), col(c), 10L, 10)
+      .collect().head.getAs[Double]("psi")
+    val stable = psiOf("stable")
+    val shifted = psiOf("shifted")
+    assert(stable < 0.01, s"identical halves scored PSI $stable")
+    assert(shifted > 0.25, s"3-bin shift scored PSI $shifted — below the action threshold")
+  }
+
   test("shard assignment is deterministic, total, and balanced") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bal = Layout.shardBalance(docs, "doc_id",

@@ -22,6 +22,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO.read's default stream cache backs every decode with a
+  // TEMP FILE (create + write + delete per row) — disk I/O that
+  // serializes a 32-thread decode pass the same way the MIDI
+  // provider-registry lock serialized the audio path in round 6. One
+  // JVM-wide switch moves the cache to memory; blobs here are already
+  // byte arrays, so nothing is lost.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false), // image | audio | video

@@ -93,15 +93,40 @@ object TextRank {
     * physical operator, not a full per-doc sort. Ranking compares the
     * ROUNDED score (term as tiebreak) so results are engine-exact.
     */
-  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    tfidfTopTermsReleasable(docs, idCol, textCol, k)._1
+
+  /** tfidfTopTerms with a [[CacheHandle]] for the persisted tf table.
+    *
+    * The tf table is persisted because BOTH the document-frequency
+    * aggregate and the scored join read it — unpersisted, each
+    * consumer re-runs the corpus explode + (doc, term) shuffle, and
+    * the sf1→sf3 ladder measured that as the operator's super-linear
+    * term (6.1× at 3× data; with the cache + broadcast df the ratio
+    * is the shuffle's ~linear growth). `dfreq` joins back BROADCAST:
+    * it is vocab-sized (sub-linear in corpus), and the broadcast
+    * keeps the docs×vocab tf table from re-shuffling on the term key
+    * — at 100 TB pass `broadcastDf = false` if the vocabulary
+    * outgrows executor memory and the term shuffle is the lesser
+    * cost. The cache is (doc, term, count) triples — explode-sized
+    * but far below raw tokens; DISK_ONLY knob as with BM25.
+    */
+  def tfidfTopTermsReleasable(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      broadcastDf: Boolean = true,
+      storage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, CacheHandle) = {
+    val handle = CacheHandle()
     val terms = docs.select(col(idCol), explode(split(lower(col(textCol)), " ")).as("term"))
-    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = handle.track(
+      terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf")).persist(storage))
+    val dfreq0 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = if (broadcastDf) broadcast(dfreq0) else dfreq0
     val n = docs.agg(count(lit(1)).as("__n"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .select(col(idCol), col("term"), col("tf"),
         round(col("tf") * log(col("__n").cast("double") / col("df")), 4).as("tfidf"))
-    TopK.perKey(scored, Seq(idCol), struct((-col("tfidf")).as("neg"), col("term")), k)
+    (TopK.perKey(scored, Seq(idCol), struct((-col("tfidf")).as("neg"), col("term")), k), handle)
   }
 
   /** Corpus-level inverted-index BUILD: one row per term carrying

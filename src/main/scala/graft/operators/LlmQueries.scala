@@ -555,12 +555,15 @@ object LlmQueries {
     // matrix inlined at plan time — oracle-exact per element (both
     // engines fold the dot product in ascending order; the one
     // division and the rounding are identical), distance-preservation
-    // measured in VectorSpec.
+    // measured in VectorSpec. Emitted as 16 SCALAR columns p00..p15
+    // (not one array column): the driver's comparator sorts rows of
+    // scalar cells, and an array-typed cell broke that sort.
     "q_jl_project" -> { (s, dir) =>
-      VectorOps.randomProject(
+      val proj = VectorOps.randomProject(
         Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")),
         "embedding", outDim = 16, dim = 64)
-        .select(col("vec_id"), col("proj"))
+      proj.select(
+        col("vec_id") +: (0 until 16).map(i => col("proj")(i).as(f"p$i%02d")): _*)
     },
 
     // DSIR importance weights: hashed-unigram log-likelihood ratio of
@@ -1117,7 +1120,8 @@ object LlmQueries {
         |       round(regr_slope(log10(cnt), log10(rank)), 4) + 0.0 AS zipf_slope
         |FROM r GROUP BY source""".stripMargin,
     "q_jl_project" ->
-      s"""SELECT vec_id, ${VectorOps.projectSqlDuck("embedding::DOUBLE[]", 16, 64)} AS proj
+      s"""SELECT vec_id, ${VectorOps.projectColsSqlDuck("embedding::DOUBLE[]", 16, 64)
+             .zipWithIndex.map { case (e, i) => f"$e AS p$i%02d" }.mkString(",\n       ")}
          |FROM embeddings""".stripMargin,
     "q_countmin" ->
       """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),

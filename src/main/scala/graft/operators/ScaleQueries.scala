@@ -105,7 +105,8 @@ object ScaleQueries {
          |          (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
          |      FROM c CROSS JOIN b)
          |SELECT id, max(sim) + 0.0 AS max_bench_sim,
-         |       sum(CASE WHEN sim >= $decontamTau THEN 1 ELSE 0 END) AS n_bench_hits,
+         |       CAST(sum(CASE WHEN sim >= $decontamTau THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_bench_hits,
          |       max(sim) < $decontamTau AS keep
          |FROM s GROUP BY id""".stripMargin,
 
@@ -130,7 +131,7 @@ object ScaleQueries {
       s"""WITH d AS (SELECT ${Layout.shardSqlDuck("doc_id::VARCHAR", 32)} AS shard,
          |             len(string_split(text, ' ')) AS tok, source
          |           FROM documents),
-         |p AS (SELECT shard, count(*) AS docs, sum(tok) AS tokens,
+         |p AS (SELECT shard, count(*) AS docs, CAST(sum(tok) AS BIGINT) AS tokens,
          |             count(DISTINCT source) AS sources
          |      FROM d GROUP BY shard),
          |t AS (SELECT sum(tokens) AS tt FROM p)

@@ -242,11 +242,20 @@ object VectorOps {
     * keeps -0.0 for small negatives where Spark's BigDecimal round
     * returns +0.0, and the driver compares stringified values.
     */
-  def projectSqlDuck(vExpr: String, outDim: Int, dim: Int): String = {
+  def projectSqlDuck(vExpr: String, outDim: Int, dim: Int): String =
+    projectColsSqlDuck(vExpr, outDim, dim).mkString("[", ", ", "]")
+
+  /** Per-element DuckDB expressions for [[randomProject]] — one scalar
+    * expression per output dimension. The driver's comparator sorts and
+    * hashes SCALAR cells; an array column defeats its row sort, so the
+    * oracle-checked q_jl_project emits each projection component as its
+    * own DOUBLE column built from these.
+    */
+  def projectColsSqlDuck(vExpr: String, outDim: Int, dim: Int): Seq[String] = {
     val scale = math.sqrt(outDim.toDouble)
     hyperplanes(outDim, dim).map { p =>
       val lits = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
       s"round(list_dot_product($vExpr, $lits::DOUBLE[]) / $scale, 4) + 0.0"
-    }.mkString("[", ", ", "]")
+    }
   }
 }

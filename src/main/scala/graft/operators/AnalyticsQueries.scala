@@ -21,6 +21,17 @@ object AnalyticsQueries {
   private val pagerankEdgeCteDuck =
     """e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000000 AS dst FROM lineitem)"""
 
+  /** q_kcore parameters, shared with the unrolled oracle. k sits below
+    * the part-bucket side's degree ceiling (≈ the supplier count at
+    * sf0.01) so the peel is non-trivial at every harness sf; the
+    * result is oracle-exact at ANY (k, rounds) since both engines run
+    * the identical fixed rounds.
+    */
+  private val kCoreK = 60
+  private val kCoreRounds = 4
+  private val kcoreEdgeCteDuck =
+    """e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS u, l_partkey % 300 + 1000000000 AS v FROM lineitem)"""
+
   /** Surname pool for q_record_linkage (shared with its oracle). */
   private val linkSurnameList = Seq(
     "miller", "smith", "garcia", "johnson", "brown", "davis",
@@ -36,6 +47,18 @@ object AnalyticsQueries {
         col("l_suppkey").cast("long").as("src"),
         (col("l_partkey") + 1000000000L).as("dst"))
       Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+    },
+
+    // k-core peel over the supplier→part-bucket graph: minimum-degree
+    // nucleus that survives deletion cascades (a plain degree filter
+    // does not — peeling a vertex can push neighbors below k). Fixed
+    // rounds, oracle unrolled from the same (k, rounds).
+    "q_kcore" -> { (s, dir) =>
+      val edges = Tables(s, dir).lineitem.select(
+        col("l_suppkey").cast("long").as("src"),
+        (pmod(col("l_partkey"), lit(300)) + 1000000000L).as("dst"))
+      Graph.kCore(edges, "src", "dst", k = kCoreK, rounds = kCoreRounds)
+        .orderBy("id")
     },
 
     // Record linkage: Soundex-blocked fuzzy join, never all-pairs.
@@ -513,6 +536,8 @@ object AnalyticsQueries {
     // Unrolled programmatically from the SAME (iters, damping) the
     // query passes — oracle and query cannot drift.
     "q_pagerank" -> Graph.pageRankSqlDuck(pagerankEdgeCteDuck, iters = 3, damping = 0.85),
+    "q_kcore" ->
+      (Graph.kCoreSqlDuck(kcoreEdgeCteDuck, k = kCoreK, rounds = kCoreRounds) + "\nORDER BY id"),
     // Same fixed binning, Laplace smoothing, and 4-dp rounding; ln is
     // the only transcendental and sits inside the rounded sum.
     "q_psi_drift" ->

@@ -187,6 +187,20 @@ object CurationQueries {
         Tables(s, dir).documents.select("doc_id", "lang"), "lang", "doc_id", k = 10)
     },
 
+    // Neyman-allocation sampling (alloc_h ∝ N_h·σ_h): the budget goes
+    // where strata are big AND internally variable — the
+    // minimum-variance stratified design. σ from exact integer sums,
+    // so the plan is deterministic across engines.
+    "q_neyman_plan" -> { (s, dir) =>
+      Sampling.neymanPlan(Tables(s, dir).documents, "source", col("n_chars"), budget = 500L)
+        .orderBy("stratum")
+    },
+    "q_neyman_sample" -> { (s, dir) =>
+      Sampling.neymanSample(Tables(s, dir).documents.select("doc_id", "source", "n_chars"),
+          "source", "doc_id", col("n_chars"), budget = 500L, seed = 42L)
+        .select("doc_id", "source")
+    },
+
     // Corpus stats: top-5 bigrams per language by document frequency,
     // through the custom TopKPerKey physical operator (bounded heaps,
     // no full sort of the gram counts).
@@ -298,6 +312,24 @@ object CurationQueries {
     * the word boundary (docs all contain "classy" via the suffix).
     */
   private val blockWords = Seq("spamword", "badphrase", "class")
+
+  /** Shared Neyman plan chain (σ from exact integer sums → 6-dp share
+    * → whole-row alloc), used by both q_neyman oracles so plan and
+    * sample provably derive from the same allocation.
+    */
+  private val neymanPlanCteDuck =
+    """st AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_rows,
+      |         sum(CAST(n_chars AS DOUBLE)) AS s1,
+      |         sum(CAST(n_chars * n_chars AS DOUBLE)) AS s2
+      |       FROM documents GROUP BY 1),
+      |sg AS (SELECT stratum, n_rows,
+      |         round(CASE WHEN n_rows > 1
+      |           THEN sqrt(greatest((s2 - s1 * s1 / n_rows) / (n_rows - 1), 0.0))
+      |           ELSE 0.0 END, 6) AS sigma
+      |       FROM st),
+      |pl AS (SELECT stratum, n_rows, sigma,
+      |         CAST(round(round(n_rows * sigma / sum(n_rows * sigma) OVER (), 6) * 500, 0) AS BIGINT) AS alloc
+      |       FROM sg)""".stripMargin
 
   /** doc text + " classy" always, plus planted blocklist hits: every
     * 3rd doc a lowercase hit, every 7th a mixed-case phrase hit.
@@ -492,6 +524,20 @@ object CurationQueries {
         |         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 10""".stripMargin,
+    // Same exact-integer-sum σ, 6-dp share rounding, and whole-row
+    // allocation rounding as Sampling.neymanPlan.
+    "q_neyman_plan" ->
+      s"""WITH $neymanPlanCteDuck
+         |SELECT stratum, n_rows, sigma, alloc FROM pl ORDER BY stratum""".stripMargin,
+    // The realized sample: md5 bucket vs the in-plan hex threshold
+    // floor(rate·2^32); alloc >= n_rows keeps the stratum whole.
+    "q_neyman_sample" ->
+      s"""WITH $neymanPlanCteDuck
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN pl ON pl.stratum = d.source
+         |WHERE pl.alloc >= pl.n_rows
+         |   OR substr(md5(d.doc_id::VARCHAR || ':42'), 1, 8) <
+         |      lpad(lower(to_hex(CAST(floor(least(CAST(pl.alloc AS DOUBLE) / pl.n_rows, 1.0) * 4294967296) AS BIGINT))), 8, '0')""".stripMargin,
     "q_top_ngrams" ->
       """WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
         |g AS (SELECT lang, unnest(list_distinct(list_transform(range(1, len(ws)),

@@ -11,6 +11,38 @@ import org.apache.spark.sql.functions._
   */
 object DataOps {
 
+  /** Reliability diagram + Expected Calibration Error for a
+    * probabilistic classifier (Naeini et al. 2015's ECE over an
+    * equal-width confidence binning). The gate in front of
+    * classifier-driven curation: a quality/language classifier whose
+    * 0.9 bucket is right 60% of the time cannot be thresholded at
+    * 0.9 — calibration is what licenses reading scores as
+    * probabilities, and it is checked BEFORE the filter rollout, on
+    * the (confidence, outcome) pairs of a labeled slice.
+    *
+    * Returns one row per non-empty bin: (bin, n, conf_avg, acc, gap)
+    * plus the scalar `ece` = Σ_b (n_b/N)·|acc_b − conf_b| repeated on
+    * each row. Scale shape: ONE count/sum aggregation over the corpus
+    * with map-side combine; everything downstream (the window over
+    * bins) runs on ≤ `bins` rows. Outputs round to 6 dp so both
+    * engines agree to the digit; `conf` must be in [0, 1].
+    */
+  def reliabilityDiagram(df: DataFrame, conf: Column, label: Column, bins: Int): DataFrame = {
+    val per = df
+      .select(least(floor(conf * bins), lit(bins - 1)).cast("int").as("bin"),
+        conf.as("c"), label.cast("int").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"), sum(col("y")).as("sy"))
+    val acc = col("sy").cast("double") / col("n")
+    val cAvg = col("sc") / col("n")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    per.select(col("bin"), col("n"),
+        round(cAvg, 6).as("conf_avg"),
+        round(acc, 6).as("acc"),
+        round(abs(acc - cAvg), 6).as("gap"),
+        round(sum(abs(acc - cAvg) * col("n")).over(w) / sum(col("n")).over(w), 6).as("ece"))
+  }
+
   /** Row-level diff of two snapshots on a natural key: one row per key
     * with status added / removed / changed / unchanged ("changed"
     * compares the given payload columns null-safely). One full outer

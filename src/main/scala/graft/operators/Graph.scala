@@ -252,6 +252,75 @@ object Graph {
       s"\nSELECT id, round(r, 6) AS rank FROM r$iters"
   }
 
+  /** k-core decomposition peel, fixed rounds: repeatedly delete
+    * vertices of degree < k until the k-core (the maximal induced
+    * subgraph where every vertex keeps ≥ k neighbors) remains. The
+    * standard graph-density gate — a minimum-degree constraint that
+    * survives deletion cascades, where a plain degree filter does not
+    * (dropping a low-degree vertex can push its neighbors below k).
+    * On a dedup-pair graph the 2-core separates genuinely clustered
+    * duplicates from pendant chains of borderline pairs; on a citation
+    * or interaction graph the k-core is the classic dense-nucleus
+    * extractor (Seidman 1983).
+    *
+    * Returns (id, deg): the surviving vertices and their degree within
+    * the final induced subgraph (all ≥ k once converged — peeling is
+    * monotone, so a no-op round is a fixpoint; the paired oracle runs
+    * the IDENTICAL fixed `rounds`, so query and oracle agree even on
+    * an unconverged prefix, and the spec checks convergence on real
+    * data). Scale shape per round: two joins keyed on the endpoint ids
+    * + one count agg — only (u, v) id pairs move, the symmetrized edge
+    * table is checkpointed once and never re-shuffles, and each
+    * round's alive set (ids only) replaces the previous round's
+    * blocks like [[pageRank]].
+    */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int, rounds: Int): DataFrame = {
+    val e0 = edges.select(col(src).as("u"), col(dst).as("v")).filter(col("u") =!= col("v"))
+    val sym = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+    var alive = sym.select(col("u").as("id")).distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val next = induced(sym, alive)
+        .groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("id")
+        .localCheckpoint(true)
+      releaseCheckpoint(alive)
+      alive = next
+    }
+    induced(sym, alive).groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** Edges of the subgraph induced by the `alive` vertex set: an edge
+    * survives iff BOTH endpoints survive.
+    */
+  private def induced(sym: DataFrame, alive: DataFrame): DataFrame =
+    sym.join(alive.select(col("id").as("u")), "u")
+      .join(alive.select(col("id").as("v")), "v")
+
+  /** DuckDB SQL for the identical fixed-round k-core peel over
+    * `edgeCte` (a CTE named e with columns u, v, directed,
+    * self-loop-free) — unrolled from the same (k, rounds) so query
+    * and oracle cannot drift.
+    */
+  def kCoreSqlDuck(edgeCte: String, k: Int, rounds: Int): String = {
+    val base =
+      s"""$edgeCte,
+         |sym AS MATERIALIZED (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+         |a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      val p = s"a${r - 1}"
+      s"""a$r AS MATERIALIZED (
+         |  SELECT s.u AS id FROM sym s
+         |  JOIN $p x ON x.id = s.u JOIN $p y ON y.id = s.v
+         |  GROUP BY s.u HAVING count(*) >= $k)""".stripMargin
+    }
+    (base +: peels).mkString("WITH ", ",\n", "") +
+      s"""
+         |SELECT s.u AS id, count(*) AS deg FROM sym s
+         |JOIN a$rounds x ON x.id = s.u JOIN a$rounds y ON y.id = s.v
+         |GROUP BY s.u""".stripMargin
+  }
+
   /** Triangle count of an undirected graph — the local-clustering
     * signal (spam/link-farm detection in a link graph, community
     * density in a co-occurrence graph). Standard distributed

@@ -100,6 +100,22 @@ object LlmQueries {
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
     },
 
+    // Reliability diagram + ECE for the lang-ID heuristic read as an
+    // "is-English" classifier: confidence = Laplace-smoothed share of
+    // English stopword hits among all profile hits, outcome = the
+    // labeled lang column. Calibration is the gate in front of every
+    // classifier-driven filter: scores are only thresholdable as
+    // probabilities if the 0.9 bucket is right ~90% of the time.
+    "q_calibration" -> { (s, dir) =>
+      val hits = Seq("en", "de", "es", "fr")
+        .map(l => TextAnalysis.stopwordHits(col("text"), TextAnalysis.langProfiles(l)))
+      val conf = (hits.head + lit(0.5)) / (hits.reduce(_ + _) + lit(1.0))
+      DataOps.reliabilityDiagram(
+        Tables(s, dir).documents.select(conf.as("c"), (col("lang") === "en").as("y")),
+        col("c"), col("y"), bins = 10)
+        .orderBy("bin")
+    },
+
     // #35 n-gram Jaccard between consecutive documents.
     "q_ngram_jaccard" -> { (s, dir) =>
       val d = Tables(s, dir).documents
@@ -681,6 +697,30 @@ object LlmQueries {
          |SELECT d.lang, p.predicted, CAST(count(*) AS BIGINT) AS n
          |FROM documents d JOIN p USING (doc_id)
          |GROUP BY d.lang, p.predicted""".stripMargin,
+    // Same Laplace-smoothed confidence, equal-width binning, and 6-dp
+    // rounding; the ECE window runs over the ≤10 bin rows.
+    "q_calibration" ->
+      s"""WITH $wsCte,
+         |h AS (SELECT doc_id,
+         |        CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS en,
+         |        CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS BIGINT) AS de,
+         |        CAST(len(list_filter(ws, w -> w IN ('el','la','de','los','las','y','es','en','un','una'))) AS BIGINT) AS es,
+         |        CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','des','est','un','une','dans','pour'))) AS BIGINT) AS fr
+         |      FROM w),
+         |s AS (SELECT d.doc_id,
+         |        (h.en + 0.5) / (h.en + h.de + h.es + h.fr + 1.0) AS c,
+         |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |      FROM h JOIN documents d USING (doc_id)),
+         |pb AS (SELECT least(CAST(floor(c * 10) AS INT), 9) AS bin,
+         |         CAST(count(*) AS BIGINT) AS n, sum(c) AS sc, sum(y) AS sy
+         |       FROM s GROUP BY 1)
+         |SELECT bin, n,
+         |  round(sc / n, 6) AS conf_avg,
+         |  round(sy::DOUBLE / n, 6) AS acc,
+         |  round(abs(sy::DOUBLE / n - sc / n), 6) AS gap,
+         |  round(sum(abs(sy::DOUBLE / n - sc / n) * n) OVER () / sum(n) OVER (), 6) AS ece
+         |FROM pb
+         |ORDER BY bin""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $wsCte,
          |g AS (SELECT doc_id,

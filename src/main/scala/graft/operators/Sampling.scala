@@ -86,6 +86,65 @@ object Sampling {
     fractions.init.map(_._1).zip(cums.map(hexThreshold))
   }
 
+  /** Neyman-allocation plan for a total sample `budget` over strata
+    * (Neyman 1934): alloc_h ∝ N_h·σ_h — spend the budget where the
+    * strata are big AND internally variable, the minimum-variance
+    * allocation for estimating a population mean under stratified
+    * sampling. The survey-sampling upgrade over proportional rates:
+    * a huge-but-homogeneous stratum (boilerplate crawl) needs few
+    * rows; a small-but-wild one (forum scrape) needs many.
+    *
+    * `value` must be INTEGER-VALUED: σ_h is computed from sum(v),
+    * sum(v²), n — exact integer sums in double (magnitudes ≤ 2^53),
+    * so the variance is a deterministic function of the data, immune
+    * to the engine's aggregation order (a Welford-style stddev_samp
+    * is NOT — its float path depends on row order). Association-
+    * sensitive float work happens only in the strata-sized tail,
+    * where shares round to 6 dp before the allocation rounds to a
+    * whole row.
+    *
+    * Returns (stratum, n_rows, sigma, alloc): one corpus-wide
+    * count/sum agg with map-side combine, then everything is
+    * strata-sized. Singleton strata get σ = 0 (no estimable
+    * variance → pure Neyman allocates nothing).
+    */
+  def neymanPlan(df: DataFrame, stratumCol: String, value: org.apache.spark.sql.Column,
+                 budget: Long): DataFrame = {
+    val stats = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(value.cast("double")).as("s1"),
+        sum((value * value).cast("double")).as("s2"))
+    val sigma = when(col("n_rows") > 1,
+      sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n_rows")) / (col("n_rows") - 1),
+        lit(0.0)))).otherwise(lit(0.0))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    stats
+      .withColumn("sigma", round(sigma, 6))
+      .withColumn("share", round(col("n_rows") * col("sigma") /
+        sum(col("n_rows") * col("sigma")).over(w), 6))
+      .select(col("stratum"), col("n_rows"), col("sigma"),
+        round(col("share") * budget, 0).cast("long").as("alloc"))
+  }
+
+  /** The rows the Neyman plan selects: each stratum hash-sampled at
+    * rate alloc_h / N_h with the same engine-portable md5 bucketing as
+    * [[stratified]], the per-stratum threshold computed IN-PLAN from
+    * the broadcast-joined allocation (hex of floor(rate·2³²), the
+    * Column twin of [[hexThreshold]]). Deterministic end-to-end: the
+    * sample is a pure function of (data, budget, seed).
+    */
+  def neymanSample(df: DataFrame, stratumCol: String, idCol: String,
+                   value: org.apache.spark.sql.Column, budget: Long, seed: Long): DataFrame = {
+    val plan = neymanPlan(df, stratumCol, value, budget)
+      .select(col("stratum").as(stratumCol), col("n_rows"), col("alloc"))
+    val rate = least(col("alloc").cast("double") / col("n_rows"), lit(1.0))
+    val threshold = lpad(lower(hex(floor(rate * 4294967296.0).cast("long"))), 8, "0")
+    df.join(broadcast(plan), stratumCol)
+      .filter(col("alloc") >= col("n_rows") ||
+        md5Bucket(col(idCol), seed) < threshold)
+      .drop("n_rows", "alloc")
+  }
+
   /** EXACTLY k rows per stratum (rate-based sampling only hits k in
     * expectation): order each stratum by an md5 hash of the id (an
     * engine-portable deterministic "random" order) and keep the first

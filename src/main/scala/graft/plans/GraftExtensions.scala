@@ -25,7 +25,76 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteThresholdedLevenshtein)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    GraftFunctions.all.foreach(ext.injectFunction)
   }
+}
+
+/** SQL surface for the native graft expressions.
+  *
+  * Registered through `SparkSessionExtensions.injectFunction`, so a pure
+  * `spark.sql(...)` user (a notebook, a JDBC client, Spark Connect) reaches
+  * the same codegen'd expressions as the Column API — no imports, no UDF
+  * re-implementations that would silently fall off whole-stage codegen.
+  * Arity and literal-argument checks happen at analysis time, where SQL
+  * users expect errors to surface.
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.types.IntegerType
+
+  type FunctionDesc =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def fn(name: String, arity: Int, usage: String)(
+      build: Seq[Expression] => Expression): FunctionDesc =
+    (
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.plans.GraftFunctions", null, name, usage, ""),
+      (args: Seq[Expression]) => {
+        if (args.length != arity)
+          throw new IllegalArgumentException(
+            s"$name expects $arity argument(s), got ${args.length}")
+        build(args)
+      })
+
+  /** Plan-time integer parameters (hash counts, shingle width, bit budget)
+    * must be foldable: the expressions specialize their codegen on them.
+    */
+  private def intLit(e: Expression, fname: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other if other.foldable && other.dataType == IntegerType =>
+      other.eval(null).asInstanceOf[Int]
+    case _ =>
+      throw new IllegalArgumentException(
+        s"$fname: $arg must be an integer literal, got $e")
+  }
+
+  val all: Seq[FunctionDesc] = Seq(
+    fn("graft_vec_dot", 2, "dot product of two float/double arrays")(a =>
+      VecDot(a(0), a(1))),
+    fn("graft_jaro_winkler", 2, "Jaro-Winkler similarity in [0,1]")(a =>
+      JaroWinkler(a(0), a(1))),
+    fn("graft_damerau_levenshtein", 2,
+      "true Damerau-Levenshtein distance (Lowrance-Wagner)")(a =>
+      DamerauLevenshtein(a(0), a(1))),
+    fn("graft_char_entropy", 1, "character-distribution entropy, bits/char")(a =>
+      CharEntropy(a(0))),
+    fn("graft_nfc_normalize", 1, "Unicode NFC normalization w/ fast path")(a =>
+      NfcNormalize(a(0))),
+    fn("graft_compression_ratio", 1, "deflate bytes-in/bytes-out ratio")(a =>
+      CompressionRatio(a(0))),
+    fn("graft_simhash_bits", 1, "64-bit SimHash over a token array")(a =>
+      SimHashBits(a(0))),
+    fn("graft_minhash_sig", 2, "minhash signature of a shingle array; arg2 = #hashes")(a =>
+      MinHashSig(a(0), intLit(a(1), "graft_minhash_sig", "numHashes"))),
+    fn("graft_shingles", 2, "character n-gram shingle set; arg2 = n")(a =>
+      NgramShingles(a(0), intLit(a(1), "graft_shingles", "n"))),
+    fn("graft_zorder2", 3, "Morton interleave of two ints; arg3 = bits/key")(a =>
+      ZOrder2(a(0), a(1), intLit(a(2), "graft_zorder2", "bits"))),
+    fn("graft_build_inverted_index", 1, "abstract -> inverted index map")(a =>
+      BuildInvertedIndex(a(0))),
+    fn("graft_rebuild_inverted_index", 1, "inverted index map -> abstract")(a =>
+      RebuildInvertedIndex(a(0))))
 }
 
 /** Optimizer rule: a bounded edit-distance predicate

@@ -28,12 +28,19 @@ final case class Tables(spark: SparkSession, dir: String) {
     * timestamp; dispatch on the read type so both layouts work.
     */
   def events: DataFrame = {
-    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.functions.{col, expr}
     val df = t("events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer division: double /1000 would round sub-microsecond bits
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] without timezone reads as TIMESTAMP_NTZ, which
+        // time arithmetic (unix_millis, windows) rejects; the session
+        // is pinned to UTC, so the cast re-tags the same wall-clock as
+        // an instant without shifting it — identical to what the nanos
+        // layout produced.
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

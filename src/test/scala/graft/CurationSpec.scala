@@ -506,6 +506,28 @@ class GraphSpec extends SparkSpec {
     assert(tm.size == 3)                              // user 3 has no transitions
   }
 
+  test("reliabilityDiagram: hand-computed bins, ECE, and the conf=1.0 edge bin") {
+    import graft.operators.DataOps
+    // bin 8: overconfident (conf .85, acc .5); bin 2: near-calibrated
+    // (conf .25, acc .2); bin 9: perfect at the conf=1.0 edge (must
+    // clamp into the last bin, not bin 10)
+    val rows =
+      Seq.fill(5)((0.85, 1)) ++ Seq.fill(5)((0.85, 0)) ++
+        Seq.fill(2)((0.25, 1)) ++ Seq.fill(8)((0.25, 0)) ++
+        Seq.fill(5)((1.0, 1))
+    val df = rows.toDF("c", "y")
+    val got = DataOps.reliabilityDiagram(df, col("c"), col("y") === 1, bins = 10)
+      .orderBy("bin").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(2, 8, 9))
+    val byBin = got.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(byBin(8) == ((10L, 0.85, 0.5, 0.35)))
+    assert(byBin(2) == ((10L, 0.25, 0.2, 0.05)))
+    assert(byBin(9) == ((5L, 1.0, 1.0, 0.0)))
+    // ECE = (10*0.35 + 10*0.05 + 5*0) / 25
+    got.foreach(r => assert(r.getDouble(5) == 0.16, r.toString))
+  }
+
   test("sourceOverlap counts shared fingerprints per source pair with pairwise Jaccard") {
     val rows = Seq(
       ("s1", "alpha"), ("s1", "beta"), ("s1", "gamma"),

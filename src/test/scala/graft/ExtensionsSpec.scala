@@ -63,6 +63,56 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("injected SQL functions resolve and match the Column API bit-for-bit") {
+    // the shared session is built through GraftSession → GraftExtensions,
+    // so a pure spark.sql user sees the graft_* registry
+    import graft.plans.{CharEntropy, DamerauLevenshtein, JaroWinkler, SimHashBits, VecDot, ZOrder2}
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("id"), coalesce(col("text"), lit("")).as("text")).limit(80)
+    docs.createOrReplaceTempView("docs_sqlreg")
+    val viaSql = spark.sql(
+      """SELECT id,
+               graft_char_entropy(text)                      AS ent,
+               graft_simhash_bits(split(lower(text), '\\s+')) AS sh,
+               graft_shingles(text, 5)                        AS sg,
+               graft_minhash_sig(graft_shingles(text, 5), 16) AS mh
+          FROM docs_sqlreg""")
+    val viaCol = docs.select(col("id"),
+      CharEntropy(col("text")).as("ent"),
+      SimHashBits(split(lower(col("text")), "\\s+")).as("sh"),
+      graft.plans.NgramShingles(col("text"), 5).as("sg"),
+      graft.plans.MinHashSig(graft.plans.NgramShingles(col("text"), 5), 16).as("mh"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding")).limit(40)
+    emb.createOrReplaceTempView("emb_sqlreg")
+    val dotSql = spark.sql(
+      "SELECT id, graft_vec_dot(embedding, embedding) AS d FROM emb_sqlreg")
+    val dotCol = emb.select(col("id"), VecDot(col("embedding"), col("embedding")).as("d"))
+    assert(dotSql.exceptAll(dotCol).isEmpty && dotCol.exceptAll(dotSql).isEmpty)
+
+    // literal reference values pin the semantics through the SQL path
+    // the combining acute is embedded from Scala: Spark SQL's CHAR()
+    // wraps at 256, so 'e' || CHAR(769) would silently test CHAR(1)
+    val r = spark.sql(
+      s"""SELECT graft_jaro_winkler('MARTHA', 'MARHTA')      AS jw,
+               graft_damerau_levenshtein('ca', 'abc')       AS dl,
+               graft_char_entropy('aaaa')                   AS e0,
+               graft_nfc_normalize('é')               AS nfc,
+               graft_zorder2(3, 5, 4)                       AS z""").collect()(0)
+    assert(math.abs(r.getAs[Double]("jw") - 0.9611111111111111) < 1e-12)
+    assert(r.getAs[Int]("dl") == 2) // true DL, not OSA's 3
+    assert(r.getAs[Double]("e0") == 0.0)
+    assert(r.getAs[String]("nfc") == "é")
+    assert(r.getAs[Long]("z") == ZOrder2.interleave(3L, 5L, 4))
+
+    // arity errors surface at analysis time, like built-in functions
+    val err = intercept[Exception](spark.sql("SELECT graft_vec_dot(array(1.0D))").collect())
+    assert(err.getMessage.contains("graft_vec_dot"))
+  }
+
   test("saltedEquiJoin equals the plain join") {
     val big = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_orderkey", "l_partkey", "l_quantity")
     val small = spark.read.parquet(s"$sfDir/part.parquet").select("p_partkey", "p_size")

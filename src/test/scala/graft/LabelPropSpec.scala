@@ -25,6 +25,36 @@ class LabelPropSpec extends SparkSpec {
     assert(got("a") != got("x"), s"bridge merged the cliques: $got")
   }
 
+  test("kCore: cascade peel keeps the dense nucleus, empties a path, converges on real data") {
+    // K4 on {1,2,3,4} with a pendant chain 4–5–6. A plain degree>=2
+    // filter keeps 5 (it has two neighbors); the 2-core must NOT —
+    // peeling 6 drops 5 below 2, the cascade the operator exists for.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)
+    ).toDF("u", "v")
+    val core = Graph.kCore(edges, "u", "v", k = 2, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(1L, 2L, 3L, 4L), s"2-core wrong: $core")
+    assert(core.values.forall(_ == 3L), s"induced degrees wrong: $core")
+    // A pure path's 2-core is EMPTY: endpoint peeling cascades through.
+    val path = Seq((10L, 11L), (11L, 12L), (12L, 13L)).toDF("u", "v")
+    assert(Graph.kCore(path, "u", "v", k = 2, rounds = 6).isEmpty)
+    // Redundant directed duplicates + self-loops don't inflate degrees.
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    val tri = Graph.kCore(dup, "u", "v", k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"dedup wrong: $tri")
+    // Convergence on the benchmark-shaped graph: one extra round is a
+    // no-op (peeling is monotone, so equal sets == fixpoint).
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
+      col("l_suppkey").cast("long").as("src"),
+      (pmod(col("l_partkey"), lit(300)) + 1000000000L).as("dst"))
+    val r4 = Graph.kCore(li, "src", "dst", k = 5, rounds = 4)
+    val r5 = Graph.kCore(li, "src", "dst", k = 5, rounds = 5)
+    assert(r4.exceptAll(r5).isEmpty && r5.exceptAll(r4).isEmpty)
+  }
+
   test("labelPropagation is deterministic under ties (min label wins) and pairs converge") {
     // A path a–m–z: m hears {a, z} plus its self-vote {m}, all tied;
     // the tie must break to the smallest label every run.

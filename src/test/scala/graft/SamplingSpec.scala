@@ -47,6 +47,37 @@ class SamplingSpec extends SparkSpec {
     assert(bySource("a") == docs.filter(col("doc_id") % 2 === 0).count())
   }
 
+  test("neymanPlan: alloc tracks N·σ, zero-variance and singleton strata get nothing") {
+    import spark.implicits._
+    // A: bimodal {0,10}×4 (σ=5.773503); B: constant (σ=0); C: two wild
+    // rows {0,100} (σ=70.710678); D: singleton (no estimable variance)
+    val df = (Seq.fill(2)(("A", 0L)) ++ Seq.fill(2)(("A", 10L)) ++
+      Seq.fill(4)(("B", 7L)) ++ Seq(("C", 0L), ("C", 100L), ("D", 3L)))
+      .toDF("src", "v")
+    val plan = Sampling.neymanPlan(df, "src", col("v"), budget = 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(plan("A")._2 == 5.773503 && plan("C")._2 == 70.710678)
+    assert(plan("B")._3 == 0L && plan("D")._3 == 0L, s"zero-variance strata must get 0: $plan")
+    assert(plan("C")._3 > plan("A")._3, s"budget must chase N*sigma: $plan")
+    // allocations: A share 23.094012/164.515368 -> 1, C -> 9
+    assert(plan("A")._3 == 1L && plan("C")._3 == 9L, plan.toString)
+  }
+
+  test("neymanSample realizes the plan: keep-all strata whole, deterministic, rate-respecting") {
+    // budget >= corpus: every stratum's alloc >= n_rows -> identity sample
+    val all = Sampling.neymanSample(docs.select("doc_id", "source", "n_chars"),
+      "source", "doc_id", col("n_chars"), budget = 10000000L, seed = 42L)
+    assert(all.count() == docs.count())
+    // tight budget: realized per-stratum counts are binomial around
+    // alloc — assert determinism and that no stratum exceeds its size
+    val s1 = Sampling.neymanSample(docs.select("doc_id", "source", "n_chars"),
+      "source", "doc_id", col("n_chars"), budget = 300L, seed = 42L)
+    val s2 = Sampling.neymanSample(docs.select("doc_id", "source", "n_chars"),
+      "source", "doc_id", col("n_chars"), budget = 300L, seed = 42L)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    assert(s1.count() < docs.count() && s1.count() > 0)
+  }
+
   test("rate >= 1.0 strata carry no hash predicate at all (keep-all is unconditional)") {
     // The strict `<` against 'ffffffff' would drop an id whose bucket
     // is exactly the max — a rate-1.0 branch must not filter. Assert at

@@ -253,6 +253,13 @@ object LlmQueries {
       TextRank.textRankKeywords(Tables(s, dir).documents, "text", k = 25)
     },
 
+    // RAKE keyphrases (Rose et al. 2010): multi-word candidates
+    // between stopword/punctuation boundaries, word score deg/freq,
+    // phrase score = Σ word scores — top-25 corpus keyphrases.
+    "q_rake_phrases" -> { (s, dir) =>
+      TextRank.rakeKeyphrases(Tables(s, dir).documents, "text", enStops, k = 25)
+    },
+
     // #42bm label-propagation communities over the verified near-dup
     // pair graph: three deterministic synchronous rounds (majority
     // neighbor label, min-label tie-break), labels are the doc ids —
@@ -968,6 +975,29 @@ object LlmQueries {
          |)
          |SELECT wd.word, res.rank FROM res JOIN words wd ON wd.id = res.id
          |ORDER BY rank DESC, word LIMIT 25""".stripMargin,
+    // Same candidate-phrase split (punctuation and stopword boundaries
+    // both become '|'), deg/freq word scores from exact integer
+    // counts, 6-dp phrase-score rounding before the rank.
+    "q_rake_phrases" ->
+      s"""WITH raw AS (SELECT unnest(string_split(
+         |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]+', '|', 'g'),
+         |    '\\b(${TextAnalysis.langProfiles("en").mkString("|")})\\b', '|', 'g'), '|')) AS p
+         |  FROM documents),
+         |ph AS (SELECT norm AS phrase FROM
+         |  (SELECT trim(regexp_replace(p, '\\s+', ' ', 'g')) AS norm FROM raw)
+         |  WHERE norm <> ''),
+         |pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS word,
+         |         CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen FROM ph),
+         |ws2 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq, sum(plen) AS deg FROM pw GROUP BY 1),
+         |pc AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n FROM ph GROUP BY 1),
+         |pwd AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+         |        FROM (SELECT DISTINCT phrase FROM ph)),
+         |sc AS (SELECT pwd.phrase, round(sum(CAST(ws2.deg AS DOUBLE) / ws2.freq), 6) AS score
+         |       FROM pwd JOIN ws2 USING (word) GROUP BY pwd.phrase)
+         |SELECT pc.phrase, pc.n, sc.score
+         |FROM pc JOIN sc USING (phrase)
+         |ORDER BY sc.score DESC, pc.phrase
+         |LIMIT 25""".stripMargin,
     "q_vocab_stats" ->
       """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |c AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY source, term)

@@ -136,6 +136,43 @@ object Multimodal {
     * these values back and any oracle can recompute their sum as pure
     * arithmetic. `df` needs (idCol: long, wCol: int, hCol: int).
     */
+  /** Header-only media probe: container type + principal dimensions
+    * from the FIRST BYTES of the blob, as pure column algebra — no
+    * codec, no mapPartitions, no row-loop JVM objects. The cheap
+    * metadata pass a 100 TB media lake runs BEFORE any decode: route
+    * by container, drop truncated/foreign blobs, and partition the
+    * expensive decode by (container, size class) — at full scan speed
+    * inside whole-stage codegen, while a decode pass costs 100-1000x.
+    *
+    * PNG: signature + IHDR (always the first chunk, per spec) gives
+    * big-endian width/height at offsets 17/21 and bit depth at 25.
+    * WAV: RIFF/WAVE with the canonical 44-byte fmt layout gives
+    * little-endian channels at 23, sample rate at 25, bits/sample at
+    * 35. Anything else (including NULL or truncated content — the
+    * length guards keep substring from misreading) probes as
+    * 'unknown' with NULL dimensions.
+    *
+    * Returns (idCol, container, dim1, dim2, depth) where (dim1, dim2,
+    * depth) = (width, height, bit depth) for png and (channels,
+    * sample_rate, bits_per_sample) for wav.
+    */
+  def probeHeaders(media: DataFrame, idCol: String = "media_id",
+                   contentCol: String = "content"): DataFrame = {
+    val b = col(contentCol)
+    def u8(pos: Int) = conv(hex(substring(b, pos, 1)), 16, 10).cast("long")
+    def be32(pos: Int) = conv(hex(substring(b, pos, 4)), 16, 10).cast("long")
+    def le16(pos: Int) = u8(pos) + u8(pos + 1) * 256L
+    def le32(pos: Int) = le16(pos) + le16(pos + 2) * 65536L
+    val isPng = (length(b) >= 33) && (hex(substring(b, 1, 8)) === "89504E470D0A1A0A")
+    val isWav = (length(b) >= 44) && (hex(substring(b, 1, 4)) === "52494646") &&
+      (hex(substring(b, 9, 4)) === "57415645")
+    media.select(col(idCol),
+      when(isPng, "png").when(isWav, "wav").otherwise("unknown").as("container"),
+      when(isPng, be32(17)).when(isWav, le16(23)).as("dim1"),
+      when(isPng, be32(21)).when(isWav, le32(25)).as("dim2"),
+      when(isPng, u8(25)).when(isWav, le16(35)).as("depth"))
+  }
+
   def synthGrayPng(df: DataFrame, idCol: String, wCol: String, hCol: String): DataFrame = {
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

@@ -109,6 +109,23 @@ object PipelineQueries {
         .select("media_id", "decode_ok", "width", "height", "pixel_sum")
     },
 
+    // #42 header-only media probe: container + dimensions from the
+    // first bytes as pure column algebra (no codec, no mapPartitions)
+    // — the routing/triage pass that runs before any decode. Probes a
+    // mixed lake of real PNGs, real WAVs, and junk blobs; the oracle
+    // recomputes every field from the synth formulas.
+    "q_media_probe" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val png = Multimodal.synthGrayPng(
+        d.select(col("doc_id"), (col("doc_id") % 13 + 4).as("w"), (col("doc_id") % 11 + 4).as("h")),
+        "doc_id", "w", "h")
+      val wav = Multimodal.synthPcmWav(
+        d.select((col("doc_id") + 1000000L).as("wid"), lit(25).as("n")), "wid", "n")
+      val junk = d.select((col("doc_id") + 2000000L).as("media_id"),
+        lit("junk").as("kind"), encode(col("text"), "UTF-8").as("content"))
+      Multimodal.probeHeaders(png.unionByName(wav).unionByName(junk))
+    },
+
     // #42d REAL audio decode (javax.sound.sampled): synthesize a mono
     // 16-bit PCM WAV per doc, decode it back, and let the oracle
     // recompute the sample checksum as pure arithmetic — PCM is
@@ -287,6 +304,21 @@ object PipelineQueries {
         |FROM d, range(0, 16) x(k), range(0, 14) y(k)
         |WHERE x.k < d.w AND y.k < d.h
         |GROUP BY d.doc_id, d.w, d.h""".stripMargin,
+    // Every probed field recomputed from the synth formulas: PNG dims
+    // from the w/h expressions (ImageIO writes 8-bit channels), WAV
+    // constants from the hand-rolled 44-byte header, junk text blobs
+    // probe unknown with NULL dims.
+    "q_media_probe" ->
+      """SELECT doc_id AS media_id, 'png' AS container,
+        |       CAST(doc_id % 13 + 4 AS BIGINT) AS dim1,
+        |       CAST(doc_id % 11 + 4 AS BIGINT) AS dim2,
+        |       CAST(8 AS BIGINT) AS depth
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000, 'wav', 1, 8000, 16 FROM documents
+        |UNION ALL
+        |SELECT doc_id + 2000000, 'unknown', NULL, NULL, NULL FROM documents""".stripMargin,
+
     // Recomputes the dHash near-dup chain as pure arithmetic: pixel
     // v(x,y) from the synth formula, 9x8 cell sums by the same
     // floor-division mapping, left>right bits via the same

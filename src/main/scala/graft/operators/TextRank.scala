@@ -355,6 +355,49 @@ object TextRank {
     * shuffles twice. OOV rate compares exact integer counts; the
     * rounded ratio reproduces in any engine.
     */
+  /** RAKE keyphrase extraction (Rose et al. 2010), corpus-level:
+    * candidate phrases are the maximal runs between stopwords and
+    * punctuation; each word scores deg/freq (deg = Σ length of the
+    * phrases it occurs in, freq = occurrence count — rewarding words
+    * that live inside LONG multi-word phrases); a phrase scores the
+    * sum of its words' scores. The classic zero-training keyphrase
+    * extractor — unlike TF-IDF terms it surfaces multi-word
+    * technical phrases, unlike TextRank it needs no graph iteration.
+    *
+    * Scale shape: the corpus explodes ONCE to phrase occurrences and
+    * once more to (word, phrase_len) pairs; word stats are vocab-sized
+    * and broadcast back onto the DISTINCT phrase table, so nothing
+    * corpus-sized shuffles twice and no iteration exists. Determinism:
+    * deg/freq is a ratio of exact integers; the phrase-score sum
+    * rounds to 6 dp before the (score desc, phrase) rank, so both
+    * engines cut the same top-k.
+    */
+  def rakeKeyphrases(docs: DataFrame, textCol: String,
+                     stopwords: Seq[String], k: Int): DataFrame = {
+    val marked = regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]+", "|"),
+      s"\\b(${stopwords.mkString("|")})\\b", "|")
+    val phrases = filter(
+      transform(split(marked, "\\|"), p => trim(regexp_replace(p, "\\s+", " "))),
+      p => p =!= "")
+    val ph = docs.select(explode(phrases).as("phrase"))
+    val phw = ph.select(col("phrase"), split(col("phrase"), " ").as("ws"))
+      .withColumn("plen", size(col("ws")).cast("long"))
+    val wordStats = phw
+      .select(explode(col("ws")).as("word"), col("plen"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("word"), (col("deg").cast("double") / col("freq")).as("wscore"))
+    val pcount = ph.groupBy("phrase").agg(count(lit(1)).as("n"))
+    pcount
+      .select(col("phrase"), col("n"), explode(split(col("phrase"), " ")).as("word"))
+      .join(broadcast(wordStats), "word")
+      .groupBy("phrase", "n")
+      .agg(round(sum(col("wscore")), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
+
   def oovRate(docs: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
     val tf = docs
       .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("w"))

@@ -98,6 +98,29 @@ class SourcesSpec extends SparkSpec {
     assert(out(1).getLong(4) == expect(8L, 16, 14))
   }
 
+  test("probeHeaders reads PNG/WAV dims from bytes alone; truncated, junk, and NULL blobs probe unknown") {
+    val png = Multimodal.synthGrayPng(
+      Seq((1L, 6, 9)).toDF("doc_id", "w", "h"), "doc_id", "w", "h")
+    val wav = Multimodal.synthPcmWav(Seq((2L, 30)).toDF("id", "n"), "id", "n")
+    // truncated PNG (below the 33-byte IHDR guard), junk text, NULL
+    val pngBytes = png.collect()(0).getAs[Array[Byte]]("content")
+    val odd = Seq(
+      (3L, "junk", pngBytes.take(20)),
+      (4L, "junk", "plain text bytes that are no container".getBytes("UTF-8")),
+      (5L, "junk", null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "kind", "content")
+    val got = Multimodal.probeHeaders(png.unionByName(wav).unionByName(odd))
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(got(0) == ((1L, "png", 6L, 9L, 8L)), got(0).toString)
+    assert(got(1) == ((2L, "wav", 1L, 8000L, 16L)), got(1).toString)
+    assert(got.drop(2).forall(t => t._2 == "unknown" && t._3 == -1L && t._4 == -1L && t._5 == -1L),
+      got.drop(2).toSeq.toString)
+  }
+
   test("dHashImages matches an independent pixel-loop reference; dHashNearDup finds the planted twin; degenerate inputs degrade") {
     // Independent reference: same pixel formula as synthGrayPngSeeded,
     // dHash computed by a direct loop — the operator must agree through

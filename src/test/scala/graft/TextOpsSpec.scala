@@ -54,6 +54,26 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) == (1L, r4(l375)))
   }
 
+  test("rakeKeyphrases reproduces the Rose et al. worked example") {
+    import spark.implicits._
+    // "Compatibility of systems of linear constraints over the set of
+    // natural numbers" with stopwords {of, over, the} → candidates:
+    // compatibility | systems | linear constraints | set | natural numbers
+    // word deg/freq: multi-word phrase members score 2, singletons 1;
+    // phrase score = sum → the two 2-word phrases lead with 4.0.
+    val docs = Seq(
+      "Compatibility of systems of linear constraints over the set of natural numbers")
+      .toDF("text")
+    val got = TextRank.rakeKeyphrases(docs, "text", Seq("of", "over", "the"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("linear constraints", 1L, 4.0),
+      ("natural numbers", 1L, 4.0),
+      ("compatibility", 1L, 1.0),
+      ("set", 1L, 1.0),
+      ("systems", 1L, 1.0)), got.toSeq.toString)
+  }
+
   test("buildPostings renders canonical ordered postings with df and occurrence totals") {
     val docs = Seq((2L, "b a b"), (1L, "a b a")).toDF("doc_id", "text")
     val got = TextRank.buildPostings(docs, "doc_id", "text")

@@ -264,6 +264,18 @@ object AnalyticsQueries {
           round(max(col("gap_s")), 2).as("max_gap_s"))
     },
 
+    // Theil–Sen robust trend per event type: median of all pairwise
+    // slopes of the daily-count series — the drift estimator one bad
+    // harvest day can't drag, unlike an OLS fit. Pair blow-up is
+    // days-per-type², never corpus-sized.
+    "q_theilsen" -> { (s, dir) =>
+      val daily = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2026-01-01").cast("date")).as("x"))
+        .agg(count(lit(1)).as("y"))
+      TimeSeries.theilSenSlope(daily, "event_type", "x", "y")
+    },
+
     // Winsorized mean per group: clamp at [p05, p95] (boundaries
     // rounded on both sides so interpolation ulps can't move a clamp)
     // — the robust center the plain mean isn't under heavy tails.
@@ -616,6 +628,19 @@ object AnalyticsQueries {
         |       round(avg((epoch_ms(ts) - epoch_ms(prev)) / 1000.0), 2) AS avg_gap_s,
         |       round(max((epoch_ms(ts) - epoch_ms(prev)) / 1000.0), 2) AS max_gap_s
         |FROM x WHERE prev IS NOT NULL GROUP BY event_type""".stripMargin,
+    // Same daily binning, pairwise-slope set, and interpolated median
+    // (quantile_cont ≡ Spark's percentile) rounded 6 dp.
+    "q_theilsen" ->
+      """WITH daily AS (SELECT event_type,
+        |        date_diff('day', DATE '2026-01-01', CAST(ts AS DATE)) AS x,
+        |        count(*) AS y
+        |      FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |        (CAST(b.y AS DOUBLE) - a.y) / (CAST(b.x AS DOUBLE) - a.x) AS slope
+        |      FROM daily a JOIN daily b ON b.event_type = a.event_type AND a.x < b.x)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round(quantile_cont(slope, 0.5), 6) AS slope_med
+        |FROM p GROUP BY event_type""".stripMargin,
     "q_winsorized" ->
       """WITH b AS (SELECT o_orderpriority,
         |             round(quantile_cont(o_totalprice, 0.05), 6) AS lo,

@@ -53,12 +53,13 @@ object ScaleUp {
     write(shifted(read("lineitem"), "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
     // events keep their timestamps: factor× the rows in the SAME time
     // range is the realistic shape for windowed/sessionized workloads.
-    // ts arrives as long nanos (TIMESTAMP(NANOS) + nanosAsLong) but is
-    // written back as a true timestamp: a raw-nanos BIGINT column
-    // would overflow every epoch_ms() in the DuckDB oracles and
-    // silently change the table's type contract at sf1.
-    write(shifted(read("events"), "event_id", "user_id")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")), "events")
+    // Read through Tables.events, which normalizes whichever layout
+    // the driver generated (long nanos via nanosAsLong, or plain
+    // timestamp[us]/NTZ) to a session-UTC timestamp — a raw-nanos
+    // BIGINT column would overflow every epoch_ms() in the DuckDB
+    // oracles, and the hard-coded `ts div 1000` this replaced threw
+    // outright on the NTZ layout.
+    write(shifted(graft.sources.Tables(spark, inDir).events, "event_id", "user_id"), "events")
 
     // TWO independent cyclic substitutions so the per-copy text
     // transformation stays INJECTIVE past 10 copies: rotating only

@@ -484,6 +484,20 @@ class GraphSpec extends SparkSpec {
     assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 3L))) == (3L, 3L, 1L))
   }
 
+  test("theilSenSlope shrugs off a planted outlier where OLS cannot; groups isolated") {
+    import graft.operators.TimeSeries
+    import spark.implicits._
+    // y = 2x with one wild point: 6 of the 10 pairwise slopes are
+    // exactly 2, so the median IS 2.0 — an OLS fit lands near 200.
+    val pts = Seq(
+      ("s", 0L, 0L), ("s", 1L, 2L), ("s", 2L, 4L), ("s", 3L, 6L), ("s", 4L, 1000L),
+      ("t", 0L, 10L), ("t", 1L, 7L), ("t", 2L, 4L)).toDF("g", "x", "y")
+    val got = TimeSeries.theilSenSlope(pts, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("s") == ((10L, 2.0)), got.toString)
+    assert(got("t") == ((3L, -3.0)), got.toString)
+  }
+
   test("funnel enforces stage order; transitionMatrix conditions on the from-state") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     val ev = Seq(

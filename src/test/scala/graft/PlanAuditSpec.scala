@@ -56,6 +56,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("round-6 additions: probe is map-only, RAKE/Neyman broadcast their stats, k-core/theilsen stay id-keyed") {
+    // header probe: pure column algebra, no exchange of any kind
+    val probe = formatted("q_media_probe")
+    assert(countOp(probe, "Exchange") == 0, s"q_media_probe shuffles: $probe")
+    // RAKE: vocab-sized word stats broadcast back onto distinct
+    // phrases — no sort-merge join anywhere
+    val rake = formatted("q_rake_phrases")
+    assert(countOp(rake, "BroadcastExchange") >= 1, rake)
+    assert(countOp(rake, "SortMergeJoin") == 0, rake)
+    // Neyman sample: the strata-sized plan joins back broadcast, the
+    // corpus never sort-merge-joins
+    val ney = formatted("q_neyman_sample")
+    assert(countOp(ney, "BroadcastExchange") >= 1, ney)
+    assert(countOp(ney, "SortMergeJoin") == 0, ney)
+    // Theil-Sen: the pair blow-up happens INSIDE the group join —
+    // no cartesian, no broadcast of a corpus-sized side
+    val ts = formatted("q_theilsen")
+    assert(countOp(ts, "CartesianProduct") == 0 &&
+      countOp(ts, "BroadcastNestedLoopJoin") == 0, ts)
+  }
+
   test("q_seq_pack reuses one (stratum, shard) shuffle for both windows") {
     val s = formatted("q_seq_pack")
     assert(countOp(s, "Exchange") == 1, s)

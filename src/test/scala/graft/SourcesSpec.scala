@@ -98,6 +98,30 @@ class SourcesSpec extends SparkSpec {
     assert(out(1).getLong(4) == expect(8L, 16, 14))
   }
 
+  test("SyntheticDocs DSv2: pushdown prunes partitions, pruning narrows the read schema, rows match the formula") {
+    import graft.sources.SyntheticDocs
+    val df = spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", "10000").option("partitions", "8").load()
+    assert(df.count() == 10000)
+    assert(SyntheticDocs.lastPartitionCount == 8)
+    // a doc_id range narrows the generated interval BEFORE planning:
+    // slices wholly outside the bounds are never created
+    val slice = df.filter(col("doc_id") >= 9000L && col("doc_id") < 9500L)
+    assert(slice.count() == 500)
+    assert(SyntheticDocs.lastPartitionCount == 1, s"got ${SyntheticDocs.lastPartitionCount}")
+    // column pruning reaches the reader (text generation skipped)
+    slice.select("doc_id", "source").collect()
+    assert(SyntheticDocs.lastReadSchema.fieldNames.toSeq == Seq("doc_id", "source"))
+    // row content is the declared pure function of doc_id
+    val r = df.filter(col("doc_id") === 7L).collect()(0)
+    assert(r.getAs[String]("text") == SyntheticDocs.textOf(7L))
+    assert(r.getAs[Long]("n_chars") == SyntheticDocs.textOf(7L).length.toLong)
+    assert(r.getAs[String]("source") == "s2")
+    // pushdown is a fast-path, never correctness: Spark re-applies the
+    // predicate, so an equality lands exactly one row
+    assert(df.filter(col("doc_id") === 123L).count() == 1)
+  }
+
   test("probeHeaders reads PNG/WAV dims from bytes alone; truncated, junk, and NULL blobs probe unknown") {
     val png = Multimodal.synthGrayPng(
       Seq((1L, 6, 9)).toDF("doc_id", "w", "h"), "doc_id", "w", "h")

@@ -89,8 +89,11 @@ object AnalyticsQueries {
 
     // Record linkage scored with the native Jaro-Winkler expression
     // (plans/JaroWinkler — Spark ships no jaro): same synthesized
-    // name corpus as q_record_linkage, cohort-blocked pairs, keep
-    // jw ≥ 0.85. The DuckDB oracle scores with its OWN independent
+    // name corpus as q_record_linkage; blocking is COMPOUND
+    // (cohort AND surname-class) — cohort alone has 9973 keys, and at
+    // sf1 the corpus outgrows them, going quadratic (measured 14.6x
+    // wall at 10x data before the fix, 2-3x after). Keep jw ≥ 0.85.
+    // The DuckDB oracle scores with its OWN independent
     // jaro_winkler_similarity implementation, so a hash-match
     // cross-validates the native expression's exact semantics
     // (byte-wise, integer transposition halving, 0.7 boost gate).
@@ -100,11 +103,12 @@ object AnalyticsQueries {
         translate(reverse(col("c_custkey").cast("string")), "0123456789", "BCDLMRFGST"),
         element_at(linkSurnames, pmod(col("c_custkey"), lit(12)).cast("int") + 1))
       val cohort = pmod(col("c_custkey"), lit(9973)).as("cohort")
-      val left = c.select(col("c_custkey").as("id_a"), name.as("name_a"), cohort)
+      val sidx = pmod(col("c_custkey"), lit(12)).as("sidx")
+      val left = c.select(col("c_custkey").as("id_a"), name.as("name_a"), cohort, sidx)
       val right = c.select((col("c_custkey") + 1000000L).as("id_b"),
         when(pmod(col("c_custkey"), lit(5)) === 0, reverse(name))
-          .otherwise(concat(name, lit("e"))).as("name_b"), cohort)
-      left.join(right, "cohort")
+          .otherwise(concat(name, lit("e"))).as("name_b"), cohort, sidx)
+      left.join(right, Seq("cohort", "sidx")).drop("sidx")
         .select(col("id_a"), col("id_b"),
           round(graft.plans.JaroWinkler(col("name_a"), col("name_b")), 6).as("jw"))
         .filter(col("jw") >= 0.85)
@@ -115,22 +119,27 @@ object AnalyticsQueries {
     // name carries an adjacent-swap typo — the most common human typo
     // class — which dl scores 1 where levenshtein says 2, so the
     // emitted (lev, dl) pairs document exactly the class the new
-    // distance wins on. Oracle cross-validates against DuckDB's own
-    // independent damerau_levenshtein.
+    // distance wins on. Same compound (cohort, surname-class) block
+    // as q_jaro_linkage — surname-class survives every planted typo
+    // (append, first-two swap), where a name-prefix block would drop
+    // exactly the swap pairs the query showcases. Oracle
+    // cross-validates against DuckDB's own independent
+    // damerau_levenshtein.
     "q_damerau_linkage" -> { (s, dir) =>
       val c = Tables(s, dir).customer
       val name = concat(
         translate(reverse(col("c_custkey").cast("string")), "0123456789", "BCDLMRFGST"),
         element_at(linkSurnames, pmod(col("c_custkey"), lit(12)).cast("int") + 1))
       val named = c.select(col("c_custkey").as("ck"), name.as("nm"),
-        pmod(col("c_custkey"), lit(9973)).as("cohort"))
-      val left = named.select(col("ck").as("id_a"), col("nm").as("name_a"), col("cohort"))
+        pmod(col("c_custkey"), lit(9973)).as("cohort"),
+        pmod(col("c_custkey"), lit(12)).as("sidx"))
+      val left = named.select(col("ck").as("id_a"), col("nm").as("name_a"), col("cohort"), col("sidx"))
       val right = named.select((col("ck") + 1000000L).as("id_b"),
         when(pmod(col("ck"), lit(5)) === 0,
           concat(substring(col("nm"), 2, 1), substring(col("nm"), 1, 1),
             substring(col("nm"), 3, 1000)))
-          .otherwise(concat(col("nm"), lit("e"))).as("name_b"), col("cohort"))
-      left.join(right, "cohort")
+          .otherwise(concat(col("nm"), lit("e"))).as("name_b"), col("cohort"), col("sidx"))
+      left.join(right, Seq("cohort", "sidx")).drop("sidx")
         .select(col("id_a"), col("id_b"),
           levenshtein(col("name_a"), col("name_b")).as("lev"),
           graft.plans.DamerauLevenshtein(col("name_a"), col("name_b")).as("dl"))
@@ -795,7 +804,7 @@ object AnalyticsQueries {
     // (Phonetic.soundexSqlDuck); levenshtein is built into both engines.
     "q_record_linkage" -> {
       val surnames = linkSurnameList.map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH nm AS (SELECT c_custkey, c_custkey % 9973 AS cohort,
+      s"""WITH nm AS (SELECT c_custkey, c_custkey % 9973 AS cohort, c_custkey % 12 AS sidx,
          |        translate(reverse(CAST(c_custkey AS VARCHAR)), '0123456789', 'BCDLMRFGST') ||
          |        list_extract($surnames, CAST(c_custkey % 12 AS INT) + 1) AS name
          |      FROM customer),
@@ -813,34 +822,34 @@ object AnalyticsQueries {
     },
     "q_damerau_linkage" -> {
       val surnames = linkSurnameList.map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH n0 AS (SELECT c_custkey AS ck, c_custkey % 9973 AS cohort,
+      s"""WITH n0 AS (SELECT c_custkey AS ck, c_custkey % 9973 AS cohort, c_custkey % 12 AS sidx,
          |        translate(reverse(CAST(c_custkey AS VARCHAR)), '0123456789', 'BCDLMRFGST') ||
          |        list_extract($surnames, CAST(c_custkey % 12 AS INT) + 1) AS nm
          |      FROM customer),
-         |l AS (SELECT ck AS id_a, nm AS name_a, cohort FROM n0),
-         |r AS (SELECT ck + 1000000 AS id_b, cohort,
+         |l AS (SELECT ck AS id_a, nm AS name_a, cohort, sidx FROM n0),
+         |r AS (SELECT ck + 1000000 AS id_b, cohort, sidx,
          |        CASE WHEN ck % 5 = 0 THEN substr(nm, 2, 1) || substr(nm, 1, 1) || substr(nm, 3)
          |             ELSE nm || 'e' END AS name_b
          |      FROM n0)
          |SELECT id_a, id_b,
          |       CAST(levenshtein(name_a, name_b) AS INT) AS lev,
          |       CAST(damerau_levenshtein(name_a, name_b) AS INT) AS dl
-         |FROM l JOIN r USING (cohort)
+         |FROM l JOIN r USING (cohort, sidx)
          |WHERE damerau_levenshtein(name_a, name_b) <= 2""".stripMargin
     },
     "q_jaro_linkage" -> {
       val surnames = linkSurnameList.map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH nm AS (SELECT c_custkey, c_custkey % 9973 AS cohort,
+      s"""WITH nm AS (SELECT c_custkey, c_custkey % 9973 AS cohort, c_custkey % 12 AS sidx,
          |        translate(reverse(CAST(c_custkey AS VARCHAR)), '0123456789', 'BCDLMRFGST') ||
          |        list_extract($surnames, CAST(c_custkey % 12 AS INT) + 1) AS name
          |      FROM customer),
-         |l AS (SELECT c_custkey AS id_a, name AS name_a, cohort FROM nm),
-         |r AS (SELECT c_custkey + 1000000 AS id_b, cohort,
+         |l AS (SELECT c_custkey AS id_a, name AS name_a, cohort, sidx FROM nm),
+         |r AS (SELECT c_custkey + 1000000 AS id_b, cohort, sidx,
          |        CASE WHEN c_custkey % 5 = 0 THEN reverse(name) ELSE name || 'e' END AS name_b
          |      FROM nm)
          |SELECT id_a, id_b,
          |       round(jaro_winkler_similarity(name_a, name_b), 6) + 0.0 AS jw
-         |FROM l JOIN r USING (cohort)
+         |FROM l JOIN r USING (cohort, sidx)
          |WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.85""".stripMargin
     },
     // n_probes is real data arithmetic; TRUE is the documented recall

@@ -43,6 +43,67 @@ object DataOps {
         round(sum(abs(acc - cAvg) * col("n")).over(w) / sum(col("n")).over(w), 6).as("ece"))
   }
 
+  /** Per-group mean with a 95% Poisson-bootstrap confidence interval
+    * (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    * streams") — error bars on corpus statistics in ONE pass over the
+    * data, no resampling-with-replacement pass per replicate: each row
+    * contributes to every replicate with an independent Poisson(1)
+    * weight, which converges to the classic bootstrap and — unlike it
+    * — needs no global row count or shuffle of the data itself.
+    *
+    * Engine-exact by construction: the Poisson weight comes from the
+    * row's md5 bucket compared against PRE-RENDERED hex thresholds
+    * (hex(floor(cdf·2³²)) — the [[Sampling.hexThreshold]] trick), so
+    * the weight assignment involves no floating-point at all; replicate
+    * sums are exact integers for integer-valued `value`; the only float
+    * work is B means + one interpolated percentile over B values,
+    * rounded 6 dp. Deterministic under retries/AQE like every hash-
+    * keyed sampler here.
+    *
+    * Scale shape: the replicate explode costs B× scan compute but the
+    * per-partition partial aggregation collapses it to (groups × B)
+    * rows before the shuffle — nothing corpus-sized moves. Returns
+    * (group, n_rows, mean, lo95, hi95).
+    */
+  def poissonBootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+                         value: Column, replicas: Int, seed: Long): DataFrame = {
+    val bucket = substring(
+      md5(concat(col(idCol).cast("string"), lit(":"), col("__b").cast("string"), lit(":" + seed))),
+      1, 8)
+    val w = DataOps.poissonCdf.zipWithIndex.foldRight(lit(DataOps.poissonCdf.length): Column) {
+      case ((threshold, k), acc) => when(bucket < lit(threshold), k).otherwise(acc)
+    }
+    val reps = df
+      .select(col(groupCol).as("g"), col(idCol), value.cast("long").as("v"))
+      .withColumn("__b", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("__w", w.cast("long"))
+      .groupBy("g", "__b")
+      .agg(sum(col("__w") * col("v")).as("sx"), sum(col("__w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("g"), (col("sx").cast("double") / col("sw")).as("m"))
+      .groupBy(col("g"))
+      .agg(round(expr("percentile(m, 0.025)"), 6).as("lo95"),
+        round(expr("percentile(m, 0.975)"), 6).as("hi95"))
+    val point = df.select(col(groupCol).as("g"), value.cast("long").as("v"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("v")).cast("double") / count(lit(1)), 6).as("mean"))
+    point.join(reps, "g").select(col("g").as(groupCol),
+      col("n_rows"), col("mean"), col("lo95"), col("hi95"))
+  }
+
+  /** Cumulative Poisson(1) CDF at k = 0..5, rendered as md5-bucket hex
+    * thresholds — the single source of truth for the bootstrap weight
+    * assignment, embedded verbatim in the DuckDB oracle so both
+    * engines draw IDENTICAL weights (string compare, no floats).
+    * P(k > 5) ≈ 6e-4 truncates to weight 6.
+    */
+  val poissonCdf: Seq[String] = {
+    val e1 = math.exp(-1.0)
+    val cdf = Seq(1.0, 2.0, 2.5, 8.0 / 3, 65.0 / 24, 163.0 / 60).map(_ * e1)
+    cdf.map(Sampling.hexThreshold)
+  }
+
   /** Row-level diff of two snapshots on a natural key: one row per key
     * with status added / removed / changed / unchanged ("changed"
     * compares the given payload columns null-safely). One full outer

@@ -81,6 +81,15 @@ object TrainingQueries {
     // null/distinct counts, value ranges, token totals. Exact distinct
     // (not approx) so the oracle matches; swap in approx_count_distinct
     // at 100 TB if the two-phase exact distinct ever dominates.
+    // Poisson-bootstrap 95% CI on per-source mean document length:
+    // error bars in one pass, weights from md5 hex thresholds so both
+    // engines draw IDENTICAL resamples (no floats in the weighting).
+    "q_bootstrap_ci" -> { (s, dir) =>
+      DataOps.poissonBootstrapCi(Tables(s, dir).documents,
+        "source", "doc_id", col("n_chars"), replicas = 50, seed = 7L)
+        .orderBy("source")
+    },
+
     "q_profile_stats" -> { (s, dir) =>
       Tables(s, dir).documents.agg(
         count(lit(1)).as("n_rows"),
@@ -99,7 +108,33 @@ object TrainingQueries {
     "CASE source WHEN 'src0' THEN CAST(0.2 AS DOUBLE) WHEN 'src1' THEN CAST(0.15 AS DOUBLE) " +
       "ELSE CAST(0.0325 AS DOUBLE) END"
 
+  /** The bootstrap weight CASE, rendered from the SAME hex thresholds
+    * the Spark side uses (DataOps.poissonCdf) — zero drift possible.
+    */
+  private def bootstrapWeightCase(h: String): String =
+    DataOps.poissonCdf.zipWithIndex
+      .map { case (t, k) => s"WHEN $h < '$t' THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${DataOps.poissonCdf.length} END")
+
   val oracles: Map[String, String] = Map(
+    // Same md5 buckets, same hex thresholds, same exact integer
+    // replicate sums; quantile_cont ≡ Spark's percentile.
+    "q_bootstrap_ci" ->
+      s"""WITH x AS (SELECT d.source AS g, d.n_chars AS v, b.k AS b,
+         |        substr(md5(d.doc_id::VARCHAR || ':' || b.k::VARCHAR || ':7'), 1, 8) AS h
+         |      FROM documents d CROSS JOIN range(0, 50) b(k)),
+         |rm AS (SELECT g, b, sum(${bootstrapWeightCase("h")} * v) AS sx,
+         |              sum(${bootstrapWeightCase("h")}) AS sw
+         |       FROM x GROUP BY g, b),
+         |ci AS (SELECT g, round(quantile_cont(sx::DOUBLE / sw, 0.025), 6) AS lo95,
+         |              round(quantile_cont(sx::DOUBLE / sw, 0.975), 6) AS hi95
+         |       FROM rm WHERE sw > 0 GROUP BY g),
+         |pt AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n_rows,
+         |              round(sum(n_chars)::DOUBLE / count(*), 6) AS mean
+         |       FROM documents GROUP BY 1)
+         |SELECT pt.g AS source, pt.n_rows, pt.mean, ci.lo95, ci.hi95
+         |FROM pt JOIN ci USING (g)
+         |ORDER BY source""".stripMargin,
     "q_source_kl" ->
       """WITH sw AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
         |c AS (SELECT source, w, count(*) AS c_sw FROM sw GROUP BY 1, 2),

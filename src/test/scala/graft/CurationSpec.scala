@@ -484,6 +484,33 @@ class GraphSpec extends SparkSpec {
     assert(tri(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 3L))) == (3L, 3L, 1L))
   }
 
+  test("poissonBootstrapCi brackets the point mean, is deterministic, and weights average ~1") {
+    import graft.operators.DataOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ci = DataOps.poissonBootstrapCi(docs, "source", "doc_id", col("n_chars"),
+      replicas = 50, seed = 7L).collect()
+    assert(ci.nonEmpty)
+    ci.foreach { r =>
+      val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo < hi, r.toString)
+      assert(lo <= mean && mean <= hi, s"CI must bracket the point mean: $r")
+      // a 95% CI on a ~100-row group is tight relative to the mean
+      assert((hi - lo) / mean < 0.5, s"implausibly wide CI: $r")
+    }
+    val ci2 = DataOps.poissonBootstrapCi(docs, "source", "doc_id", col("n_chars"),
+      replicas = 50, seed = 7L).collect()
+    assert(ci.map(_.toString).toSeq == ci2.map(_.toString).toSeq)
+    // the hex-threshold weights really are Poisson(1): mean weight ~ 1
+    import spark.implicits._
+    val ids = (1L to 4000L).toDF("id")
+    val bucket = substring(md5(concat(col("id").cast("string"), lit(":0:7"))), 1, 8)
+    val w = DataOps.poissonCdf.zipWithIndex.foldRight(lit(DataOps.poissonCdf.length): org.apache.spark.sql.Column) {
+      case ((t, k), acc) => when(bucket < lit(t), k).otherwise(acc)
+    }
+    val mw = ids.select(avg(w).as("mw")).head.getDouble(0)
+    assert(mw > 0.9 && mw < 1.1, s"mean Poisson weight drifted: $mw")
+  }
+
   test("theilSenSlope shrugs off a planted outlier where OLS cannot; groups isolated") {
     import graft.operators.TimeSeries
     import spark.implicits._

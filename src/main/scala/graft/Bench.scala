@@ -11,7 +11,9 @@ package graft
   *     numbers), the warm+3 measurement runs once more and the SMALLER
   *     median is recorded; the query is listed under "remeasured" so
   *     the flag is visible. Contention noise gets a second chance to
-  *     clear; a real regression survives both measurements.
+  *     clear; a real regression survives both measurements. The same
+  *     guard covers the sf1 ladder loop (against the prior file's
+  *     "queries_sf1" block; flagged as "name@sf1").
   *
   *   - Scale ladder: when `benchdata/sf1` exists (10x data, generated
   *     by graft.tools.ScaleUp with LSH/ANN decorrelation) and the
@@ -30,21 +32,38 @@ object Bench {
     ts(1)
   }
 
-  /** Flat `"q_name":seconds` pairs from a prior bench JSON line —
-    * only when the prior's "sf" matches this run's data dir (prior
-    * numbers from one scale must not trigger re-measurement at
-    * another).
+  /** Flat `"q_name":seconds` pairs from a bench-JSON fragment,
+    * FIRST occurrence wins: a prior file holds two query blocks
+    * ("queries" then "queries_sf1") and a last-wins toMap silently
+    * replaced every sf0.1 prior with its 2-10x larger sf1 value,
+    * defanging the re-measure guard (round-6 verdict finding #1).
     */
-  private def loadPrior(path: String, sfDir: String): Map[String, Double] = {
+  private def pairs(fragment: String): Map[String, Double] =
+    "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+      .findAllMatchIn(fragment)
+      .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+        val k = m.group(1)
+        if (acc.contains(k)) acc else acc + (k -> m.group(2).toDouble)
+      }
+
+  /** (primary-SF priors, sf1-ladder priors) from a prior bench JSON
+    * line — only when the prior's "sf" matches this run's data dir
+    * (prior numbers from one scale must not trigger re-measurement at
+    * another). The string is cut at `"queries_sf1"` so each block's
+    * pairs stay on their own side.
+    */
+  private def loadPriors(path: String, sfDir: String): (Map[String, Double], Map[String, Double]) = {
     val f = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(f)) Map.empty
+    if (!java.nio.file.Files.exists(f)) (Map.empty, Map.empty)
     else {
       val s = java.nio.file.Files.readString(f)
       val priorSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s).map(_.group(1))
-      if (!priorSf.contains(sfDir)) Map.empty
-      else
-        "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
-          .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (!priorSf.contains(sfDir)) (Map.empty, Map.empty)
+      else {
+        val cut = s.indexOf("\"queries_sf1\"")
+        if (cut < 0) (pairs(s), Map.empty)
+        else (pairs(s.substring(0, cut)), pairs(s.substring(cut)))
+      }
     }
   }
 
@@ -64,7 +83,7 @@ object Bench {
     }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val remeasured = scala.collection.mutable.ListBuffer.empty[String]
-    val prior = loadPrior(sys.env.getOrElse("SPARK_GRAFT_PRIOR", "bench_prior.json"), sfDir)
+    val (prior, priorSf1) = loadPriors(sys.env.getOrElse("SPARK_GRAFT_PRIOR", "bench_prior.json"), sfDir)
     // Optional comma-separated subset (dev iteration); full run when unset.
     val subset = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val selected = subset.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
@@ -104,14 +123,25 @@ object Bench {
     val runSf1 = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
       !sfDir.contains("sf1") &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(sf1Dir))
+    def minOf2(dir: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); runOn(dir)(fn); (System.nanoTime() - t0) / 1e9
+      }.min
     val sf1Results = if (!runSf1) Seq.empty else selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         runOn(sf1Dir)(fn)
-        val ts = (1 to 2).map { _ =>
-          val t0 = System.nanoTime(); runOn(sf1Dir)(fn); (System.nanoTime() - t0) / 1e9
+        var t = minOf2(sf1Dir, fn)
+        // Same >2x-prior guard as the primary loop (the round-6 sf1
+        // section shipped six contention-phantom super-linear numbers
+        // because this loop had no second chance).
+        if (priorSf1.get(name).exists(p => p > 0 && t > 2 * p)) {
+          clearAccumulatedCaches()
+          runOn(sf1Dir)(fn)
+          t = math.min(t, minOf2(sf1Dir, fn))
+          remeasured += (name + "@sf1")
         }
         clearAccumulatedCaches()
-        name -> ts.min
+        name -> t
       } catch { case _: Throwable => clearAccumulatedCaches(); name -> -1.0 }
     }
     def r4(v: Double): Double = math.round(v * 10000) / 10000.0

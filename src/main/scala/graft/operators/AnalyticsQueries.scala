@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -89,11 +89,23 @@ object AnalyticsQueries {
 
     // Record linkage scored with the native Jaro-Winkler expression
     // (plans/JaroWinkler — Spark ships no jaro): same synthesized
-    // name corpus as q_record_linkage; blocking is COMPOUND
-    // (cohort AND surname-class) — cohort alone has 9973 keys, and at
-    // sf1 the corpus outgrows them, going quadratic (measured 14.6x
-    // wall at 10x data before the fix, 2-3x after). Keep jw ≥ 0.85.
-    // The DuckDB oracle scores with its OWN independent
+    // name corpus as q_record_linkage. Blocking is DATA-DERIVED: the
+    // leading UPPERCASE RUN of each side's OWN name (the
+    // digit-translated prefix; surnames are lowercase, so the run
+    // ends where the surname starts). An earlier id-arithmetic block
+    // (cohort mod 9973 x surname-class mod 12) was a bounded
+    // ~120k-key space — fine at sf1, quadratic again at 100x
+    // (round-6 verdict #3); a fixed-length name prefix has the dual
+    // flaw (ScaleUp's key-shifted copies share any fixed prefix of
+    // the reversed digits → factor² candidate growth on the ladder).
+    // The uppercase run is the WHOLE digit part — injective per
+    // custkey — so the key space grows linearly with the corpus and
+    // blocks stay O(1) at any scale. The append-'e' distortion
+    // preserves it (lowercase, at the end); the every-5th reversed
+    // name starts lowercase (reversed surname), yielding an empty
+    // run that is filtered pre-join — the documented blocking-miss
+    // class, same as q_record_linkage's. Keep jw ≥ 0.85. The DuckDB
+    // oracle scores with its OWN independent
     // jaro_winkler_similarity implementation, so a hash-match
     // cross-validates the native expression's exact semantics
     // (byte-wise, integer transposition halving, 0.7 boost gate).
@@ -102,13 +114,17 @@ object AnalyticsQueries {
       val name = concat(
         translate(reverse(col("c_custkey").cast("string")), "0123456789", "BCDLMRFGST"),
         element_at(linkSurnames, pmod(col("c_custkey"), lit(12)).cast("int") + 1))
-      val cohort = pmod(col("c_custkey"), lit(9973)).as("cohort")
-      val sidx = pmod(col("c_custkey"), lit(12)).as("sidx")
-      val left = c.select(col("c_custkey").as("id_a"), name.as("name_a"), cohort, sidx)
+      val left = c.select(col("c_custkey").as("id_a"), name.as("name_a"),
+        regexp_extract(name, "^[A-Z]+", 0).as("blk"))
+      val nameB = when(pmod(col("c_custkey"), lit(5)) === 0, reverse(name))
+        .otherwise(concat(name, lit("e")))
       val right = c.select((col("c_custkey") + 1000000L).as("id_b"),
-        when(pmod(col("c_custkey"), lit(5)) === 0, reverse(name))
-          .otherwise(concat(name, lit("e"))).as("name_b"), cohort, sidx)
-      left.join(right, Seq("cohort", "sidx")).drop("sidx")
+        nameB.as("name_b"), regexp_extract(nameB, "^[A-Z]+", 0).as("blk"))
+        // empty run = reversed-name rows: they can match no left key
+        // (left names always lead uppercase) — dropping them pre-join
+        // avoids piling the whole miss class onto one shuffle key
+        .filter(col("blk") =!= "")
+      left.join(right, Seq("blk")).drop("blk")
         .select(col("id_a"), col("id_b"),
           round(graft.plans.JaroWinkler(col("name_a"), col("name_b")), 6).as("jw"))
         .filter(col("jw") >= 0.85)
@@ -119,27 +135,40 @@ object AnalyticsQueries {
     // name carries an adjacent-swap typo — the most common human typo
     // class — which dl scores 1 where levenshtein says 2, so the
     // emitted (lev, dl) pairs document exactly the class the new
-    // distance wins on. Same compound (cohort, surname-class) block
-    // as q_jaro_linkage — surname-class survives every planted typo
-    // (append, first-two swap), where a name-prefix block would drop
-    // exactly the swap pairs the query showcases. Oracle
-    // cross-validates against DuckDB's own independent
-    // damerau_levenshtein.
+    // distance wins on. Blocking is DATA-DERIVED and SWAP-INVARIANT:
+    // sorted(first 2 chars) + the remaining uppercase run from char 3
+    // of each side's own name. A plain prefix block would drop
+    // exactly the first-two-swap pairs the query showcases; sorting
+    // the leading character pair makes the key invariant under that
+    // swap, while the uppercase run (the digit-translated id part —
+    // surnames are lowercase) makes the key injective per custkey up
+    // to that one swap, so the key space grows linearly with the
+    // corpus and blocks stay O(1) at any scale (the old
+    // id-arithmetic cohort x surname-class block was a bounded
+    // ~120k-key space — quadratic again at 100x, round-6 verdict #3;
+    // a fixed-length prefix collapses ScaleUp's key-shifted copies
+    // into factor-sized blocks). Append-'e' lands after the run and
+    // cannot move the key. Oracle cross-validates against DuckDB's
+    // own independent damerau_levenshtein.
     "q_damerau_linkage" -> { (s, dir) =>
       val c = Tables(s, dir).customer
       val name = concat(
         translate(reverse(col("c_custkey").cast("string")), "0123456789", "BCDLMRFGST"),
         element_at(linkSurnames, pmod(col("c_custkey"), lit(12)).cast("int") + 1))
-      val named = c.select(col("c_custkey").as("ck"), name.as("nm"),
-        pmod(col("c_custkey"), lit(9973)).as("cohort"),
-        pmod(col("c_custkey"), lit(12)).as("sidx"))
-      val left = named.select(col("ck").as("id_a"), col("nm").as("name_a"), col("cohort"), col("sidx"))
+      def blkOf(nm: Column): Column = concat(
+        least(substring(nm, 1, 1), substring(nm, 2, 1)),
+        greatest(substring(nm, 1, 1), substring(nm, 2, 1)),
+        regexp_extract(substring(nm, 3, 1000), "^[A-Z]*", 0))
+      val named = c.select(col("c_custkey").as("ck"), name.as("nm"))
+      val left = named.select(col("ck").as("id_a"), col("nm").as("name_a"),
+        blkOf(col("nm")).as("blk"))
+      val nameB = when(pmod(col("ck"), lit(5)) === 0,
+        concat(substring(col("nm"), 2, 1), substring(col("nm"), 1, 1),
+          substring(col("nm"), 3, 1000)))
+        .otherwise(concat(col("nm"), lit("e")))
       val right = named.select((col("ck") + 1000000L).as("id_b"),
-        when(pmod(col("ck"), lit(5)) === 0,
-          concat(substring(col("nm"), 2, 1), substring(col("nm"), 1, 1),
-            substring(col("nm"), 3, 1000)))
-          .otherwise(concat(col("nm"), lit("e"))).as("name_b"), col("cohort"), col("sidx"))
-      left.join(right, Seq("cohort", "sidx")).drop("sidx")
+        nameB.as("name_b"), blkOf(nameB).as("blk"))
+      left.join(right, Seq("blk")).drop("blk")
         .select(col("id_a"), col("id_b"),
           levenshtein(col("name_a"), col("name_b")).as("lev"),
           graft.plans.DamerauLevenshtein(col("name_a"), col("name_b")).as("dl"))
@@ -822,34 +851,47 @@ object AnalyticsQueries {
     },
     "q_damerau_linkage" -> {
       val surnames = linkSurnameList.map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH n0 AS (SELECT c_custkey AS ck, c_custkey % 9973 AS cohort, c_custkey % 12 AS sidx,
+      s"""WITH n0 AS (SELECT c_custkey AS ck,
          |        translate(reverse(CAST(c_custkey AS VARCHAR)), '0123456789', 'BCDLMRFGST') ||
          |        list_extract($surnames, CAST(c_custkey % 12 AS INT) + 1) AS nm
          |      FROM customer),
-         |l AS (SELECT ck AS id_a, nm AS name_a, cohort, sidx FROM n0),
-         |r AS (SELECT ck + 1000000 AS id_b, cohort, sidx,
+         |l AS (SELECT ck AS id_a, nm AS name_a,
+         |        least(substr(nm, 1, 1), substr(nm, 2, 1)) ||
+         |        greatest(substr(nm, 1, 1), substr(nm, 2, 1)) ||
+         |        regexp_extract(substr(nm, 3), '^[A-Z]*') AS blk
+         |      FROM n0),
+         |r0 AS (SELECT ck,
          |        CASE WHEN ck % 5 = 0 THEN substr(nm, 2, 1) || substr(nm, 1, 1) || substr(nm, 3)
          |             ELSE nm || 'e' END AS name_b
-         |      FROM n0)
+         |      FROM n0),
+         |r AS (SELECT ck + 1000000 AS id_b, name_b,
+         |        least(substr(name_b, 1, 1), substr(name_b, 2, 1)) ||
+         |        greatest(substr(name_b, 1, 1), substr(name_b, 2, 1)) ||
+         |        regexp_extract(substr(name_b, 3), '^[A-Z]*') AS blk
+         |      FROM r0)
          |SELECT id_a, id_b,
          |       CAST(levenshtein(name_a, name_b) AS INT) AS lev,
          |       CAST(damerau_levenshtein(name_a, name_b) AS INT) AS dl
-         |FROM l JOIN r USING (cohort, sidx)
+         |FROM l JOIN r USING (blk)
          |WHERE damerau_levenshtein(name_a, name_b) <= 2""".stripMargin
     },
     "q_jaro_linkage" -> {
       val surnames = linkSurnameList.map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH nm AS (SELECT c_custkey, c_custkey % 9973 AS cohort, c_custkey % 12 AS sidx,
+      s"""WITH nm AS (SELECT c_custkey,
          |        translate(reverse(CAST(c_custkey AS VARCHAR)), '0123456789', 'BCDLMRFGST') ||
          |        list_extract($surnames, CAST(c_custkey % 12 AS INT) + 1) AS name
          |      FROM customer),
-         |l AS (SELECT c_custkey AS id_a, name AS name_a, cohort, sidx FROM nm),
-         |r AS (SELECT c_custkey + 1000000 AS id_b, cohort, sidx,
+         |l AS (SELECT c_custkey AS id_a, name AS name_a,
+         |        regexp_extract(name, '^[A-Z]+') AS blk FROM nm),
+         |r0 AS (SELECT c_custkey,
          |        CASE WHEN c_custkey % 5 = 0 THEN reverse(name) ELSE name || 'e' END AS name_b
-         |      FROM nm)
+         |      FROM nm),
+         |r AS (SELECT c_custkey + 1000000 AS id_b, name_b,
+         |        regexp_extract(name_b, '^[A-Z]+') AS blk FROM r0
+         |      WHERE regexp_extract(name_b, '^[A-Z]+') <> '')
          |SELECT id_a, id_b,
          |       round(jaro_winkler_similarity(name_a, name_b), 6) + 0.0 AS jw
-         |FROM l JOIN r USING (cohort, sidx)
+         |FROM l JOIN r USING (blk)
          |WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.85""".stripMargin
     },
     // n_probes is real data arithmetic; TRUE is the documented recall

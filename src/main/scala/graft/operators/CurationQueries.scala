@@ -328,7 +328,8 @@ object CurationQueries {
       |           ELSE 0.0 END, 6) AS sigma
       |       FROM st),
       |pl AS (SELECT stratum, n_rows, sigma,
-      |         CAST(round(round(n_rows * sigma / sum(n_rows * sigma) OVER (), 6) * 500, 0) AS BIGINT) AS alloc
+      |         CAST(round(CASE WHEN sum(n_rows * sigma) OVER () = 0 THEN 0.0
+      |           ELSE round(n_rows * sigma / sum(n_rows * sigma) OVER (), 6) END * 500, 0) AS BIGINT) AS alloc
       |       FROM sg)""".stripMargin
 
   /** doc text + " classy" always, plus planted blocklist hits: every

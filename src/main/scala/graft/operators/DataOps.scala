@@ -26,6 +26,17 @@ object DataOps {
     * with map-side combine; everything downstream (the window over
     * bins) runs on ≤ `bins` rows. Outputs round to 6 dp so both
     * engines agree to the digit; `conf` must be in [0, 1].
+    *
+    * Determinism caveat: unlike the exact-integer-sum discipline of
+    * [[Sampling.neymanPlan]] / poissonBootstrapCi, `sum(c)` here is a
+    * raw double accumulation over the corpus, so conf_avg/gap/ece
+    * rest on 6-dp rounding rather than exact arithmetic — a sum
+    * landing within ~1 ulp of a rounding boundary could in principle
+    * differ across partition orders. For an exact variant,
+    * pre-quantize conf to an integer grid (round(conf*1e6) as long)
+    * upstream; the harness oracle (q_calibration) feeds
+    * integer-ratio confidences, which keeps its sums exactly
+    * representable.
     */
   def reliabilityDiagram(df: DataFrame, conf: Column, label: Column, bins: Int): DataFrame = {
     val per = df

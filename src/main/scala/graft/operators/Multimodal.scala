@@ -41,39 +41,112 @@ object Multimodal {
     )), nullable = true)
   ))
 
-  /** STUB decode: a real implementation calls an image/audio codec per
-    * batch here. The fake is deterministic — a byte histogram folded to
-    * `dim` buckets, L1-normalized — so tests and oracles are stable.
-    */
-  private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val hist = new Array[Float](dim)
-    if (bytes != null) {
-      var i = 0
-      while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1f; i += 1 }
-      val total = bytes.length.max(1).toFloat
-      var d = 0
-      while (d < dim) { hist(d) /= total; d += 1 }
-    }
-    hist
-  }
-
-  /** Per-partition feature extraction over (media_id, content) rows.
-    * Partition-local iteration means one decoder/codec instance per
-    * partition, batch-amortized — the mapInPandas shape in Scala form.
+  /** REAL per-partition feature extraction over (media_id, content)
+    * rows, routed by container magic bytes — the distributed shape of
+    * a media-lake featurization pass (partition-local iteration, one
+    * codec instance per JVM, batch-amortized; the mapInPandas shape
+    * in Scala form):
+    *
+    *   - PNG → javax.imageio decode → equal-width LUMINANCE histogram
+    *     (blue channel; identical to decodeImages' checksum channel)
+    *     of `dim` buckets: bucket = v·dim/256 for v ∈ [0, 255].
+    *   - WAV → javax.sound.sampled PCM decode → equal-width SAMPLE
+    *     histogram: bucket = (s + 32768)·dim/65536 for s ∈
+    *     [-32768, 32767].
+    *   - anything else (or a failed decode) → raw byte-value
+    *     histogram (bucket = b·dim/256) with decode_ok = false — the
+    *     honest fallback that keeps the pass total: one undecodable
+    *     blob yields degraded features, never a task failure.
+    *
+    * Every histogram is integer counts (`hist`) plus its
+    * L1-normalized float form (`features`). Counts are exact
+    * integers, so an arithmetic oracle can recompute them from a
+    * synth pixel/sample formula — this is the round-trip proof that
+    * the REAL codecs feed the feature path (q_multimodal_features).
+    * Same poisoned-blob guards as decodeImages: NonFatal containment
+    * and a 64-megapixel dimension cap before any pixel loop.
     */
   def extractFeatures(media: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 256, s"dim must be in [1, 256], got $dim")
     val out = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("n_bytes", LongType, nullable = false),
+      StructField("container", StringType, nullable = false),
+      StructField("decode_ok", BooleanType, nullable = false),
+      StructField("hist", ArrayType(LongType, containsNull = false), nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)
     ))
     val enc = org.apache.spark.sql.Encoders.row(out)
+    def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    def isWav(b: Array[Byte]): Boolean =
+      b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
     media.select(col("media_id"), col("content")).mapPartitions { rows =>
-      // a real codec would be initialized once per partition here
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
         val n = if (bytes == null) 0L else bytes.length.toLong
-        Row(r.getAs[Long]("media_id"), n, decodeStub(bytes, dim).toSeq)
+        val hist = new Array[Long](dim)
+        var container = "other"
+        var ok = false
+        if (bytes != null && isPng(bytes)) {
+          container = "png"
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img != null && img.getWidth > 0 && img.getHeight > 0 &&
+                img.getWidth.toLong * img.getHeight <= 64L * 1024 * 1024) {
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  hist(((img.getRGB(x, y) & 0xff) * dim) / 256) += 1L
+                  x += 1
+                }
+                y += 1
+              }
+              ok = true
+            }
+          } catch { case scala.util.control.NonFatal(_) => () }
+        } else if (bytes != null && isWav(bytes)) {
+          container = "wav"
+          try {
+            val ais = readAudio(bytes)
+            val fmt = ais.getFormat
+            if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16 && fmt.getChannels >= 1) {
+              val data = ais.readAllBytes()
+              val ns = data.length / 2
+              var i = 0
+              if (fmt.isBigEndian)
+                while (i < ns) {
+                  val s = ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort
+                  hist(((s + 32768) * dim) / 65536) += 1L; i += 1
+                }
+              else
+                while (i < ns) {
+                  val s = (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))).toShort
+                  hist(((s + 32768) * dim) / 65536) += 1L; i += 1
+                }
+              ok = true
+            }
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+        if (!ok) {
+          java.util.Arrays.fill(hist, 0L)
+          if (bytes != null) {
+            var i = 0
+            while (i < bytes.length) { hist(((bytes(i) & 0xff) * dim) / 256) += 1L; i += 1 }
+          }
+        }
+        var total = 0L
+        var d = 0
+        while (d < dim) { total += hist(d); d += 1 }
+        val feats = new Array[Float](dim)
+        if (total > 0) {
+          d = 0
+          while (d < dim) { feats(d) = hist(d).toFloat / total; d += 1 }
+        }
+        Row(r.getAs[Long]("media_id"), n, container, ok, hist.toSeq, feats.toSeq)
       }
     }(enc)
   }
@@ -164,8 +237,16 @@ object Multimodal {
     def le16(pos: Int) = u8(pos) + u8(pos + 1) * 256L
     def le32(pos: Int) = le16(pos) + le16(pos + 2) * 65536L
     val isPng = (length(b) >= 33) && (hex(substring(b, 1, 8)) === "89504E470D0A1A0A")
+    // Beyond RIFF/WAVE, require the canonical layout the fixed
+    // offsets assume: a 'fmt ' chunk tag at byte 13 and PCM
+    // format tag 1 at byte 21 — a RIFF file with a leading
+    // JUNK/LIST chunk or WAVE_FORMAT_EXTENSIBLE would otherwise
+    // read garbage at offsets 23/25/35 and report it as real
+    // dimensions instead of probing 'unknown'.
     val isWav = (length(b) >= 44) && (hex(substring(b, 1, 4)) === "52494646") &&
-      (hex(substring(b, 9, 4)) === "57415645")
+      (hex(substring(b, 9, 4)) === "57415645") &&
+      (hex(substring(b, 13, 4)) === "666D7420") &&
+      (le16(21) === 1L)
     media.select(col(idCol),
       when(isPng, "png").when(isWav, "wav").otherwise("unknown").as("container"),
       when(isPng, be32(17)).when(isWav, le16(23)).as("dim1"),

@@ -239,16 +239,23 @@ object PipelineQueries {
           length(col("content")).cast("long").as("n_bytes_out"))
     },
 
-    // #42 multimodal plumbing: binary content → per-partition stub
-    // decode → feature vector (rows-only; decode is env-stubbed).
+    // #42 REAL multimodal feature extraction: synth PNGs and WAVs
+    // through the container-routed decode → per-media luminance /
+    // sample histogram, exploded to (bucket, cnt) rows. Counts are
+    // exact integers the oracle recomputes from the synth
+    // pixel/sample formulas — including the zero buckets, so the
+    // full dim-8 histogram is proven, not just the populated cells.
     "q_multimodal_features" -> { (s, dir) =>
-      val media = Tables(s, dir).documents.select(
-        col("doc_id").as("media_id"),
-        lit("image").as("kind"),
-        encode(col("text"), "UTF-8").as("content")
-      )
-      Multimodal.extractFeatures(media, dim = 8)
-        .select(col("media_id"), col("n_bytes"), round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+      val d = Tables(s, dir).documents
+      val png = Multimodal.synthGrayPng(
+        d.select(col("doc_id"), (col("doc_id") % 13 + 4).as("w"), (col("doc_id") % 11 + 4).as("h")),
+        "doc_id", "w", "h")
+      val wav = Multimodal.synthPcmWav(
+        d.select((col("doc_id") + 1000000L).as("wid"),
+          (col("doc_id") % 50 + 20).cast("int").as("n")), "wid", "n")
+      Multimodal.extractFeatures(png.unionByName(wav), dim = 8)
+        .select(col("media_id"), col("container"), col("decode_ok"),
+          posexplode(col("hist")).as(Seq("bucket", "cnt")))
     }
   )
 
@@ -286,12 +293,39 @@ object PipelineQueries {
          |               / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
          |      FROM cand c JOIN pg a ON a.doc_id = c.id JOIN rg b ON b.doc_id = c.ref_id)
          |SELECT id, ref_id, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
-    // byte accounting of the multimodal plumbing IS oracle-checkable
-    // (the decode stub's features are not) — proves the mapPartitions
-    // path preserves rows and content length
+    // byte accounting of the multimodal plumbing — proves the
+    // mapPartitions featurization path preserves rows and content
+    // length (text blobs take extractFeatures' byte-histogram
+    // fallback route; n_bytes is route-independent)
     "q_multimodal_bytes" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+    // Recomputes BOTH real-decode histograms as pure arithmetic:
+    // PNG luminance v(x,y) = (id*31 + x*7 + y*13) mod 256 bucketed
+    // v·8/256, WAV sample s(i) = ((id*31 + i*7) mod 4096) − 2048
+    // bucketed (s+32768)·8/65536 — cross-joined against all 8
+    // buckets so the zero cells are proven too. A hash match means
+    // the REAL codecs (ImageIO, javax.sound) fed the feature path
+    // with exactly the planted pixels/samples.
+    "q_multimodal_features" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h,
+        |             doc_id % 50 + 20 AS n FROM documents),
+        |png AS (SELECT d.doc_id AS media_id, 'png' AS container,
+        |          ((d.doc_id * 31 + x.k * 7 + y.k * 13) % 256) * 8 // 256 AS bucket
+        |        FROM d, range(0, 16) x(k), range(0, 14) y(k)
+        |        WHERE x.k < d.w AND y.k < d.h),
+        |wav AS (SELECT d.doc_id + 1000000 AS media_id, 'wav' AS container,
+        |          (((((d.doc_id + 1000000) * 31 + i.k * 7) % 4096) - 2048) + 32768) * 8 // 65536 AS bucket
+        |        FROM d, range(0, 70) i(k) WHERE i.k < d.n),
+        |u AS (SELECT * FROM png UNION ALL SELECT * FROM wav),
+        |counts AS (SELECT media_id, container, bucket, count(*) AS c
+        |           FROM u GROUP BY 1, 2, 3),
+        |ids AS (SELECT DISTINCT media_id, container FROM u)
+        |SELECT i.media_id, i.container, TRUE AS decode_ok,
+        |       CAST(b.k AS INTEGER) AS bucket,
+        |       CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
+        |FROM ids i CROSS JOIN range(0, 8) b(k)
+        |LEFT JOIN counts c ON c.media_id = i.media_id AND c.bucket = b.k""".stripMargin,
     // Recomputes the PNG round-trip's expected pixels as arithmetic:
     // v(x,y) = (id*31 + x*7 + y*13) mod 256 summed over the w×h grid
     // (ranges cover the max dims, filtered per row). PNG is lossless,

@@ -118,10 +118,15 @@ object Sampling {
       sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n_rows")) / (col("n_rows") - 1),
         lit(0.0)))).otherwise(lit(0.0))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // Degenerate corpus (every stratum zero-variance or singleton):
+    // the share denominator is 0 and 0.0/0.0 = NaN, whose long cast
+    // diverges between engines — guard to an all-zero allocation.
+    val denom = sum(col("n_rows") * col("sigma")).over(w)
     stats
       .withColumn("sigma", round(sigma, 6))
-      .withColumn("share", round(col("n_rows") * col("sigma") /
-        sum(col("n_rows") * col("sigma")).over(w), 6))
+      .withColumn("share",
+        when(denom === 0, lit(0.0))
+          .otherwise(round(col("n_rows") * col("sigma") / denom, 6)))
       .select(col("stratum"), col("n_rows"), col("sigma"),
         round(col("share") * budget, 0).cast("long").as("alloc"))
   }

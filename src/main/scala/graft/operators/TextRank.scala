@@ -374,6 +374,13 @@ object TextRank {
     */
   def rakeKeyphrases(docs: DataFrame, textCol: String,
                      stopwords: Seq[String], k: Int): DataFrame = {
+    // The stopword list is interpolated into a regex alternation on
+    // BOTH engines (here and the DuckDB oracle render) — an entry
+    // with a regex metacharacter ("c++", "a.m.") would silently
+    // corrupt phrase splitting on both sides, so reject it outright.
+    require(stopwords.forall(_.matches("[a-z0-9]+")),
+      s"stopwords must be plain [a-z0-9]+ words (regex-interpolated): " +
+        stopwords.filterNot(_.matches("[a-z0-9]+")).mkString(", "))
     val marked = regexp_replace(
       regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]+", "|"),
       s"\\b(${stopwords.mkString("|")})\\b", "|")

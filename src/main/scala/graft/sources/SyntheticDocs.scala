@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -33,10 +34,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - `pushFilters`: doc_id range predicates narrow the generated id
   *     interval BEFORE partition planning, so partitions that fall
   *     entirely outside the bounds are never created — the moral
-  *     equivalent of partition pruning + row-group skipping. All
-  *     filters are also RETAINED (returned back to Spark) so the
-  *     engine re-applies them exactly: pushdown here is a fast-path,
-  *     never a correctness dependency.
+  *     equivalent of partition pruning + row-group skipping. The
+  *     range predicates are CONSUMED (interval intersection applies a
+  *     conjunction of =/</<=/>/>= on doc_id exactly, so Spark need
+  *     not re-evaluate them); any other filter is retained for the
+  *     engine to re-apply. Consuming them is also what clears the
+  *     post-scan-filter path so aggregate pushdown can engage below.
+  *   - `pushAggregation` (SupportsPushDownAggregates): an ungrouped
+  *     COUNT(*) / MIN(doc_id) / MAX(doc_id) — possibly over a pushed
+  *     doc_id range — COMPLETELY collapses to one computed row from
+  *     the (lo, hi) bounds: one input partition, ZERO rows generated
+  *     (`rowsGenerated` is the spec's observable), the analogue of a
+  *     parquet footer-stats answer that never touches data pages.
   *   - Generation is per-partition and driver-free: the driver holds
   *     only (lo, hi, slice count).
   */
@@ -65,12 +74,15 @@ object SyntheticDocs {
   }
   def sourceOf(id: Long): String = "s" + (id % 5)
 
-  /** Test observability hooks: the last read schema and planned slice
-    * count, recorded at scan-build time (a production connector would
+  /** Test observability hooks: the last read schema, planned slice
+    * count, whether the last scan was a pushed-down aggregate, and a
+    * counter of actually generated rows (a production connector would
     * expose these as scan metrics instead).
     */
   @volatile var lastReadSchema: StructType = _
   @volatile var lastPartitionCount: Int = _
+  @volatile var lastAggPushed: Boolean = false
+  val rowsGenerated = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 private[sources] class SynthTable(rows: Long, slices: Int)
@@ -84,15 +96,17 @@ private[sources] class SynthTable(rows: Long, slices: Int)
 }
 
 private[sources] class SynthScanBuilder(rows: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows - 1
   private var pushed = Array.empty[Filter]
   private var required: StructType = SyntheticDocs.schema
+  private var aggFns: Seq[AggregateFunc] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, _) = filters.partition {
+    val (supported, rest) = filters.partition {
       case EqualTo("doc_id", _: Long) | GreaterThan("doc_id", _: Long) |
            GreaterThanOrEqual("doc_id", _: Long) | LessThan("doc_id", _: Long) |
            LessThanOrEqual("doc_id", _: Long) => true
@@ -107,20 +121,95 @@ private[sources] class SynthScanBuilder(rows: Long, slices: Int)
       case _ => ()
     }
     pushed = supported
-    // retain EVERYTHING: the source narrows the generated interval but
-    // Spark still evaluates each predicate — pushdown stays a
-    // fast-path, never a correctness dependency
-    filters
+    // The doc_id range filters are CONSUMED: a conjunction of
+    // =/</<=/>/>= on the generated id is applied EXACTLY by interval
+    // intersection, so re-evaluation would be redundant — and an
+    // empty post-scan filter set is the precondition for Spark to
+    // offer aggregate pushdown. Everything else is retained for the
+    // engine to re-apply.
+    rest
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  private def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("doc_id")
+      case _ => false
+    }
+  private def supportedAgg(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case m: Min => isDocId(m.column)
+    case m: Max => isDocId(m.column)
+    case _ => false
+  }
+
+  /** Ungrouped COUNT(*)/MIN(doc_id)/MAX(doc_id) have closed-form
+    * answers over the generated interval — complete pushdown, no
+    * partial-merge round needed.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall(supportedAgg)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    if (!supportCompletePushDown(aggregation)) false
+    else { aggFns = aggregation.aggregateExpressions.toSeq; true }
+
   override def build(): Scan = {
     SyntheticDocs.lastReadSchema = required
-    new SynthScan(rows, lo, hi, slices, required, pushed)
+    SyntheticDocs.lastAggPushed = aggFns.nonEmpty
+    if (aggFns.nonEmpty) new SynthAggScan(lo, hi, aggFns)
+    else new SynthScan(rows, lo, hi, slices, required, pushed)
   }
+}
+
+/** Scan for a completely pushed-down aggregation: ONE partition, ONE
+  * row computed from the (lo, hi) bounds — no document is ever
+  * generated (the footer-stats fast path of a real columnar source).
+  * Empty interval → SQL semantics for a global aggregate over zero
+  * rows: count 0, min/max NULL.
+  */
+private[sources] class SynthAggScan(lo: Long, hi: Long, fns: Seq[AggregateFunc])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(fns.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticDocs lo=$lo hi=$hi PushedAggregates: [${fns.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    SyntheticDocs.lastPartitionCount = 1
+    Array(SynthRange(lo, hi))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // v2 AggregateFunc isn't guaranteed serializable — precompute the
+    // answers driver-side and ship only those.
+    val empty = hi < lo
+    val values: Array[Any] = fns.map {
+      case _: CountStar => (if (empty) 0L else hi - lo + 1).asInstanceOf[AnyRef]
+      case _: Min => if (empty) null else lo.asInstanceOf[AnyRef]
+      case _ => if (empty) null else hi.asInstanceOf[AnyRef]
+    }.toArray[Any]
+    new SynthAggReaderFactory(values)
+  }
+}
+
+private[sources] class SynthAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow = new GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] case class SynthRange(lo: Long, hi: Long) extends InputPartition
@@ -164,6 +253,7 @@ private[sources] class SynthReaderFactory(required: StructType)
       private val fields = required.fieldNames
       override def next(): Boolean = { id += 1; id <= r.hi }
       override def get(): InternalRow = {
+        SyntheticDocs.rowsGenerated.incrementAndGet()
         // materialize ONLY the pruned fields: text never exists unless asked
         lazy val text = SyntheticDocs.textOf(id)
         val vals = fields.map {

@@ -56,15 +56,34 @@ class SourcesSpec extends SparkSpec {
     assert(ex.getMessage.contains("missing required"))
   }
 
-  test("Multimodal extractFeatures: deterministic stub features, L1-normalized") {
-    val media = Seq((1L, "image", "abcabc"), (2L, "image", "")).toDF("media_id", "kind", "txt")
-      .select(col("media_id"), col("kind"), encode(col("txt"), "UTF-8").as("content"))
+  test("Multimodal extractFeatures: container routing, real decode, byte fallback") {
+    // Real 2x2 grayscale PNG with known luminances 0, 64, 128, 192 →
+    // dim-4 luminance histogram must read one pixel per bucket.
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for ((v, i) <- Seq(0, 64, 128, 192).zipWithIndex)
+      img.setRGB(i % 2, i / 2, (v << 16) | (v << 8) | v)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      (1L, bos.toByteArray),                       // real PNG → luminance hist
+      (2L, "abcabc".getBytes("UTF-8")),            // text → byte-hist fallback
+      (3L, Array.empty[Byte])                      // empty → zero hist
+    ).toDF("media_id", "content")
     val out = Multimodal.extractFeatures(media, dim = 4).orderBy("media_id").collect()
-    assert(out(0).getLong(1) == 6L)
-    val feats = out(0).getSeq[Float](2)
+    // PNG row: routed + decoded, one pixel per luminance bucket.
+    assert(out(0).getString(2) == "png" && out(0).getBoolean(3))
+    assert(out(0).getSeq[Long](4) == Seq(1L, 1L, 1L, 1L))
+    val feats = out(0).getSeq[Float](5)
     assert(feats.length == 4 && math.abs(feats.sum - 1.0f) < 1e-6)
-    // rerun must produce identical features (deterministic stub)
-    val again = Multimodal.extractFeatures(media, dim = 4).orderBy("media_id").collect()(0).getSeq[Float](2)
+    // Text row: fallback route, n_bytes accounted, 'a'/'b'/'c' ∈
+    // [97, 99] → bucket 97*4/256 = 1 for all six bytes; decode_ok is
+    // false.
+    assert(out(1).getString(2) == "other" && !out(1).getBoolean(3))
+    assert(out(1).getLong(1) == 6L && out(1).getSeq[Long](4) == Seq(0L, 6L, 0L, 0L))
+    // Empty row: total 0 → all-zero features, no NaN from 0/0.
+    assert(out(2).getSeq[Float](5).forall(_ == 0f))
+    // rerun must produce identical features (deterministic decode)
+    val again = Multimodal.extractFeatures(media, dim = 4).orderBy("media_id").collect()(0).getSeq[Float](5)
     assert(again == feats)
   }
 
@@ -102,12 +121,15 @@ class SourcesSpec extends SparkSpec {
     import graft.sources.SyntheticDocs
     val df = spark.read.format("graft.sources.SyntheticDocs")
       .option("rows", "10000").option("partitions", "8").load()
-    assert(df.count() == 10000)
+    // row scans (collect, not count — count() is agg-pushed now) plan
+    // the full slice grid
+    assert(df.select("doc_id").collect().length == 10000)
+    assert(!SyntheticDocs.lastAggPushed)
     assert(SyntheticDocs.lastPartitionCount == 8)
     // a doc_id range narrows the generated interval BEFORE planning:
     // slices wholly outside the bounds are never created
     val slice = df.filter(col("doc_id") >= 9000L && col("doc_id") < 9500L)
-    assert(slice.count() == 500)
+    assert(slice.select("doc_id").collect().length == 500)
     assert(SyntheticDocs.lastPartitionCount == 1, s"got ${SyntheticDocs.lastPartitionCount}")
     // column pruning reaches the reader (text generation skipped)
     slice.select("doc_id", "source").collect()
@@ -117,9 +139,41 @@ class SourcesSpec extends SparkSpec {
     assert(r.getAs[String]("text") == SyntheticDocs.textOf(7L))
     assert(r.getAs[Long]("n_chars") == SyntheticDocs.textOf(7L).length.toLong)
     assert(r.getAs[String]("source") == "s2")
-    // pushdown is a fast-path, never correctness: Spark re-applies the
-    // predicate, so an equality lands exactly one row
-    assert(df.filter(col("doc_id") === 123L).count() == 1)
+    // the consumed range filters apply EXACTLY via interval
+    // intersection: an equality lands exactly one generated row
+    assert(df.filter(col("doc_id") === 123L).select("doc_id").collect().length == 1)
+  }
+
+  test("SyntheticDocs DSv2 aggregate pushdown: COUNT/MIN/MAX answer from bounds, zero rows generated") {
+    import graft.sources.SyntheticDocs
+    val df = spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", "1000000").option("partitions", "8").load()
+    // COUNT/MIN/MAX over a pushed doc_id range: one computed row, no
+    // document generation at all (the footer-stats fast path)
+    SyntheticDocs.rowsGenerated.set(0L)
+    val r = df.filter(col("doc_id") >= 1000L && col("doc_id") <= 9999L)
+      .agg(count(lit(1)).as("c"), min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .collect()(0)
+    assert(r.getLong(0) == 9000L && r.getLong(1) == 1000L && r.getLong(2) == 9999L)
+    assert(SyntheticDocs.lastAggPushed)
+    assert(SyntheticDocs.lastPartitionCount == 1)
+    assert(SyntheticDocs.rowsGenerated.get() == 0L,
+      s"aggregate must not generate rows, generated ${SyntheticDocs.rowsGenerated.get()}")
+    // a bare table count is the same zero-work path
+    SyntheticDocs.rowsGenerated.set(0L)
+    assert(df.count() == 1000000L)
+    assert(SyntheticDocs.lastAggPushed && SyntheticDocs.rowsGenerated.get() == 0L)
+    // empty pushed interval keeps SQL agg-over-zero-rows semantics
+    val e = df.filter(col("doc_id") > 5000000L)
+      .agg(count(lit(1)).as("c"), min("doc_id").as("mn")).collect()(0)
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+    // grouped aggregation is NOT supported: falls back to the row
+    // scan and stays correct
+    SyntheticDocs.rowsGenerated.set(0L)
+    val g = df.filter(col("doc_id") < 50L).groupBy("source").count().collect()
+    assert(g.map(_.getLong(1)).sum == 50L)
+    assert(!SyntheticDocs.lastAggPushed)
+    assert(SyntheticDocs.rowsGenerated.get() == 50L)
   }
 
   test("probeHeaders reads PNG/WAV dims from bytes alone; truncated, junk, and NULL blobs probe unknown") {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsQueries, CoreQueries, CurationQueries, DistillerQueries, DomainQueries, LlmQueries, PipelineQueries, ScaleQueries, TrainingQueries}
+import graft.operators.{AnalyticsQueries, CoreQueries, CurationQueries, DistillerQueries, DomainQueries, LlmQueries, PipelineQueries, RetrievalQueries, ScaleQueries, StatsQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +15,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DomainQueries.queries ++ LlmQueries.queries ++
       PipelineQueries.queries ++ AnalyticsQueries.queries ++ DistillerQueries.queries ++
-      CurationQueries.queries ++ TrainingQueries.queries ++ ScaleQueries.queries
+      CurationQueries.queries ++ TrainingQueries.queries ++ ScaleQueries.queries ++
+      StatsQueries.queries ++ RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -23,5 +24,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ DomainQueries.oracles ++ LlmQueries.oracles ++
       PipelineQueries.oracles ++ AnalyticsQueries.oracles ++ DistillerQueries.oracles ++
-      CurationQueries.oracles ++ TrainingQueries.oracles ++ ScaleQueries.oracles
+      CurationQueries.oracles ++ TrainingQueries.oracles ++ ScaleQueries.oracles ++
+      StatsQueries.oracles ++ RetrievalQueries.oracles
 }

@@ -268,14 +268,16 @@ object Curation {
     * reproducible in plain SQL by any engine — use where fingerprints
     * must be re-derivable outside Spark.
     */
-  def polyFingerprint(text: Column): Column = {
-    val P = 1000000007L
-    // Chars via 1-based substring (split(w, "") appends a trailing ""
-    // under Java's limit=-1 semantics, which no SQL twin reproduces).
-    val wordHash: Column => Column = w =>
-      when(length(w) === 0, lit(0L)).otherwise(
-        aggregate(sequence(lit(1), length(w)), lit(0L),
-          (g, i) => pmod(g * 131L + ascii(w.substr(i, lit(1))).cast("long"), lit(P))))
-    aggregate(split(text, " "), lit(0L), (h, w) => pmod(h * 31L + wordHash(w), lit(P)))
-  }
+  /** Engine-portable per-word hash: fold(131·g + codepoint) mod p.
+    * Chars via 1-based substring (split(w, "") appends a trailing ""
+    * under Java's limit=-1 semantics, which no SQL twin reproduces).
+    */
+  def polyWordHash(w: Column): Column =
+    when(length(w) === 0, lit(0L)).otherwise(
+      aggregate(sequence(lit(1), length(w)), lit(0L),
+        (g, i) => pmod(g * 131L + ascii(w.substr(i, lit(1))).cast("long"), lit(1000000007L))))
+
+  def polyFingerprint(text: Column): Column =
+    aggregate(split(text, " "), lit(0L),
+      (h, w) => pmod(h * 31L + polyWordHash(w), lit(1000000007L)))
 }

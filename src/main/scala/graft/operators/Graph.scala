@@ -366,6 +366,38 @@ object Graph {
       .distinct()
   }
 
+  /** Per-vertex local clustering coefficient (Watts & Strogatz 1998):
+    * coef(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2.
+    *
+    * Same skew-mitigated shape as [[triangleCount]] — canonical a<b<c
+    * wedge join over lowest-vertex-oriented edges, id-only rows — but
+    * each found triangle is exploded back to its three corners so the
+    * per-vertex count falls out of one groupBy. Degrees come from the
+    * symmetrized edge list; vertices on no triangle survive via the
+    * left join with tri = 0.
+    */
+  def localClustering(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+        greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    val tri = wedges.join(e.as("e3"),
+      col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      .select(explode(array(col("wa"), col("wb"), col("wc"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("v"), "left")
+      .select(col("v"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"),
+        (coalesce(col("tri"), lit(0L)) * 2).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double") as "coef")
+  }
+
   /** Small-star: orient each edge high→low, then link every smaller
     * neighbor (and u itself) to the minimum seen.
     */

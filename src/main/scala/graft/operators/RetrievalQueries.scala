@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Oracle-checked queries for hybrid retrieval and vector-store
+  * compression (VectorOps int8/MRL/k-means, TextDedup winnowing,
+  * TrainingMix UniMax).
+  *
+  * Determinism notes: rankings compare either exact integers or
+  * bit-identical doubles (double math over identical float inputs —
+  * the q_ann_bruteforce-proven property), with id tiebreaks; the RRF
+  * fusion score is a sum of two unit fractions of integer ranks, so
+  * fusion order is engine-exact too.
+  */
+object RetrievalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val rrfK = 60
+  private val rrfTerms = Seq("spark", "window", "merge")
+  private val unimaxBudget = 40000L
+  private val unimaxCap = 2
+
+  val queries: Map[String, Q] = Map(
+    // #87 reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    // a BM25 lexical ranking and an embedding-cosine ranking — the
+    // standard hybrid-search combiner. Both rank lists are top-100;
+    // missing sides contribute zero.
+    "q_rrf_fusion" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val lex = TextRank.bm25TopK(t.documents, "doc_id", "text", rrfTerms, k = 100)
+        .select(col("id").as("doc_id"), col("rank").as("r_lex"))
+      val e = t.embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val sem = VectorOps.bruteForceTopK(e.filter(col("id") === 0), e, 100)
+        .withColumn("r_sem",
+          row_number().over(Window.orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
+        .select(col("neighbor_id").as("doc_id"), col("r_sem"))
+      val rrf =
+        when(col("r_lex").isNotNull, lit(1.0) / (col("r_lex") + rrfK)).otherwise(lit(0.0)) +
+          when(col("r_sem").isNotNull, lit(1.0) / (col("r_sem") + rrfK)).otherwise(lit(0.0))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_lex"), col("r_sem"), round(rrf, 6).as("rrf"))
+        .withColumn("fused_rank",
+          row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .filter(col("fused_rank") <= 20)
+    },
+
+    // #88 int8 scalar-quantization audit per vector.
+    "q_quantize_int8" -> { (s, dir) =>
+      VectorOps.quantizeInt8Stats(
+        Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
+    },
+
+    // #89 Matryoshka truncation recall: top-10 on the first 16 of 64
+    // dims vs the full vector. Probe panel PINNED (same id<20000 cap
+    // as the ANN queries): a fixed query set over a growing corpus
+    // keeps the scan linear — an uncapped %20 panel would re-create
+    // the quadratic probe growth round 6 removed.
+    "q_mrl_recall" -> { (s, dir) =>
+      VectorOps.truncatedRecall(
+        Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding",
+        probeFilter = col("id") % 20 === 0 && col("id") < 20000, k = 10, dims = 16)
+    },
+
+    // #90 one Lloyd assignment step against deterministic centroids
+    // (the IVF coarse quantizer's inner loop as a first-class op).
+    "q_kmeans_assign" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cent = e.filter(col("id") < 8)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      VectorOps.kmeansAssign(e, "id", "vec", cent)
+    },
+
+    // #91 winnowing fingerprints (Schleimer et al. 2003): 3-gram
+    // hashes, window 4, rightmost-min selection.
+    "q_winnow" -> { (s, dir) =>
+      TextDedup.winnowFingerprints(Tables(s, dir).documents, "doc_id", "text",
+        ngram = 3, window = 4)
+    },
+
+    // #92 UniMax language-budget waterfilling (Chung et al. 2023).
+    "q_unimax_mix" -> { (s, dir) =>
+      TrainingMix.unimaxPlan(Tables(s, dir).documents, "lang",
+        size(split(col("text"), " ")).cast("long"),
+        budget = unimaxBudget, epochsCap = unimaxCap)
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_rrf_fusion" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         |st AS (SELECT count(*) AS n, avg(len(ws)) AS avglen FROM w),
+         |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+         |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+         |      WHERE term IN (${rrfTerms.map("'" + _ + "'").mkString(", ")}) GROUP BY 1, 2, 3),
+         |d AS (SELECT term, count(*) AS df FROM f GROUP BY term),
+         |sc AS (SELECT f.doc_id,
+         |        sum(ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         |            * (f.tf * 2.2) / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / st.avglen))) AS score
+         |      FROM f JOIN d USING (term), st GROUP BY f.doc_id),
+         |lex AS (SELECT doc_id, CAST(rn AS BIGINT) AS r_lex FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rn
+         |  FROM sc) q WHERE rn <= 100),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sem AS (SELECT neighbor_id AS doc_id, CAST(rn AS BIGINT) AS r_sem FROM (
+         |  SELECT c.vec_id AS neighbor_id,
+         |         row_number() OVER (ORDER BY
+         |           list_dot_product(p.v, c.v) /
+         |             (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+         |           c.vec_id) AS rn
+         |  FROM e p JOIN e c ON p.vec_id = 0 AND c.vec_id <> 0) q WHERE rn <= 100),
+         |fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+         |  round(CASE WHEN r_lex IS NOT NULL THEN 1.0 / (r_lex + $rrfK) ELSE 0.0 END +
+         |        CASE WHEN r_sem IS NOT NULL THEN 1.0 / (r_sem + $rrfK) ELSE 0.0 END, 6) AS rrf
+         |  FROM lex FULL OUTER JOIN sem USING (doc_id))
+         |SELECT doc_id, r_lex, r_sem, rrf, CAST(fr AS BIGINT) AS fused_rank FROM (
+         |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS fr FROM fused) q
+         |WHERE fr <= 20""".stripMargin,
+    "q_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+        |q AS (SELECT vec_id, amax, v,
+        |        list_transform(v, x -> CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)
+        |          ELSE CAST(least(greatest(round(x * 127.0 / amax), -127.0), 127.0) AS BIGINT)
+        |          END) AS qs
+        |      FROM a)
+        |SELECT vec_id, round(amax, 6) AS amax,
+        |  CAST(list_sum(qs) AS BIGINT) AS sum_q,
+        |  CAST(len(list_filter(qs, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+        |  round(list_max(list_transform(range(1, len(v) + 1), i ->
+        |    CASE WHEN amax = 0 THEN 0.0
+        |         ELSE abs(v[i] - qs[i]::DOUBLE * amax / 127.0) END)), 6) AS max_abs_err
+        |FROM q""".stripMargin,
+    "q_mrl_recall" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |t AS (SELECT id, v[1:16] AS v FROM e),
+        |ft AS (SELECT probe_id, neighbor_id FROM (
+        |  SELECT p.id AS probe_id, c.id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY p.id ORDER BY
+        |      list_dot_product(p.v, c.v) /
+        |        (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+        |      c.id) AS rn
+        |  FROM e p JOIN e c ON p.id % 20 = 0 AND p.id < 20000 AND c.id <> p.id) x WHERE rn <= 10),
+        |tt AS (SELECT probe_id, neighbor_id FROM (
+        |  SELECT p.id AS probe_id, c.id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY p.id ORDER BY
+        |      list_dot_product(p.v, c.v) /
+        |        (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+        |      c.id) AS rn
+        |  FROM t p JOIN t c ON p.id % 20 = 0 AND p.id < 20000 AND c.id <> p.id) x WHERE rn <= 10),
+        |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM ft JOIN tt USING (probe_id, neighbor_id)),
+        |np AS (SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes FROM ft)
+        |SELECT np.n_probes, 10 AS k, 16 AS dims_kept, h.n_hits,
+        |  round(h.n_hits::DOUBLE / (np.n_probes * 10)::DOUBLE, 4) AS recall
+        |FROM h, np""".stripMargin,
+    "q_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+        |d AS (SELECT e.id, c.cid,
+        |        list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv) -
+        |          2.0 * list_dot_product(e.v, c.cv) AS d2
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT id, cid FROM (
+        |        SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+        |        FROM d) x WHERE rn = 1)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n_members, CAST(sum(id) AS BIGINT) AS sum_ids,
+        |       min(id) AS min_id, max(id) AS max_id
+        |FROM a GROUP BY cid""".stripMargin,
+    "q_winnow" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |wh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i ->
+        |          {'pos': i - 1,
+        |           'h': CASE WHEN length(ws[i]) = 0 THEN CAST(0 AS BIGINT)
+        |             ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                    list_transform(range(1, length(ws[i]) + 1),
+        |                      j -> CAST(ascii(ws[i][j]) AS BIGINT))),
+        |                  (a, b) -> (a * 131 + b) % 1000000007) END})) AS u
+        |        FROM w),
+        |wh AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM wh0),
+        |g AS (SELECT doc_id, pos,
+        |        ((h * 31 + lead(h, 1) OVER win) % 1000000007 * 31 + lead(h, 2) OVER win)
+        |          % 1000000007 AS gh
+        |      FROM wh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |gg AS (SELECT doc_id, pos, gh,
+        |         lead(gh, 1) OVER win AS g1, lead(gh, 2) OVER win AS g2, lead(gh, 3) OVER win AS g3
+        |       FROM g WHERE gh IS NOT NULL WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |sel AS (SELECT DISTINCT doc_id,
+        |          pos + (CASE WHEN g3 = mn THEN 3 WHEN g2 = mn THEN 2
+        |                      WHEN g1 = mn THEN 1 ELSE 0 END) AS sel_pos,
+        |          mn AS fp
+        |        FROM (SELECT *, least(gh, g1, g2, g3) AS mn FROM gg WHERE g3 IS NOT NULL) x)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp
+        |FROM sel GROUP BY doc_id""".stripMargin,
+    "q_unimax_mix" ->
+      s"""WITH c0 AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |            FROM documents GROUP BY lang),
+         |c AS (SELECT lang, n_tokens, n_tokens * $unimaxCap AS capacity FROM c0),
+         |s AS (SELECT *, row_number() OVER (ORDER BY capacity, lang) AS i,
+         |        sum(capacity) OVER (ORDER BY capacity, lang) AS cum,
+         |        count(*) OVER () AS n
+         |      FROM c),
+         |p AS (SELECT *, max(CASE WHEN capacity * (n - i) <= $unimaxBudget - cum THEN i END)
+         |        OVER () AS m FROM s),
+         |p2 AS (SELECT *, max(CASE WHEN i = m THEN cum END) OVER () AS cumM FROM p),
+         |al AS (SELECT lang, n_tokens, CAST(capacity AS BIGINT) AS capacity,
+         |         round(CASE WHEN COALESCE(m, 0) = n THEN capacity::DOUBLE
+         |           ELSE least(capacity::DOUBLE,
+         |             ($unimaxBudget - COALESCE(cumM, 0))::DOUBLE /
+         |               (n - COALESCE(m, 0))::DOUBLE) END, 2) AS alloc_tokens
+         |       FROM p2)
+         |SELECT lang, n_tokens, capacity, alloc_tokens,
+         |       round(alloc_tokens / n_tokens, 4) AS epochs
+         |FROM al""".stripMargin
+  )
+}

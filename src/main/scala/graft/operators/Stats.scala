@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical statistics over Spark aggregates: regression, correlation,
+  * rank tests, experiment scoring, change-point and tail diagnostics.
+  *
+  * The reference pipeline stops at counts and maxima (its reports are
+  * row-at-a-time Python — e.g. publish/publication.py's per-pub loops);
+  * a corpus-scale engine needs the next layer up: "did this harvest
+  * shift the distribution", "is this source heavy-tailed", "is metric X
+  * actually correlated with Y". Everything here is one or two shuffles
+  * on group keys — no driver-side math beyond the closed forms.
+  *
+  * Engine-portability discipline (see SURVEY.md §5): every statistic is
+  * computed from EXACT sums — longs where they fit, DECIMAL(38,0)
+  * where squares could overflow (the DuckDB oracle mirrors them as
+  * HUGEINT) — and only the final closed-form division happens in
+  * doubles, rounded for output. Two engines computing the same closed
+  * form from identical integers produce identical doubles.
+  */
+object Stats {
+
+  /** Exact decimal sum of a long-valued column product: sum(a*b) with
+    * 128-bit-wide accumulation so squares of ~1e13-scale values cannot
+    * overflow at any benchmark sf.
+    */
+  private def dsum(a: Column, b: Column): Column =
+    sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("double")
+
+  /** Per-group ordinary least squares y = slope*x + intercept with r².
+    *
+    * Closed form from the five exact sums (n, Σx, Σy, Σxx, Σxy, Σyy);
+    * x and y must be integer-valued (cast upstream — e.g. price in
+    * cents). Map-side partial aggregation does all the work; one row
+    * per group crosses the shuffle.
+    */
+  def olsFit(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
+    val agg = df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        dsum(x, x).as("sxx"),
+        dsum(x, y).as("sxy"),
+        dsum(y, y).as("syy"))
+    val n = col("n").cast("double")
+    val covn = col("sxy") * n - col("sx") * col("sy")       // n²·cov
+    val varxn = col("sxx") * n - col("sx") * col("sx")      // n²·var(x)
+    val varyn = col("syy") * n - col("sy") * col("sy")      // n²·var(y)
+    agg.select(
+      col(groupCol), col("n"),
+      round(covn / varxn, 6).as("slope"),
+      round((col("sy") - (covn / varxn) * col("sx")) / n, 6).as("intercept"),
+      round((covn * covn) / (varxn * varyn), 6).as("r2"))
+  }
+
+  /** Per-group Pearson correlation from the same exact-sum machinery. */
+  def pearson(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
+    val agg = df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        dsum(x, x).as("sxx"),
+        dsum(x, y).as("sxy"),
+        dsum(y, y).as("syy"))
+    val n = col("n").cast("double")
+    val num = col("sxy") * n - col("sx") * col("sy")
+    val den = sqrt(col("sxx") * n - col("sx") * col("sx")) *
+      sqrt(col("syy") * n - col("sy") * col("sy"))
+    agg.select(col(groupCol), col("n"), round(num / den, 6).as("pearson_r"))
+  }
+
+  /** Per-group Spearman rank correlation (Spearman 1904).
+    *
+    * Tie-averaged fractional ranks kept EXACT by working in half-rank
+    * units: 2·avgrank = 2·rank() + (tiecount − 1) is always an integer,
+    * so the downstream Pearson runs on integers and the result is
+    * engine-exact. Scaling both rank vectors by 2 leaves r unchanged.
+    */
+  def spearman(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
+    def halfRanks(c: Column, as: String): Column = {
+      val w = Window.partitionBy(col(groupCol)).orderBy(c)
+      val tieW = Window.partitionBy(col(groupCol), c)
+      (rank().over(w) * 2 + count(lit(1)).over(tieW) - 1).as(as)
+    }
+    val ranked = df.select(col(groupCol), halfRanks(x, "rx"), halfRanks(y, "ry"))
+    pearson(ranked, groupCol, col("rx"), col("ry"))
+      .withColumnRenamed("pearson_r", "spearman_rho")
+  }
+
+  /** Mann-Whitney U rank-sum test (Mann & Whitney 1947) between two
+    * value samples identified by `isTreatment`. Combined tie-averaged
+    * ranks in exact half-units; U and the normal-approximation z are
+    * closed forms of the exact rank sum.
+    *
+    * Scale posture: a naive global rank() sorts the full table on one
+    * partition. Instead ranks are derived at DISTINCT-VALUE grain —
+    * group by value first (map-side combinable), then one ordered pass
+    * over the value-histogram, which is bounded by cardinality, not
+    * row count. For a tie block of c values starting after cumPrev
+    * rows, 2·avgrank = 2·cumPrev + c + 1 exactly.
+    */
+  def mannWhitneyU(df: DataFrame, isTreatment: Column, v: Column): DataFrame = {
+    val hist = df.select(v.as("v"), isTreatment.as("grp"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("grp"), 1L).otherwise(0L)).as("c1"))
+    val w = Window.orderBy(col("v"))
+    val ranked = hist.select(
+      col("c1"), col("c"),
+      (sum(col("c")).over(w) - col("c")).as("cumPrev"))
+    val agg = ranked.agg(
+      sum(col("c1") * (col("cumPrev") * 2 + col("c") + 1)).as("r2sum1"),
+      sum("c1").as("n1"),
+      sum(col("c") - col("c1")).as("n2"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    // R1 in half-units → U1 = R1 - n1(n1+1)/2, still exact in halves.
+    val u1 = (col("r2sum1").cast("double") - n1 * (n1 + 1)) / 2.0
+    val mu = n1 * n2 / 2.0
+    val sigma = sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+    agg.select(
+      col("n1"), col("n2"),
+      round(u1, 1).as("u_stat"),
+      round((u1 - mu) / sigma, 4).as("z_score"))
+  }
+
+  /** Per-variant two-proportion z-test against the pooled rest
+    * (the standard A/B readout). `converted` is a boolean column.
+    * All inputs to the closed form are exact counts.
+    */
+  def twoProportionZ(df: DataFrame, variantCol: String, converted: Column): DataFrame = {
+    val per = df.groupBy(col(variantCol))
+      .agg(count(lit(1)).as("n"), sum(when(converted, 1L).otherwise(0L)).as("conv"))
+    val tot = per.agg(sum("n").as("tn"), sum("conv").as("tconv"))
+    val n1 = col("n").cast("double")
+    val c1 = col("conv").cast("double")
+    val n2 = (col("tn") - col("n")).cast("double")
+    val c2 = (col("tconv") - col("conv")).cast("double")
+    val p1 = c1 / n1
+    val p2 = c2 / n2
+    val pp = (c1 + c2) / (n1 + n2)
+    per.crossJoin(tot).select(
+      col(variantCol), col("n"), col("conv"),
+      round(p1, 6).as("p_variant"),
+      round(p2, 6).as("p_rest"),
+      round((p1 - p2) / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2)), 4)
+        .as("z_score"))
+  }
+
+  /** CUSUM change-point detection per series (Page 1954): the index
+    * maximizing |cumulative deviation from the series mean|.
+    *
+    * Kept exact by scaling: with S = Σx and prefix_i = Σ_{j≤i} x_j,
+    * the deviation n·prefix_i − i·S is an integer multiple (n·) of the
+    * usual CUSUM statistic, so the argmax — THE change point — is
+    * integer-exact; only the reported magnitude divides back to value
+    * units. One window pass per series, one row per series out.
+    */
+  def cusumChangePoint(df: DataFrame, groupCol: String, orderCol: Column,
+                       x: Column, tieCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("ord"), col("tie"))
+    val all = Window.partitionBy(col(groupCol))
+    val scored = df.select(
+      col(groupCol), orderCol.as("ord"), tieCol.as("tie"), x.as("xv"))
+      .select(
+        col(groupCol), col("ord"),
+        row_number().over(w).as("i"),
+        (sum(col("xv")).over(w) * count(lit(1)).over(all) -
+          row_number().over(w) * sum(col("xv")).over(all)).as("dev"),
+        count(lit(1)).over(all).as("n"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(abs(col("dev")).desc, col("i"))))
+      .filter(col("rn") === 1)
+      .select(
+        col(groupCol), col("n"), col("i").as("cp_index"),
+        col("ord").as("cp_at"),
+        round(abs(col("dev")).cast("double") / col("n").cast("double"), 4).as("cusum_stat"))
+  }
+
+  /** Per-series lag-k autocorrelation for k = 1..maxLag.
+    *
+    * Mean-centered in exact integers: d_i = n·x_i − S (so no division
+    * before the final ratio), products accumulated in DECIMAL(38,0) —
+    * d_i can reach ~1e13 at the ladder's widest point, so long
+    * accumulation would overflow where decimal cannot.
+    */
+  def autocorrelation(df: DataFrame, groupCol: String, orderCol: Column,
+                      x: Column, tieCol: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8, "maxLag in [1,8]")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("ord"), col("tie"))
+    val all = Window.partitionBy(col(groupCol))
+    val centered = df.select(col(groupCol), orderCol.as("ord"), tieCol.as("tie"), x.as("xv"))
+      .select(Seq(
+        col(groupCol),
+        (col("xv") * count(lit(1)).over(all) - sum(col("xv")).over(all)).as("d")) ++
+        (1 to maxLag).map(k =>
+          (lag(col("xv"), k).over(w) * count(lit(1)).over(all) - sum(col("xv")).over(all))
+            .as(s"dl$k")): _*)
+    val dd = centered.groupBy(col(groupCol)).agg(
+      dsum(col("d"), col("d")).as("den"),
+      (1 to maxLag).map(k => dsum(col(s"dl$k"), col("d")).as(s"num$k")): _*)
+    val perLag = (1 to maxLag).map { k =>
+      dd.select(col(groupCol), lit(k).as("lag"),
+        round(col(s"num$k") / col("den"), 4).as("acf"))
+    }
+    perLag.reduce(_ unionByName _)
+  }
+
+  /** Per-group Gini coefficient, fully integer until the final ratio:
+    * G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with x ascending. Within a
+    * tie block Σ i·x is permutation-invariant (equal x factors out),
+    * so no tie-break is needed for exactness.
+    */
+  def gini(df: DataFrame, groupCol: String, x: Column, tieCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(x, tieCol)
+    df.select(col(groupCol), x.as("xv"), row_number().over(w).as("i"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum("xv").as("sx"), sum(col("i") * col("xv")).as("six"))
+      .select(
+        col(groupCol), col("n"),
+        round((col("six") * 2 - (col("n") + 1) * col("sx")).cast("double") /
+          (col("n") * col("sx")).cast("double"), 6).as("gini"))
+  }
+
+  /** Benford first-digit audit over a positive money column (Benford
+    * 1938; the classic data-quality screen for fabricated values).
+    * The leading digit comes from the cents-integer rendered as a
+    * string — no float log in the digit extraction — and chi-square
+    * contributions are emitted per digit so nothing sums doubles
+    * across rows.
+    */
+  def benfordDigits(df: DataFrame, money: Column): DataFrame = {
+    val cents = round(money * 100).cast("long")
+    val digits = df.select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+    val tot = digits.agg(count(lit(1)).as("tn"))
+    val expected = log10(lit(1.0) + lit(1.0) / col("digit"))
+    digits.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      .crossJoin(tot)
+      .select(
+        col("digit"), col("n_obs"),
+        round(expected, 6).as("benford_p"),
+        round(pow(col("n_obs").cast("double") - col("tn") * expected, 2) /
+          (col("tn") * expected), 4).as("chi2_contrib"))
+  }
+
+  /** Hill tail-index estimator per group (Hill 1975) over the top-k
+    * order statistics: mean log-excess over the (k+1)-th value, and
+    * alpha = its reciprocal — the heavy-tail screen for document-length
+    * and degree distributions. Log-sum rounds at 4dp like the KL/LM
+    * scores (SURVEY §5 discipline for irrational aggregates).
+    */
+  def hillTail(df: DataFrame, groupCol: String, x: Column, tieCol: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(x.desc, tieCol)
+    val ranked = df.select(col(groupCol), x.cast("double").as("xv"), row_number().over(w).as("i"))
+      .filter(col("i") <= k + 1)
+    val ref = ranked.filter(col("i") === k + 1).select(col(groupCol), col("xv").as("xref"))
+    ranked.filter(col("i") <= k).join(ref, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("k"), sum(log(col("xv") / col("xref"))).as("lsum"))
+      .select(
+        col(groupCol), col("k"),
+        round(col("lsum") / col("k"), 4).as("hill_mean_log"),
+        round(col("k") / col("lsum"), 4).as("tail_alpha"))
+  }
+}

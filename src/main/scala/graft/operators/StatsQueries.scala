@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Oracle-checked queries for the classical-statistics layer
+  * (Stats.scala, Graph.localClustering, TimeSeries.cdcApply /
+  * attribution).
+  *
+  * Exactness contract per SURVEY.md §5: regression/correlation/rank
+  * statistics flow through exact integer (long or DECIMAL(38,0) ≡
+  * DuckDB HUGEINT) sums and only divide at the end; CUSUM argmax and
+  * Gini are integer-exact throughout; the two log-based statistics
+  * (Hill estimator; Benford expectations) round at 4dp like the
+  * KL/perplexity family.
+  */
+object StatsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** lineitem regression pair: x = quantity (integral), y = price in
+    * exact cents. Shared by the OLS/Pearson/Spearman trio.
+    */
+  private def xyPair(t: Tables): DataFrame =
+    t.lineitem.select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+
+  private def centsValue = round(col("value") * 100).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // #86b per-group OLS fit: does price scale linearly with quantity
+    // within a return class (it should: r2 ≈ 1 line per part mix).
+    "q_ols_fit" -> { (s, dir) =>
+      Stats.olsFit(xyPair(Tables(s, dir)), "l_returnflag", col("x"), col("y"))
+    },
+
+    // #86c Pearson correlation from the same exact-sum machinery.
+    "q_pearson" -> { (s, dir) =>
+      Stats.pearson(xyPair(Tables(s, dir)), "l_returnflag", col("x"), col("y"))
+    },
+
+    // #86d Spearman rank correlation (tie-averaged ranks kept exact in
+    // half-rank units).
+    "q_spearman" -> { (s, dir) =>
+      Stats.spearman(xyPair(Tables(s, dir)), "l_returnflag", col("x"), col("y"))
+    },
+
+    // #86e Mann-Whitney U: purchase vs click order values — the
+    // nonparametric "did the distribution shift" test.
+    "q_mannwhitney" -> { (s, dir) =>
+      val ev = Tables(s, dir).events.filter(col("event_type").isin("purchase", "click"))
+      Stats.mannWhitneyU(ev, col("event_type") === "purchase", col("value"))
+    },
+
+    // #86f two-proportion z per order priority vs the pooled rest
+    // (the A/B experiment readout).
+    "q_ab_test" -> { (s, dir) =>
+      Stats.twoProportionZ(Tables(s, dir).orders, "o_orderpriority",
+        col("o_orderstatus") === "F")
+    },
+
+    // #85c CUSUM change point per event series, integer-exact argmax.
+    "q_cusum" -> { (s, dir) =>
+      Stats.cusumChangePoint(Tables(s, dir).events, "event_type",
+        col("ts"), centsValue, col("event_id"))
+        .select(col("event_type"), col("n"), col("cp_index"),
+          unix_millis(col("cp_at")).as("cp_ms"), col("cusum_stat"))
+    },
+
+    // #85d lag-1..3 autocorrelation per event series.
+    "q_acf" -> { (s, dir) =>
+      Stats.autocorrelation(Tables(s, dir).events, "event_type",
+        col("ts"), centsValue, col("event_id"), maxLag = 3)
+    },
+
+    // #86g Gini concentration of document length per source —
+    // corpus-inequality health metric, integer-exact.
+    "q_gini" -> { (s, dir) =>
+      Stats.gini(Tables(s, dir).documents, "source", col("n_chars"), col("doc_id"))
+    },
+
+    // #86h Benford first-digit audit over order totals.
+    "q_benford" -> { (s, dir) =>
+      Stats.benfordDigits(Tables(s, dir).orders, col("o_totalprice"))
+    },
+
+    // #86i Hill tail-index of document length per source (k = 10 top
+    // order statistics at harness scale).
+    "q_hill_tail" -> { (s, dir) =>
+      Stats.hillTail(Tables(s, dir).documents, "source", col("n_chars"),
+        col("doc_id"), k = 10)
+    },
+
+    // #79b local clustering coefficient over the word-adjacency graph
+    // (same graph as q_triangles); vertices are word hashes, so the
+    // oracle compares the relabeling-invariant (coef-bucket, degree,
+    // triangle) aggregates.
+    "q_clustering_coef" -> { (s, dir) =>
+      val pairs = TextRank.adjacentPairRows(Tables(s, dir).documents, "text")
+        .select(xxhash64(col("w1")).as("src"), xxhash64(col("w2")).as("dst"))
+      Graph.localClustering(pairs, "src", "dst")
+        .groupBy(floor(col("coef") * 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), sum("deg").as("sum_deg"),
+          sum("tri").as("sum_tri"))
+    },
+
+    // #80b CDC changelog apply: latest op per user wins; a user whose
+    // latest event is the synthetic delete marker ('error') vanishes.
+    "q_cdc_apply" -> { (s, dir) =>
+      TimeSeries.cdcApply(Tables(s, dir).events, "user_id",
+        Seq(col("ts"), col("event_id")), col("event_type") === "error")
+        .select(col("user_id"), col("event_type").as("last_op"),
+          round(col("value"), 2).as("last_value"),
+          unix_millis(col("ts")).as("ts_ms"), col("n_changes"))
+    },
+
+    // #77b multi-touch attribution: last-touch + linear credit per
+    // channel within a 48h lookback; linear shares exact in ppm.
+    "q_attribution" -> { (s, dir) =>
+      TimeSeries.attribution(Tables(s, dir).events, "user_id", "ts",
+        "event_type", convType = "purchase",
+        touchTypes = Seq("click", "view", "signup"),
+        lookbackMs = 48L * 3600 * 1000)
+    }
+  )
+
+  /** Shared CTE: the regression pair in exact integers. */
+  private val xyCte =
+    """t AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+      |        CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem)""".stripMargin
+
+  /** Shared CTE: the five exact sums feeding OLS/Pearson closed forms. */
+  private val sumsCte =
+    """s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |        sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+      |        sum(CAST(x AS HUGEINT) * x)::DOUBLE AS sxx,
+      |        sum(CAST(x AS HUGEINT) * y)::DOUBLE AS sxy,
+      |        sum(CAST(y AS HUGEINT) * y)::DOUBLE AS syy
+      |      FROM t GROUP BY g)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_ols_fit" ->
+      s"""WITH $xyCte,
+         |$sumsCte
+         |SELECT g AS l_returnflag, n,
+         |  round((sxy * n - sx * sy) / (sxx * n - sx * sx), 6) + 0.0 AS slope,
+         |  round((sy - ((sxy * n - sx * sy) / (sxx * n - sx * sx)) * sx) / n, 6) + 0.0 AS intercept,
+         |  round(((sxy * n - sx * sy) * (sxy * n - sx * sy)) /
+         |        ((sxx * n - sx * sx) * (syy * n - sy * sy)), 6) + 0.0 AS r2
+         |FROM s""".stripMargin,
+    "q_pearson" ->
+      s"""WITH $xyCte,
+         |$sumsCte
+         |SELECT g AS l_returnflag, n,
+         |  round((sxy * n - sx * sy) /
+         |        (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy)), 6) + 0.0 AS pearson_r
+         |FROM s""".stripMargin,
+    "q_spearman" ->
+      s"""WITH $xyCte,
+         |r AS (SELECT g,
+         |        CAST(rank() OVER (PARTITION BY g ORDER BY x) * 2 +
+         |             count(*) OVER (PARTITION BY g, x) - 1 AS BIGINT) AS x,
+         |        CAST(rank() OVER (PARTITION BY g ORDER BY y) * 2 +
+         |             count(*) OVER (PARTITION BY g, y) - 1 AS BIGINT) AS y
+         |      FROM t),
+         |${sumsCte.replace("FROM t ", "FROM r ")}
+         |SELECT g AS l_returnflag, n,
+         |  round((sxy * n - sx * sy) /
+         |        (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy)), 6) + 0.0 AS spearman_rho
+         |FROM s""".stripMargin,
+    "q_mannwhitney" ->
+      """WITH t AS (SELECT value AS v, event_type = 'purchase' AS grp FROM events
+        |           WHERE event_type IN ('purchase', 'click')),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |      FROM t GROUP BY v),
+        |r AS (SELECT c1, c, sum(c) OVER (ORDER BY v) - c AS cumPrev FROM h),
+        |a AS (SELECT CAST(sum(c1 * (cumPrev * 2 + c + 1)) AS BIGINT) AS r2sum1,
+        |        CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c - c1) AS BIGINT) AS n2 FROM r)
+        |SELECT n1, n2,
+        |  round((r2sum1::DOUBLE - n1::DOUBLE * (n1::DOUBLE + 1)) / 2.0, 1) + 0.0 AS u_stat,
+        |  round(((r2sum1::DOUBLE - n1::DOUBLE * (n1::DOUBLE + 1)) / 2.0 -
+        |         n1::DOUBLE * n2::DOUBLE / 2.0) /
+        |        sqrt(n1::DOUBLE * n2::DOUBLE * (n1::DOUBLE + n2::DOUBLE + 1) / 12.0), 4) + 0.0
+        |    AS z_score
+        |FROM a""".stripMargin,
+    "q_ab_test" ->
+      """WITH per AS (SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |      FROM orders GROUP BY g),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(conv) AS BIGINT) AS tconv FROM per),
+        |sel AS (SELECT g, n, conv,
+        |          conv::DOUBLE AS c1, n::DOUBLE AS n1,
+        |          (tconv - conv)::DOUBLE AS c2, (tn - n)::DOUBLE AS n2
+        |        FROM per, tot)
+        |SELECT g AS o_orderpriority, n, conv,
+        |  round(c1 / n1, 6) + 0.0 AS p_variant,
+        |  round(c2 / n2, 6) + 0.0 AS p_rest,
+        |  round((c1 / n1 - c2 / n2) /
+        |        sqrt((c1 + c2) / (n1 + n2) * (1.0 - (c1 + c2) / (n1 + n2)) *
+        |             (1.0 / n1 + 1.0 / n2)), 4) + 0.0 AS z_score
+        |FROM sel""".stripMargin,
+    "q_cusum" ->
+      """WITH t AS (SELECT event_type AS g, ts, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |s AS (SELECT g, ts,
+        |        row_number() OVER w AS i,
+        |        sum(x) OVER w * count(*) OVER (PARTITION BY g) -
+        |          row_number() OVER w * sum(x) OVER (PARTITION BY g) AS dev,
+        |        count(*) OVER (PARTITION BY g) AS n
+        |      FROM t WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY abs(dev) DESC, i) AS rn FROM s)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n, CAST(i AS INTEGER) AS cp_index,
+        |       epoch_ms(ts) AS cp_ms,
+        |       round(abs(dev)::DOUBLE / n::DOUBLE, 4) AS cusum_stat
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q_acf" -> {
+      val centered =
+        """c AS (SELECT g,
+          |        x * count(*) OVER (PARTITION BY g) - sum(x) OVER (PARTITION BY g) AS d,
+          |        lag(x, 1) OVER w * count(*) OVER (PARTITION BY g) - sum(x) OVER (PARTITION BY g) AS dl1,
+          |        lag(x, 2) OVER w * count(*) OVER (PARTITION BY g) - sum(x) OVER (PARTITION BY g) AS dl2,
+          |        lag(x, 3) OVER w * count(*) OVER (PARTITION BY g) - sum(x) OVER (PARTITION BY g) AS dl3
+          |      FROM t WINDOW w AS (PARTITION BY g ORDER BY ts, event_id))""".stripMargin
+      s"""WITH t AS (SELECT event_type AS g, ts, event_id,
+         |             CAST(round(value * 100) AS BIGINT) AS x FROM events),
+         |$centered,
+         |a AS (SELECT g, sum(CAST(d AS HUGEINT) * d)::DOUBLE AS den,
+         |        sum(CAST(dl1 AS HUGEINT) * d)::DOUBLE AS num1,
+         |        sum(CAST(dl2 AS HUGEINT) * d)::DOUBLE AS num2,
+         |        sum(CAST(dl3 AS HUGEINT) * d)::DOUBLE AS num3
+         |      FROM c GROUP BY g)
+         |SELECT g AS event_type, 1 AS lag, round(num1 / den, 4) + 0.0 AS acf FROM a
+         |UNION ALL
+         |SELECT g AS event_type, 2 AS lag, round(num2 / den, 4) + 0.0 AS acf FROM a
+         |UNION ALL
+         |SELECT g AS event_type, 3 AS lag, round(num3 / den, 4) + 0.0 AS acf FROM a""".stripMargin
+    },
+    "q_gini" ->
+      """WITH t AS (SELECT source AS g, n_chars AS x,
+        |             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+        |           FROM documents)
+        |SELECT g AS source, CAST(count(*) AS BIGINT) AS n,
+        |  round((sum(i * x) * 2 - (count(*) + 1) * sum(x))::DOUBLE /
+        |        (count(*) * sum(x))::DOUBLE, 6) + 0.0 AS gini
+        |FROM t GROUP BY g""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+        |                    1, 1) AS INTEGER) AS digit FROM orders),
+        |f AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d WHERE digit >= 1 GROUP BY digit),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS tn FROM f)
+        |SELECT digit, n_obs,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+        |  round(pow(n_obs::DOUBLE - tn * log10(1.0 + 1.0 / digit), 2) /
+        |        (tn * log10(1.0 + 1.0 / digit)), 4) AS chi2_contrib
+        |FROM f, t""".stripMargin,
+    "q_hill_tail" ->
+      """WITH r AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS xv,
+        |             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS i
+        |           FROM documents),
+        |ref AS (SELECT g, xv AS xref FROM r WHERE i = 11),
+        |a AS (SELECT r.g, CAST(count(*) AS BIGINT) AS k, sum(ln(xv / xref)) AS lsum
+        |      FROM r JOIN ref USING (g) WHERE i <= 10 GROUP BY r.g)
+        |SELECT g AS source, k, round(lsum / k, 4) + 0.0 AS hill_mean_log,
+        |       round(k / lsum, 4) + 0.0 AS tail_alpha
+        |FROM a""".stripMargin,
+    "q_clustering_coef" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |p0 AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |         i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS u FROM w WHERE len(ws) >= 2),
+        |e AS (SELECT DISTINCT least(u.w1, u.w2) AS a, greatest(u.w1, u.w2) AS b
+        |      FROM p0 WHERE u.w1 <> u.w2),
+        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+        |          (SELECT a AS v FROM e UNION ALL SELECT b FROM e) t GROUP BY v),
+        |wed AS (SELECT e1.a AS wa, e1.b AS wb, e2.b AS wc FROM e e1 JOIN e e2 ON e2.a = e1.b),
+        |tri0 AS (SELECT wa, wb, wc FROM wed JOIN e e3 ON e3.a = wed.wa AND e3.b = wed.wc),
+        |tv AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM
+        |         (SELECT wa AS v FROM tri0 UNION ALL SELECT wb FROM tri0
+        |          UNION ALL SELECT wc FROM tri0) t GROUP BY v),
+        |cc AS (SELECT d.v, d.deg, COALESCE(tv.tri, 0) AS tri,
+        |         (COALESCE(tv.tri, 0) * 2)::DOUBLE / (d.deg * (d.deg - 1))::DOUBLE AS coef
+        |       FROM deg d LEFT JOIN tv USING (v) WHERE d.deg >= 2)
+        |SELECT CAST(floor(coef * 10) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(sum(deg) AS BIGINT) AS sum_deg, CAST(sum(tri) AS BIGINT) AS sum_tri
+        |FROM cc GROUP BY bucket""".stripMargin,
+    "q_cdc_apply" ->
+      """WITH r AS (SELECT user_id, event_type, value, ts, event_id,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+        |           FROM events)
+        |SELECT user_id, event_type AS last_op, round(value, 2) AS last_value,
+        |       epoch_ms(ts) AS ts_ms, n_changes
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "q_attribution" ->
+      """WITH conv AS (SELECT user_id AS u, ts AS cts, event_id AS conv_id FROM events
+        |              WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id AS u, ts AS tts, event_id AS touch_id, event_type AS channel
+        |        FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |p AS (SELECT conv.conv_id, tch.channel, tch.tts, tch.touch_id
+        |      FROM conv JOIN tch USING (u)
+        |      WHERE tch.tts < conv.cts AND tch.tts >= conv.cts - INTERVAL 172800 SECOND),
+        |s AS (SELECT conv_id, channel,
+        |        count(*) OVER (PARTITION BY conv_id) AS n_t,
+        |        row_number() OVER (PARTITION BY conv_id ORDER BY tts DESC, touch_id DESC) AS rn
+        |      FROM p)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_convs,
+        |       CAST(sum(1000000 // n_t) AS BIGINT) AS linear_credit_ppm
+        |FROM s GROUP BY channel""".stripMargin
+  )
+}

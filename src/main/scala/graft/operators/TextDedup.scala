@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -719,4 +720,49 @@ object TextDedup {
         round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every `ngram`-word
+    * shingle, slide a `window`-wide window over the hash sequence, and
+    * select each window's minimum (rightmost on ties). Guarantees at
+    * least one selected fingerprint in every window, so any shared
+    * substring of ≥ window+ngram−1 words produces a shared
+    * fingerprint — the plagiarism/containment detector that exact-hash
+    * dedup misses.
+    *
+    * Hashes are the engine-portable polynomial family
+    * ([[Curation.polyWordHash]]); the window minimum unrolls into
+    * `lead` columns (window is a small compile-time constant), so
+    * selection is ONE window pass per document — no self-join, and the
+    * only shuffle is the per-doc partition. Emits one row per doc:
+    * fingerprint count + min/max fingerprint value.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         ngram: Int = 3, window: Int = 4): DataFrame = {
+    require(window >= 2 && window <= 8, "window in [2,8] (unrolled leads)")
+    val P = 1000000007L
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val words = docs.select(col(idCol),
+      posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "w")))
+      .select(col(idCol), col("pos"), Curation.polyWordHash(col("w")).as("wh"))
+    // n-gram hash = poly fold over the member word hashes.
+    val gram = words.select(col(idCol), col("pos"),
+      (1 until ngram).foldLeft(col("wh")) { (acc, k) =>
+        pmod(acc * 31L + lead(col("wh"), k).over(w), lit(P))
+      }.as("gh")).filter(col("gh").isNotNull)
+    val leads = (1 until window).map(k => lead(col("gh"), k).over(w).as(s"g$k"))
+    val windowed = gram.select(Seq(col(idCol), col("pos"), col("gh").as("g0")) ++ leads: _*)
+      .filter(col(s"g${window - 1}").isNotNull)
+    val mn = least((0 until window).map(k => col(s"g$k")): _*)
+    // Rightmost minimum: the ascending fold leaves the HIGHEST offset
+    // as the outermost when(), so it is checked first.
+    val off = (1 until window).foldLeft(lit(0)) { (acc, k) =>
+      when(col(s"g$k") === col("__mn"), lit(k)).otherwise(acc)
+    }
+    windowed.withColumn("__mn", mn)
+      .select(col(idCol), (col("pos") + off).as("sel_pos"), col("__mn").as("fp"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fps"), min("fp").as("min_fp"), max("fp").as("max_fp"))
+  }
 }

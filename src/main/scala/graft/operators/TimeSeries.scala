@@ -250,4 +250,58 @@ object TimeSeries {
       .groupBy(col("cohort"), ((col("bucket") - col("cohort")) / bucketSeconds).cast("long").as("age"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Apply a CDC changelog to a materialized view: latest operation
+    * per key wins (ordered by `orderCols`), and a key whose latest
+    * operation is a delete vanishes from the result. The Debezium /
+    * Kafka-compaction contract as one keep-newest window — no
+    * iterative merge, no driver loop; at 100 TB the only shuffle is
+    * the key partition (and with the target bucketed by key, even that
+    * co-locates).
+    */
+  def cdcApply(log: DataFrame, keyCol: String, orderCols: Seq[Column],
+               isDelete: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.desc): _*)
+    val all = Window.partitionBy(col(keyCol))
+    log.withColumn("__del", isDelete)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(all))
+      .filter(col("__rn") === 1 && !col("__del"))
+      .drop("__rn", "__del")
+  }
+
+  /** Multi-touch conversion attribution: for every conversion event,
+    * credit the user's touch events inside the lookback window —
+    * last-touch gives the latest touch a full credit; linear splits
+    * one credit evenly. The linear share is kept engine-exact as
+    * integer parts-per-million (1e6 div n_touches), sidestepping
+    * float-sum ordering entirely.
+    *
+    * Shape: conversions × touches join on user within the time range —
+    * per-user event counts are bounded (sessions, not corpus), so the
+    * range join stays linear in conversions; per-conversion sizes and
+    * last-touch election are window passes over the joined pairs.
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, convType: String, touchTypes: Seq[String],
+                  lookbackMs: Long): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), col(tsCol).as("cts"),
+        col("event_id").as("conv_id"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("u"), col(tsCol).as("tts"),
+        col("event_id").as("touch_id"), col(typeCol).as("channel"))
+    val pairs = conv.join(touch, Seq("u"))
+      .filter(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL ${lookbackMs / 1000} SECOND"))
+    val perConv = Window.partitionBy(col("conv_id"))
+    val scored = pairs
+      .withColumn("n_touches", count(lit(1)).over(perConv))
+      .withColumn("rn", row_number().over(
+        perConv.orderBy(col("tts").desc, col("touch_id").desc)))
+    scored.groupBy("channel").agg(
+      count(lit(1)).as("n_touches"),
+      sum(when(col("rn") === 1, 1L).otherwise(0L)).as("last_touch_convs"),
+      sum(expr("1000000 div n_touches")).as("linear_credit_ppm"))
+  }
 }

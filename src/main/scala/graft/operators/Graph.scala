@@ -398,6 +398,37 @@ object Graph {
           (col("deg") * (col("deg") - 1)).cast("double") as "coef")
   }
 
+  /** BFS levels (shortest hop distance) from a seed vertex set,
+    * bounded at `maxDepth`: the frontier-expansion form — each round
+    * joins the current frontier to the (symmetrized) edge list and
+    * anti-joins the visited set, so only (id, dist) pairs ever move
+    * and each vertex is expanded exactly once. Equivalent to a SQL
+    * `WITH RECURSIVE` reachability query (the oracle runs exactly
+    * that in DuckDB); at cluster scale each round is one shuffle of
+    * frontier-adjacent ids — the iteration-count bound is the graph
+    * diameter cap, not the corpus size.
+    */
+  def bfsLevels(edges: DataFrame, src: String, dst: String,
+                seed: DataFrame, maxDepth: Int): DataFrame = {
+    val sym = edges.select(col(src).as("u"), col(dst).as("v"))
+      .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var dist = seed.select(col("id"), lit(0).as("dist")).localCheckpoint(true)
+    var frontier = dist.select("id")
+    for (d <- 1 to maxDepth) {
+      val prevDist = dist
+      val next = frontier.join(sym, frontier("id") === sym("u"))
+        .select(col("v").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("dist", lit(d)).localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      releaseCheckpoint(prevDist)
+      frontier = next.select("id")
+    }
+    releaseCheckpoint(sym)
+    dist
+  }
+
   /** Small-star: orient each edge high→low, then link every smaller
     * neighbor (and u itself) to the minimum seen.
     */

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical inference tests over corpus/event data — the second half
+  * of the statistics layer (Stats.scala holds regression/correlation;
+  * this file holds distribution tests and survival analysis).
+  *
+  * Exactness contract (SURVEY.md §5): every statistic flows through
+  * exact integer counts/sums; doubles appear only in the final closed
+  * form, rounded at 4-6 dp. Cumulative-window statistics (KS ECDF,
+  * Kaplan-Meier log-survival) run over ORDERED windows, so both
+  * engines accumulate doubles in the same sequence and agree bitwise.
+  *
+  * Scale posture: the KS and Kaplan-Meier windows are unpartitioned
+  * BUT run over the aggregated value/time DOMAIN (distinct cents
+  * buckets, distinct churn days), not over rows — the domain is
+  * bounded by the value range / observation span, so the single
+  * partition holds thousands of rows at any corpus size. All other
+  * shapes are plain keyed aggregates; contingency margins broadcast.
+  */
+object Inference {
+
+  /** Two-sample Kolmogorov-Smirnov D over an integral measurement
+    * (e.g. cents): D = max |ECDF_a - ECDF_b|, kept exact as the
+    * integer max of |cum_a*n_b - cum_b*n_a| until the final divide.
+    * The asymptotic z = D * sqrt(n_a*n_b/(n_a+n_b)).
+    */
+  def ksTest(df: DataFrame, isA: Column, v: Column): DataFrame = {
+    val t = df.select(isA.as("a"), v.cast("long").as("x"))
+    val h = t.groupBy("x").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("c2"))
+    // cumulative ECDF numerators over the distinct-value domain
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.select(
+      sum("c1").over(w).as("cum1"), sum("c2").over(w).as("cum2"))
+    val tot = h.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dnum"))
+      .groupBy("n1", "n2").agg(max("dnum").as("dnum"))
+      .select(col("n1"), col("n2"),
+        round(col("dnum").cast("double") / (col("n1") * col("n2")).cast("double"), 6).as("ks_d"),
+        round(col("dnum").cast("double") / (col("n1") * col("n2")).cast("double") *
+          sqrt((col("n1") * col("n2")).cast("double") /
+            (col("n1") + col("n2")).cast("double")), 4).as("ks_z"))
+  }
+
+  /** Grouped two-sample KS: one D statistic per group — the
+    * continuous-feature drift gate (PSI's complement: no binning
+    * choice). Same exact-integer construction as [[ksTest]] with
+    * every window keyed by the group, so the cumulative ECDF scan
+    * partitions by group and scales with groups × value-domain.
+    */
+  def ksTestBy(df: DataFrame, groupCol: String, isA: Column, v: Column): DataFrame = {
+    val t = df.select(col(groupCol).as("g"), isA.as("a"), v.cast("long").as("x"))
+    val h = t.groupBy("g", "x").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.select(col("g"),
+      sum("c1").over(w).as("cum1"), sum("c2").over(w).as("cum2"))
+    val tot = h.groupBy("g").agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cum.join(tot, "g")
+      .select(col("g"), col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dnum"))
+      .groupBy("g", "n1", "n2").agg(max("dnum").as("dnum"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("g").as(groupCol), col("n1"), col("n2"),
+        round(col("dnum").cast("double") / (col("n1") * col("n2")).cast("double"), 6).as("ks_d"),
+        round(col("dnum").cast("double") / (col("n1") * col("n2")).cast("double") *
+          sqrt((col("n1") * col("n2")).cast("double") /
+            (col("n1") + col("n2")).cast("double")), 4).as("ks_z"))
+  }
+
+  /** (cells, rowMargins, colMargins, total) of the r×c contingency
+    * table — all exact longs; margins are broadcast-sized.
+    */
+  private def contingency(df: DataFrame, rowCol: String, colCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val cells = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("n"))
+    val rm = cells.groupBy("r").agg(sum("n").as("nr"))
+    val cm = cells.groupBy("c").agg(sum("n").as("nc"))
+    val tot = cells.agg(sum("n").as("nt"),
+      countDistinct("r").as("n_r"), countDistinct("c").as("n_c"))
+    (cells, rm, cm, tot)
+  }
+
+  /** Pearson chi-square test of independence + Cramér's V for an r×c
+    * contingency table (e.g. source × lang). Expected counts are the
+    * margin product over N; the cell sum is a double over O(r·c)
+    * well-scaled terms (4 dp — the Benford/KL rounding family).
+    */
+  def chiSquareIndependence(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val (cells, rm, cm, tot) = contingency(df, rowCol, colCol)
+    // zero-cell-free identity: chi2 = N·Σ_observed n²/(nr·nc) − N —
+    // structural zeros contribute 0 to the sum but NOT to Σ(n−E)²/E,
+    // so summing (n−E)²/E over observed cells alone would undercount
+    cells.join(broadcast(rm), "r").join(broadcast(cm), "c").crossJoin(broadcast(tot))
+      .select(col("nt"), col("n_r"), col("n_c"),
+        (col("n").cast("double") * col("n").cast("double") /
+          (col("nr").cast("double") * col("nc").cast("double"))).as("term"))
+      .groupBy("nt", "n_r", "n_c").agg(sum("term").as("tsum"))
+      .select(col("nt").as("n"),
+        round(col("tsum") * col("nt").cast("double") - col("nt").cast("double"), 4).as("chi2"),
+        ((col("n_r") - 1) * (col("n_c") - 1)).as("dof"),
+        round(sqrt((col("tsum") * col("nt").cast("double") - col("nt").cast("double")) /
+          (col("nt") * least(col("n_r") - 1, col("n_c") - 1)).cast("double")), 6)
+          .as("cramers_v"))
+  }
+
+  /** Mutual information I(R;C) in bits plus the marginal entropies and
+    * the normalized MI = I / min(H(R), H(C)) — the "are these two
+    * labelings redundant" corpus diagnostic.
+    */
+  def mutualInformation(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val (cells, rm, cm, tot) = contingency(df, rowCol, colCol)
+    val nt = col("nt").cast("double")
+    val miTerm = (col("n").cast("double") / nt) *
+      log2(col("n").cast("double") * nt / (col("nr").cast("double") * col("nc").cast("double")))
+    val joined = cells.join(broadcast(rm), "r").join(broadcast(cm), "c").crossJoin(broadcast(tot))
+    val mi = joined.select(col("nt"), miTerm.as("term"))
+      .groupBy("nt").agg(sum("term").as("mi"))
+    val hr = rm.crossJoin(broadcast(tot))
+      .select((col("nr").cast("double") / nt * log2(col("nr").cast("double") / nt)).as("t"))
+      .agg((-sum("t")).as("h_row"))
+    val hc = cm.crossJoin(broadcast(tot))
+      .select((col("nc").cast("double") / nt * log2(col("nc").cast("double") / nt)).as("t"))
+      .agg((-sum("t")).as("h_col"))
+    mi.crossJoin(broadcast(hr)).crossJoin(broadcast(hc))
+      .select(col("nt").as("n"),
+        round(col("mi"), 6).as("mi_bits"),
+        round(col("h_row"), 6).as("h_row"),
+        round(col("h_col"), 6).as("h_col"),
+        round(col("mi") / least(col("h_row"), col("h_col")), 6).as("nmi"))
+  }
+
+  /** Mann-Kendall trend test per group over a per-period integral
+    * aggregate (Mann 1945, Kendall 1975): S = sum over ordered period
+    * pairs of sign(x_j - x_i); tau-a = S / (n(n-1)/2); z uses the
+    * no-ties variance n(n-1)(2n+5)/18 with continuity correction.
+    * The pair join is bounded by the PERIOD domain (days²), not rows.
+    */
+  def mannKendall(df: DataFrame, groupCol: String, period: Column, x: Column): DataFrame = {
+    val d = df.select(col(groupCol).as("g"), period.as("p"), x.cast("long").as("x"))
+      .groupBy("g", "p").agg(sum("x").as("x"))
+    val a = d.select(col("g"), col("p").as("pa"), col("x").as("xa"))
+    val b = d.select(col("g").as("g2"), col("p").as("pb"), col("x").as("xb"))
+    val s = a.join(b, col("g") === col("g2") && col("pa") < col("pb"))
+      .groupBy("g").agg(sum(signum((col("xb") - col("xa")).cast("double")).cast("long")).as("s_stat"))
+    val n = d.groupBy("g").agg(count(lit(1)).as("n_periods"))
+    val nn = col("n_periods").cast("double")
+    val varS = nn * (nn - 1) * (nn * 2 + 5) / 18.0
+    val cc = when(col("s_stat") > 0, col("s_stat") - 1)
+      .when(col("s_stat") < 0, col("s_stat") + 1).otherwise(lit(0L))
+    s.join(n, "g")
+      .select(col("g").as(groupCol), col("n_periods"), col("s_stat"),
+        round(col("s_stat").cast("double") / (nn * (nn - 1) / 2.0), 6).as("tau"),
+        round(cc.cast("double") / sqrt(varS), 4).as("z_score"))
+  }
+
+  /** Kaplan-Meier survival estimator (Kaplan & Meier 1958): subjects
+    * enter at their first observation, the event is `isEvent`'s first
+    * firing, everyone else is right-censored at the global last
+    * observation. One row per distinct duration-day with an event:
+    * at-risk count, events, censored, and the product-limit survival
+    * S(t) = prod(1 - d_i/n_i), computed as exp of an ORDERED
+    * cumulative log-sum so both engines accumulate identically.
+    */
+  def kaplanMeier(df: DataFrame, subjectCol: String, ts: Column, isEvent: Column): DataFrame = {
+    val t = df.select(col(subjectCol).as("s"), ts.as("ts"), isEvent.as("ev"))
+    val horizon = t.agg(max(unix_millis(col("ts"))).as("h_ms"))
+    val per = t.groupBy("s").agg(
+      min(unix_millis(col("ts"))).as("start_ms"),
+      min(when(col("ev"), unix_millis(col("ts")))).as("ev_ms"))
+    val durs = per.crossJoin(broadcast(horizon)).select(
+      ((coalesce(col("ev_ms"), col("h_ms")) - col("start_ms")) / lit(86400000L))
+        .cast("long").as("t_day"),
+      col("ev_ms").isNotNull.as("observed"))
+    val byDay = durs.groupBy("t_day").agg(
+      sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("observed"), 1L).otherwise(0L)).as("c"))
+    val wCum = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = byDay.agg(sum(col("d") + col("c")).as("n_subj"))
+    // If some day exhausts the risk set (n_risk == d) survival hits
+    // exactly 0 — guarded explicitly because Spark's log(0) is null
+    // while DuckDB's ln(0) is -inf; the cumulative min of (n_risk - d)
+    // detects it portably.
+    byDay.crossJoin(broadcast(total))
+      // at risk at t = subjects whose duration >= t
+      .withColumn("n_risk", col("n_subj") - (sum(col("d") + col("c")).over(wCum) - col("d") - col("c")))
+      .withColumn("surv",
+        when(min(col("n_risk") - col("d")).over(wCum) === 0, lit(0.0)).otherwise(
+          exp(sum(log(when(col("n_risk") === col("d"), lit(1.0)).otherwise(
+            (col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double")))).over(wCum))))
+      .filter(col("d") > 0)
+      .select(col("t_day"), col("n_risk"), col("d").as("n_event"), col("c").as("n_censor"),
+        round(col("surv"), 6).as("survival"))
+  }
+}

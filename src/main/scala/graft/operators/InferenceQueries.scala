@@ -1,0 +1,365 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Oracle-checked queries for the inference layer (Inference.scala),
+  * BFS reachability (Graph.bfsLevels — proven against a DuckDB
+  * `WITH RECURSIVE` oracle), product quantization (VectorOps.pqAssign)
+  * and the GROUPING SETS relational surface.
+  */
+object InferenceQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def centsValue = round(col("value") * 100).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // #87 two-sample KS: did purchase values shift vs click values?
+    "q_ks_test" -> { (s, dir) =>
+      val ev = Tables(s, dir).events.filter(col("event_type").isin("purchase", "click"))
+      Inference.ksTest(ev, col("event_type") === "purchase", centsValue)
+    },
+
+    // #87b chi-square independence of source × lang over documents.
+    "q_chi2_indep" -> { (s, dir) =>
+      Inference.chiSquareIndependence(Tables(s, dir).documents, "source", "lang")
+    },
+
+    // #87c mutual information between source and lang labels.
+    "q_mutual_info" -> { (s, dir) =>
+      Inference.mutualInformation(Tables(s, dir).documents, "source", "lang")
+    },
+
+    // #87d Mann-Kendall monotone-trend test on daily event totals.
+    "q_mann_kendall" -> { (s, dir) =>
+      Inference.mannKendall(Tables(s, dir).events, "event_type",
+        to_date(col("ts")).as("p"), centsValue)
+    },
+
+    // #87e Kaplan-Meier: time from a user's first event to their
+    // first 'error', right-censored at the corpus horizon.
+    "q_kaplan_meier" -> { (s, dir) =>
+      Inference.kaplanMeier(Tables(s, dir).events, "user_id", col("ts"),
+        col("event_type") === "error")
+    },
+
+    // #88 BFS hop levels over the co-purchase part graph (support>=2
+    // edges), from the minimum part id, depth-capped at 6; per-level
+    // aggregate so the check is a reachability-set compare.
+    "q_bfs_levels" -> { (s, dir) =>
+      val bi = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+      val e = bi.as("x").join(bi.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+        .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      val seed = e.agg(min(col("pa")).as("id"))
+      Graph.bfsLevels(e, "pa", "pb", seed, maxDepth = 6)
+        .groupBy("dist").agg(count(lit(1)).as("n_nodes"),
+          sum("id").as("sum_ids"), min("id").as("min_id"), max("id").as("max_id"))
+    },
+
+    // #89 product-quantization codes: 4 × 16-dim subspaces, 16-entry
+    // codebooks seeded from the first corpus vectors.
+    "q_pq_assign" -> { (s, dir) =>
+      VectorOps.pqAssign(Tables(s, dir).embeddings, "vec_id", "embedding",
+        m = 4, subDim = 16, k = 16)
+    },
+
+    // #93f grouped KS drift gate: per event type, did the value
+    // distribution shift between the first and second half of the
+    // observation window? (The continuous-feature complement of PSI.)
+    "q_ks_drift" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val mid = ev.agg(((min(unix_millis(col("ts"))) + max(unix_millis(col("ts")))) / 2)
+        .cast("long").as("mid_ms"))
+      Inference.ksTestBy(ev.crossJoin(broadcast(mid)), "event_type",
+        unix_millis(col("ts")) < col("mid_ms"), centsValue)
+    },
+
+    // #85e rolling z-score anomalies: each event scored against its
+    // user's prior-8 window, |z| > 2.5 flagged.
+    "q_rolling_anomaly" -> { (s, dir) =>
+      TimeSeries.rollingAnomaly(Tables(s, dir).events, "user_id",
+        Seq(unix_millis(col("ts")), col("event_id")), centsValue, n = 8, zThresh = 2.5)
+        .withColumnRenamed("__o1", "ts_ms").withColumnRenamed("__o2", "event_id")
+    },
+
+    // #85f seasonal-naive backtest: forecast each (type, day) total by
+    // the expanding same-weekday mean of prior days; report MAE.
+    "q_seasonal_baseline" -> { (s, dir) =>
+      TimeSeries.seasonalBacktest(Tables(s, dir).events, "event_type", "ts", centsValue)
+    },
+
+    // #85g daily uniques ledger: DAU, first-seen news, running
+    // cumulative distinct users — no distinct-state accumulation.
+    "q_cumulative_uniques" -> { (s, dir) =>
+      TimeSeries.cumulativeUniques(Tables(s, dir).events, "ts", "user_id")
+    },
+
+    // #89b IVF-PQ search (faiss IVFADC): coarse router + PQ codes +
+    // ADC ranking, pinned 5-probe panel, nprobe=2 of 8 lists.
+    "q_ivfpq_search" -> { (s, dir) =>
+      VectorOps.ivfPqSearch(Tables(s, dir).embeddings, "vec_id", "embedding",
+        col("id") >= 24 && col("id") < 29, nlist = 8, nprobe = 2,
+        m = 4, subDim = 16, kCodes = 16, topK = 5)
+    },
+
+    // #90 GROUPING SETS with explicit grouping flags — the surface
+    // between rollup (q_rollup) and cube (q_cube): an arbitrary
+    // subset lattice in one pass.
+    "q_grouping_sets" -> { (s, dir) =>
+      val t = Tables(s, dir).lineitem
+      t.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+        .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).cast("int").as("gid"),
+          count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"), col("sum_qty"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ks_test" ->
+      """WITH t AS (SELECT event_type = 'purchase' AS a,
+        |             CAST(round(value * 100) AS BIGINT) AS x
+        |           FROM events WHERE event_type IN ('purchase', 'click')),
+        |h AS (SELECT x, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |        CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |      FROM t GROUP BY x),
+        |c AS (SELECT sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2
+        |      FROM h WINDOW w AS (ORDER BY x)),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+        |d AS (SELECT n1, n2, max(abs(cum1 * n2 - cum2 * n1)) AS dnum FROM c, n GROUP BY n1, n2)
+        |SELECT n1, n2,
+        |  round(dnum::DOUBLE / (n1 * n2)::DOUBLE, 6) + 0.0 AS ks_d,
+        |  round(dnum::DOUBLE / (n1 * n2)::DOUBLE *
+        |        sqrt((n1 * n2)::DOUBLE / (n1 + n2)::DOUBLE), 4) + 0.0 AS ks_z
+        |FROM d""".stripMargin,
+    "q_chi2_indep" ->
+      """WITH cells AS (SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS n
+        |               FROM documents GROUP BY r, c),
+        |rm AS (SELECT r, CAST(sum(n) AS BIGINT) AS nr FROM cells GROUP BY r),
+        |cm AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM cells GROUP BY c),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |          CAST(count(DISTINCT r) AS BIGINT) AS n_r,
+        |          CAST(count(DISTINCT c) AS BIGINT) AS n_c FROM cells),
+        |terms AS (SELECT nt, n_r, n_c,
+        |            cells.n::DOUBLE * cells.n::DOUBLE /
+        |            (rm.nr::DOUBLE * cm.nc::DOUBLE) AS term
+        |          FROM cells JOIN rm USING (r) JOIN cm USING (c), tot),
+        |s AS (SELECT nt, n_r, n_c, sum(term) AS tsum FROM terms GROUP BY nt, n_r, n_c)
+        |SELECT nt AS n, round(tsum * nt::DOUBLE - nt::DOUBLE, 4) + 0.0 AS chi2,
+        |  (n_r - 1) * (n_c - 1) AS dof,
+        |  round(sqrt((tsum * nt::DOUBLE - nt::DOUBLE) /
+        |        (nt * least(n_r - 1, n_c - 1))::DOUBLE), 6) + 0.0 AS cramers_v
+        |FROM s""".stripMargin,
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS n
+        |               FROM documents GROUP BY r, c),
+        |rm AS (SELECT r, CAST(sum(n) AS BIGINT) AS nr FROM cells GROUP BY r),
+        |cm AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM cells GROUP BY c),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+        |mi AS (SELECT nt, sum((cells.n::DOUBLE / nt::DOUBLE) *
+        |           log2(cells.n::DOUBLE * nt::DOUBLE / (rm.nr::DOUBLE * cm.nc::DOUBLE))) AS mi
+        |       FROM cells JOIN rm USING (r) JOIN cm USING (c), tot GROUP BY nt),
+        |hr AS (SELECT -sum((nr::DOUBLE / nt::DOUBLE) * log2(nr::DOUBLE / nt::DOUBLE)) AS h_row
+        |       FROM rm, tot),
+        |hc AS (SELECT -sum((nc::DOUBLE / nt::DOUBLE) * log2(nc::DOUBLE / nt::DOUBLE)) AS h_col
+        |       FROM cm, tot)
+        |SELECT nt AS n, round(mi, 6) + 0.0 AS mi_bits,
+        |  round(h_row, 6) + 0.0 AS h_row, round(h_col, 6) + 0.0 AS h_col,
+        |  round(mi / least(h_row, h_col), 6) + 0.0 AS nmi
+        |FROM mi, hr, hc""".stripMargin,
+    "q_mann_kendall" ->
+      """WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS p,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |           FROM events GROUP BY g, p),
+        |s AS (SELECT a.g, CAST(sum(sign(b.x - a.x)) AS BIGINT) AS s_stat
+        |      FROM d a JOIN d b ON a.g = b.g AND a.p < b.p GROUP BY a.g),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_periods FROM d GROUP BY g)
+        |SELECT n.g AS event_type, n.n_periods, s.s_stat,
+        |  round(s.s_stat::DOUBLE / (n.n_periods::DOUBLE * (n.n_periods - 1) / 2.0), 6) + 0.0 AS tau,
+        |  round((CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+        |              WHEN s.s_stat < 0 THEN s.s_stat + 1 ELSE 0 END)::DOUBLE /
+        |        sqrt(n.n_periods::DOUBLE * (n.n_periods - 1) * (2 * n.n_periods + 5) / 18.0), 4)
+        |    + 0.0 AS z_score
+        |FROM s JOIN n USING (g)""".stripMargin,
+    "q_kaplan_meier" ->
+      """WITH t AS (SELECT user_id AS s, epoch_ms(ts) AS ms,
+        |             event_type = 'error' AS ev FROM events),
+        |h AS (SELECT max(ms) AS h_ms FROM t),
+        |per AS (SELECT s, min(ms) AS start_ms,
+        |          min(CASE WHEN ev THEN ms END) AS ev_ms FROM t GROUP BY s),
+        |durs AS (SELECT (COALESCE(ev_ms, h_ms) - start_ms) // 86400000 AS t_day,
+        |           ev_ms IS NOT NULL AS observed FROM per, h),
+        |byday AS (SELECT t_day,
+        |            CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |            CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |          FROM durs GROUP BY t_day),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_subj FROM byday),
+        |r AS (SELECT t_day, d, c,
+        |        n_subj - (sum(d + c) OVER w - d - c) AS n_risk
+        |      FROM byday, tot WINDOW w AS (ORDER BY t_day)),
+        |km AS (SELECT t_day, d, c, n_risk,
+        |         CASE WHEN min(n_risk - d) OVER w = 0 THEN 0.0
+        |              ELSE exp(sum(ln(CASE WHEN n_risk = d THEN 1.0
+        |                     ELSE (n_risk - d)::DOUBLE / n_risk::DOUBLE END)) OVER w)
+        |         END AS surv
+        |       FROM r WINDOW w AS (ORDER BY t_day))
+        |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, d AS n_event, c AS n_censor,
+        |  round(surv, 6) + 0.0 AS survival
+        |FROM km WHERE d > 0""".stripMargin,
+    "q_bfs_levels" ->
+      """WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e0 AS (SELECT x.i AS pa, y.i AS pb FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS u, pb AS v FROM e0 UNION SELECT pb, pa FROM e0),
+        |seed AS (SELECT min(pa) AS id FROM e0),
+        |bfs AS (SELECT id, 0 AS dist FROM seed
+        |        UNION
+        |        SELECT e.v, bfs.dist + 1 FROM bfs JOIN e ON e.u = bfs.id
+        |        WHERE bfs.dist < 6),
+        |m AS (SELECT id, min(dist) AS dist FROM bfs GROUP BY id)
+        |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes, CAST(sum(id) AS BIGINT) AS sum_ids,
+        |       min(id) AS min_id, max(id) AS max_id
+        |FROM m GROUP BY dist""".stripMargin,
+    "q_pq_assign" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (SELECT id, s.s, list_slice(v, s.s * 16 + 1, s.s * 16 + 16) AS sv
+        |        FROM e, (SELECT unnest(range(0, 4)) AS s) s),
+        |cs AS (SELECT id AS cid, s.s AS csub, list_slice(v, s.s * 16 + 1, s.s * 16 + 16) AS cv
+        |       FROM e, (SELECT unnest(range(0, 4)) AS s) s WHERE id < 16),
+        |d AS (SELECT sub.id, sub.s, cs.cid,
+        |        list_sum(list_transform(range(1, 17),
+        |          i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d2
+        |      FROM sub JOIN cs ON cs.csub = sub.s),
+        |best AS (SELECT id, s, cid, d2 FROM (
+        |           SELECT id, s, cid, d2,
+        |             row_number() OVER (PARTITION BY id, s ORDER BY d2, cid) AS rn
+        |           FROM d) x WHERE rn = 1)
+        |SELECT id AS vec_id,
+        |  CAST(sum(CASE WHEN s = 0 THEN cid END) AS BIGINT) AS code0,
+        |  CAST(sum(CASE WHEN s = 1 THEN cid END) AS BIGINT) AS code1,
+        |  CAST(sum(CASE WHEN s = 2 THEN cid END) AS BIGINT) AS code2,
+        |  CAST(sum(CASE WHEN s = 3 THEN cid END) AS BIGINT) AS code3,
+        |  round(max(CASE WHEN s = 0 THEN d2 END) + max(CASE WHEN s = 1 THEN d2 END) +
+        |        max(CASE WHEN s = 2 THEN d2 END) + max(CASE WHEN s = 3 THEN d2 END), 6) + 0.0
+        |    AS distortion
+        |FROM best GROUP BY id""".stripMargin,
+    "q_ks_drift" ->
+      """WITH mid AS (SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid_ms FROM events),
+        |t AS (SELECT event_type AS g, epoch_ms(ts) < mid_ms AS a,
+        |        CAST(round(value * 100) AS BIGINT) AS x FROM events, mid),
+        |h AS (SELECT g, x, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |        CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |      FROM t GROUP BY g, x),
+        |c AS (SELECT g, sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2
+        |      FROM h WINDOW w AS (PARTITION BY g ORDER BY x)),
+        |n AS (SELECT g, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        |      FROM h GROUP BY g),
+        |d AS (SELECT c.g, n1, n2, max(abs(cum1 * n2 - cum2 * n1)) AS dnum
+        |      FROM c JOIN n USING (g) GROUP BY c.g, n1, n2)
+        |SELECT g AS event_type, n1, n2,
+        |  round(dnum::DOUBLE / (n1 * n2)::DOUBLE, 6) + 0.0 AS ks_d,
+        |  round(dnum::DOUBLE / (n1 * n2)::DOUBLE *
+        |        sqrt((n1 * n2)::DOUBLE / (n1 + n2)::DOUBLE), 4) + 0.0 AS ks_z
+        |FROM d WHERE n1 > 0 AND n2 > 0""".stripMargin,
+    "q_rolling_anomaly" ->
+      """WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |w0 AS (SELECT *, count(*) OVER w AS c, sum(x) OVER w AS sl, sum(x * x) OVER w AS sxx
+        |       FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |                           ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT *, (sxx::DOUBLE - sl::DOUBLE * sl::DOUBLE / 8.0) / 8.0 AS var
+        |      FROM w0 WHERE c = 8),
+        |z AS (SELECT *, (x::DOUBLE - sl::DOUBLE / 8.0) / sqrt(var) AS z
+        |      FROM v WHERE var > 0)
+        |SELECT user_id, ts_ms, event_id, x,
+        |  round(sl::DOUBLE / 8.0, 4) + 0.0 AS roll_mean,
+        |  round(z, 4) + 0.0 AS z_score
+        |FROM z WHERE abs(z) > 2.5""".stripMargin,
+    "q_seasonal_baseline" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |               FROM events GROUP BY g, day),
+        |d2 AS (SELECT *, dayofweek(day) AS dow FROM daily),
+        |p AS (SELECT *, count(*) OVER w AS cp, sum(x) OVER w AS slp FROM d2
+        |      WINDOW w AS (PARTITION BY g, dow ORDER BY day
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |r AS (SELECT g, x, abs(x::DOUBLE - slp::DOUBLE / cp::DOUBLE) AS resid
+        |      FROM p WHERE cp > 0)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(avg(resid), 2) + 0.0 AS mae,
+        |  round(avg(x::DOUBLE), 2) + 0.0 AS mean_daily
+        |FROM r GROUP BY g""".stripMargin,
+    "q_cumulative_uniques" ->
+      """WITH t AS (SELECT CAST(ts AS DATE) AS day, user_id AS id FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |        FROM (SELECT DISTINCT day, id FROM t) x GROUP BY day),
+        |fs AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+        |       FROM (SELECT id, min(day) AS day FROM t GROUP BY id) x GROUP BY day)
+        |SELECT d.day, d.dau, COALESCE(fs.n_new, 0) AS n_new,
+        |  CAST(sum(COALESCE(fs.n_new, 0)) OVER (ORDER BY d.day) AS BIGINT) AS cum_uniques
+        |FROM dau d LEFT JOIN fs USING (day)""".stripMargin,
+    "q_ivfpq_search" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |coarse AS (SELECT id AS lid, v AS cv FROM e WHERE id < 8),
+        |book AS (SELECT id AS cid, s.s AS bs, list_slice(v, s.s * 16 + 1, s.s * 16 + 16) AS bv
+        |         FROM e, (SELECT unnest(range(0, 4)) AS s) s WHERE id < 16),
+        |la AS (SELECT e.id, lid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d
+        |       FROM e CROSS JOIN coarse),
+        |lmin AS (SELECT id, lid AS list FROM (
+        |           SELECT id, lid, row_number() OVER (PARTITION BY id ORDER BY d, lid) AS rn
+        |           FROM la) x WHERE rn = 1),
+        |ca AS (SELECT e.id, b.bs, b.cid,
+        |         list_sum(list_transform(range(1, 17),
+        |           i -> (list_slice(v, b.bs * 16 + 1, b.bs * 16 + 16)[i] - b.bv[i]) *
+        |                (list_slice(v, b.bs * 16 + 1, b.bs * 16 + 16)[i] - b.bv[i]))) AS d
+        |       FROM e CROSS JOIN book b),
+        |cmin AS (SELECT id, bs, cid FROM (
+        |           SELECT id, bs, cid, row_number() OVER (PARTITION BY id, bs ORDER BY d, cid) AS rn
+        |           FROM ca) x WHERE rn = 1),
+        |codes AS (SELECT l.id, l.list,
+        |            sum(CASE WHEN bs = 0 THEN cid END) AS code0,
+        |            sum(CASE WHEN bs = 1 THEN cid END) AS code1,
+        |            sum(CASE WHEN bs = 2 THEN cid END) AS code2,
+        |            sum(CASE WHEN bs = 3 THEN cid END) AS code3
+        |          FROM lmin l JOIN cmin USING (id) GROUP BY l.id, l.list),
+        |probes AS (SELECT id AS pid, v FROM e WHERE id >= 24 AND id < 29),
+        |pl AS (SELECT pid, lid AS list FROM (
+        |         SELECT pid, lid, row_number() OVER (PARTITION BY pid ORDER BY d, lid) AS rn
+        |         FROM (SELECT p.pid, c.lid,
+        |                 list_sum(list_transform(range(1, 65),
+        |                   i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]))) AS d
+        |               FROM probes p CROSS JOIN coarse c) x) y WHERE rn <= 2),
+        |lut AS (SELECT p.pid, b.bs, b.cid,
+        |          list_sum(list_transform(range(1, 17),
+        |            i -> (list_slice(p.v, b.bs * 16 + 1, b.bs * 16 + 16)[i] - b.bv[i]) *
+        |                 (list_slice(p.v, b.bs * 16 + 1, b.bs * 16 + 16)[i] - b.bv[i]))) AS d
+        |        FROM probes p CROSS JOIN book b),
+        |cand AS (SELECT pl.pid, codes.id,
+        |           ((l0.d + l1.d) + l2.d) + l3.d AS adc
+        |         FROM codes JOIN pl USING (list)
+        |           JOIN lut l0 ON l0.pid = pl.pid AND l0.bs = 0 AND l0.cid = codes.code0
+        |           JOIN lut l1 ON l1.pid = pl.pid AND l1.bs = 1 AND l1.cid = codes.code1
+        |           JOIN lut l2 ON l2.pid = pl.pid AND l2.bs = 2 AND l2.cid = codes.code2
+        |           JOIN lut l3 ON l3.pid = pl.pid AND l3.bs = 3 AND l3.cid = codes.code3)
+        |SELECT pid AS probe_id, id AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+        |       round(adc, 6) + 0.0 AS adc_dist
+        |FROM (SELECT pid, id, adc,
+        |        row_number() OVER (PARTITION BY pid ORDER BY adc, id) AS rank
+        |      FROM cand) x
+        |WHERE rank <= 5""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+  )
+}

@@ -304,4 +304,83 @@ object TimeSeries {
       sum(when(col("rn") === 1, 1L).otherwise(0L)).as("last_touch_convs"),
       sum(expr("1000000 div n_touches")).as("linear_credit_ppm"))
   }
+
+  /** Rolling z-score anomaly gate: each point scored against the mean
+    * and stddev of its own PRIOR `n` points (current row excluded —
+    * leakage-free, the online-monitoring form). Moments stay exact:
+    * the window carries integer Σx and Σx², doubles enter only in the
+    * final z. Emits only the flagged rows. One keyed window pass —
+    * partitions by the series key, never global.
+    */
+  def rollingAnomaly(events: DataFrame, keyCol: String, orderCols: Seq[Column],
+                     x: Column, n: Int, zThresh: Double): DataFrame = {
+    val projected = events.select(col(keyCol), x.cast("long").as("x"),
+      orderCols.head.as("__o1"), orderCols.tail.headOption.getOrElse(lit(0)).as("__o2"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__o1"), col("__o2"))
+      .rowsBetween(-n, -1)
+    val t = projected
+      .withColumn("c", count(lit(1)).over(w))
+      .withColumn("sl", sum("x").over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+    val cD = col("c").cast("double")
+    val mean = col("sl").cast("double") / cD
+    val variance = (col("sxx").cast("double") - col("sl").cast("double") * col("sl").cast("double") / cD) / cD
+    // variance == 0 (constant history) gives an infinite/NaN z — not a
+    // scoreable point; excluded on both engines identically
+    t.filter(col("c") === n)
+      .withColumn("variance", variance)
+      .filter(col("variance") > 0)
+      .withColumn("z", (col("x").cast("double") - mean) / sqrt(col("variance")))
+      .filter(abs(col("z")) > zThresh)
+      .select(col(keyCol), col("__o1"), col("__o2"), col("x"),
+        round(mean, 4).as("roll_mean"), round(col("z"), 4).as("z_score"))
+  }
+
+  /** Seasonal-naive forecast backtest: predict each (group, day)'s
+    * total as the expanding mean of all PRIOR days with the same
+    * day-of-week, score by MAE over the forecastable days. The
+    * expanding mean is an exact integer ratio per row; only the final
+    * MAE sums doubles (rounded 2 dp — q_winsorized's family). Windows
+    * key on (group, dow): the scan is bounded by the period domain.
+    */
+  def seasonalBacktest(events: DataFrame, groupCol: String, tsCol: String,
+                       x: Column): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("g"), to_date(col(tsCol)).as("day"), x.cast("long").as("x"))
+      .groupBy("g", "day").agg(sum("x").as("x"))
+      .withColumn("dow", dayofweek(col("day")))
+    val wPrior = org.apache.spark.sql.expressions.Window
+      .partitionBy("g", "dow").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("cPrior", count(lit(1)).over(wPrior))
+      .withColumn("slPrior", sum("x").over(wPrior))
+      .filter(col("cPrior") > 0)
+      .withColumn("resid",
+        abs(col("x").cast("double") - col("slPrior").cast("double") / col("cPrior").cast("double")))
+      .groupBy("g").agg(count(lit(1)).as("n_days"),
+        round(avg(col("resid")), 2).as("mae"),
+        round(avg(col("x").cast("double")), 2).as("mean_daily"))
+      .select(col("g").as(groupCol), col("n_days"), col("mae"), col("mean_daily"))
+  }
+
+  /** Daily uniques ledger: per day the active-user count, the
+    * first-seen (new) count, and the running cumulative distinct —
+    * computed WITHOUT a distinct-accumulating state: each user
+    * contributes once at their min(day), and the cumulative is a sum
+    * over the bounded day domain. The unpartitioned window runs over
+    * distinct days only.
+    */
+  def cumulativeUniques(events: DataFrame, tsCol: String, idCol: String): DataFrame = {
+    val t = events.select(to_date(col(tsCol)).as("day"), col(idCol).as("id"))
+    val dau = t.distinct().groupBy("day").agg(count(lit(1)).as("dau"))
+    val firstSeen = t.groupBy("id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(firstSeen, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_uniques", sum("n_new").over(w))
+      .select(col("day"), col("dau"), col("n_new"), col("cum_uniques"))
+  }
 }

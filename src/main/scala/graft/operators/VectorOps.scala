@@ -329,6 +329,142 @@ object VectorOps {
     * Centroids broadcast; the corpus never shuffles until the final
     * (cid)-keyed aggregate, which is map-side combined.
     */
+  /** Product-quantization code assignment (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector splits
+    * into `m` contiguous subspaces of `subDim` dims; each subspace is
+    * assigned to its nearest of the k codebook entries by squared L2
+    * (ties to the smallest code). Emits one row per vector with the m
+    * codes plus the total reconstruction distortion — the memory-
+    * bound ANN path: a 64-dim float vector compresses to m bytes.
+    *
+    * The codebook here is the first k corpus vectors (deterministic,
+    * engine-portable — same convention as kmeansAssign's seeds); a
+    * real index would Lloyd-iterate per subspace first. Codebook
+    * broadcasts (k·m tiny rows); the corpus is touched once in a
+    * single map-side pass ending in a per-vector aggregate, so at
+    * 100 TB the plan is scan + broadcast-join + one (id)-keyed
+    * combine — no corpus self-join anywhere.
+    */
+  def pqAssign(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int, subDim: Int, k: Int): DataFrame = {
+    require(m == 4, "pqAssign emits fixed code0..code3 columns; m must be 4")
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val subIdx = explode(sequence(lit(0), lit(m - 1))).as("s")
+    val subs = e.select(col("id"), subIdx, col("v"))
+      .select(col("id"), col("s"),
+        slice(col("v"), col("s") * subDim + 1, lit(subDim)).as("sv"))
+    val cents = e.filter(col("id") < k)
+      .select(col("id").as("cid"), subIdx, col("v"))
+      .select(col("cid"), col("s").as("cs"),
+        slice(col("v"), col("s") * subDim + 1, lit(subDim)).as("cv"))
+    val d2 = aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
+    val scored = subs.join(broadcast(cents), col("s") === col("cs"))
+      .select(col("id"), col("s"), col("cid"), d2.as("d2"))
+    // per-subspace argmin folded into ONE (id)-keyed aggregate: the
+    // conditional struct-min is null outside its subspace, so the four
+    // argmins ride a single map-side-combined shuffle instead of a
+    // (id, s) pre-aggregate plus a second exchange
+    def bestAt(s: Int) = min(when(col("s") === s, struct(col("d2"), col("cid"))))
+    scored.groupBy("id").agg(
+      bestAt(0).as("b0"), bestAt(1).as("b1"), bestAt(2).as("b2"), bestAt(3).as("b3"))
+      // distortion sums the m per-subspace terms in fixed index order
+      // so the double addition sequence matches the oracle's exactly
+      .select(col("id").as(idCol),
+        col("b0.cid").as("code0"), col("b1.cid").as("code1"),
+        col("b2.cid").as("code2"), col("b3.cid").as("code3"),
+        round(col("b0.d2") + col("b1.d2") + col("b2.d2") + col("b3.d2"), 6).as("distortion"))
+  }
+
+  /** IVF-PQ search (Jégou et al. 2011 §IV — the faiss IVFADC layout):
+    * a coarse quantizer routes each corpus vector to one of `nlist`
+    * inverted lists; per-subspace PQ codes compress it to `m` bytes;
+    * a probe scans only its `nprobe` nearest lists and ranks
+    * candidates by the asymmetric distance (ADC): the sum over
+    * subspaces of d²(probe_sub, codebook[code]) — looked up, never
+    * recomputed against the vector.
+    *
+    * Deterministic seed codebooks (first `nlist` / first `kCodes`
+    * corpus vectors — the kmeansAssign/pqAssign convention) keep every
+    * stage engine-portable; a production fit would Lloyd-iterate both
+    * (Ivf.kmeansCentroids) without changing any plan shape.
+    *
+    * Scale shape: ALL small sides broadcast — coarse centroids
+    * (nlist), PQ codebooks (m·kCodes), the probe panel (pinned — a
+    * fixed query set over a growing corpus, the r6 lesson), and the
+    * probes' ADC lookup tables (probes × m × kCodes). The corpus is
+    * scored/encoded in ONE projection pass and shuffles only as
+    * (id, list, m codes) rows; the ADC join touches just the probed
+    * lists' code rows, and the four LUT joins add in fixed subspace
+    * order so the double sum is bit-identical across engines.
+    */
+  def ivfPqSearch(corpus: DataFrame, idCol: String, vecCol: String,
+                  probeFilter: Column, nlist: Int, nprobe: Int,
+                  m: Int, subDim: Int, kCodes: Int, topK: Int): DataFrame = {
+    require(m == 4, "ivfPqSearch sums fixed code0..code3 ADC terms; m must be 4")
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    // Seed codebooks come back to the driver — nlist·dim + kCodes·dim
+    // doubles, bounded and tiny (the Ivf.kmeansCentroids convention) —
+    // so corpus encoding is ONE pure codegen projection: no broadcast
+    // join, no shuffle, nothing but the scan.
+    def collectVecs(limit: Int): Seq[(Int, Seq[Double])] =
+      e.filter(col("id") < limit).orderBy("id").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq)).toSeq
+    val coarseC = collectVecs(nlist)
+    val bookC = collectVecs(kCodes)
+    // elementwise (x-y)^2 left fold — the SAME fp expression and order
+    // the oracle's list_sum(list_transform(...)) evaluates, so argmin
+    // ties cannot diverge between engines (the dot-product identity
+    // would round differently)
+    def d2To(vec: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(vec, typedlit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t)
+    def argminTo(vec: Column, cands: Seq[(Int, Seq[Double])]): Column =
+      least(cands.map { case (i, c) => struct(d2To(vec, c).as("d"), lit(i).as("i")) }: _*)
+        .getField("i")
+    def subVec(vec: Column, s: Int): Column = slice(vec, s * subDim + 1, subDim)
+    def subBook(s: Int): Seq[(Int, Seq[Double])] =
+      bookC.map { case (i, c) => (i, c.slice(s * subDim, (s + 1) * subDim)) }
+    // one corpus projection: inverted-list id + the m PQ codes
+    val codes = e.select(col("id"),
+      argminTo(col("v"), coarseC).as("list"),
+      argminTo(subVec(col("v"), 0), subBook(0)).as("code0"),
+      argminTo(subVec(col("v"), 1), subBook(1)).as("code1"),
+      argminTo(subVec(col("v"), 2), subBook(2)).as("code2"),
+      argminTo(subVec(col("v"), 3), subBook(3)).as("code3"))
+    val probes = e.filter(probeFilter).select(col("id").as("pid"), col("v"))
+    // nprobe nearest lists per probe (probe panel is pinned/bounded)
+    val listScores = explode(array(coarseC.map { case (i, c) =>
+      struct(d2To(col("v"), c).as("d"), lit(i).as("lid"))
+    }: _*)).as("sc")
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("sc.d"), col("sc.lid"))
+    val probeLists = probes.select(col("pid"), listScores)
+      .withColumn("rn", row_number().over(wl)).filter(col("rn") <= nprobe)
+      .select(col("pid"), col("sc.lid").as("list"))
+    // ADC lookup tables: d²(probe subspace, codebook entry) — probes ×
+    // kCodes rows per subspace, broadcast
+    def lutAt(s: Int): DataFrame = broadcast(
+      probes.select(col("pid").as(s"p$s"),
+        explode(array(subBook(s).map { case (i, c) =>
+          struct(lit(i).as("cid"), d2To(subVec(col("v"), s), c).as("d"))
+        }: _*)).as("lu"))
+        .select(col(s"p$s"), col("lu.cid").as(s"c$s"), col("lu.d").as(s"d$s")))
+    val cand = codes.join(broadcast(probeLists), "list")
+      .join(lutAt(0), col("pid") === col("p0") && col("code0") === col("c0"))
+      .join(lutAt(1), col("pid") === col("p1") && col("code1") === col("c1"))
+      .join(lutAt(2), col("pid") === col("p2") && col("code2") === col("c2"))
+      .join(lutAt(3), col("pid") === col("p3") && col("code3") === col("c3"))
+      // fixed parenthesization: the oracle adds the four terms the same way
+      .select(col("pid"), col("id"),
+        (((col("d0") + col("d1")) + col("d2")) + col("d3")).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("adc"), col("id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("pid").as("probe_id"), col("id").as("neighbor_id"),
+        col("rank"), round(col("adc"), 6).as("adc_dist"))
+  }
+
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
                    centroids: DataFrame): DataFrame = {
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Inference, VectorOps}
+
+/** Closed-form pins for the inference layer (Inference.scala), BFS
+  * levels and product quantization — handcrafted data with known
+  * answers; engine parity is the DuckDB oracle's job.
+  */
+class InferenceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("ksTest: identical samples give D = 0; disjoint samples give D = 1") {
+    val same = ((1 to 10).map(i => (true, i.toLong)) ++ (1 to 10).map(i => (false, i.toLong)))
+      .toDF("a", "x")
+    val r0 = Inference.ksTest(same, col("a"), col("x")).collect().head
+    assert(r0.getAs[Double]("ks_d") == 0.0)
+    // sample A entirely below sample B -> ECDFs separate completely
+    val disj = ((1 to 10).map(i => (true, i.toLong)) ++ (1 to 10).map(i => (false, 100L + i)))
+      .toDF("a", "x")
+    val r1 = Inference.ksTest(disj, col("a"), col("x")).collect().head
+    assert(r1.getAs[Double]("ks_d") == 1.0)
+    assert(r1.getAs[Long]("n1") == 10L && r1.getAs[Long]("n2") == 10L)
+  }
+
+  test("ksTest: known mixed case, D computed by hand") {
+    // A = {1,2}, B = {2,3}: ECDF gap peaks at x=1 (1/2 vs 0) and x=2 (1 vs 1/2)
+    val df = Seq((true, 1L), (true, 2L), (false, 2L), (false, 3L)).toDF("a", "x")
+    val r = Inference.ksTest(df, col("a"), col("x")).collect().head
+    assert(r.getAs[Double]("ks_d") == 0.5)
+  }
+
+  test("chi-square: independent margins give chi2 = 0; V in [0,1]") {
+    // perfectly independent 2x2: every cell = 25
+    val indep = (for { r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 25 } yield (r, c))
+      .toDF("r", "c")
+    val r0 = Inference.chiSquareIndependence(indep, "r", "c").collect().head
+    assert(r0.getAs[Double]("chi2") == 0.0 && r0.getAs[Double]("cramers_v") == 0.0)
+    assert(r0.getAs[Long]("dof") == 1L)
+    // perfectly dependent: r determines c -> V = 1
+    val dep = (for { v <- Seq(("a", "x"), ("b", "y")); _ <- 1 to 30 } yield v).toDF("r", "c")
+    val r1 = Inference.chiSquareIndependence(dep, "r", "c").collect().head
+    assert(r1.getAs[Double]("cramers_v") == 1.0)
+  }
+
+  test("mutual information: independence gives 0; identity gives H") {
+    val indep = (for { r <- Seq("a", "b"); c <- Seq("x", "y"); _ <- 1 to 10 } yield (r, c))
+      .toDF("r", "c")
+    assert(Inference.mutualInformation(indep, "r", "c").collect().head
+      .getAs[Double]("mi_bits") == 0.0)
+    // identical labels: MI = H(R) = 1 bit for a uniform 2-class margin
+    val ident = (for { v <- Seq("a", "b"); _ <- 1 to 10 } yield (v, v)).toDF("r", "c")
+    val r = Inference.mutualInformation(ident, "r", "c").collect().head
+    assert(r.getAs[Double]("mi_bits") == 1.0 && r.getAs[Double]("nmi") == 1.0)
+  }
+
+  test("mann-kendall: strictly increasing series has tau = 1, decreasing -1") {
+    val df = ((1 to 10).map(i => ("up", i, i.toLong * 10)) ++
+      (1 to 10).map(i => ("down", i, 1000L - i * 10))).toDF("g", "p", "x")
+    val m = Inference.mannKendall(df, "g", col("p"), col("x")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("tau")).toMap
+    assert(m("up") == 1.0 && m("down") == -1.0)
+  }
+
+  test("kaplan-meier: no censoring reduces to the empirical survival") {
+    // 4 subjects, all observed: events at days 1,1,2,3 from their own start.
+    // S(1) = 1/2, S(2) = 1/4, S(3) = 0.
+    val ms = 86400000L
+    val rows = Seq(
+      (1L, 0L, false), (1L, 1 * ms, true),
+      (2L, 0L, false), (2L, 1 * ms, true),
+      (3L, 0L, false), (3L, 2 * ms, true),
+      (4L, 0L, false), (4L, 3 * ms, true))
+      .toDF("s", "ms", "ev")
+      .select(col("s"), timestamp_millis(col("ms")).as("ts"), col("ev"))
+    val km = Inference.kaplanMeier(rows, "s", col("ts"), col("ev"))
+      .collect().map(r => r.getAs[Long]("t_day") -> r.getAs[Double]("survival")).toMap
+    assert(km(1L) == 0.5 && km(2L) == 0.25 && km(3L) == 0.0)
+  }
+
+  test("kaplan-meier: censored subjects leave the risk set without an event step") {
+    val ms = 86400000L
+    // subject 2 censored at day 5 (no event): S(1) = 2/3, S(6) = 0 is
+    // wrong — the day-6 event sees risk set {3} so S(6) = 2/3 * 0 = 0;
+    // with censoring S only steps on event days.
+    val rows = Seq(
+      (1L, 0L, false), (1L, 1 * ms, true),
+      (2L, 0L, false), (2L, 5 * ms, false), // never events -> censored at horizon
+      (3L, 0L, false), (3L, 6 * ms, true))
+      .toDF("s", "ms", "ev")
+      .select(col("s"), timestamp_millis(col("ms")).as("ts"), col("ev"))
+    val km = Inference.kaplanMeier(rows, "s", col("ts"), col("ev"))
+      .collect().map(r => r.getAs[Long]("t_day") -> r.getAs[Double]("survival")).toMap
+    // day 1: risk 3, event 1 -> 2/3; day 6: risk 2 (subj 2 censored at
+    // day 6 horizon too — dur = 6) ... subj2 dur = horizon(6d) - 0 = 6, censored.
+    assert(km(1L) == 0.666667)
+    assert(km.contains(6L))
+  }
+
+  test("bfsLevels: path graph yields one node per level, capped by maxDepth") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val seed = Seq(1L).toDF("id")
+    val dist = Graph.bfsLevels(edges, "u", "v", seed, maxDepth = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("dist")).toMap
+    assert(dist == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)) // 5 unreached at depth 3
+  }
+
+  test("bfsLevels: disconnected component never appears; cycles take min dist") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L)).toDF("u", "v")
+    val seed = Seq(1L).toDF("id")
+    val dist = Graph.bfsLevels(edges, "u", "v", seed, maxDepth = 5)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("dist")).toMap
+    assert(dist == Map(1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("ksTestBy: per-group D — shifted group detects, identical group is 0") {
+    val df = (
+      (1 to 10).map(i => ("same", true, i.toLong)) ++
+        (1 to 10).map(i => ("same", false, i.toLong)) ++
+        (1 to 10).map(i => ("shift", true, i.toLong)) ++
+        (1 to 10).map(i => ("shift", false, 100L + i))).toDF("g", "a", "x")
+    val m = Inference.ksTestBy(df, "g", col("a"), col("x")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("ks_d")).toMap
+    assert(m("same") == 0.0 && m("shift") == 1.0)
+  }
+
+  test("rollingAnomaly: a spike after a stable-but-noisy history is flagged") {
+    import graft.operators.TimeSeries
+    // history alternates 100/102 (nonzero variance), then a 200 spike
+    val vals = Seq(100L, 102L, 100L, 102L, 100L, 102L, 100L, 102L, 200L)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, i.toLong, v) }
+      .toDF("k", "o1", "o2", "x")
+    val r = TimeSeries.rollingAnomaly(df, "k", Seq(col("o1"), col("o2")), col("x"),
+      n = 8, zThresh = 2.5).collect()
+    assert(r.length == 1 && r.head.getAs[Long]("x") == 200L)
+    assert(r.head.getAs[Double]("roll_mean") == 101.0)
+    // constant history (zero variance) is never scored
+    val const = (0 to 9).map(i => (2L, i.toLong, i.toLong, 50L)).toDF("k", "o1", "o2", "x")
+    assert(TimeSeries.rollingAnomaly(const, "k", Seq(col("o1"), col("o2")), col("x"),
+      8, 2.5).collect().isEmpty)
+  }
+
+  test("seasonalBacktest: perfectly periodic weekly series has MAE 0") {
+    import graft.operators.TimeSeries
+    // 4 weeks of data, each weekday always totals 10*dow: the
+    // same-weekday expanding mean predicts exactly
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val rows = for (d <- 0 until 28) yield {
+      val day = base.plusDays(d)
+      ("t", java.sql.Timestamp.valueOf(day.atStartOfDay), 10L * day.getDayOfWeek.getValue)
+    }
+    val df = rows.toDF("g", "ts", "v")
+    val r = TimeSeries.seasonalBacktest(df, "g", "ts", col("v")).collect().head
+    assert(r.getAs[Double]("mae") == 0.0)
+    assert(r.getAs[Long]("n_days") == 21L) // first week has no prior same-dow
+  }
+
+  test("cumulativeUniques: dau counts repeats once, cum tracks first-seens") {
+    import graft.operators.TimeSeries
+    val ms = 86400000L
+    val rows = Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L * ms, 1L), (1L * ms, 3L))
+      .toDF("ms", "user_id").select(timestamp_millis(col("ms")).as("ts"), col("user_id"))
+    val r = TimeSeries.cumulativeUniques(rows, "ts", "user_id")
+      .collect().map(x => x.getAs[java.sql.Date]("day").toString ->
+        (x.getAs[Long]("dau"), x.getAs[Long]("n_new"), x.getAs[Long]("cum_uniques"))).toMap
+    assert(r("1970-01-01") == ((2L, 2L, 2L)))
+    assert(r("1970-01-02") == ((2L, 1L, 3L)))
+  }
+
+  test("ivfPqSearch: zero-quantization-error corpus ranks exact copies first") {
+    val dim = 64
+    def grid(i: Int) = (0 until dim).map(d => (i * dim + d).toDouble / 100.0).toArray
+    // ids 0..15 are the codebook/coarse grid; ids 16..31 are exact copies
+    val vecs = ((0 until 16).map(i => (i.toLong, grid(i))) ++
+      (16 until 32).map(i => (i.toLong, grid(i - 16)))).toDF("vec_id", "embedding")
+    val r = VectorOps.ivfPqSearch(vecs, "vec_id", "embedding",
+      col("id") === 24, nlist = 8, nprobe = 2, m = 4, subDim = 16, kCodes = 16, topK = 3)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    // probe 24 copies vector 8: its PQ code is exact, so the two rows
+    // carrying vector 8 (ids 8 and 24) rank first at ADC 0, id-tiebroken
+    assert(r.head.getAs[Long]("neighbor_id") == 8L)
+    assert(r.head.getAs[Double]("adc_dist") == 0.0)
+    assert(r(1).getAs[Long]("neighbor_id") == 24L)
+    assert(r(1).getAs[Double]("adc_dist") == 0.0)
+    assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  test("pqAssign: codebook vectors code to themselves with zero distortion") {
+    val dim = 64
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, (0 until dim).map(d => (i * dim + d).toDouble / 100.0).toArray)
+    }.toDF("vec_id", "embedding")
+    val r = VectorOps.pqAssign(vecs, "vec_id", "embedding", m = 4, subDim = 16, k = 16)
+    val byId = r.collect().map(x => x.getAs[Long]("vec_id") -> x).toMap
+    // a codebook vector's nearest codebook entry in every subspace is itself
+    for (i <- 0 until 16) {
+      val row = byId(i.toLong)
+      assert(row.getAs[Long]("code0") == i && row.getAs[Long]("code3") == i)
+      assert(row.getAs[Double]("distortion") == 0.0)
+    }
+    // non-codebook vectors pick the closest seed (id 15 here, monotone grid)
+    assert(byId(19L).getAs[Long]("code0") == 15L)
+    assert(byId(19L).getAs[Double]("distortion") > 0.0)
+  }
+}

@@ -262,6 +262,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("Window"), s"merge must be an agg, not a window:\n" + s.take(3000))
   }
 
+  test("q_pq_assign broadcasts the codebook and shuffles once (id agg)") {
+    val s = formatted("q_pq_assign")
+    assert(countOp(s, "BroadcastExchange") >= 1, s.take(3000))
+    assert(!s.contains("SortMergeJoin"), s.take(3000))
+    // the four per-subspace argmins fold into ONE (id)-keyed aggregate
+    assert(countOp(s, "Exchange") == 1, s.take(3000))
+  }
+
+  test("q_rolling_anomaly is one keyed window pass (single exchange)") {
+    val s = formatted("q_rolling_anomaly")
+    assert(countOp(s, "Exchange") == 1, s.take(3000))
+  }
+
   test("no accidental cartesian products outside the intentional ones") {
     val intentional = Set("q_ann_bruteforce", "q_edit_distance", "q_range_join", "q_approx_stats")
     for (name <- SparkEntry.queries.keys if !intentional(name)) {

@@ -82,8 +82,13 @@ object Inference {
     */
   private def contingency(df: DataFrame, rowCol: String, colCol: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // the cell table is r×c rows (tiny); checkpointing it collapses
+    // the margin/total/join consumers onto ONE corpus scan + shuffle —
+    // uncheckpointed, Catalyst re-derives the aggregate for all four
+    // subtrees and the corpus is scanned four times
     val cells = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val rm = cells.groupBy("r").agg(sum("n").as("nr"))
     val cm = cells.groupBy("c").agg(sum("n").as("nc"))
     val tot = cells.agg(sum("n").as("nt"),

@@ -280,4 +280,58 @@ object Curation {
   def polyFingerprint(text: Column): Column =
     aggregate(split(text, " "), lit(0L),
       (h, w) => pmod(h * 31L + polyWordHash(w), lit(1000000007L)))
+
+  /** Engine-portable md5-derived integer in [0, 2^24): the first six
+    * hex digits parsed as a number — the randomness source for FIM
+    * split points and pair bucketing (hashSample's ordering trick,
+    * but as an integer the modulo arithmetic can consume).
+    */
+  def md5Int(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long")
+
+  /** Fill-in-the-middle split (Bavarian et al. 2022, arXiv:2207.14255):
+    * each document's word sequence splits into (prefix, middle,
+    * suffix) at two hash-derived points — deterministic, so the same
+    * corpus always yields the same FIM training set on any engine.
+    * Guarantees each span is non-empty (docs under 3 words are
+    * dropped). Pure projection — the 100 TB pass is scan-bound; the
+    * middle re-materializes as an md5 fingerprint so the output stays
+    * narrow while still pinning the exact span content.
+    */
+  def fimSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val n = size(ws).cast("long")
+    val h1 = md5Int(concat(col(idCol).cast("string"), lit("-a")))
+    val h2 = md5Int(concat(col(idCol).cast("string"), lit("-b")))
+    docs.filter(size(ws) >= 3)
+      .select(col(idCol), ws.as("ws"), n.as("n"), h1.as("h1"), h2.as("h2"))
+      .withColumn("a", lit(1L) + col("h1") % (col("n") - 2))
+      .withColumn("b", col("a") + 1L + col("h2") % (col("n") - col("a") - 1))
+      .select(col(idCol), col("n").as("n_words"),
+        col("a").as("n_prefix"), (col("b") - col("a")).as("n_middle"),
+        (col("n") - col("b")).as("n_suffix"),
+        md5(concat_ws(" ", slice(col("ws"), (col("a") + 1).cast("int"),
+          (col("b") - col("a")).cast("int")))).as("middle_fp"))
+  }
+
+  /** Preference-pair mining (the DPO/RLHF data-prep step): within
+    * each (stratum, hash-bucket) cell, pair the highest-scoring
+    * document against the lowest as (chosen, rejected). Struct-min/max
+    * aggregates — map-side combined, one shuffle of cell keys; ties
+    * break on id so the pairing is deterministic under AQE/retries.
+    * Cells with a single distinct document produce no pair.
+    */
+  def preferencePairs(docs: DataFrame, stratumCol: String, idCol: String,
+                      score: Column, buckets: Int): DataFrame = {
+    docs.select(col(stratumCol).as("stratum"),
+      (md5Int(col(idCol)) % buckets).as("bucket"),
+      score.cast("long").as("score"), col(idCol).as("id"))
+      .groupBy("stratum", "bucket")
+      .agg(max(struct(col("score"), col("id"))).as("hi"),
+        min(struct(col("score"), col("id"))).as("lo"))
+      .filter(col("hi.id") =!= col("lo.id"))
+      .select(col("stratum"), col("bucket"),
+        col("hi.id").as("chosen_id"), col("lo.id").as("rejected_id"),
+        (col("hi.score") - col("lo.score")).as("margin"))
+  }
 }

@@ -133,6 +133,19 @@ object CurationQueries {
         .select(col("doc_id"), col("u.chunk_id"), col("u.chunk_text"), col("u.chunk_tokens"))
     },
 
+    // #42h2 FIM prefix/middle/suffix split (Bavarian et al. 2022):
+    // hash-derived split points, every span non-empty.
+    "q_fim_split" -> { (s, dir) =>
+      Curation.fimSplit(Tables(s, dir).documents, "doc_id", "text")
+    },
+
+    // #42x2 DPO preference-pair mining: best-vs-worst n_chars within
+    // each (lang, md5-bucket) cell.
+    "q_pref_pairs" -> { (s, dir) =>
+      Curation.preferencePairs(Tables(s, dir).documents, "lang", "doc_id",
+        col("n_chars"), buckets = 16)
+    },
+
     // Contiguous sequence packing into 2048-token bins per (lang, shard).
     "q_seq_pack" -> { (s, dir) =>
       Curation.packSequences(
@@ -461,6 +474,31 @@ object CurationQueries {
          |  ${Curation.mojibakeCountSqlDuck("t")} AS n_fixed,
          |  ${Curation.replaceChainSqlDuck("t", Curation.MojibakeTable)} AS clean_text
          |FROM c""".stripMargin,
+    "q_fim_split" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+        |        ('0x' || substr(md5(doc_id::VARCHAR || '-a'), 1, 6))::BIGINT AS h1,
+        |        ('0x' || substr(md5(doc_id::VARCHAR || '-b'), 1, 6))::BIGINT AS h2
+        |      FROM w WHERE len(ws) >= 3),
+        |sp AS (SELECT doc_id, ws, n, h2, 1 + h1 % (n - 2) AS a FROM t),
+        |sp2 AS (SELECT doc_id, ws, n, a, a + 1 + h2 % (n - a - 1) AS b FROM sp)
+        |SELECT doc_id, n AS n_words, a AS n_prefix, b - a AS n_middle, n - b AS n_suffix,
+        |  md5(array_to_string(list_slice(ws, a + 1, b), ' ')) AS middle_fp
+        |FROM sp2""".stripMargin,
+    "q_pref_pairs" ->
+      """WITH t AS (SELECT lang AS stratum,
+        |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 16 AS bucket,
+        |             CAST(n_chars AS BIGINT) AS score, doc_id AS id FROM documents),
+        |hi AS (SELECT stratum, bucket, score AS hs, id AS hid FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY stratum, bucket
+        |                     ORDER BY score DESC, id DESC) AS rn FROM t) x WHERE rn = 1),
+        |lo AS (SELECT stratum, bucket, score AS ls, id AS lid FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY stratum, bucket
+        |                     ORDER BY score, id) AS rn FROM t) x WHERE rn = 1)
+        |SELECT hi.stratum, hi.bucket, hid AS chosen_id, lid AS rejected_id,
+        |       hs - ls AS margin
+        |FROM hi JOIN lo USING (stratum, bucket)
+        |WHERE hid <> lid""".stripMargin,
     "q_chunk_sliding" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws), 1) + 1, 24),

@@ -429,6 +429,20 @@ object Graph {
     dist
   }
 
+  /** Degree histogram of an undirected graph: (degree, node count) —
+    * the first graph-health profile (power-law check feeds the Hill
+    * estimator on the degree column). Symmetrize, per-vertex count,
+    * then a degree-keyed aggregate; ids never leave their aggregates.
+    */
+  def degreeHistogram(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val sym = edges.select(col(src).as("u"), col(dst).as("v"))
+      .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+    sym.groupBy("u").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"),
+        min("u").as("min_id"), max("u").as("max_id"))
+  }
+
   /** Small-star: orient each edge high→low, then link every smaller
     * neighbor (and u itself) to the minimum seen.
     */

@@ -15,6 +15,17 @@ object InferenceQueries {
 
   private def centsValue = round(col("value") * 100).cast("long")
 
+  /** Co-purchase part graph: parts co-ordered in ≥2 distinct orders.
+    * Shared by the BFS-levels and degree-distribution queries.
+    */
+  private def coPurchaseEdges(t: Tables): DataFrame = {
+    val bi = t.lineitem
+      .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+    bi.as("x").join(bi.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+  }
+
   val queries: Map[String, Q] = Map(
     // #87 two-sample KS: did purchase values shift vs click values?
     "q_ks_test" -> { (s, dir) =>
@@ -49,15 +60,36 @@ object InferenceQueries {
     // edges), from the minimum part id, depth-capped at 6; per-level
     // aggregate so the check is a reachability-set compare.
     "q_bfs_levels" -> { (s, dir) =>
-      val bi = Tables(s, dir).lineitem
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
-      val e = bi.as("x").join(bi.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-        .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
-        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      val e = coPurchaseEdges(Tables(s, dir))
       val seed = e.agg(min(col("pa")).as("id"))
       Graph.bfsLevels(e, "pa", "pb", seed, maxDepth = 6)
         .groupBy("dist").agg(count(lit(1)).as("n_nodes"),
           sum("id").as("sum_ids"), min("id").as("min_id"), max("id").as("max_id"))
+    },
+
+    // #94b degree distribution of the co-purchase graph — the graph
+    // profile that feeds power-law checks.
+    "q_degree_dist" -> { (s, dir) =>
+      Graph.degreeHistogram(coPurchaseEdges(Tables(s, dir)), "pa", "pb")
+    },
+
+    // #86j ROC AUC via the rank-sum identity: does the event value
+    // separate purchases from the rest?
+    "q_auc_roc" -> { (s, dir) =>
+      Stats.aucRoc(Tables(s, dir).events, col("event_type") === "purchase", centsValue)
+    },
+
+    // #86k decile lift/gains: order price as the score, order status F
+    // as the response.
+    "q_lift_deciles" -> { (s, dir) =>
+      Stats.liftTable(Tables(s, dir).orders, col("o_orderstatus") === "F",
+        round(col("o_totalprice") * 100).cast("long"), col("o_orderkey"), k = 10)
+    },
+
+    // #42s2 PMI collocations over the document corpus (Church & Hanks
+    // 1990): top-20 adjacent pairs with count >= 5.
+    "q_collocations" -> { (s, dir) =>
+      TextRank.pmiCollocations(Tables(s, dir).documents, "text", minCount = 5L, k = 20)
     },
 
     // #89 product-quantization codes: 4 × 16-dim subspaces, 16-entry
@@ -96,6 +128,18 @@ object InferenceQueries {
     // cumulative distinct users — no distinct-state accumulation.
     "q_cumulative_uniques" -> { (s, dir) =>
       TimeSeries.cumulativeUniques(Tables(s, dir).events, "ts", "user_id")
+    },
+
+    // #46b 2-D skyline per event type: the "largest AND latest" Pareto
+    // frontier via the sort-based sweep, not a quadratic anti-join.
+    "q_skyline" -> { (s, dir) =>
+      TimeSeries.skyline(Tables(s, dir).events, "event_type",
+        centsValue, unix_millis(col("ts")), "event_id")
+    },
+
+    // #85h week-over-week change per event type (epoch-week buckets).
+    "q_wow_change" -> { (s, dir) =>
+      TimeSeries.weekOverWeek(Tables(s, dir).events, "event_type", "ts", centsValue)
     },
 
     // #89b IVF-PQ search (faiss IVFADC): coarse router + PQ codes +
@@ -303,6 +347,75 @@ object InferenceQueries {
         |SELECT d.day, d.dau, COALESCE(fs.n_new, 0) AS n_new,
         |  CAST(sum(COALESCE(fs.n_new, 0)) OVER (ORDER BY d.day) AS BIGINT) AS cum_uniques
         |FROM dau d LEFT JOIN fs USING (day)""".stripMargin,
+    "q_skyline" ->
+      """WITH t AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x,
+        |             epoch_ms(ts) AS y, event_id AS id FROM events),
+        |px AS (SELECT g, x, max(y) AS ymax_x FROM t GROUP BY g, x),
+        |sw AS (SELECT g, x, ymax_x,
+        |         max(ymax_x) OVER (PARTITION BY g ORDER BY x DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ymax_better
+        |       FROM px),
+        |f AS (SELECT g, x, ymax_x FROM sw
+        |      WHERE ymax_better IS NULL OR ymax_x > ymax_better)
+        |SELECT t.g AS event_type, t.x, t.y, t.id
+        |FROM t JOIN f USING (g, x) WHERE t.y = f.ymax_x""".stripMargin,
+    "q_wow_change" ->
+      """WITH wk AS (SELECT event_type AS g, epoch_ms(ts) // 604800000 AS week,
+        |              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+        |            FROM events GROUP BY g, week),
+        |l AS (SELECT *, lag(total) OVER (PARTITION BY g ORDER BY week) AS prev_total FROM wk)
+        |SELECT g AS event_type, week, total, prev_total,
+        |  round((total - prev_total)::DOUBLE / prev_total::DOUBLE * 100, 4) + 0.0 AS pct_change
+        |FROM l""".stripMargin,
+    "q_degree_dist" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e0 AS (SELECT x.i AS pa, y.i AS pb FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT pa AS u, pb AS v FROM e0 UNION SELECT pb, pa FROM e0),
+        |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY u)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes, min(u) AS min_id, max(u) AS max_id
+        |FROM deg GROUP BY degree""".stripMargin,
+    "q_auc_roc" ->
+      """WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |             event_type = 'purchase' AS grp FROM events),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |      FROM t GROUP BY v),
+        |r AS (SELECT c1, c, sum(c) OVER (ORDER BY v) - c AS cumPrev FROM h),
+        |a AS (SELECT CAST(sum(c1 * (cumPrev * 2 + c + 1)) AS BIGINT) AS r2sum1,
+        |        CAST(sum(c1) AS BIGINT) AS n_pos, CAST(sum(c - c1) AS BIGINT) AS n_neg FROM r)
+        |SELECT n_pos, n_neg,
+        |  round((r2sum1 - n_pos * (n_pos + 1))::DOUBLE / (n_pos * n_neg * 2)::DOUBLE, 6) + 0.0 AS auc
+        |FROM a""".stripMargin,
+    "q_lift_deciles" ->
+      """WITH t AS (SELECT o_orderstatus = 'F' AS resp,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS s, o_orderkey AS tie
+        |           FROM orders),
+        |b AS (SELECT ntile(10) OVER (ORDER BY s DESC, tie) AS bucket, resp FROM t),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN resp THEN 1 ELSE 0 END) AS BIGINT) AS resp
+        |      FROM b GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(resp) AS BIGINT) AS tresp FROM g),
+        |c AS (SELECT g.*, sum(n) OVER wo AS cum_n, sum(resp) OVER wo AS cum_resp
+        |      FROM g WINDOW wo AS (ORDER BY bucket))
+        |SELECT CAST(bucket AS INTEGER) AS bucket, n, resp,
+        |  round(resp::DOUBLE / n::DOUBLE, 6) + 0.0 AS resp_rate,
+        |  round((cum_resp::DOUBLE / cum_n::DOUBLE) / (tresp::DOUBLE / tn::DOUBLE), 6) + 0.0 AS cum_lift,
+        |  round(cum_resp::DOUBLE / tresp::DOUBLE, 6) + 0.0 AS cum_gain
+        |FROM c, tot""".stripMargin,
+    "q_collocations" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |        i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS u FROM w WHERE len(ws) >= 2),
+        |c12 AS (SELECT u.w1 AS w1, u.w2 AS w2, CAST(count(*) AS BIGINT) AS c12 FROM p GROUP BY 1, 2),
+        |uni AS (SELECT unnest(ws) AS w FROM w),
+        |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY w),
+        |tot AS (SELECT CAST(sum(c12) AS BIGINT) AS np FROM c12)
+        |SELECT c12.w1, c12.w2, c12.c12,
+        |  round(log2(c12.c12::DOUBLE * np::DOUBLE / (u1.cu::DOUBLE * u2.cu::DOUBLE)), 4) + 0.0 AS pmi
+        |FROM c12 JOIN cu u1 ON u1.w = c12.w1 JOIN cu u2 ON u2.w = c12.w2, tot
+        |WHERE c12.c12 >= 5
+        |ORDER BY pmi DESC, c12.w1, c12.w2 LIMIT 20""".stripMargin,
     "q_ivfpq_search" ->
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         |coarse AS (SELECT id AS lid, v AS cv FROM e WHERE id < 8),

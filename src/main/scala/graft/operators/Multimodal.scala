@@ -202,6 +202,67 @@ object Multimodal {
     }(enc)
   }
 
+  /** ViT-style patch grid over REAL-decoded images: the g×g patch
+    * partition (patch of pixel (x, y) is (y·g div h, x·g div w) —
+    * integer arithmetic, portable) with per-patch pixel count, exact
+    * luminance sum, and the mean rounded at 4 dp. This is the
+    * vision-training preprocessing step between decode and feature
+    * extraction: g² narrow rows per image leave the codec boundary,
+    * not pixels. Same decode/poisoned-blob contract as
+    * [[decodeImages]]; partition-local, no shuffle.
+    */
+  def patchGrid(media: DataFrame, grid: Int): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("patch_row", IntegerType, nullable = false),
+      StructField("patch_col", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("lum_sum", LongType, nullable = false)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val img =
+          if (bytes == null) null
+          else
+            try {
+              val i = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (i != null && (i.getWidth <= 0 || i.getHeight <= 0 ||
+                  i.getWidth.toLong * i.getHeight > 64L * 1024 * 1024)) null
+              else i
+            } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Iterator.empty
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](grid * grid)
+          val counts = new Array[Long](grid * grid)
+          var y = 0
+          while (y < h) {
+            val pr = y * grid / h
+            var x = 0
+            while (x < w) {
+              val pc = x * grid / w
+              val k = pr * grid + pc
+              sums(k) += (img.getRGB(x, y) & 0xff)
+              counts(k) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val id = r.getAs[Long]("media_id")
+          (0 until grid * grid).iterator.filter(counts(_) > 0).map { k =>
+            Row(id, k / grid, k % grid, counts(k), sums(k))
+          }
+        }
+      }
+    }(enc)
+      // mean formed in the SQL layer so round() semantics match the
+      // oracle's exactly (codec side emits only exact integers)
+      .withColumn("lum_mean",
+        round(col("lum_sum").cast("double") / col("n_px").cast("double"), 4))
+  }
+
   /** Synthetic grayscale PNG per row — the encode half of the decode
     * round-trip proof (and a generator for codec-path tests). Pixel
     * (x, y) carries v = (id·31 + x·7 + y·13) mod 256 in all three

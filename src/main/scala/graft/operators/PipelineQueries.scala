@@ -109,6 +109,16 @@ object PipelineQueries {
         .select("media_id", "decode_ok", "width", "height", "pixel_sum")
     },
 
+    // #42v2 ViT patch grid over REAL-decoded PNGs: 2×2 partition,
+    // exact per-patch luminance sums, mean formed in the SQL layer.
+    "q_image_patches" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(
+        col("doc_id"),
+        (col("doc_id") % 13 + 4).as("w"),
+        (col("doc_id") % 11 + 4).as("h"))
+      Multimodal.patchGrid(Multimodal.synthGrayPng(d, "doc_id", "w", "h"), grid = 2)
+    },
+
     // #42 header-only media probe: container + dimensions from the
     // first bytes as pure column algebra (no codec, no mapPartitions)
     // — the routing/triage pass that runs before any decode. Probes a
@@ -330,6 +340,17 @@ object PipelineQueries {
     // v(x,y) = (id*31 + x*7 + y*13) mod 256 summed over the w×h grid
     // (ranges cover the max dims, filtered per row). PNG is lossless,
     // so the decoded sum must equal this exactly.
+    "q_image_patches" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents),
+        |px AS (SELECT d.doc_id, (y.k * 2) // d.h AS pr, (x.k * 2) // d.w AS pc,
+        |         (d.doc_id * 31 + x.k * 7 + y.k * 13) % 256 AS v
+        |       FROM d, range(0, 16) x(k), range(0, 14) y(k)
+        |       WHERE x.k < d.w AND y.k < d.h)
+        |SELECT doc_id AS media_id, CAST(pr AS INTEGER) AS patch_row,
+        |  CAST(pc AS INTEGER) AS patch_col,
+        |  CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS lum_sum,
+        |  round(sum(v)::DOUBLE / count(*)::DOUBLE, 4) + 0.0 AS lum_mean
+        |FROM px GROUP BY doc_id, pr, pc""".stripMargin,
     "q_image_decode" ->
       """WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents)
         |SELECT d.doc_id AS media_id, TRUE AS decode_ok,

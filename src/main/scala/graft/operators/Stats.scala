@@ -129,6 +129,59 @@ object Stats {
       round((u1 - mu) / sigma, 4).as("z_score"))
   }
 
+  /** ROC AUC of a score against a binary label via the rank-sum
+    * identity AUC = U/(n⁺·n⁻) (Hanley & McNeil 1982) — ties get the
+    * trapezoidal half-credit automatically through average ranks. The
+    * numerator r2sum1 − n1(n1+1) is an exact integer (the
+    * mannWhitneyU half-rank histogram), so the AUC is one exact
+    * division; no sort of the raw rows — the window runs over the
+    * DISTINCT score domain.
+    */
+  def aucRoc(df: DataFrame, isPos: Column, score: Column): DataFrame = {
+    val hist = df.select(score.as("v"), isPos.as("grp"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("grp"), 1L).otherwise(0L)).as("c1"))
+    val w = Window.orderBy(col("v"))
+    val ranked = hist.select(
+      col("c1"), col("c"),
+      (sum(col("c")).over(w) - col("c")).as("cumPrev"))
+    ranked.agg(
+      sum(col("c1") * (col("cumPrev") * 2 + col("c") + 1)).as("r2sum1"),
+      sum("c1").as("n_pos"),
+      sum(col("c") - col("c1")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("r2sum1") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (col("n_pos") * col("n_neg") * 2).cast("double"), 6).as("auc"))
+  }
+
+  /** Decile lift/gains table: rank by score (descending, tiebroken),
+    * ntile into k buckets, report per-bucket response rate plus
+    * cumulative lift and gain vs the base rate — the classifier
+    * targeting readout. Bucket/cumulative math is exact integer
+    * counts; the k-row cumulative window is trivially bounded. The
+    * ntile ranking window is unpartitioned by construction (a global
+    * ranking is the semantic) — same documented posture as q_ntile;
+    * at cluster scale a range-partitioned rank would replace it.
+    */
+  def liftTable(df: DataFrame, isResp: Column, score: Column, tie: Column,
+                k: Int = 10): DataFrame = {
+    val w = Window.orderBy(score.desc, tie)
+    val bucketed = df.select(isResp.as("resp"), ntile(k).over(w).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"),
+        sum(when(col("resp"), 1L).otherwise(0L)).as("resp"))
+    val wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = bucketed.agg(sum("n").as("tn"), sum("resp").as("tresp"))
+    bucketed.crossJoin(broadcast(tot))
+      .withColumn("cum_n", sum("n").over(wc))
+      .withColumn("cum_resp", sum("resp").over(wc))
+      .select(col("bucket"), col("n"), col("resp"),
+        round(col("resp").cast("double") / col("n").cast("double"), 6).as("resp_rate"),
+        round((col("cum_resp").cast("double") / col("cum_n").cast("double")) /
+          (col("tresp").cast("double") / col("tn").cast("double")), 6).as("cum_lift"),
+        round(col("cum_resp").cast("double") / col("tresp").cast("double"), 6).as("cum_gain"))
+  }
+
   /** Per-variant two-proportion z-test against the pooled rest
     * (the standard A/B readout). `converted` is a boolean column.
     * All inputs to the closed form are exact counts.

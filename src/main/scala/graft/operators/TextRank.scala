@@ -173,6 +173,34 @@ object TextRank {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
   }
 
+  /** PMI collocations (Church & Hanks 1990): pointwise mutual
+    * information of adjacent word pairs against their unigram
+    * frequencies — the classic collocation extractor ("strongly
+    * associated bigrams") a corpus-profiling pass reports next to
+    * top n-grams. PMI = log2(c12·N / (c1·c2)) over exact token
+    * counts; min-count floor kills the low-frequency PMI explosion.
+    * One corpus explode; the unigram join keys on vocab-bounded
+    * tables; output is a deterministic bounded top-k (rounded PMI,
+    * then lexicographic).
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Long, k: Int): DataFrame = {
+    val pairs = adjacentPairRows(docs, textCol)
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = docs.select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val tot = c12.agg(sum("c12").as("np"))
+    c12.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log2(col("c12").cast("double") * col("np").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     * over the corpus-wide word co-occurrence graph — adjacent content
     * words (lowercase alphabetic, length >= 3) become an undirected

@@ -364,6 +364,55 @@ object TimeSeries {
       .select(col("g").as(groupCol), col("n_days"), col("mae"), col("mean_daily"))
   }
 
+  /** 2-D skyline (Pareto frontier) per group via ONE window pass: a
+    * row survives iff no other row strictly dominates it on both
+    * axes. Sorted by x descending, that reduces to "y exceeds the
+    * running max of y over all strictly-better-x rows" — the classic
+    * O(n log n) sweep (Börzsönyi et al. 2001 §BNL vs sort-based),
+    * instead of the naive quadratic self-anti-join. x ties share a
+    * frame (RANGE window) so equal-x rows can't eliminate each other
+    * on x alone. Windows key on the group.
+    */
+  def skyline(df: DataFrame, groupCol: String, x: Column, y: Column,
+              idCol: String): DataFrame = {
+    val t = df.select(col(groupCol).as("g"), x.cast("long").as("x"),
+      y.cast("long").as("y"), col(idCol).as("id"))
+    // collapse to the DISTINCT x domain first: per (g, x) only the
+    // max-y row can survive (an equal-x higher-y row dominates), and
+    // the sweep window then runs tie-free over x values — a ROWS
+    // frame, no RANGE-offset portability concerns
+    val perX = t.groupBy("g", "x").agg(max("y").as("ymax_x"))
+    val w = Window.partitionBy("g").orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX.withColumn("ymax_better", max("ymax_x").over(w))
+      .filter(col("ymax_better").isNull || col("ymax_x") > col("ymax_better"))
+      .select(col("g"), col("x"), col("ymax_x"))
+    // join back: survivors are the max-y rows at frontier x values
+    // (exact y duplicates tie — neither dominates — so both survive)
+    t.join(frontier, Seq("g", "x"))
+      .filter(col("y") === col("ymax_x"))
+      .select(col("g").as(groupCol), col("x"), col("y"), col("id"))
+  }
+
+  /** Week-over-week change report: weekly totals per group with the
+    * previous week's total and the percent change — the everyday BI
+    * trend readout. Weeks are epoch-day/7 buckets (integer, engine-
+    * portable — no ISO-week calendar semantics in the key).
+    */
+  def weekOverWeek(events: DataFrame, groupCol: String, tsCol: String,
+                   x: Column): DataFrame = {
+    val weekly = events
+      .select(col(groupCol).as("g"),
+        (unix_millis(col(tsCol)) / lit(604800000L)).cast("long").as("week"),
+        x.cast("long").as("x"))
+      .groupBy("g", "week").agg(sum("x").as("total"))
+    val w = Window.partitionBy("g").orderBy("week")
+    weekly.withColumn("prev_total", lag("total", 1).over(w))
+      .select(col("g").as(groupCol), col("week"), col("total"), col("prev_total"),
+        round((col("total") - col("prev_total")).cast("double") /
+          col("prev_total").cast("double") * 100, 4).as("pct_change"))
+  }
+
   /** Daily uniques ledger: per day the active-user count, the
     * first-seen (new) count, and the running cumulative distinct —
     * computed WITHOUT a distinct-accumulating state: each user

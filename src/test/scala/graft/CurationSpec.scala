@@ -659,4 +659,36 @@ class GraphSpec extends SparkSpec {
     }
     for ((k, v) <- r) assert(math.abs(got(k) - v) < 1e-6, s"vertex $k: ${got(k)} vs $v")
   }
+
+  test("fimSplit: spans are non-empty, partition the doc, and are deterministic") {
+    val docs = Seq((1L, "a b c"), (2L, "one two three four five six"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val r = Curation.fimSplit(docs, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(!r.contains(3L)) // 2-word docs can't satisfy three non-empty spans
+    for ((_, row) <- r) {
+      val (p, m, s2) = (row.getAs[Long]("n_prefix"), row.getAs[Long]("n_middle"),
+        row.getAs[Long]("n_suffix"))
+      assert(p >= 1 && m >= 1 && s2 >= 1)
+      assert(p + m + s2 == row.getAs[Long]("n_words"))
+    }
+    // 3-word doc has exactly one legal split: (1, 1, 1)
+    assert(r(1L).getAs[Long]("n_prefix") == 1L && r(1L).getAs[Long]("n_middle") == 1L)
+    val again = Curation.fimSplit(docs, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("middle_fp")).toMap
+    assert(again(2L) == r(2L).getAs[String]("middle_fp"))
+  }
+
+  test("preferencePairs: best-vs-worst per cell, singleton cells dropped") {
+    val docs = Seq(
+      (1L, "en", 100L), (2L, "en", 50L), (3L, "en", 75L), // likely same or split buckets
+      (10L, "de", 10L)) // singleton stratum cell -> no pair
+      .toDF("doc_id", "lang", "n_chars")
+    val r = Curation.preferencePairs(docs, "lang", "doc_id", col("n_chars"), buckets = 1)
+      .collect().map(x => x.getAs[String]("stratum") -> x).toMap
+    assert(!r.contains("de"))
+    val en = r("en")
+    assert(en.getAs[Long]("chosen_id") == 1L && en.getAs[Long]("rejected_id") == 2L)
+    assert(en.getAs[Long]("margin") == 50L)
+  }
 }

@@ -169,6 +169,72 @@ class InferenceSpec extends SparkSpec {
     assert(r("1970-01-02") == ((2L, 1L, 3L)))
   }
 
+  test("skyline: frontier only, same-x domination, duplicates both survive") {
+    import graft.operators.TimeSeries
+    val pts = Seq((5L, 1L, 1L), (5L, 1L, 2L), (4L, 3L, 3L), (4L, 2L, 4L),
+      (3L, 2L, 5L), (2L, 5L, 6L)).map { case (x, y, id) => ("g", x, y, id) }
+      .toDF("g", "x", "y", "id")
+    val ids = TimeSeries.skyline(pts, "g", col("x"), col("y"), "id")
+      .collect().map(_.getAs[Long]("id")).toSet
+    // (3,2) dominated by (4,3); (4,2) dominated by (4,3); the (5,1)
+    // duplicates tie and both survive
+    assert(ids == Set(1L, 2L, 3L, 6L))
+  }
+
+  test("weekOverWeek: second week reports the percent change, first is null") {
+    import graft.operators.TimeSeries
+    val wk = 604800000L
+    val rows = Seq(("a", 0L, 100L), ("a", 1000L, 0L), ("a", wk + 5, 150L))
+      .toDF("g", "ms", "v").select(col("g"), timestamp_millis(col("ms")).as("ts"), col("v"))
+    val r = TimeSeries.weekOverWeek(rows, "g", "ts", col("v"))
+      .collect().map(x => x.getAs[Long]("week") -> x).toMap
+    assert(r(0L).isNullAt(r(0L).fieldIndex("pct_change")))
+    assert(r(1L).getAs[Double]("pct_change") == 50.0)
+    assert(r(1L).getAs[Long]("prev_total") == 100L)
+  }
+
+  test("aucRoc: perfect separation scores 1, all-tied scores 0.5") {
+    import graft.operators.Stats
+    val perfect = ((1 to 10).map(i => (true, 100L + i)) ++ (1 to 10).map(i => (false, i.toLong)))
+      .toDF("pos", "v")
+    assert(Stats.aucRoc(perfect, col("pos"), col("v")).collect().head
+      .getAs[Double]("auc") == 1.0)
+    val tied = ((1 to 10).map(_ => (true, 5L)) ++ (1 to 10).map(_ => (false, 5L))).toDF("pos", "v")
+    assert(Stats.aucRoc(tied, col("pos"), col("v")).collect().head
+      .getAs[Double]("auc") == 0.5)
+  }
+
+  test("liftTable: top-decile concentration yields lift = 1/base_rate") {
+    import graft.operators.Stats
+    // 20 rows, scores 20..1, responders are the top 5 scores
+    val df = (1 to 20).map(i => (i.toLong, 20L - i + 1, i.toLong)).toDF("id", "s", "tie")
+      .select(col("id"), col("s"), col("tie"), (col("s") > 15).as("resp"))
+    val r = Stats.liftTable(df, col("resp"), col("s"), col("tie"), k = 10)
+      .collect().map(x => x.getAs[Int]("bucket") -> x).toMap
+    assert(r(1).getAs[Double]("resp_rate") == 1.0)
+    assert(r(1).getAs[Double]("cum_lift") == 4.0) // (2/2)/(5/20)
+    assert(r(10).getAs[Double]("cum_gain") == 1.0)
+    assert(r(3).getAs[Long]("resp") == 1L) // scores 16,15 -> one responder
+  }
+
+  test("pmiCollocations: min-count floor and the PMI closed form") {
+    import graft.operators.TextRank
+    val docs = ((1 to 6).map(i => (i.toLong, "alpha beta")) ++ Seq((7L, "gamma delta")))
+      .toDF("doc_id", "text")
+    val r = TextRank.pmiCollocations(docs, "text", minCount = 5L, k = 10).collect()
+    assert(r.length == 1 && r.head.getString(0) == "alpha" && r.head.getString(1) == "beta")
+    // PMI = log2(c12 * N / (c1*c2)) = log2(6*7/36)
+    assert(r.head.getAs[Double]("pmi") ==
+      BigDecimal(math.log(6.0 * 7 / 36) / math.log(2.0)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("degreeHistogram: triangle plus pendant") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("u", "v")
+    val h = Graph.degreeHistogram(edges, "u", "v").collect()
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_nodes")).toMap
+    assert(h == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("ivfPqSearch: zero-quantization-error corpus ranks exact copies first") {
     val dim = 64
     def grid(i: Int) = (0 until dim).map(d => (i * dim + d).toDouble / 100.0).toArray

@@ -117,6 +117,22 @@ class SourcesSpec extends SparkSpec {
     assert(out(1).getLong(4) == expect(8L, 16, 14))
   }
 
+  test("patchGrid: 2×2 partition covers every pixel with the arithmetic sums") {
+    val d = Seq((7L, 5, 4)).toDF("doc_id", "w", "h")
+    val out = Multimodal.patchGrid(Multimodal.synthGrayPng(d, "doc_id", "w", "h"), grid = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r).toMap
+    assert(out.size == 4)
+    // pixel (x, y) lands in patch (y*2/4, x*2/5): patch (0,0) covers x<3, y<2
+    def lum(xs: Range, ys: Range): Long =
+      (for (x <- xs; y <- ys) yield (7L * 31 + x * 7 + y * 13) % 256).sum
+    assert(out((0, 0)).getAs[Long]("n_px") == 6L)
+    assert(out((0, 0)).getAs[Long]("lum_sum") == lum(0 until 3, 0 until 2))
+    assert(out((1, 1)).getAs[Long]("n_px") == 4L)
+    assert(out((1, 1)).getAs[Long]("lum_sum") == lum(3 until 5, 2 until 4))
+    val total = out.values.map(_.getAs[Long]("n_px")).sum
+    assert(total == 20L) // every pixel assigned exactly once
+  }
+
   test("SyntheticDocs DSv2: pushdown prunes partitions, pruning narrows the read schema, rows match the formula") {
     import graft.sources.SyntheticDocs
     val df = spark.read.format("graft.sources.SyntheticDocs")

@@ -207,4 +207,60 @@ object Inference {
       .select(col("t_day"), col("n_risk"), col("d").as("n_event"), col("c").as("n_censor"),
         round(col("surv"), 6).as("survival"))
   }
+
+  /** Benjamini–Hochberg FDR gate (Benjamini & Hochberg 1995) over a
+    * family of per-group goodness-of-fit tests: each group's 3-category
+    * distribution is tested against the corpus-wide mixture (chi²,
+    * df = 2 — chosen because the df-2 survival function is the CLOSED
+    * FORM p = exp(−χ²/2), portable across engines with no incomplete-
+    * gamma dependency), then the m p-values are ranked ascending and
+    * every test at rank ≤ max{i : p_i ≤ i·q/m} is rejected. This is
+    * the multiple-testing discipline for fleet-wide drift monitors:
+    * per-source alarms at a controlled FALSE DISCOVERY rate instead of
+    * per-test α that fires spuriously when m is large.
+    *
+    * χ² uses the zero-safe identity Σ O²/E − n_g (zero-observed cells
+    * contribute nothing to the sum, exactly as they should); all
+    * inputs are exact counts. The ranking window runs over m rows
+    * (one per group) — driver-scale, not corpus-scale.
+    */
+  def bhFdrGate(df: DataFrame, groupCol: String, cat: Column,
+                q: Double): DataFrame = {
+    val cells = df.select(col(groupCol).as("g"), cat.as("c"))
+      .groupBy("g", "c").agg(count(lit(1)).as("n"))
+    val gm = cells.groupBy("g").agg(sum("n").as("ng"))
+    val cm = cells.groupBy("c").agg(sum("n").as("nc"))
+    val tot = cells.agg(sum("n").as("nt"))
+    // chi2_g = (nt/ng)·Σ_c O²/nc − ng  (E_c = ng·nc/nt). The Σ folds
+    // in category-ascending order (sort_array + aggregate, bounded by
+    // the category count) instead of a plain sum(): the BH ranking
+    // below compares p-values ACROSS groups, so each group's double
+    // accumulation must be order-deterministic or two groups with
+    // identical counts can land on different last-ulp chi2 under
+    // different partition orders (observed: rank ties flipping vs the
+    // oracle) — and would also be retry/AQE-unstable.
+    val chi2 = cells.join(broadcast(cm), "c")
+      .select(col("g"), col("c"), (col("n").cast("double") * col("n").cast("double") /
+        col("nc").cast("double")).as("term"))
+      .groupBy("g").agg(aggregate(
+        sort_array(collect_list(struct(col("c"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("osum"))
+      .join(broadcast(gm), "g").crossJoin(broadcast(tot))
+      .select(col("g"),
+        (col("nt").cast("double") / col("ng").cast("double") * col("osum") -
+          col("ng").cast("double")).as("chi2"))
+    val withP = chi2.withColumn("p", exp(-col("chi2") / 2))
+    val m = count(lit(1)).over(Window.partitionBy())
+    val wRank = Window.orderBy(col("p"), col("g"))
+    val ranked = withP
+      .select(col("g"), col("chi2"), col("p"),
+        row_number().over(wRank).cast("long").as("rank"), m.as("m"))
+      .withColumn("passes", col("p") <= col("rank").cast("double") * q / col("m").cast("double"))
+    val kmax = Window.partitionBy()
+    ranked
+      .withColumn("kmax", max(when(col("passes"), col("rank")).otherwise(0L)).over(kmax))
+      .select(col("g").as(groupCol), round(col("chi2"), 4).as("chi2"),
+        round(col("p"), 6).as("p_value"), col("rank"),
+        (col("rank") <= col("kmax")).as("rejected"))
+  }
 }

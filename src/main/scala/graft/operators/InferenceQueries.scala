@@ -79,6 +79,22 @@ object InferenceQueries {
       Stats.aucRoc(Tables(s, dir).events, col("event_type") === "purchase", centsValue)
     },
 
+    // #86m average precision (PR-curve area) on the same labeling —
+    // the skew-robust companion to q_auc_roc.
+    "q_avg_precision" -> { (s, dir) =>
+      Stats.averagePrecision(Tables(s, dir).events,
+        col("event_type") === "purchase", centsValue, col("event_id"))
+    },
+
+    // #87e Benjamini-Hochberg FDR gate across per-source lang-mix
+    // drift tests (3-category goodness-of-fit, closed-form df-2 p).
+    "q_bh_fdr" -> { (s, dir) =>
+      Inference.bhFdrGate(Tables(s, dir).documents, "source",
+        when(col("lang") === "en", "en")
+          .when(col("lang") === "zh", "zh").otherwise("other"),
+        q = 0.05)
+    },
+
     // #86k decile lift/gains: order price as the score, order status F
     // as the response.
     "q_lift_deciles" -> { (s, dir) =>
@@ -375,6 +391,39 @@ object InferenceQueries {
         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY u)
         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes, min(u) AS min_id, max(u) AS max_id
         |FROM deg GROUP BY degree""".stripMargin,
+    "q_avg_precision" ->
+      """WITH t AS (SELECT event_type = 'purchase' AS pos,
+        |             CAST(round(value * 100) AS BIGINT) AS s, event_id AS id FROM events),
+        |r AS (SELECT pos, row_number() OVER wo AS k,
+        |        sum(CASE WHEN pos THEN 1 ELSE 0 END) OVER
+        |          (wo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t WINDOW wo AS (ORDER BY s DESC, id))
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  round(sum(CASE WHEN pos THEN cum::DOUBLE / k::DOUBLE ELSE 0.0 END) /
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE, 6) + 0.0 AS avg_precision
+        |FROM r""".stripMargin,
+    "q_bh_fdr" ->
+      """WITH cells AS (SELECT source AS g,
+        |        CASE WHEN lang = 'en' THEN 'en' WHEN lang = 'zh' THEN 'zh'
+        |             ELSE 'other' END AS c,
+        |        CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+        |gm AS (SELECT g, CAST(sum(n) AS BIGINT) AS ng FROM cells GROUP BY g),
+        |cm AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM cells GROUP BY c),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+        |osum AS (SELECT g, list_reduce(list(n::DOUBLE * n::DOUBLE / nc::DOUBLE ORDER BY c),
+        |                               (a, b) -> a + b) AS osum
+        |         FROM cells JOIN cm USING (c) GROUP BY g),
+        |x AS (SELECT osum.g, nt::DOUBLE / ng::DOUBLE * osum - ng::DOUBLE AS chi2
+        |      FROM osum JOIN gm ON osum.g = gm.g, tot),
+        |p AS (SELECT g, chi2, exp(-chi2 / 2) AS p FROM x),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p, g) AS BIGINT) AS rank,
+        |        CAST(count(*) OVER () AS BIGINT) AS m FROM p),
+        |km AS (SELECT max(CASE WHEN p <= rank::DOUBLE * 0.05 / m::DOUBLE
+        |                       THEN rank ELSE 0 END) AS kmax FROM r)
+        |SELECT g AS source, round(chi2, 4) + 0.0 AS chi2,
+        |  round(p, 6) + 0.0 AS p_value, rank, rank <= kmax AS rejected
+        |FROM r, km""".stripMargin,
     "q_auc_roc" ->
       """WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
         |             event_type = 'purchase' AS grp FROM events),

@@ -100,6 +100,16 @@ object LlmQueries {
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
     },
 
+    // #86l Cohen's kappa: chance-corrected agreement of the lang-ID
+    // heuristic against the gold label — the one-number follow-up to
+    // the confusion matrix (accuracy alone flatters when one class
+    // dominates). Exact integer ratio, rounded only at output.
+    "q_cohens_kappa" -> { (s, dir) =>
+      val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
+      Stats.cohensKappa(Tables(s, dir).documents,
+        col("lang"), TextAnalysis.predictLang(col("text"), profiles, "und"))
+    },
+
     // Reliability diagram + ECE for the lang-ID heuristic read as an
     // "is-English" classifier: confidence = Laplace-smoothed share of
     // English stopword hits among all profile hits, outcome = the
@@ -704,6 +714,36 @@ object LlmQueries {
          |SELECT d.lang, p.predicted, CAST(count(*) AS BIGINT) AS n
          |FROM documents d JOIN p USING (doc_id)
          |GROUP BY d.lang, p.predicted""".stripMargin,
+    // Kappa from the same confusion cells as one exact integer ratio:
+    // (n_agree·N − Σ na·np) / (N² − Σ na·np).
+    "q_cohens_kappa" ->
+      s"""WITH $wsCte,
+         |h AS (SELECT doc_id,
+         |        CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS en,
+         |        CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS BIGINT) AS de,
+         |        CAST(len(list_filter(ws, w -> w IN ('el','la','de','los','las','y','es','en','un','una'))) AS BIGINT) AS es,
+         |        CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','des','est','un','une','dans','pour'))) AS BIGINT) AS fr
+         |      FROM w),
+         |p AS (SELECT doc_id,
+         |        CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         |             WHEN en = greatest(en, de, es, fr) THEN 'en'
+         |             WHEN de = greatest(en, de, es, fr) THEN 'de'
+         |             WHEN es = greatest(en, de, es, fr) THEN 'es'
+         |             ELSE 'fr' END AS predicted
+         |      FROM h),
+         |cells AS (SELECT d.lang AS a, p.predicted AS pp, CAST(count(*) AS BIGINT) AS n
+         |          FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2),
+         |rm AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY a),
+         |cm AS (SELECT pp, CAST(sum(n) AS BIGINT) AS np FROM cells GROUP BY pp),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+         |ag AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_agree FROM cells WHERE a = pp),
+         |pe AS (SELECT CAST(coalesce(sum(na * np), 0) AS BIGINT) AS pe_num
+         |       FROM rm JOIN cm ON rm.a = cm.pp)
+         |SELECT nt AS n, n_agree,
+         |  round(n_agree::DOUBLE / nt::DOUBLE, 6) + 0.0 AS po,
+         |  round(pe_num::DOUBLE / (nt * nt)::DOUBLE, 6) + 0.0 AS pe,
+         |  round((n_agree * nt - pe_num)::DOUBLE / (nt * nt - pe_num)::DOUBLE, 6) + 0.0 AS kappa
+         |FROM ag, tot, pe""".stripMargin,
     // Same Laplace-smoothed confidence, equal-width binning, and 6-dp
     // rounding; the ECE window runs over the ≤10 bin rows.
     "q_calibration" ->

@@ -89,8 +89,63 @@ object RetrievalQueries {
       TrainingMix.unimaxPlan(Tables(s, dir).documents, "lang",
         size(split(col("text"), " ")).cast("long"),
         budget = unimaxBudget, epochsCap = unimaxCap)
+    },
+
+    // #93b retrieval-quality eval: nDCG@10 / MRR / recall@10 of the
+    // per-term BM25 ranking against tf>=2 pseudo-qrels.
+    "q_retrieval_eval" -> { (s, dir) =>
+      TextRank.retrievalEval(Tables(s, dir).documents, "doc_id", "text",
+        terms = Seq("spark", "window", "merge", "data"), k = 10, relMin = 2L)
+    },
+
+    // #93c MMR diversity re-ranking (Carbonell & Goldstein 1998):
+    // greedy 5-of-20 selection, lambda = 0.7, over the vec_id-0 query.
+    "q_mmr_select" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      VectorOps.mmrSelect(e, e.filter(col("id") === 0),
+        shortlistK = 20, selectK = 5, lambda = 0.7)
     }
   )
+
+  /** Programmatically unrolled MMR oracle: each greedy step is one
+    * argmax CTE over the shortlist minus the already-selected set —
+    * the same structure as the unrolled-PageRank oracle, in the raw
+    * doubles the Spark side compares (rounding only at output).
+    */
+  private def mmrOracleSql(shortK: Int, selK: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val oml = (1 - lambda).toString
+    val steps = new StringBuilder(
+      s"sel1 AS (SELECT id, rel, $lam * rel AS mmr FROM sl ORDER BY mmr DESC, id LIMIT 1)")
+    for (i <- 2 to selK) {
+      val prev = (1 until i).map(j => s"SELECT id FROM sel$j").mkString(" UNION ALL ")
+      steps.append(
+        s""",
+           |cand$i AS (SELECT c.id, c.rel, max(p.s) AS mx FROM sl c JOIN pr p ON p.ia = c.id
+           |           WHERE p.ib IN ($prev) AND c.id NOT IN ($prev) GROUP BY c.id, c.rel),
+           |sel$i AS (SELECT id, rel, $lam * rel - $oml * mx AS mmr FROM cand$i
+           |          ORDER BY mmr DESC, id LIMIT 1)""".stripMargin)
+    }
+    val union = (1 to selK).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS sel_rank, id, round(rel, 6) + 0.0 AS relevance, " +
+        s"round(mmr, 6) + 0.0 AS mmr_score FROM sel$i").mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE id = 0),
+       |s0 AS (SELECT c.id, list_dot_product(q.qv, c.v) /
+       |         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS rel
+       |       FROM e c, q WHERE c.id <> 0),
+       |sl AS (SELECT id, rel FROM (
+       |         SELECT *, row_number() OVER (ORDER BY rel DESC, id) AS rn FROM s0) t
+       |       WHERE rn <= $shortK),
+       |sv AS (SELECT e.id, e.v FROM e JOIN sl USING (id)),
+       |pr AS (SELECT a.id AS ia, b.id AS ib,
+       |         list_dot_product(a.v, b.v) /
+       |         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+       |       FROM sv a JOIN sv b ON a.id <> b.id),
+       |$steps
+       |$union""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_rrf_fusion" ->
@@ -217,6 +272,36 @@ object RetrievalQueries {
          |       FROM p2)
          |SELECT lang, n_tokens, capacity, alloc_tokens,
          |       round(alloc_tokens / n_tokens, 4) AS epochs
-         |FROM al""".stripMargin
+         |FROM al""".stripMargin,
+    // Same single-term BM25 chain as q_bm25 (per-term partition),
+    // binary tf>=2 qrels, closed-form DCG/IDCG via list arithmetic.
+    "q_retrieval_eval" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |st AS (SELECT count(*) AS n, avg(len(ws)) AS avglen FROM w),
+        |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |f AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM t
+        |      WHERE term IN ('spark', 'window', 'merge', 'data') GROUP BY 1, 2, 3),
+        |d AS (SELECT term, count(*) AS df FROM f GROUP BY term),
+        |sc AS (SELECT f.term, f.doc_id, f.tf,
+        |         round(ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |           * (f.tf * 2.2) / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / st.avglen)), 4) AS score
+        |       FROM f JOIN d USING (term), st),
+        |rk AS (SELECT term, doc_id, tf, score,
+        |         CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |       FROM sc),
+        |topk AS (SELECT *, tf >= 2 AS rel FROM rk WHERE rank <= 10),
+        |nr AS (SELECT term, CAST(count(*) AS BIGINT) AS n_rel FROM f WHERE tf >= 2 GROUP BY term),
+        |ag AS (SELECT term,
+        |         CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_ret_rel,
+        |         min(CASE WHEN rel THEN rank END) AS first_rel,
+        |         sum(CASE WHEN rel THEN 1.0 / log2(rank::DOUBLE + 1.0) ELSE 0.0 END) AS dcg
+        |       FROM topk GROUP BY term)
+        |SELECT ag.term, coalesce(nr.n_rel, 0) AS n_rel, ag.n_ret_rel,
+        |  round(coalesce(1.0 / first_rel::DOUBLE, 0.0), 6) + 0.0 AS mrr,
+        |  round(ag.n_ret_rel::DOUBLE / nr.n_rel::DOUBLE, 6) + 0.0 AS recall_at_k,
+        |  round(ag.dcg / list_sum(list_transform(range(1, least(10, nr.n_rel) + 1),
+        |    i -> 1.0 / log2(i::DOUBLE + 1.0))), 6) + 0.0 AS ndcg_at_k
+        |FROM ag LEFT JOIN nr USING (term)""".stripMargin,
+    "q_mmr_select" -> mmrOracleSql(shortK = 20, selK = 5, lambda = 0.7)
   )
 }

@@ -182,6 +182,57 @@ object Stats {
         round(col("cum_resp").cast("double") / col("tresp").cast("double"), 6).as("cum_gain"))
   }
 
+  /** Cohen's kappa (Cohen 1960): chance-corrected agreement between
+    * two labelings — the inter-annotator / classifier-vs-gold QA
+    * metric for labeled training data. Computed as ONE exact integer
+    * ratio: kappa = (po−pe)/(1−pe) = (n_agree·N − Σ_k rowN_k·colN_k)
+    * / (N² − Σ_k rowN_k·colN_k), so the only rounding is at output.
+    * One shuffle (the confusion cells); margins are class-bounded.
+    */
+  def cohensKappa(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
+    val cells = df.select(actual.as("a"), predicted.as("p"))
+      .groupBy("a", "p").agg(count(lit(1)).as("n"))
+    val rm = cells.groupBy("a").agg(sum("n").as("na"))
+    val cm = cells.groupBy("p").agg(sum("n").as("np"))
+    val tot = cells.agg(sum("n").as("nt"))
+    val agree = cells.filter(col("a") === col("p"))
+      .agg(coalesce(sum("n"), lit(0L)).as("n_agree"))
+    // pe numerator: classes present in only one margin contribute 0
+    val peNum = rm.join(cm, col("a") === col("p"))
+      .agg(coalesce(sum(col("na") * col("np")), lit(0L)).as("pe_num"))
+    agree.crossJoin(broadcast(tot)).crossJoin(broadcast(peNum))
+      .select(col("nt").as("n"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("nt").cast("double"), 6).as("po"),
+        round(col("pe_num").cast("double") / (col("nt") * col("nt")).cast("double"), 6).as("pe"),
+        round((col("n_agree") * col("nt") - col("pe_num")).cast("double") /
+          (col("nt") * col("nt") - col("pe_num")).cast("double"), 6).as("kappa"))
+  }
+
+  /** Average precision (the area under the precision-recall curve in
+    * its rank-sum form): AP = (1/n⁺) Σ_{positive ranks k} cumPos(k)/k
+    * over the (score desc, tie) total order. Complements [[aucRoc]] on
+    * skewed-prevalence labels where ROC flatters. The per-rank terms
+    * are exact integer ratios; only their sum is a double (rounded at
+    * 6 dp). The ranking window is global by construction — same
+    * documented posture as q_ntile (range-partitioned rank at cluster
+    * scale).
+    */
+  def averagePrecision(df: DataFrame, isPos: Column, score: Column,
+                       tie: Column): DataFrame = {
+    val w = Window.orderBy(col("s").desc, col("t"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = df.select(isPos.as("pos"), score.as("s"), tie.as("t"))
+      .select(col("pos"), row_number().over(w).as("k"),
+        sum(when(col("pos"), 1L).otherwise(0L)).over(wRun).as("cum"))
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("pos"), col("cum").cast("double") / col("k").cast("double"))
+        .otherwise(lit(0.0))).as("ap_num"))
+      .select(col("n"), col("n_pos"),
+        round(col("ap_num") / col("n_pos").cast("double"), 6).as("avg_precision"))
+  }
+
   /** Per-variant two-proportion z-test against the pooled rest
     * (the standard A/B readout). `converted` is a boolean column.
     * All inputs to the closed form are exact counts.

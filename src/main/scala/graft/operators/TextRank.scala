@@ -448,4 +448,56 @@ object TextRank {
       .select(col(idCol), col("n_tokens"), col("n_oov"),
         round(col("n_oov").cast("double") / col("n_tokens"), 4).as("oov_rate"))
   }
+
+  /** Retrieval-quality evaluation: nDCG@k, MRR and recall@k of a
+    * per-term BM25 ranking against derived binary relevance judgments
+    * (relevant = the term occurs ≥ `relMin` times in the document —
+    * the standard pseudo-qrel construction when no human judgments
+    * exist). One corpus tokenization feeds run AND qrels; rankings
+    * are per-term windows over the term-filtered posting rows only
+    * (corpus text never shuffles). Scores round to 4 dp before
+    * ranking with doc-id tiebreak — the proven bm25TopK discipline —
+    * so the ranked list is engine-exact; DCG/IDCG are sums of ≤ k
+    * closed-form terms, rounded at 6 dp.
+    */
+  def retrievalEval(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], k: Int, relMin: Long,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs.select(col(idCol).as("id"),
+      split(lower(col(textCol)), " ").as("toks"))
+    val base = perDoc.select(col("id"), size(col("toks")).cast("long").as("dl"),
+      explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(terms))
+    val tfs = base.groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfs = tfs.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = perDoc.agg(count(lit(1)).as("n"),
+      avg(size(col("toks"))).as("avglen"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val termScore = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avglen")))
+    val scored = tfs.join(broadcast(dfs), "term").crossJoin(broadcast(stats))
+      .select(col("term"), col("id"), col("tf"),
+        round(termScore, 4).as("score"))
+    val wRank = Window.partitionBy("term").orderBy(col("score").desc, col("id"))
+    val ranked = scored
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("rel", col("tf") >= relMin)
+    val nRel = tfs.filter(col("tf") >= relMin)
+      .groupBy("term").agg(count(lit(1)).as("n_rel"))
+    val logTerm = (r: Column) => lit(1.0) / log2(r.cast("double") + 1.0)
+    ranked.groupBy("term")
+      .agg(sum(when(col("rel"), 1L).otherwise(0L)).as("n_ret_rel"),
+        min(when(col("rel"), col("rank"))).as("first_rel"),
+        sum(when(col("rel"), logTerm(col("rank"))).otherwise(lit(0.0))).as("dcg"))
+      .join(broadcast(nRel), Seq("term"), "left")
+      .select(col("term"), coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("n_ret_rel"),
+        round(coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0)), 6).as("mrr"),
+        round(col("n_ret_rel").cast("double") / col("n_rel").cast("double"), 6).as("recall_at_k"),
+        round(col("dcg") / aggregate(
+          sequence(lit(1L), least(lit(k.toLong), col("n_rel"))),
+          lit(0.0), (acc, i) => acc + logTerm(i)), 6).as("ndcg_at_k"))
+  }
 }

@@ -479,4 +479,61 @@ object VectorOps {
       .agg(count(lit(1)).as("n_members"), sum("id").as("sum_ids"),
         min("id").as("min_id"), max("id").as("max_id"))
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein
+    * 1998): greedily pick `selectK` of the query's `shortlistK`
+    * nearest neighbors, each step maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) — the diversity-aware
+    * re-ranking between retrieval and context assembly.
+    *
+    * Scale shape: the DISTRIBUTED work is shortlist generation (one
+    * corpus scan — bruteForceTopK or an ANN index at 100 TB) and the
+    * shortlistK² pairwise-similarity matrix (self-join of shortlistK
+    * rows). The greedy loop itself runs on the driver over that
+    * bounded k + k² collected set — selectK·shortlistK comparisons on
+    * ≤ a few hundred doubles, the same bounded-driver-data contract
+    * as the BPE argmax. Similarities stay raw doubles through every
+    * comparison (bit-exact cross-engine per the q_ann_bruteforce
+    * precedent); output rounds at 6 dp.
+    */
+  def mmrSelect(corpus: DataFrame, probe: DataFrame,
+                shortlistK: Int, selectK: Int, lambda: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    val shortlist = bruteForceTopK(probe, corpus, shortlistK)
+      .select(col("neighbor_id").as("id"), col("sim").as("rel"))
+    val slVecs = corpus.join(broadcast(shortlist.select(col("id"))), "id")
+      .select(col("id"), col("vec"), l2norm(col("vec")).as("nrm"))
+    val pairs = slVecs.as("a").join(broadcast(slVecs.as("b")),
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))).as("s"))
+    val rel = shortlist.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim = pairs.collect().flatMap { r =>
+      val (a, b, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      Seq((a, b) -> s, (b, a) -> s)
+    }.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rel.keys
+    while (selected.size < selectK && remaining.nonEmpty) {
+      // argmax of the MMR objective, id-ascending tiebreak (SortedSet
+      // iteration order makes "first strict improvement wins" = min id)
+      var bestId = -1L; var bestMmr = Double.NegativeInfinity; var bestRel = 0.0
+      for (c <- remaining) {
+        val maxPrev = if (selected.isEmpty) 0.0
+          else selected.map(s => sim((c, s._1))).max
+        val mmr = lambda * rel(c) - (1 - lambda) * maxPrev
+        if (mmr > bestMmr) { bestId = c; bestMmr = mmr; bestRel = rel(c) }
+      }
+      selected += ((bestId, bestRel, bestMmr))
+      remaining -= bestId
+    }
+    import spark.implicits._
+    // same rounding as Spark's round()/DuckDB's round(): half away
+    // from zero (math.rint's half-even would disagree on .5 exactly)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    selected.toSeq.zipWithIndex
+      .map { case ((id, r, m), i) => (i + 1L, id, r6(r), r6(m)) }
+      .toDF("sel_rank", "id", "relevance", "mmr_score")
+  }
 }

@@ -193,6 +193,44 @@ class InferenceSpec extends SparkSpec {
     assert(r(1L).getAs[Long]("prev_total") == 100L)
   }
 
+  test("cohensKappa: perfect agreement scores 1, independent margins score 0") {
+    import graft.operators.Stats
+    val perfect = Seq(("a", "a"), ("b", "b"), ("a", "a")).toDF("g", "p")
+    assert(Stats.cohensKappa(perfect, col("g"), col("p")).collect().head
+      .getAs[Double]("kappa") == 1.0)
+    // 2x2 with independent margins: po = pe = 0.5 -> kappa 0
+    val indep = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")).toDF("g", "p")
+    val r = Stats.cohensKappa(indep, col("g"), col("p")).collect().head
+    assert(r.getAs[Double]("po") == 0.5 && r.getAs[Double]("kappa") == 0.0)
+  }
+
+  test("averagePrecision: closed form on a 4-row ranking") {
+    import graft.operators.Stats
+    // ranks by score desc: pos at ranks 1 and 3 -> AP = (1/1 + 2/3)/2
+    val df = Seq((true, 5L, 1L), (false, 4L, 2L), (true, 3L, 3L), (false, 2L, 4L))
+      .toDF("pos", "s", "id")
+    val r = Stats.averagePrecision(df, col("pos"), col("s"), col("id")).collect().head
+    assert(r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Double]("avg_precision") ==
+      BigDecimal((1.0 + 2.0 / 3) / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("bhFdrGate: uniform groups are never rejected; a deviant group ranks first") {
+    // identical distributions -> chi2 = 0, p = 1, nothing rejected
+    val same = (1 to 30).flatMap(i => Seq(("g1", i % 3), ("g2", i % 3), ("g3", i % 3)))
+      .toDF("g", "v")
+    val none = Inference.bhFdrGate(same, "g", col("v").cast("string"), q = 0.05).collect()
+    assert(none.length == 3 && none.forall(!_.getAs[Boolean]("rejected")))
+    assert(none.forall(_.getAs[Double]("p_value") == 1.0))
+    // one group concentrated in a single category deviates hardest
+    val dev = ((1 to 30).flatMap(i => Seq(("g1", i % 3), ("g2", i % 3))) ++
+      (1 to 30).map(_ => ("gx", 0))).toDF("g", "v")
+    val r = Inference.bhFdrGate(dev, "g", col("v").cast("string"), q = 0.05)
+      .collect().map(x => x.getAs[String]("g") -> x).toMap
+    assert(r("gx").getAs[Long]("rank") == 1L && r("gx").getAs[Boolean]("rejected"))
+    assert(r("gx").getAs[Double]("p_value") < 0.001)
+  }
+
   test("aucRoc: perfect separation scores 1, all-tied scores 0.5") {
     import graft.operators.Stats
     val perfect = ((1 to 10).map(i => (true, 100L + i)) ++ (1 to 10).map(i => (false, i.toLong)))

@@ -92,4 +92,45 @@ class RetrievalSpec extends SparkSpec {
         (r.getAs[Long]("capacity"), r.getAs[Double]("alloc_tokens"))).toMap
     all.foreach { case (_, (cap, alloc)) => assert(alloc == cap.toDouble) }
   }
+
+  test("retrievalEval: perfect top-k scores mrr=recall=ndcg=1; dry term scores 0") {
+    import graft.operators.TextRank
+    val docs = Seq(
+      (1L, "apple apple apple"),
+      (2L, "apple banana x"),
+      (3L, "apple apple y z"),
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val r = TextRank.retrievalEval(docs, "doc_id", "text",
+      terms = Seq("apple", "banana"), k = 2, relMin = 2L)
+      .collect().map(x => x.getAs[String]("term") -> x).toMap
+    val a = r("apple")
+    // relevant = {1, 3}; BM25 ranks 1 (tf3/dl3) then 3 (tf2/dl4) — both in top-2
+    assert(a.getAs[Long]("n_rel") == 2L && a.getAs[Long]("n_ret_rel") == 2L)
+    assert(a.getAs[Double]("mrr") == 1.0)
+    assert(a.getAs[Double]("recall_at_k") == 1.0)
+    assert(a.getAs[Double]("ndcg_at_k") == 1.0)
+    // banana appears once in one doc: no relevant docs anywhere
+    val b = r("banana")
+    assert(b.getAs[Long]("n_rel") == 0L && b.getAs[Double]("mrr") == 0.0)
+    assert(b.getAs[Double]("ndcg_at_k") == 0.0)
+  }
+
+  test("mmrSelect: diversity beats redundancy at low lambda") {
+    // v1 ~ query; v2 near-dup of v1; v3 orthogonal-ish. At lambda=0.4
+    // the redundancy penalty pushes v3 ahead of v2 for the 2nd slot.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.95f, 0.312f, 0.0f)),
+      (3L, Array(0.6f, 0.0f, 0.8f))).toDF("id", "vec")
+    val sel = VectorOps.mmrSelect(vecs, vecs.filter(col("id") === 0),
+      shortlistK = 3, selectK = 3, lambda = 0.4)
+      .collect().sortBy(_.getAs[Long]("sel_rank")).map(_.getAs[Long]("id"))
+    assert(sel.toSeq == Seq(1L, 3L, 2L))
+    // at high lambda relevance dominates and the near-dup goes 2nd
+    val rel = VectorOps.mmrSelect(vecs, vecs.filter(col("id") === 0),
+      shortlistK = 3, selectK = 3, lambda = 0.95)
+      .collect().sortBy(_.getAs[Long]("sel_rank")).map(_.getAs[Long]("id"))
+    assert(rel.toSeq == Seq(1L, 2L, 3L))
+  }
 }

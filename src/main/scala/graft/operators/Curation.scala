@@ -99,6 +99,33 @@ object Curation {
       round(ellipsisLines.cast("double") / nLines, 4).as("ellipsis_frac"))
   }
 
+  /** Flesch reading-ease readability stats (Flesch 1948) from three
+    * engine-portable counts: sentences = runs of [.!?] (collapsed then
+    * counted, min 1 — a fragment is one sentence), words = runs of
+    * non-space, syllables ≈ vowel-group runs per word (the standard
+    * dictionary-free proxy). score = 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/words) — ratios of exact integers, so both
+    * engines produce the identical double. The readability band is a
+    * corpus-quality signal alongside gopherStats (an instruction-tuned
+    * corpus wants prose, not telegraphic fragments or run-ons).
+    */
+  def fleschStats(text: Column): Column = {
+    def runCount(collapsed: Column, marker: String): Column =
+      (length(collapsed) - length(translate(collapsed, marker, ""))).cast("long")
+    val nSents0 = runCount(regexp_replace(text, "[.!?]+", "."), ".")
+    val nSents = greatest(nSents0, lit(1L))
+    val nWords = runCount(regexp_replace(text, "[^ ]+", "W"), "W")
+    val nSyll = runCount(regexp_replace(lower(text), "[aeiouy]+", "V"), "V")
+    val score = lit(206.835) -
+      lit(1.015) * nWords.cast("double") / nSents.cast("double") -
+      lit(84.6) * nSyll.cast("double") / greatest(nWords, lit(1L)).cast("double")
+    struct(
+      nWords.as("n_words"),
+      nSents.as("n_sents"),
+      nSyll.as("n_syllables"),
+      round(score, 4).as("flesch"))
+  }
+
   /** Gopher keep/drop decision over the stats struct. */
   def gopherKeep(stats: Column, stopHits: Column): Column =
     stats("n_words").between(50, 100000) &&

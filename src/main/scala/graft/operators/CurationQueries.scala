@@ -318,6 +318,26 @@ object CurationQueries {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .select(col("cluster_size"), col("n_clusters"),
           (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    },
+
+    // #42u2 Flesch reading-ease per document — the readability band
+    // quality signal alongside the Gopher structural rules.
+    "q_readability" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), Curation.fleschStats(col("text")).as("f"))
+        .select(col("doc_id"), col("f.n_words").as("n_words"),
+          col("f.n_sents").as("n_sents"), col("f.n_syllables").as("n_syllables"),
+          col("f.flesch").as("flesch"))
+    },
+
+    // #42d3 PPS (probability-proportional-to-size) Poisson sample of
+    // orders weighted by order value: E[n]=200, certainty rows always
+    // kept, inclusion probability reported in exact ppm.
+    "q_pps_sample" -> { (s, dir) =>
+      val t = Tables(s, dir).orders.select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("w_cents"))
+      Sampling.ppsSample(t, "o_orderkey", col("w_cents"), k = 200L, seed = 7L)
+        .select("o_orderkey", "w_cents", "pi_ppm")
     }
   )
 
@@ -674,6 +694,32 @@ object CurationQueries {
         |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
         |       CAST(prev // 2048 AS BIGINT) AS bin,
         |       CAST(row_number() OVER (PARTITION BY lang, shard, prev // 2048 ORDER BY doc_id) AS BIGINT) AS pos
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+    "q_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    regexp_replace(text, '[.!?]+', '.', 'g') AS cs,
+        |    regexp_replace(text, '[^ ]+', 'W', 'g') AS cw,
+        |    regexp_replace(lower(text), '[aeiouy]+', 'V', 'g') AS cv
+        |  FROM documents),
+        |k AS (SELECT doc_id,
+        |    greatest(CAST(length(cs) - length(replace(cs, '.', '')) AS BIGINT), 1) AS n_sents,
+        |    CAST(length(cw) - length(replace(cw, 'W', '')) AS BIGINT) AS n_words,
+        |    CAST(length(cv) - length(replace(cv, 'V', '')) AS BIGINT) AS n_syllables
+        |  FROM c)
+        |SELECT doc_id, n_words, n_sents, n_syllables,
+        |  round(206.835 - 1.015 * n_words::DOUBLE / n_sents::DOUBLE -
+        |        84.6 * n_syllables::DOUBLE / greatest(n_words, 1)::DOUBLE, 4) + 0.0 AS flesch
+        |FROM k""".stripMargin,
+    "q_pps_sample" ->
+      """WITH t AS (SELECT o_orderkey,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents FROM orders),
+        |w AS (SELECT CAST(sum(w_cents) AS BIGINT) AS tw FROM t),
+        |s AS (SELECT t.*, tw,
+        |        substr(md5(o_orderkey || ':7'), 1, 6) AS u6,
+        |        least((200 * w_cents * 16777216) // tw, 16777216) AS thr
+        |      FROM t, w)
+        |SELECT o_orderkey, w_cents,
+        |  least(200 * w_cents * 1000000, tw * 1000000) // tw AS pi_ppm
+        |FROM s WHERE '0' || u6 < lpad(lower(to_hex(thr)), 7, '0')""".stripMargin
   )
 }

@@ -369,6 +369,32 @@ object DataOps {
     * (map-side combine), a broadcast single-row total, and a bounded
     * TakeOrderedAndProject for the top-k; never a full sort.
     */
+  /** Mask-based format profiling (the Potter's-Wheel / Deequ pattern
+    * screen): each value maps to a structural mask — digits→'9',
+    * uppercase→'A', lowercase→'a', other characters kept — plus the
+    * run-collapsed mask ('Aaaaaaaa#999999999' → 'Aa#9'), then one
+    * count per mask with lexicographic min/max exemplars. The
+    * data-profiling step that surfaces mixed formats, stray encodings
+    * and schema drift in a string column BEFORE a parser hard-codes
+    * one shape.
+    *
+    * Pure column algebra (three regexp passes) + one map-side-combined
+    * aggregate; output is bounded by the mask domain (tiny), so at
+    * 100 TB this is a scan-bound profile like the histogram family.
+    */
+  def formatProfile(df: DataFrame, column: String): DataFrame = {
+    val mask = regexp_replace(regexp_replace(regexp_replace(
+      col(column), "[0-9]", "9"), "[A-Z]", "A"), "[a-z]", "a")
+    val collapsed = regexp_replace(regexp_replace(regexp_replace(
+      col("mask"), "9+", "9"), "A+", "A"), "a+", "a")
+    df.select(lit(column).as("column"), col(column), mask.as("mask"))
+      .withColumn("mask_collapsed", collapsed)
+      .groupBy("column", "mask", "mask_collapsed")
+      .agg(count(lit(1)).as("n"),
+        min(col(column)).as("example_min"),
+        max(col(column)).as("example_max"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
     val total = df.select(count(lit(1)).as("total"))

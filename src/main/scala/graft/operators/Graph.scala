@@ -443,6 +443,45 @@ object Graph {
         min("u").as("min_id"), max("u").as("max_id"))
   }
 
+  /** Link prediction by common-neighbor counting (Liben-Nowell &
+    * Kleinberg 2003): for every NON-adjacent pair sharing at least
+    * `minCommon` neighbors, the common-neighbor count plus the
+    * preferential-attachment score deg(a)·deg(b) (Barabási) — both
+    * integer-exact, so the ranking is engine-portable (Adamic-Adar's
+    * Σ 1/log deg(z) is the same wedge shape but an order-sensitive
+    * irrational sum; the integer scores are the hash-matchable core).
+    *
+    * Shape: one wedge self-join through the shared neighbor z over
+    * lowest-vertex-canonical edges — the [[triangleCount]] skew
+    * posture — then an anti-join drops pairs that are already edges.
+    * Candidate volume is Σ_z deg(z)², bounded by the degree profile,
+    * not |V|²; `minCommon` is the output-volume knob at scale.
+    */
+  def linkPrediction(edges: DataFrame, src: String, dst: String,
+                     minCommon: Long): DataFrame = {
+    val e = edges
+      .select(least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+        greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("v"), col("deg"))
+    // wedge through z: (u, z), (z, w) with u < w — each common
+    // neighbor contributes once per unordered candidate pair
+    val cand = sym.as("l").join(sym.as("r"),
+      col("l.b") === col("r.a") && col("l.a") < col("r.b"))
+      .groupBy(col("l.a").as("pa"), col("r.b").as("pb"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+    cand.join(e, cand("pa") === e("a") && cand("pb") === e("b"), "left_anti")
+      .join(deg.withColumnRenamed("deg", "deg_a"), col("pa") === col("v")).drop("v")
+      .join(deg.withColumnRenamed("deg", "deg_b"), col("pb") === col("v")).drop("v")
+      .select(col("pa"), col("pb"), col("cn"),
+        (col("deg_a") * col("deg_b")).as("pref_attach"))
+  }
+
   /** Small-star: orient each edge high→low, then link every smaller
     * neighbor (and u itself) to the minimum seen.
     */

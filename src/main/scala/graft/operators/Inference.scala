@@ -263,4 +263,104 @@ object Inference {
         round(col("p"), 6).as("p_value"), col("rank"),
         (col("rank") <= col("kmax")).as("rejected"))
   }
+
+  /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972) on the
+    * same survival construction as [[kaplanMeier]]: subjects enter at
+    * their first observation, the event is `isEvent`'s first firing,
+    * censoring at the corpus horizon. A subject's arm is `isGroupA`
+    * evaluated on its FIRST row (min over (ts, tie, flag) structs —
+    * deterministic under ties).
+    *
+    * At each duration-day t with d(t) > 0 events: O₁ accumulates
+    * group-A events (exact long); E₁ accumulates d·n₁/n and V the
+    * hypergeometric variance d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1). The two
+    * double accumulations run as ORDERED window sums over the
+    * duration-day axis (the kaplanMeier exp-of-ordered-log-sum
+    * pattern), so both engines add the same terms in the same order.
+    * The day table is bounded by the duration domain, not rows; one
+    * row out: z = (O₁−E₁)/√V and χ² = z².
+    */
+  def logRank(df: DataFrame, subjectCol: String, ts: Column, tie: Column,
+              isEvent: Column, isGroupA: Column): DataFrame = {
+    val t = df.select(col(subjectCol).as("s"), unix_millis(ts).as("ms"),
+      tie.as("tie"), isEvent.as("ev"), isGroupA.as("ga"))
+    val horizon = t.agg(max(col("ms")).as("h_ms"))
+    val per = t.groupBy("s").agg(
+      min(col("ms")).as("start_ms"),
+      min(when(col("ev"), col("ms"))).as("ev_ms"),
+      min(struct(col("ms"), col("tie"), col("ga"))).getField("ga").as("grp_a"))
+    val durs = per.crossJoin(broadcast(horizon)).select(
+      ((coalesce(col("ev_ms"), col("h_ms")) - col("start_ms")) / lit(86400000L))
+        .cast("long").as("t_day"),
+      col("ev_ms").isNotNull.as("observed"), col("grp_a"))
+    val byDay = durs.groupBy("t_day").agg(
+      sum(when(col("observed") && col("grp_a"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("observed") && !col("grp_a"), 1L).otherwise(0L)).as("d2"),
+      sum(when(!col("observed") && col("grp_a"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("observed") && !col("grp_a"), 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = byDay.agg(sum(col("d1") + col("c1")).as("na"),
+      sum(col("d2") + col("c2")).as("nb"))
+    val risk = byDay.crossJoin(broadcast(total))
+      .withColumn("n1", col("na") - (sum(col("d1") + col("c1")).over(wCum) - col("d1") - col("c1")))
+      .withColumn("n2", col("nb") - (sum(col("d2") + col("c2")).over(wCum) - col("d2") - col("c2")))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+    val eTerm = when(col("d") > 0,
+      col("d").cast("double") * col("n1").cast("double") / col("n").cast("double"))
+      .otherwise(lit(0.0))
+    val vTerm = when(col("d") > 0 && col("n") > 1,
+      col("d").cast("double") * col("n1").cast("double") * col("n2").cast("double") *
+        (col("n") - col("d")).cast("double") /
+        (col("n").cast("double") * col("n").cast("double") * (col("n") - 1).cast("double")))
+      .otherwise(lit(0.0))
+    val acc = risk
+      .withColumn("o1", sum(col("d1")).over(wCum))
+      .withColumn("e1", sum(eTerm).over(wCum))
+      .withColumn("v", sum(vTerm).over(wCum))
+      .withColumn("rn", row_number().over(Window.orderBy(col("t_day").desc)))
+      .filter(col("rn") === 1)
+    acc.select(
+      col("na").as("n_a"), col("nb").as("n_b"), col("o1").as("obs_a"),
+      round(col("e1"), 4).as("exp_a"),
+      round((col("o1").cast("double") - col("e1")) / sqrt(col("v")), 4).as("z_score"),
+      round((col("o1").cast("double") - col("e1")) * (col("o1").cast("double") - col("e1")) /
+        col("v"), 4).as("chi2"))
+  }
+
+  /** Grouped 1-D Wasserstein-1 (earth-mover) drift between the rows
+    * where `isA` holds and the rest, per group: W₁ = ∫|F₁−F₂| dx over
+    * the integer value domain. The companion to [[ksTestBy]] that
+    * weighs HOW FAR mass moved, not just the worst gap.
+    *
+    * Exact end-to-end: on the per-(group, value) histogram,
+    * Σ |cum1·n2 − cum2·n1| · (next_x − x) is an integer (longs
+    * throughout; the segment between consecutive distinct values has
+    * constant ECDF gap), and only the final division by n1·n2
+    * happens in doubles. One corpus aggregation + one window over the
+    * value domain per group.
+    */
+  def emdDriftBy(df: DataFrame, groupCol: String, isA: Column, v: Column): DataFrame = {
+    val t = df.select(col(groupCol).as("g"), isA.as("a"), v.cast("long").as("x"))
+    val h = t.groupBy("g", "x").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("c2"))
+    val wOrd = Window.partitionBy("g").orderBy("x")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seg = h.select(col("g"),
+      sum("c1").over(wCum).as("cum1"), sum("c2").over(wCum).as("cum2"),
+      (lead(col("x"), 1).over(wOrd) - col("x")).as("gap"))
+    val tot = h.groupBy("g").agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    seg.filter(col("gap").isNotNull)
+      .join(broadcast(tot), "g")
+      .select(col("g"), col("n1"), col("n2"),
+        // widen before the gap product: |cumdiff| ≤ n1·n2 is already
+        // ~1e13 at ladder scale and the gap factor would overflow long
+        (abs(col("cum1") * col("n2") - col("cum2") * col("n1")).cast("decimal(19,0)") *
+          col("gap").cast("decimal(19,0)")).as("area"))
+      .groupBy("g", "n1", "n2").agg(sum("area").cast("double").as("anum"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .select(col("g").as(groupCol), col("n1"), col("n2"),
+        round(col("anum").cast("double") / (col("n1") * col("n2")).cast("double"), 4).as("emd"))
+  }
 }

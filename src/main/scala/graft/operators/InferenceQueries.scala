@@ -166,6 +166,33 @@ object InferenceQueries {
         m = 4, subDim = 16, kCodes = 16, topK = 5)
     },
 
+    // #87f two-group log-rank test on the Kaplan-Meier construction:
+    // do users whose FIRST event is a click reach their first 'error'
+    // on a different survival curve than everyone else?
+    "q_logrank" -> { (s, dir) =>
+      Inference.logRank(Tables(s, dir).events, "user_id", col("ts"),
+        col("event_id"), col("event_type") === "error",
+        col("event_type") === "click")
+    },
+
+    // #87g grouped Wasserstein-1 drift: per event type, how much value
+    // mass moved between the first and second half of the window —
+    // the magnitude companion to q_ks_drift's worst-gap statistic.
+    "q_emd_drift" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val mid = ev.agg(((min(unix_millis(col("ts"))) + max(unix_millis(col("ts")))) / 2)
+        .cast("long").as("mid_ms"))
+      Inference.emdDriftBy(ev.crossJoin(broadcast(mid)), "event_type",
+        unix_millis(col("ts")) < col("mid_ms"), centsValue)
+    },
+
+    // #94c link prediction on the co-purchase graph: non-adjacent part
+    // pairs sharing >= 3 neighbors, scored by common-neighbor count
+    // and preferential attachment (both integer-exact).
+    "q_link_predict" -> { (s, dir) =>
+      Graph.linkPrediction(coPurchaseEdges(Tables(s, dir)), "pa", "pb", minCommon = 3L)
+    },
+
     // #90 GROUPING SETS with explicit grouping flags — the surface
     // between rollup (q_rollup) and cube (q_cube): an arbitrary
     // subset lattice in one pass.
@@ -516,6 +543,81 @@ object InferenceQueries {
         |        row_number() OVER (PARTITION BY pid ORDER BY adc, id) AS rank
         |      FROM cand) x
         |WHERE rank <= 5""".stripMargin,
+    "q_logrank" ->
+      """WITH t AS (SELECT user_id AS s, epoch_ms(ts) AS ms, event_id AS tie,
+        |             event_type = 'error' AS ev, event_type = 'click' AS ga FROM events),
+        |h AS (SELECT max(ms) AS h_ms FROM t),
+        |fr AS (SELECT s, ga AS grp_a FROM (
+        |         SELECT s, ga, row_number() OVER (PARTITION BY s ORDER BY ms, tie, ga) AS rn
+        |         FROM t) x WHERE rn = 1),
+        |per AS (SELECT s, min(ms) AS start_ms,
+        |          min(CASE WHEN ev THEN ms END) AS ev_ms FROM t GROUP BY s),
+        |durs AS (SELECT (COALESCE(ev_ms, h_ms) - start_ms) // 86400000 AS t_day,
+        |           ev_ms IS NOT NULL AS observed, grp_a
+        |         FROM per JOIN fr USING (s), h),
+        |byday AS (SELECT t_day,
+        |            CAST(sum(CASE WHEN observed AND grp_a THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |            CAST(sum(CASE WHEN observed AND NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |            CAST(sum(CASE WHEN NOT observed AND grp_a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |            CAST(sum(CASE WHEN NOT observed AND NOT grp_a THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |          FROM durs GROUP BY t_day),
+        |tot AS (SELECT CAST(sum(d1 + c1) AS BIGINT) AS na,
+        |               CAST(sum(d2 + c2) AS BIGINT) AS nb FROM byday),
+        |r AS (SELECT t_day, d1, d2, na, nb,
+        |        na - (sum(d1 + c1) OVER w - d1 - c1) AS n1,
+        |        nb - (sum(d2 + c2) OVER w - d2 - c2) AS n2
+        |      FROM byday, tot
+        |      WINDOW w AS (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |r2 AS (SELECT *, d1 + d2 AS d, n1 + n2 AS n FROM r),
+        |acc AS (SELECT na, nb,
+        |          sum(d1) OVER w2 AS o1,
+        |          sum(CASE WHEN d > 0 THEN d::DOUBLE * n1::DOUBLE / n::DOUBLE
+        |                   ELSE 0.0 END) OVER w2 AS e1,
+        |          sum(CASE WHEN d > 0 AND n > 1
+        |                   THEN d::DOUBLE * n1::DOUBLE * n2::DOUBLE * (n - d)::DOUBLE /
+        |                        (n::DOUBLE * n::DOUBLE * (n - 1)::DOUBLE)
+        |                   ELSE 0.0 END) OVER w2 AS v,
+        |          row_number() OVER (ORDER BY t_day DESC) AS rn
+        |        FROM r2
+        |        WINDOW w2 AS (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT na AS n_a, nb AS n_b, CAST(o1 AS BIGINT) AS obs_a,
+        |  round(e1, 4) + 0.0 AS exp_a,
+        |  round((o1::DOUBLE - e1) / sqrt(v), 4) + 0.0 AS z_score,
+        |  round((o1::DOUBLE - e1) * (o1::DOUBLE - e1) / v, 4) + 0.0 AS chi2
+        |FROM acc WHERE rn = 1""".stripMargin,
+    "q_emd_drift" ->
+      """WITH mid AS (SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid_ms FROM events),
+        |t AS (SELECT event_type AS g, epoch_ms(ts) < mid_ms AS a,
+        |        CAST(round(value * 100) AS BIGINT) AS x FROM events, mid),
+        |h AS (SELECT g, x, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |        CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |      FROM t GROUP BY g, x),
+        |c AS (SELECT g, sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2,
+        |        lead(x) OVER (PARTITION BY g ORDER BY x) - x AS gap
+        |      FROM h WINDOW w AS (PARTITION BY g ORDER BY x
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |n AS (SELECT g, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        |      FROM h GROUP BY g),
+        |a AS (SELECT c.g, n1, n2,
+        |        sum(CAST(abs(cum1 * n2 - cum2 * n1) AS HUGEINT) * gap)::DOUBLE AS anum
+        |      FROM c JOIN n USING (g) WHERE gap IS NOT NULL GROUP BY c.g, n1, n2)
+        |SELECT g AS event_type, n1, n2,
+        |  round(anum / (n1 * n2)::DOUBLE, 4) + 0.0 AS emd
+        |FROM a WHERE n1 > 0 AND n2 > 0""".stripMargin,
+    "q_link_predict" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e0 AS (SELECT x.i AS pa, y.i AS pb FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS a, pb AS b FROM e0),
+        |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u AS vx, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+        |cand AS (SELECT l.u AS pa, r.v AS pb, CAST(count(*) AS BIGINT) AS cn
+        |         FROM sym l JOIN sym r ON l.v = r.u AND l.u < r.v
+        |         GROUP BY 1, 2 HAVING count(*) >= 3),
+        |nc AS (SELECT cand.* FROM cand LEFT JOIN e ON e.a = cand.pa AND e.b = cand.pb
+        |       WHERE e.a IS NULL)
+        |SELECT nc.pa, nc.pb, nc.cn, da.deg * db.deg AS pref_attach
+        |FROM nc JOIN deg da ON da.vx = nc.pa JOIN deg db ON db.vx = nc.pb""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,

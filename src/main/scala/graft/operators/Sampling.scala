@@ -164,4 +164,37 @@ object Sampling {
       Seq(stratumCol),
       struct(col("__h"), col(idCol)), k
     ).drop("__h")
+
+  /** Probability-proportional-to-size Poisson sampling (Hájek 1964;
+    * the Horvitz–Thompson design): row i with positive integer weight
+    * wᵢ is kept with inclusion probability πᵢ = min(1, k·wᵢ/W), so the
+    * sample size is k in expectation and every certainty row
+    * (k·wᵢ ≥ W) always survives — the survey-sampling complement of
+    * the equal-probability samplers above, used to keep the heavy rows
+    * a uniform sample would miss (HT estimate of any total: Σ yᵢ/πᵢ).
+    *
+    * Engine-portable and exact: the row's 24-bit md5 bucket u is kept
+    * iff u < k·wᵢ·2²⁴ ÷ W — computed entirely in long arithmetic
+    * (`div`, no doubles) and compared as zero-padded hex strings, the
+    * [[hexThreshold]] discipline. W comes from one map-side-combined
+    * aggregate broadcast back; the filter is then pure column algebra.
+    * πᵢ is reported in exact parts-per-million (integer div — ppm
+    * rather than ppb keeps every intermediate product inside long
+    * range out to the widest ladder W) so the output is float-free.
+    */
+  def ppsSample(df: DataFrame, idCol: String, weight: org.apache.spark.sql.Column,
+                k: Long, seed: Long): DataFrame = {
+    val w = weight.cast("long")
+    val tot = df.agg(sum(w).as("__W"))
+    val u6 = substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 6)
+    // threshold = min(k·w·2^24 div W, 2^24) rendered as 7-char hex;
+    // u gets a leading '0' so certainty rows ('1000000') always win
+    val rawThresh = expr(s"($k * __w_l * 16777216) div __W")
+    val thresh = lpad(lower(hex(least(rawThresh, lit(16777216L)))), 7, "0")
+    df.withColumn("__w_l", w)
+      .crossJoin(broadcast(tot))
+      .filter(concat(lit("0"), u6) < thresh)
+      .withColumn("pi_ppm", expr(s"least($k * __w_l * 1000000, __W * 1000000) div __W"))
+      .drop("__w_l", "__W")
+  }
 }

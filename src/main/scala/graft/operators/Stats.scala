@@ -373,4 +373,40 @@ object Stats {
         round(col("lsum") / col("k"), 4).as("hill_mean_log"),
         round(col("k") / col("lsum"), 4).as("tail_alpha"))
   }
+
+  /** Welch's unequal-variance t-test (Welch 1947) between the rows
+    * where `isA` holds and the rest. `v` must be integer-valued (cast
+    * upstream, e.g. cents): the six sufficient statistics (n, Σx, Σx²
+    * per side) accumulate exactly — squares in DECIMAL(38,0) — and the
+    * t statistic plus the Welch–Satterthwaite degrees of freedom are
+    * closed forms of those integers, so both engines land on the same
+    * doubles. One map-side-combined aggregation, one row out.
+    */
+  def welchT(df: DataFrame, isA: Column, v: Column): DataFrame = {
+    val agg = df.select(isA.as("a"), v.as("x")).agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("a"), col("x")).otherwise(0L)).as("s1"),
+      sum(when(col("a"), col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+        .otherwise(lit(0).cast("decimal(19,0)"))).cast("double").as("ss1"),
+      sum(when(col("a"), 0L).otherwise(1L)).as("n2"),
+      sum(when(col("a"), 0L).otherwise(col("x"))).as("s2"),
+      sum(when(col("a"), lit(0).cast("decimal(19,0)"))
+        .otherwise(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")))
+        .cast("double").as("ss2"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val m1 = col("s1").cast("double") / n1
+    val m2 = col("s2").cast("double") / n2
+    val var1 = (col("ss1") - col("s1").cast("double") * col("s1").cast("double") / n1) / (n1 - 1)
+    val var2 = (col("ss2") - col("s2").cast("double") * col("s2").cast("double") / n2) / (n2 - 1)
+    val se2 = var1 / n1 + var2 / n2
+    val dfW = se2 * se2 /
+      (var1 * var1 / (n1 * n1 * (n1 - 1)) + var2 * var2 / (n2 * n2 * (n2 - 1)))
+    agg.select(
+      col("n1"), col("n2"),
+      round(m1, 4).as("mean_a"),
+      round(m2, 4).as("mean_b"),
+      round((m1 - m2) / sqrt(se2), 4).as("t_stat"),
+      round(dfW, 2).as("df_welch"))
+  }
 }

@@ -125,6 +125,33 @@ object StatsQueries {
         "event_type", convType = "purchase",
         touchTypes = Seq("click", "view", "signup"),
         lookbackMs = 48L * 3600 * 1000)
+    },
+
+    // #86n Welch's unequal-variance t-test: purchase vs click order
+    // values, exact sufficient statistics.
+    "q_welch_t" -> { (s, dir) =>
+      val ev = Tables(s, dir).events.filter(col("event_type").isin("purchase", "click"))
+      Stats.welchT(ev, col("event_type") === "purchase", centsValue)
+    },
+
+    // #85i peak-concurrency sweep line: users' per-day presence
+    // intervals ([first ms, last ms] per user per epoch-day), global
+    // running +1/−1 sum, per-day peak + first attainment.
+    "q_concurrency" -> { (s, dir) =>
+      val iv = Tables(s, dir).events
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+        .groupBy(col("user_id"), floor(col("ms") / lit(86400000L)).cast("long").as("d"))
+        .agg(min("ms").as("s_ms"), max("ms").as("e_ms"))
+      TimeSeries.peakConcurrency(iv, col("s_ms"), col("e_ms"))
+    },
+
+    // #91 mask-based format profiling of three string columns — the
+    // schema-drift screen over heterogeneous sources.
+    "q_format_profile" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      DataOps.formatProfile(t.customer, "c_name")
+        .unionByName(DataOps.formatProfile(t.orders, "o_orderpriority"))
+        .unionByName(DataOps.formatProfile(t.events, "props"))
     }
   )
 
@@ -295,6 +322,60 @@ object StatsQueries {
         |SELECT user_id, event_type AS last_op, round(value, 2) AS last_value,
         |       epoch_ms(ts) AS ts_ms, n_changes
         |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    "q_welch_t" ->
+      """WITH t AS (SELECT event_type = 'purchase' AS a,
+        |             CAST(round(value * 100) AS BIGINT) AS x
+        |           FROM events WHERE event_type IN ('purchase', 'click')),
+        |s AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN a THEN x ELSE 0 END) AS BIGINT) AS s1,
+        |        sum(CASE WHEN a THEN CAST(x AS HUGEINT) * x ELSE 0 END)::DOUBLE AS ss1,
+        |        CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        |        CAST(sum(CASE WHEN a THEN 0 ELSE x END) AS BIGINT) AS s2,
+        |        sum(CASE WHEN a THEN CAST(0 AS HUGEINT) ELSE CAST(x AS HUGEINT) * x END)::DOUBLE AS ss2
+        |      FROM t),
+        |d AS (SELECT n1, n2,
+        |        s1::DOUBLE / n1::DOUBLE AS m1, s2::DOUBLE / n2::DOUBLE AS m2,
+        |        (ss1 - s1::DOUBLE * s1::DOUBLE / n1::DOUBLE) / (n1::DOUBLE - 1) AS v1,
+        |        (ss2 - s2::DOUBLE * s2::DOUBLE / n2::DOUBLE) / (n2::DOUBLE - 1) AS v2
+        |      FROM s),
+        |e AS (SELECT *, v1 / n1::DOUBLE + v2 / n2::DOUBLE AS se2 FROM d)
+        |SELECT n1, n2, round(m1, 4) + 0.0 AS mean_a, round(m2, 4) + 0.0 AS mean_b,
+        |  round((m1 - m2) / sqrt(se2), 4) + 0.0 AS t_stat,
+        |  round(se2 * se2 /
+        |        (v1 * v1 / (n1::DOUBLE * n1::DOUBLE * (n1::DOUBLE - 1)) +
+        |         v2 * v2 / (n2::DOUBLE * n2::DOUBLE * (n2::DOUBLE - 1))), 2) + 0.0 AS df_welch
+        |FROM e""".stripMargin,
+    "q_concurrency" ->
+      """WITH iv AS (SELECT user_id, epoch_ms(ts) // 86400000 AS d,
+        |              min(epoch_ms(ts)) AS s_ms, max(epoch_ms(ts)) AS e_ms
+        |            FROM events GROUP BY user_id, d),
+        |del AS (SELECT s_ms AS ms, CAST(1 AS BIGINT) AS delta FROM iv
+        |        UNION ALL SELECT e_ms + 1, -1 FROM iv),
+        |run AS (SELECT ms, delta, sum(delta) OVER (ORDER BY ms, delta
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM del),
+        |wd AS (SELECT *, ms // 86400000 AS day,
+        |         max(conc) OVER (PARTITION BY ms // 86400000) AS dmax FROM run)
+        |SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrent,
+        |       min(CASE WHEN conc = dmax THEN ms END) AS peak_ms,
+        |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+        |FROM wd GROUP BY day""".stripMargin,
+    "q_format_profile" -> {
+      def profile(table: String, c: String): String =
+        s"""SELECT '$c' AS "column",
+           |  regexp_replace(regexp_replace(regexp_replace($c,
+           |    '[0-9]', '9', 'g'), '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g') AS mask,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  min($c) AS example_min, max($c) AS example_max
+           |FROM $table GROUP BY mask""".stripMargin
+      val collapse =
+        """regexp_replace(regexp_replace(regexp_replace(mask,
+          |    '9+', '9', 'g'), 'A+', 'A', 'g'), 'a+', 'a', 'g')""".stripMargin
+      s"""WITH m AS (${profile("customer", "c_name")}
+         |UNION ALL ${profile("orders", "o_orderpriority")}
+         |UNION ALL ${profile("events", "props")})
+         |SELECT "column", mask, $collapse AS mask_collapsed, n, example_min, example_max
+         |FROM m""".stripMargin
+    },
     "q_attribution" ->
       """WITH conv AS (SELECT user_id AS u, ts AS cts, event_id AS conv_id FROM events
         |              WHERE event_type = 'purchase'),

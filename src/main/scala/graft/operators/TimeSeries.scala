@@ -420,6 +420,39 @@ object TimeSeries {
     * over the bounded day domain. The unpartitioned window runs over
     * distinct days only.
     */
+  /** Peak-concurrency sweep line over an interval table: +1 at each
+    * start, −1 just after each end (closed intervals), one GLOBAL
+    * running sum over the merged delta stream, then a per-day rollup
+    * of (peak concurrency, first ms attaining it, interval starts).
+    * The classic "max simultaneous sessions" operator — O(n log n)
+    * where the naive interval×interval overlap join is quadratic.
+    *
+    * Exactness: deltas, the running sum, and the per-day argmax are
+    * all integers; ties at one timestamp order −1 before +1 (ORDER BY
+    * ms, delta) so both engines walk the identical sequence. Scale
+    * shape: the delta stream is 2 rows/interval and the running sum is
+    * one ordered window — for multi-tenant sharding partition the
+    * window by tenant; the GLOBAL frame is the operator's semantics
+    * (concurrency across everything) and is the one place a total
+    * order is genuinely required.
+    */
+  def peakConcurrency(intervals: DataFrame, startMs: Column, endMs: Column): DataFrame = {
+    val deltas = intervals.select(startMs.as("ms"), lit(1L).as("delta"))
+      .unionByName(intervals.select((endMs + 1).as("ms"), lit(-1L).as("delta")))
+    val wRun = Window.orderBy(col("ms"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = deltas.select(col("ms"), col("delta"),
+      sum(col("delta")).over(wRun).as("conc"))
+    // epoch-day bucket (ms // 86400000) rather than a calendar date:
+    // timezone-free, so the rollup is engine- and session-TZ-portable
+    val withDay = run.withColumn("day", floor(col("ms") / lit(86400000L)).cast("long"))
+      .withColumn("dmax", max(col("conc")).over(Window.partitionBy("day")))
+    withDay.groupBy("day").agg(
+      max(col("conc")).as("peak_concurrent"),
+      min(when(col("conc") === col("dmax"), col("ms"))).as("peak_ms"),
+      sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"))
+  }
+
   def cumulativeUniques(events: DataFrame, tsCol: String, idCol: String): DataFrame = {
     val t = events.select(to_date(col(tsCol)).as("day"), col(idCol).as("id"))
     val dau = t.distinct().groupBy("day").agg(count(lit(1)).as("dau"))

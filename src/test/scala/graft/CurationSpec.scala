@@ -691,4 +691,19 @@ class GraphSpec extends SparkSpec {
     assert(en.getAs[Long]("chosen_id") == 1L && en.getAs[Long]("rejected_id") == 2L)
     assert(en.getAs[Long]("margin") == 50L)
   }
+
+  test("fleschStats: hand-counted sentences/words/vowel-group syllables") {
+    val df = Seq("Hello world. This is fine.").toDF("t")
+    val r = df.select(Curation.fleschStats(col("t")).as("f")).select("f.*").collect().head
+    assert(r.getAs[Long]("n_sents") == 2L)
+    assert(r.getAs[Long]("n_words") == 5L)
+    // he-llo(e,o) world(o) this(i) is(i) f-i-ne(i,e) = 7 vowel groups
+    assert(r.getAs[Long]("n_syllables") == 7L)
+    // 206.835 - 1.015*(5/2) - 84.6*(7/5) = 85.8575
+    assert(r.getAs[Double]("flesch") == 85.8575)
+    // no terminator: the fragment counts as one sentence, not zero
+    val frag = Seq("just words no stop").toDF("t")
+    assert(frag.select(Curation.fleschStats(col("t")).as("f"))
+      .select("f.n_sents").collect().head.getLong(0) == 1L)
+  }
 }

@@ -308,4 +308,47 @@ class InferenceSpec extends SparkSpec {
     assert(byId(19L).getAs[Long]("code0") == 15L)
     assert(byId(19L).getAs[Double]("distortion") > 0.0)
   }
+
+  test("logRank: symmetric arms give O = E (z = 0); one-sided events skew O") {
+    def t(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // arm A = first event 'a', arm B = first event 'b'; one event and
+    // one censored subject per arm, event on the same day -> O1 = E1
+    val sym = Seq(
+      (1L, t(0), 1L, "a"), (1L, t(1), 2L, "err"),   // A, event day 1
+      (2L, t(0), 3L, "a"), (2L, t(5), 4L, "x"),     // A, censored
+      (3L, t(0), 5L, "b"), (3L, t(1), 6L, "err"),   // B, event day 1
+      (4L, t(0), 7L, "b"), (4L, t(5), 8L, "x")      // B, censored
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Inference.logRank(sym, "user_id", col("ts"), col("event_id"),
+      col("event_type") === "err", col("event_type") === "a").collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("obs_a") == 1L)
+    assert(r.getAs[Double]("exp_a") == 1.0)
+    assert(r.getAs[Double]("z_score") == 0.0)
+    // all events in arm A -> O1 > E1, z > 0
+    val skew = Seq(
+      (1L, t(0), 1L, "a"), (1L, t(1), 2L, "err"),
+      (2L, t(0), 3L, "a"), (2L, t(2), 4L, "err"),
+      (3L, t(0), 5L, "b"), (3L, t(5), 6L, "x"),
+      (4L, t(0), 7L, "b"), (4L, t(5), 8L, "x")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r2 = Inference.logRank(skew, "user_id", col("ts"), col("event_id"),
+      col("event_type") === "err", col("event_type") === "a").collect().head
+    assert(r2.getAs[Long]("obs_a") == 2L)
+    assert(r2.getAs[Double]("z_score") > 0.0)
+    assert(r2.getAs[Double]("chi2") > 0.0)
+  }
+
+  test("emdDriftBy: identical halves give 0; a pure shift gives the shift size") {
+    val same = ((1 to 10).map(i => ("g", true, i.toLong)) ++
+      (1 to 10).map(i => ("g", false, i.toLong))).toDF("g", "a", "x")
+    val r0 = Inference.emdDriftBy(same, "g", col("a"), col("x")).collect().head
+    assert(r0.getAs[Double]("emd") == 0.0)
+    // B = A + 7 pointwise: W1 = 7 exactly
+    val shift = ((1 to 10).map(i => ("g", true, i.toLong)) ++
+      (1 to 10).map(i => ("g", false, i + 7L))).toDF("g", "a", "x")
+    val r1 = Inference.emdDriftBy(shift, "g", col("a"), col("x")).collect().head
+    assert(r1.getAs[Double]("emd") == 7.0)
+    assert(r1.getAs[Long]("n1") == 10L && r1.getAs[Long]("n2") == 10L)
+  }
 }

@@ -97,4 +97,23 @@ class SamplingSpec extends SparkSpec {
     assert(!cond.toLowerCase.contains("md5"), cond)
     assert(s.count() == docs.filter(col("lang") === "en").count())
   }
+
+  test("ppsSample: certainty rows always kept at pi = 1e6 ppm, E[n] in range") {
+    import spark.implicits._
+    // one whale holding half the weight among 1000 minnows
+    val rows = (1L to 1000L).map(i => (i, 10L)) :+ (9999L, 10000L)
+    val df = rows.toDF("id", "w")
+    val out = Sampling.ppsSample(df, "id", col("w"), k = 50L, seed = 3L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pi_ppm")).toMap
+    // whale: k*w = 500000 >= W = 20000 -> certainty row, pi capped at 1.0
+    assert(out.contains(9999L) && out(9999L) == 1000000L)
+    // minnow pi = 50*10*1e6 div 20000 = 25000 ppm exactly
+    out.collect { case (id, ppm) if id != 9999L => ppm }.foreach(p => assert(p == 25000L))
+    // E[minnows] = 25; a 1000-trial binomial stays well inside [5, 60]
+    assert(out.size - 1 >= 5 && out.size - 1 <= 60, s"sampled ${out.size - 1} minnows")
+    // determinism: same seed, same sample
+    val again = Sampling.ppsSample(df, "id", col("w"), k = 50L, seed = 3L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again == out.keySet)
+  }
 }

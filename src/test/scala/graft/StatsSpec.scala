@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Stats, TimeSeries}
+import graft.operators.{DataOps, Graph, Stats, TimeSeries}
 
 /** Library-level invariants for the classical-statistics layer: each
   * test pins a closed-form answer on handcrafted data (the DuckDB
@@ -153,5 +153,57 @@ class StatsSpec extends SparkSpec {
     assert(m("ad")._2 == 0)
     assert(m("ad")._3 == 500000)            // half credit of conversion 1
     assert(m("email")._3 == 1500000)        // half + full
+  }
+
+  test("welchT: identical samples give t = 0; known shift has the right sign") {
+    val same = ((1 to 10).map(i => (true, i.toLong)) ++ (1 to 10).map(i => (false, i.toLong)))
+      .toDF("a", "x")
+    val r0 = Stats.welchT(same, col("a"), col("x")).collect().head
+    assert(r0.getAs[Double]("t_stat") == 0.0)
+    assert(r0.getAs[Double]("mean_a") == r0.getAs[Double]("mean_b"))
+    // A shifted +100 above B: t strongly positive, means exact
+    val shift = ((1 to 10).map(i => (true, 100L + i)) ++ (1 to 10).map(i => (false, i.toLong)))
+      .toDF("a", "x")
+    val r1 = Stats.welchT(shift, col("a"), col("x")).collect().head
+    assert(r1.getAs[Double]("t_stat") > 10.0)
+    assert(r1.getAs[Double]("mean_a") - r1.getAs[Double]("mean_b") == 100.0)
+    assert(r1.getAs[Double]("df_welch") > 1.0)
+  }
+
+  test("peakConcurrency: overlap peaks at 2, disjoint stays at 1, day rollup") {
+    // [0,10] and [5,15] overlap on [5,10]; [20,25] is alone. All day 0.
+    val iv = Seq((0L, 10L), (5L, 15L), (20L, 25L)).toDF("s", "e")
+    val r = TimeSeries.peakConcurrency(iv, col("s"), col("e")).collect().head
+    assert(r.getAs[Long]("day") == 0L)
+    assert(r.getAs[Long]("peak_concurrent") == 2L)
+    assert(r.getAs[Long]("peak_ms") == 5L)   // first instant both are open
+    assert(r.getAs[Long]("n_starts") == 3L)
+    // end+1 semantics: touching intervals [0,5] and [5,9] DO overlap at 5
+    val touch = Seq((0L, 5L), (5L, 9L)).toDF("s", "e")
+    val r2 = TimeSeries.peakConcurrency(touch, col("s"), col("e")).collect().head
+    assert(r2.getAs[Long]("peak_concurrent") == 2L)
+  }
+
+  test("formatProfile masks digits/upper/lower and collapses runs") {
+    val df = Seq("Customer#000123", "Customer#000456", "x-9").toDF("v")
+    val out = DataOps.formatProfile(df, "v").collect()
+      .map(r => r.getAs[String]("mask") ->
+        (r.getAs[String]("mask_collapsed"), r.getAs[Long]("n"), r.getAs[String]("example_min")))
+      .toMap
+    assert(out("Aaaaaaaa#999999") == (("Aa#9", 2L, "Customer#000123")))
+    assert(out("a-9") == (("a-9", 1L, "x-9")))
+  }
+
+  test("linkPrediction: path predicts the closing edge, triangle predicts nothing") {
+    // path 1-2-3: (1,3) share neighbor 2 and are not adjacent
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val p = Graph.linkPrediction(path, "s", "d", minCommon = 1L).collect()
+    assert(p.length == 1)
+    assert(p.head.getAs[Long]("pa") == 1L && p.head.getAs[Long]("pb") == 3L)
+    assert(p.head.getAs[Long]("cn") == 1L)
+    assert(p.head.getAs[Long]("pref_attach") == 1L) // deg(1)=deg(3)=1
+    // triangle: every 2-hop pair is already an edge
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    assert(Graph.linkPrediction(tri, "s", "d", minCommon = 1L).count() == 0L)
   }
 }

@@ -316,6 +316,52 @@ object Curation {
   def md5Int(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 6), 16, 10).cast("long")
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): the word
+    * sequence splits into fixed `blockLen`-token blocks; a block is
+    * masked iff its md5 bucket clears a hex threshold (≈1/`oneInK` of
+    * blocks — the hashSample string-compare trick, no numeric
+    * conversion), and each masked block collapses to a numbered
+    * sentinel `<extra_id_k>` in block order. Deterministic: the same
+    * corpus yields the same denoising training set on any engine, and
+    * re-running on a grown corpus never re-masks an old document
+    * differently. Shape: one posexplode + a block aggregate + one
+    * per-doc window — shuffle keys are (doc, block), never raw text
+    * twice.
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  blockLen: Int = 3, oneInK: Int = 5, seed: Long = 17L): DataFrame = {
+    require(oneInK == 5, "threshold hex below is derived for oneInK = 5")
+    val toks = docs
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val blocks = toks
+      .withColumn("blk", (col("pos") / blockLen).cast("long"))
+      .groupBy("id", "blk")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("bt"))
+    // 0x333333 / 0x1000000 ≈ 0.2 — the 1-in-5 mask rate
+    val masked = substring(md5(concat(col("id").cast("string"), lit(":"),
+      col("blk").cast("string"), lit(":" + seed))), 1, 6) < "333333"
+    val wRun = Window.partitionBy("id").orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val numbered = blocks
+      .withColumn("masked", masked)
+      .withColumn("k", sum(when(col("masked"), 1L).otherwise(0L)).over(wRun))
+    val outToks = when(col("masked"),
+      array(concat(lit("<extra_id_"), (col("k") - 1).cast("string"), lit(">"))))
+      .otherwise(transform(col("bt"), x => x.getField("tok")))
+    numbered
+      .withColumn("ot", outToks)
+      .groupBy("id")
+      .agg(
+        sum(size(col("bt")).cast("long")).as("n_tokens"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_spans"),
+        sum(when(col("masked"), size(col("bt")).cast("long")).otherwise(0L)).as("n_masked"),
+        concat_ws(" ", flatten(transform(
+          sort_array(collect_list(struct(col("blk"), col("ot")))),
+          x => x.getField("ot")))).as("corrupted"))
+      .select(col("id"), col("n_tokens"), col("n_spans"), col("n_masked"),
+        substring(col("corrupted"), 1, 160).as("corrupted_head"))
+  }
+
   /** Fill-in-the-middle split (Bavarian et al. 2022, arXiv:2207.14255):
     * each document's word sequence splits into (prefix, middle,
     * suffix) at two hash-derived points — deterministic, so the same

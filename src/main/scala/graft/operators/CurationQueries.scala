@@ -330,6 +330,14 @@ object CurationQueries {
           col("f.flesch").as("flesch"))
     },
 
+    // #42h3 T5 span corruption: 3-token blocks masked at a hash-
+    // derived 1-in-5 rate, numbered sentinels, deterministic on any
+    // engine.
+    "q_span_corrupt" -> { (s, dir) =>
+      Curation.spanCorrupt(Tables(s, dir).documents, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // #42d3 PPS (probability-proportional-to-size) Poisson sample of
     // orders weighted by order value: E[n]=200, certainty rows always
     // kept, inclusion probability reported in exact ppm.
@@ -710,6 +718,30 @@ object CurationQueries {
         |  round(206.835 - 1.015 * n_words::DOUBLE / n_sents::DOUBLE -
         |        84.6 * n_syllables::DOUBLE / greatest(n_words, 1)::DOUBLE, 4) + 0.0 AS flesch
         |FROM k""".stripMargin,
+    "q_span_corrupt" ->
+      """WITH t AS (SELECT doc_id, u.pos, u.tok FROM (
+        |    SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+        |             (w, i) -> {'pos': i - 1, 'tok': w})) AS u FROM documents) q),
+        |b AS (SELECT doc_id, pos // 3 AS blk, list(tok ORDER BY pos) AS bt
+        |      FROM t GROUP BY doc_id, blk),
+        |f AS (SELECT *, substr(md5(doc_id || ':' || blk || ':17'), 1, 6) < '333333' AS masked
+        |      FROM b),
+        |k AS (SELECT *, sum(CASE WHEN masked THEN 1 ELSE 0 END) OVER
+        |        (PARTITION BY doc_id ORDER BY blk
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kk
+        |      FROM f),
+        |o AS (SELECT doc_id, blk, masked, bt,
+        |        CASE WHEN masked THEN ['<extra_id_' || (kk - 1) || '>'] ELSE bt END AS ot
+        |      FROM k),
+        |agg AS (SELECT doc_id,
+        |          CAST(sum(len(bt)) AS BIGINT) AS n_tokens,
+        |          CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |          CAST(sum(CASE WHEN masked THEN len(bt) ELSE 0 END) AS BIGINT) AS n_masked,
+        |          array_to_string(flatten(list(ot ORDER BY blk)), ' ') AS corrupted
+        |        FROM o GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_spans, n_masked,
+        |       substring(corrupted, 1, 160) AS corrupted_head
+        |FROM agg""".stripMargin,
     "q_pps_sample" ->
       """WITH t AS (SELECT o_orderkey,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents FROM orders),

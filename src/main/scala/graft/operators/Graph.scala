@@ -482,6 +482,32 @@ object Graph {
         (col("deg_a") * col("deg_b")).as("pref_attach"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — positive when
+    * hubs attach to hubs, negative for hub-and-spoke graphs. Exact
+    * through [[Stats.pearson]]'s integer sufficient statistics (edge
+    * count, degree sums/products in DECIMAL(38,0)); shape is two
+    * degree joins on the edge list, so cost is edge-bounded.
+    */
+  def assortativity(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+        greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("v"), col("deg"))
+    val pairs = sym
+      .join(deg.withColumnRenamed("deg", "deg_u"), col("a") === col("v")).drop("v")
+      .join(deg.withColumnRenamed("deg", "deg_v"), col("b") === col("v")).drop("v")
+      .select(lit("g").as("g"), col("deg_u"), col("deg_v"))
+    Stats.pearson(pairs, "g", col("deg_u"), col("deg_v"))
+      .select(col("n").as("n_directed_edges"),
+        col("pearson_r").as("assortativity"))
+  }
+
   /** Small-star: orient each edge high→low, then link every smaller
     * neighbor (and u itself) to the minimum seen.
     */

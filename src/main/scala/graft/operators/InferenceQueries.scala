@@ -193,6 +193,12 @@ object InferenceQueries {
       Graph.linkPrediction(coPurchaseEdges(Tables(s, dir)), "pa", "pb", minCommon = 3L)
     },
 
+    // #94d degree assortativity of the co-purchase graph (Newman
+    // 2002): do popular parts co-sell with popular parts?
+    "q_assortativity" -> { (s, dir) =>
+      Graph.assortativity(coPurchaseEdges(Tables(s, dir)), "pa", "pb")
+    },
+
     // #90 GROUPING SETS with explicit grouping flags — the surface
     // between rollup (q_rollup) and cube (q_cube): an arbitrary
     // subset lattice in one pass.
@@ -604,6 +610,25 @@ object InferenceQueries {
         |SELECT g AS event_type, n1, n2,
         |  round(anum / (n1 * n2)::DOUBLE, 4) + 0.0 AS emd
         |FROM a WHERE n1 > 0 AND n2 > 0""".stripMargin,
+    "q_assortativity" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e0 AS (SELECT x.i AS pa, y.i AS pb FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS a, pb AS b FROM e0),
+        |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u AS vx, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+        |t AS (SELECT da.deg AS x, db.deg AS y
+        |      FROM sym JOIN deg da ON da.vx = sym.u JOIN deg db ON db.vx = sym.v),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+        |        sum(CAST(x AS HUGEINT) * x)::DOUBLE AS sxx,
+        |        sum(CAST(x AS HUGEINT) * y)::DOUBLE AS sxy,
+        |        sum(CAST(y AS HUGEINT) * y)::DOUBLE AS syy
+        |      FROM t)
+        |SELECT n AS n_directed_edges,
+        |  round((sxy * n - sx * sy) /
+        |        (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy)), 6) + 0.0 AS assortativity
+        |FROM s""".stripMargin,
     "q_link_predict" ->
       """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
         |e0 AS (SELECT x.i AS pa, y.i AS pb FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i

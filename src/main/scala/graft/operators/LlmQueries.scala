@@ -59,6 +59,34 @@ object LlmQueries {
       )
     },
 
+    // #40b tokenizer fertility per language: subword tokens per word
+    // and chars per token — the multilingual budget-planning numbers
+    // (a high-fertility language burns budget faster than its text
+    // volume suggests). Exact integer sums, two closing ratios.
+    "q_tok_fertility" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("wtoks"),
+          TextAnalysis.bpeTokenEstimate(col("text")).as("btoks"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("wtoks").as("n_words"),
+          sum("btoks").as("n_bpe"), sum("chars").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+          round(col("n_bpe").cast("double") / col("n_words").cast("double"), 4).as("fertility"),
+          round(col("n_chars").cast("double") / col("n_bpe").cast("double"), 4).as("chars_per_token"))
+    },
+
+    // #33c eval-the-dedup: recall/precision of the LSH chain against
+    // the PLANTED near-dup truth pairs — the report a curation run
+    // needs before trusting its dedup rate.
+    "q_lsh_eval" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val truth = t.documents.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000).as("id_b"))
+      TextDedup.lshDedupEval(planted(t), "doc_id", "text", truth, h = 8, bands = 4)
+    },
+
     // #39 quality scoring (Gopher-style gates).
     "q_quality_score" -> { (s, dir) =>
       Tables(s, dir).documents.select(
@@ -671,6 +699,33 @@ object LlmQueries {
          |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
          |       CAST(list_sum(list_transform(ws, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_est
          |FROM w""".stripMargin,
+    "q_tok_fertility" ->
+      """WITH w AS (SELECT lang, string_split(lower(text), ' ') AS ws,
+        |             CAST(length(text) AS BIGINT) AS chars FROM documents),
+        |p AS (SELECT lang, CAST(len(ws) AS BIGINT) AS wtoks,
+        |        CAST(list_sum(list_transform(ws, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS btoks,
+        |        chars FROM w),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(wtoks) AS BIGINT) AS n_words,
+        |        CAST(sum(btoks) AS BIGINT) AS n_bpe, CAST(sum(chars) AS BIGINT) AS n_chars
+        |      FROM p GROUP BY lang)
+        |SELECT lang, n_docs, n_words, n_bpe,
+        |  round(n_bpe::DOUBLE / n_words::DOUBLE, 4) + 0.0 AS fertility,
+        |  round(n_chars::DOUBLE / n_bpe::DOUBLE, 4) + 0.0 AS chars_per_token
+        |FROM a""".stripMargin,
+    "q_lsh_eval" ->
+      s"""WITH $minhashMd5Cte,
+         |tr AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents
+         |       WHERE doc_id % 5 = 0),
+         |v AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+         |m AS (SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_truth,
+         |        CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+         |        CAST((SELECT count(*) FROM v) AS BIGINT) AS n_verified,
+         |        CAST((SELECT count(*) FROM cand JOIN tr USING (id_a, id_b)) AS BIGINT) AS truth_found,
+         |        CAST((SELECT count(*) FROM v JOIN tr USING (id_a, id_b)) AS BIGINT) AS verified_truth)
+         |SELECT n_truth, n_candidates, n_verified, truth_found, verified_truth,
+         |  verified_truth * 1000000 // n_truth AS recall_ppm,
+         |  n_verified * 1000000 // n_candidates AS verify_rate_ppm
+         |FROM m""".stripMargin,
     "q_quality_score" ->
       s"""WITH $wsCte,
          |q AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,

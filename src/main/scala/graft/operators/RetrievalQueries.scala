@@ -25,6 +25,15 @@ object RetrievalQueries {
   private val unimaxCap = 2
 
   val queries: Map[String, Q] = Map(
+    // #93d BM25 hard-negative mining (the dense-retriever training
+    // recipe): per query term, the top lexically-confusable docs that
+    // miss the tf>=2 pseudo-qrel relevance bar.
+    "q_hard_negatives" -> { (s, dir) =>
+      TextRank.bm25HardNegatives(Tables(s, dir).documents, "doc_id", "text",
+        terms = Seq("spark", "window", "merge"), relTf = 2, k = 10)
+        .select(col("term"), col("id").as("doc_id"), col("tf"), col("score"), col("rank"))
+    },
+
     // #87 reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
     // a BM25 lexical ranking and an embedding-cosine ranking — the
     // standard hybrid-search combiner. Both rank lists are top-100;
@@ -148,6 +157,23 @@ object RetrievalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_hard_negatives" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |st AS (SELECT count(*) AS n, avg(len(ws)) AS avglen FROM w),
+        |t AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+        |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+        |      WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2, 3),
+        |d AS (SELECT term, count(*) AS df FROM f GROUP BY term),
+        |s AS (SELECT f.term, f.doc_id, f.tf,
+        |        round(ln((st.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * (f.tf * 2.2) /
+        |              (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / st.avglen)), 4) AS score
+        |      FROM f JOIN d USING (term), st
+        |      WHERE f.tf < 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rn
+        |      FROM s)
+        |SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, score + 0.0 AS score,
+        |       CAST(rn AS BIGINT) AS rank
+        |FROM r WHERE rn <= 10""".stripMargin,
     "q_rrf_fusion" ->
       s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
          |st AS (SELECT count(*) AS n, avg(len(ws)) AS avglen FROM w),

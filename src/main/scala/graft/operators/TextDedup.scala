@@ -379,6 +379,63 @@ object TextDedup {
     (verified, handle)
   }
 
+  /** Recall/precision evaluation of the portable MinHash-LSH chain
+    * against a KNOWN truth pair set — "eval the dedup operator" as a
+    * first-class query: a curation run that cannot state its near-dup
+    * recall cannot defend its dedup rate. Reuses the exact
+    * [[minhashNearDupsPortable]] construction (shingle → md5 signature
+    * → bands → bucket join → Jaccard verify) and reports, in one row:
+    * truth size, candidate volume, verified pairs, truth pairs found
+    * at each stage, end-to-end recall and the candidate verify-rate —
+    * the two ppm ratios exact by integer division.
+    *
+    * `truth` carries canonical (id_a < id_b) pair columns. Scale
+    * shape: identical to the production chain plus two broadcast-sized
+    * count joins; the truth set joins on (id_a, id_b) — id-only rows.
+    */
+  def lshDedupEval(docs: DataFrame, idCol: String, textCol: String,
+                   truth: DataFrame,
+                   ngram: Int = 3, h: Int = 8, bands: Int = 4,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val rows = h / bands
+    val shingled = docs
+      .select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), ngram).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .localCheckpoint(true)
+    val sig = transform(sequence(lit(0), lit(h - 1)), i =>
+      array_min(transform(col("shingles"), s =>
+        substring(md5(concat(s, lit(":"), i.cast("string"))), 1, 16))))
+    val banded = shingled
+      .select(col("id"), sig.as("sig"))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+          struct(j.as("band"), concat_ws("", slice(col("sig"), j * rows + 1, lit(rows))).as("bh")))).as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
+    val candidates = banded.as("x")
+      .join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val sh = shingled.select(col("id"), col("shingles"))
+    val verified = candidates
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .filter(round(TextAnalysis.jaccard(col("sh_a"), col("sh_b")), 4) >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val tr = truth.select(col("id_a"), col("id_b"))
+    val out = tr.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(candidates.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .crossJoin(candidates.join(tr, Seq("id_a", "id_b")).agg(count(lit(1)).as("truth_found")))
+      .crossJoin(verified.join(tr, Seq("id_a", "id_b")).agg(count(lit(1)).as("verified_truth")))
+    out.select(col("n_truth"), col("n_candidates"), col("n_verified"),
+      col("truth_found"), col("verified_truth"),
+      expr("verified_truth * 1000000 div n_truth").as("recall_ppm"),
+      expr("n_verified * 1000000 div n_candidates").as("verify_rate_ppm"))
+  }
+
   /** Near-duplicate flagging of an incoming stream AGAINST A STATIC
     * reference corpus — the continuous-ingest form of near-dedup: a
     * harvested batch lands, and every new document is checked against

@@ -84,6 +84,46 @@ object TextRank {
     (ranked, handle)
   }
 
+  /** BM25 hard-negative mining for retrieval training (the standard
+    * dense-retriever recipe, e.g. Karpukhin et al. 2020 §3.2): per
+    * query term, documents that score high lexically but MISS the
+    * relevance bar (tf < `relTf`, the retrievalEval pseudo-qrel rule)
+    * are the hard negatives — lexically confusable, labeled
+    * non-relevant. Top `k` per term by (4-dp score, id) — the
+    * rank-discipline that makes the ranking engine-exact.
+    *
+    * Scale shape: windows partition BY TERM over term-filtered
+    * postings only (never the corpus), the retrievalEval posture; the
+    * per-term score is a single closed-form expression (no cross-term
+    * double sum), so scores are bit-identical across engines.
+    */
+  def bm25HardNegatives(docs: DataFrame, idCol: String, textCol: String,
+                        terms: Seq[String], relTf: Long = 2, k: Int = 10,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("id"), split(lower(col(textCol)), " ").as("toks"))
+    val base = perDoc.select(col("id"), size(col("toks")).cast("long").as("dl"),
+      explode(col("toks")).as("term"))
+    val tfs = base.filter(col("term").isInCollection(terms))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfs = tfs.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = perDoc.agg(count(lit(1)).as("n"), avg(size(col("toks"))).as("avglen"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val termScore = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avglen")))
+    val negatives = tfs
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .filter(col("tf") < relTf)
+      .select(col("term"), col("id"), col("tf"), round(termScore, 4).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("term").orderBy(col("score").desc, col("id"))
+    negatives
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Top-k TF-IDF terms per document — keyword extraction for corpus
     * topic tagging / cluster labeling. Same economics as bm25TopK:
     * only (doc, term, count) triples shuffle, document frequencies

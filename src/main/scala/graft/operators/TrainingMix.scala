@@ -144,6 +144,43 @@ object TrainingMix {
       .agg(first(col("n_s")).as("n_tokens"), round(sum(col("term")), 4).as("kl_bits"))
   }
 
+  /** Per-source Jensen-Shannon divergence from the corpus unigram
+    * mixture (Lin 1991): JSD(Pₛ‖Q) = ½ΣPₛ·log2(Pₛ/M) + ½ΣQ·log2(Q/M)
+    * with M = (Pₛ+Q)/2 — the SYMMETRIC, always-finite companion to
+    * [[sourceKlDivergence]] (bounded in [0,1] bits, defined even when
+    * a source misses vocabulary the corpus has; KL's log blows up at
+    * structural zeros unless, as there, support is nested).
+    *
+    * Shape: the same ONE corpus explode into (source, word) counts;
+    * the Q-side sum needs the FULL vocab per source, so the vocab
+    * marginal cross-joins the (few) sources and left-joins the counts
+    * — vocab×sources rows, corpus never re-read. Absent words
+    * contribute only their Q-term (P=0 → P-term is 0 exactly).
+    */
+  def sourceJsDivergence(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val sw = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(true)
+    val wTot = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+    val sTot = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+    val n = sw.agg(sum(col("c_sw")).as("n"))
+    val full = wTot.crossJoin(broadcast(sTot))
+      .join(sw, Seq("source", "w"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("c0", coalesce(col("c_sw"), lit(0L)))
+    val p = col("c0").cast("double") / col("n_s").cast("double")
+    val q = col("c_w").cast("double") / col("n").cast("double")
+    val m = (p + q) / 2
+    val termP = when(col("c0") > 0, p * log2(p / m)).otherwise(lit(0.0))
+    val termQ = q * log2(q / m)
+    full
+      .select(col("source"), col("n_s"), ((termP + termQ) / 2).as("term"))
+      .groupBy("source")
+      .agg(first(col("n_s")).as("n_tokens"), round(sum(col("term")), 4).as("jsd_bits"))
+  }
+
   def electCanonical(components: DataFrame, docs: DataFrame,
                      idCol: String, scoreCol: Column): DataFrame = {
     // The score keeps its NATIVE numeric type: casting to long here

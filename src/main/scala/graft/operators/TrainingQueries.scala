@@ -27,6 +27,12 @@ object TrainingQueries {
       TrainingMix.sourceKlDivergence(Tables(s, dir).documents, "source", "text")
     },
 
+    // Symmetric, bounded companion to q_source_kl: per-source JSD from
+    // the corpus unigram mixture (defined even at structural zeros).
+    "q_source_jsd" -> { (s, dir) =>
+      TrainingMix.sourceJsDivergence(Tables(s, dir).documents, "source", "text")
+    },
+
     // Per-language bottom-quartile quality cut: every doc tagged with
     // its stratum's exact p25 token-count floor.
     "q_quality_cut" -> { (s, dir) =>
@@ -147,6 +153,25 @@ object TrainingQueries {
         |    AS kl_bits
         |FROM c JOIN wt USING (w) JOIN st USING (source) CROSS JOIN n
         |GROUP BY c.source, st.n_s""".stripMargin,
+    "q_source_jsd" ->
+      """WITH sw AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |c AS (SELECT source, w, count(*) AS c_sw FROM sw GROUP BY 1, 2),
+        |wt AS (SELECT w, sum(c_sw) AS c_w FROM c GROUP BY 1),
+        |st AS (SELECT source, sum(c_sw) AS n_s FROM c GROUP BY 1),
+        |n AS (SELECT sum(c_sw) AS n FROM c),
+        |fl AS (SELECT st.source, st.n_s, wt.w, wt.c_w, COALESCE(c.c_sw, 0) AS c0
+        |       FROM wt CROSS JOIN st LEFT JOIN c ON c.source = st.source AND c.w = wt.w),
+        |t AS (SELECT source, n_s, c0,
+        |        CAST(c0 AS DOUBLE) / CAST(n_s AS DOUBLE) AS p,
+        |        CAST(c_w AS DOUBLE) / CAST(n.n AS DOUBLE) AS q
+        |      FROM fl, n),
+        |u AS (SELECT source, n_s,
+        |        ((CASE WHEN c0 > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0.0 END) +
+        |         q * log2(q / ((p + q) / 2))) / 2 AS term
+        |      FROM t)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+        |  round(sum(term), 4) + 0.0 AS jsd_bits
+        |FROM u GROUP BY source, n_s""".stripMargin,
     "q_quality_cut" ->
       """WITH t AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
         |q AS (SELECT lang, quantile_cont(n_tokens, 0.25) AS thr FROM t GROUP BY lang)

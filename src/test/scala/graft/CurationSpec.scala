@@ -706,4 +706,26 @@ class GraphSpec extends SparkSpec {
     assert(frag.select(Curation.fleschStats(col("t")).as("f"))
       .select("f.n_sents").collect().head.getLong(0) == 1L)
   }
+
+  test("spanCorrupt: mask set matches the hash rule, sentinels numbered in order") {
+    // recompute the expected masked blocks with the same md5 rule
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val text = (1 to 30).map(i => s"w$i").mkString(" ") // 30 tokens, 10 blocks
+    val docs = Seq((42L, text)).toDF("doc_id", "text")
+    val expectedMasked = (0 until 10).filter(b => md5hex(s"42:$b:17").take(6) < "333333")
+    val r = Curation.spanCorrupt(docs, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 30L)
+    assert(r.getAs[Long]("n_spans") == expectedMasked.size.toLong)
+    assert(r.getAs[Long]("n_masked") == 3L * expectedMasked.size)
+    val head = r.getAs[String]("corrupted_head")
+    if (expectedMasked.nonEmpty) {
+      assert(head.contains("<extra_id_0>"))
+      // the first masked block's first original token is gone
+      assert(!head.split(" ").contains(s"w${expectedMasked.head * 3 + 1}"))
+    }
+    // deterministic across runs
+    val again = Curation.spanCorrupt(docs, "doc_id", "text").collect().head
+    assert(again.getAs[String]("corrupted_head") == head)
+  }
 }

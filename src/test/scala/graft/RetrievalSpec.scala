@@ -133,4 +133,22 @@ class RetrievalSpec extends SparkSpec {
       .collect().sortBy(_.getAs[Long]("sel_rank")).map(_.getAs[Long]("id"))
     assert(rel.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("bm25HardNegatives: relevant docs (tf >= relTf) are excluded, tf=1 docs ranked") {
+    import graft.operators.TextRank
+    val docs = Seq(
+      (1L, "apple apple pie"),   // tf=2 -> relevant, excluded
+      (2L, "apple tart recipe"), // tf=1 -> hard negative
+      (3L, "plum tart recipe"),  // tf=0 -> not in postings at all
+      (4L, "apple core story")   // tf=1 -> hard negative
+    ).toDF("doc_id", "text")
+    val out = TextRank.bm25HardNegatives(docs, "doc_id", "text",
+      terms = Seq("apple"), relTf = 2, k = 10).collect()
+    val ids = out.map(_.getAs[Long]("id")).toSet
+    assert(ids == Set(2L, 4L))
+    assert(out.forall(_.getAs[Long]("tf") == 1L))
+    // equal tf and dl -> equal score; rank tie breaks by id
+    val byId = out.map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+    assert(byId(2L) == 1L && byId(4L) == 2L)
+  }
 }

@@ -206,4 +206,12 @@ class StatsSpec extends SparkSpec {
     val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
     assert(Graph.linkPrediction(tri, "s", "d", minCommon = 1L).count() == 0L)
   }
+
+  test("assortativity: a star graph is perfectly disassortative (r = -1)") {
+    // K1,4: every edge joins the deg-4 hub to a deg-1 leaf
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s", "d")
+    val r = Graph.assortativity(star, "s", "d").collect().head
+    assert(r.getAs[Long]("n_directed_edges") == 8L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+  }
 }

@@ -253,4 +253,21 @@ class TextOpsSpec extends SparkSpec {
     assert(expected.subsetOf(pairs),
       s"variants not matched to originals: ${(expected -- pairs).take(5)}")
   }
+
+  test("lshDedupEval: identical planted pair is found and verified at recall 1e6") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base),                                   // exact dup pair
+      (3L, "one two three four five six seven eight nine ten")  // unrelated
+    ).toDF("doc_id", "text")
+    val truth = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = TextDedup.lshDedupEval(docs, "doc_id", "text", truth,
+      h = 8, bands = 4).collect().head
+    assert(r.getAs[Long]("n_truth") == 1L)
+    assert(r.getAs[Long]("truth_found") == 1L)      // LSH surfaced the pair
+    assert(r.getAs[Long]("verified_truth") == 1L)   // Jaccard confirmed it
+    assert(r.getAs[Long]("recall_ppm") == 1000000L)
+    assert(r.getAs[Long]("n_verified") <= r.getAs[Long]("n_candidates"))
+  }
 }

@@ -100,4 +100,23 @@ class TrainingMixSpec extends SparkSpec {
     assert(out.head._2 == 3L)
     assert(math.abs(out.head._3 - 1.8) < 1e-9)
   }
+
+  test("sourceJsDivergence: a source matching the corpus mixture scores 0") {
+    // two sources with IDENTICAL unigram distributions -> each equals
+    // the corpus mixture -> JSD exactly 0 for both
+    val docs = Seq(
+      ("a", "x y z x"), ("b", "x y z x"),
+      ("a", "x y"), ("b", "x y")
+    ).toDF("source", "text")
+    val r = TrainingMix.sourceJsDivergence(docs, "source", "text")
+      .collect().map(x => x.getAs[String]("source") -> x.getAs[Double]("jsd_bits")).toMap
+    assert(r("a") == 0.0 && r("b") == 0.0)
+    // a source with vocabulary the corpus mixture dilutes scores > 0
+    // and stays within the [0, 1]-bit JSD bound
+    val skew = Seq(("a", "x x x x"), ("b", "y y y y")).toDF("source", "text")
+    val r2 = TrainingMix.sourceJsDivergence(skew, "source", "text")
+      .collect().map(x => x.getAs[String]("source") -> x.getAs[Double]("jsd_bits")).toMap
+    assert(r2("a") > 0.0 && r2("a") <= 1.0)
+    assert(r2("a") == r2("b")) // symmetric construction
+  }
 }

@@ -751,7 +751,7 @@ object CurationQueries {
         |        least((200 * w_cents * 16777216) // tw, 16777216) AS thr
         |      FROM t, w)
         |SELECT o_orderkey, w_cents,
-        |  least(200 * w_cents * 1000000, tw * 1000000) // tw AS pi_ppm
+        |  least((200 * w_cents * 1000000) // tw, 1000000) AS pi_ppm
         |FROM s WHERE '0' || u6 < lpad(lower(to_hex(thr)), 7, '0')""".stripMargin
   )
 }

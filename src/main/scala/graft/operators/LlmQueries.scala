@@ -77,6 +77,38 @@ object LlmQueries {
           round(col("n_chars").cast("double") / col("n_bpe").cast("double"), 4).as("chars_per_token"))
     },
 
+    // #42b2 corpus coverage of a held-out slice: per test doc, the
+    // fraction of its trigrams the training corpus contains (exact
+    // ppm) — decontamination's complement ("does the corpus cover the
+    // domain the eval probes").
+    "q_ngram_coverage" -> { (s, dir) =>
+      TextDedup.ngramCoverage(Tables(s, dir).documents, "doc_id", "text",
+        isTest = col("doc_id") % 97 === 0)
+        .withColumnRenamed("id", "doc_id")
+    },
+
+    // #96 BLEU-2 generation-eval scoring (Papineni et al. 2002) on the
+    // planted ref→variant pairs: clipped n-gram precision + brevity
+    // penalty, fully relational.
+    "q_bleu_pairs" -> { (s, dir) =>
+      val p = Tables(s, dir).documents.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text").as("ref"),
+          concat(col("text"), lit(" extra tail token")).as("cand"))
+      TextEval.bleuPairs(p, "doc_id", "ref", "cand").withColumnRenamed("id", "doc_id")
+    },
+
+    // #96b token-level WER on the same pairs: token edit distance via
+    // the vocab→codepoint encoding + native levenshtein (no UDF).
+    // ASCII alphabet (base 33) = the engine-portable twin: DuckDB's
+    // levenshtein counts bytes, so the oracle needs 1-byte chars.
+    "q_wer_pairs" -> { (s, dir) =>
+      val p = Tables(s, dir).documents.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text").as("ref"),
+          concat(col("text"), lit(" extra tail token")).as("cand"))
+      TextEval.werPairs(p, "doc_id", "ref", "cand", codepointBase = 33, maxVocab = 93)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // #33c eval-the-dedup: recall/precision of the LSH chain against
     // the PLANTED near-dup truth pairs — the report a curation run
     // needs before trusting its dedup rate.
@@ -712,6 +744,63 @@ object LlmQueries {
         |  round(n_bpe::DOUBLE / n_words::DOUBLE, 4) + 0.0 AS fertility,
         |  round(n_chars::DOUBLE / n_bpe::DOUBLE, 4) + 0.0 AS chars_per_token
         |FROM a""".stripMargin,
+    "q_ngram_coverage" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, doc_id % 97 = 0 AS t,
+        |        list_distinct(list_transform(range(1, len(ws) - 1),
+        |          i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS sh
+        |      FROM w WHERE len(ws) >= 3),
+        |cg AS (SELECT DISTINCT unnest(sh) AS gr FROM g WHERE NOT t),
+        |tg AS (SELECT doc_id, unnest(sh) AS gr FROM g WHERE t),
+        |ts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams FROM tg GROUP BY doc_id),
+        |cv AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_covered
+        |       FROM tg JOIN cg ON cg.gr = tg.gr GROUP BY tg.doc_id)
+        |SELECT ts.doc_id, ts.n_trigrams, COALESCE(cv.n_covered, 0) AS n_covered,
+        |       COALESCE(cv.n_covered, 0) * 1000000 // ts.n_trigrams AS coverage_ppm
+        |FROM ts LEFT JOIN cv USING (doc_id)""".stripMargin,
+    "q_bleu_pairs" ->
+      """WITH p AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS rw,
+        |             string_split(lower(text) || ' extra tail token', ' ') AS cw
+        |           FROM documents WHERE doc_id % 5 = 0),
+        |l AS (SELECT id, CAST(len(rw) AS BIGINT) AS n_ref, CAST(len(cw) AS BIGINT) AS n_cand FROM p),
+        |rc1 AS (SELECT id, g, count(*) AS rc FROM (SELECT id, unnest(rw) AS g FROM p) GROUP BY 1, 2),
+        |cc1 AS (SELECT id, g, count(*) AS cc FROM (SELECT id, unnest(cw) AS g FROM p) GROUP BY 1, 2),
+        |m1 AS (SELECT id, CAST(sum(least(cc, rc)) AS BIGINT) AS m1
+        |       FROM cc1 JOIN rc1 USING (id, g) GROUP BY id),
+        |rc2 AS (SELECT id, g, count(*) AS rc FROM (
+        |          SELECT id, unnest(list_transform(range(1, len(rw)), i -> rw[i] || ' ' || rw[i+1])) AS g
+        |          FROM p WHERE len(rw) >= 2) GROUP BY 1, 2),
+        |cc2 AS (SELECT id, g, count(*) AS cc FROM (
+        |          SELECT id, unnest(list_transform(range(1, len(cw)), i -> cw[i] || ' ' || cw[i+1])) AS g
+        |          FROM p WHERE len(cw) >= 2) GROUP BY 1, 2),
+        |m2 AS (SELECT id, CAST(sum(least(cc, rc)) AS BIGINT) AS m2
+        |       FROM cc2 JOIN rc2 USING (id, g) GROUP BY id),
+        |j AS (SELECT l.id, n_ref, n_cand, COALESCE(m1.m1, 0) AS m1, COALESCE(m2.m2, 0) AS m2
+        |      FROM l LEFT JOIN m1 ON m1.id = l.id LEFT JOIN m2 ON m2.id = l.id)
+        |SELECT id AS doc_id, n_ref, n_cand, m1, m2,
+        |  round(CASE WHEN m1 = 0 OR m2 = 0 OR n_cand < 2 THEN 0.0
+        |    ELSE (CASE WHEN n_cand >= n_ref THEN 1.0
+        |          ELSE exp(1.0 - n_ref::DOUBLE / n_cand::DOUBLE) END)
+        |      * exp((ln(m1::DOUBLE / n_cand::DOUBLE)
+        |             + ln(m2::DOUBLE / (n_cand - 1)::DOUBLE)) / 2.0)
+        |  END, 4) + 0.0 AS bleu
+        |FROM j""".stripMargin,
+    "q_wer_pairs" ->
+      """WITH p AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS rw,
+        |             string_split(lower(text) || ' extra tail token', ' ') AS cw
+        |           FROM documents WHERE doc_id % 5 = 0),
+        |v AS (SELECT DISTINCT g FROM (
+        |        SELECT unnest(rw) AS g FROM p UNION ALL SELECT unnest(cw) AS g FROM p)),
+        |d AS (SELECT g, chr(CAST(33 + row_number() OVER (ORDER BY g) AS INTEGER)) AS ch FROM v),
+        |rt AS (SELECT id, i, rw[i] AS g FROM p, unnest(range(1, len(rw) + 1)) AS t(i)),
+        |ct AS (SELECT id, i, cw[i] AS g FROM p, unnest(range(1, len(cw) + 1)) AS t(i)),
+        |rs AS (SELECT id, string_agg(ch, '' ORDER BY i) AS s FROM rt JOIN d USING (g) GROUP BY id),
+        |cs AS (SELECT id, string_agg(ch, '' ORDER BY i) AS s FROM ct JOIN d USING (g) GROUP BY id),
+        |l AS (SELECT id, CAST(len(rw) AS BIGINT) AS n_ref, CAST(len(cw) AS BIGINT) AS n_cand FROM p)
+        |SELECT l.id AS doc_id, n_ref, n_cand,
+        |  CAST(levenshtein(COALESCE(cs.s, ''), rs.s) AS BIGINT) AS token_edits,
+        |  CAST(levenshtein(COALESCE(cs.s, ''), rs.s) AS BIGINT) * 1000000 // n_ref AS wer_ppm
+        |FROM l JOIN rs ON rs.id = l.id LEFT JOIN cs ON cs.id = l.id""".stripMargin,
     "q_lsh_eval" ->
       s"""WITH $minhashMd5Cte,
          |tr AS (SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents

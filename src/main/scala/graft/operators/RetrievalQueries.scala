@@ -34,6 +34,14 @@ object RetrievalQueries {
         .select(col("term"), col("id").as("doc_id"), col("tf"), col("score"), col("rank"))
     },
 
+    // #93e sparse IDF-cosine similarity join over the pruned word-
+    // trigram vocabulary (df <= 20) via the inverted index — top-50
+    // doc pairs.
+    "q_tfidf_pairs" -> { (s, dir) =>
+      TextRank.tfidfCosinePairs(Tables(s, dir).documents, "doc_id", "text",
+        maxDf = 20, topK = 50)
+    },
+
     // #87 reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
     // a BM25 lexical ranking and an embedding-cosine ranking — the
     // standard hybrid-search combiner. Both rank lists are top-100;
@@ -157,6 +165,31 @@ object RetrievalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+        |        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS tw
+        |      FROM w WHERE len(ws) >= 3),
+        |tf AS (SELECT doc_id, tw, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |d AS (SELECT tw, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tw),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |wt AS (SELECT tf.doc_id, tf.tw,
+        |         tf.tf * (ln((nd.nd + 1.0) / (d.df + 1.0)) + 1.0) AS wt
+        |       FROM tf JOIN d USING (tw), nd WHERE d.df <= 20),
+        |nr AS (SELECT doc_id, list_reduce(list(wt * wt ORDER BY tw), (a, b) -> a + b) AS n2
+        |       FROM wt GROUP BY doc_id),
+        |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |        list_reduce(list(x.wt * y.wt ORDER BY x.tw), (a, b) -> a + b) AS dot
+        |      FROM wt x JOIN wt y ON y.tw = x.tw AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2),
+        |c AS (SELECT id_a, id_b,
+        |        round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+        |      FROM p JOIN nr na ON na.doc_id = id_a JOIN nr nb ON nb.doc_id = id_b)
+        |SELECT id_a, id_b, cosine + 0.0 AS cosine, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT id_a, id_b, cosine,
+        |         row_number() OVER (ORDER BY cosine DESC, id_a, id_b) AS rn
+        |  FROM c) q
+        |WHERE rn <= 50""".stripMargin,
     "q_hard_negatives" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |st AS (SELECT count(*) AS n, avg(len(ws)) AS avglen FROM w),

@@ -178,9 +178,13 @@ object Sampling {
     * (`div`, no doubles) and compared as zero-padded hex strings, the
     * [[hexThreshold]] discipline. W comes from one map-side-combined
     * aggregate broadcast back; the filter is then pure column algebra.
-    * πᵢ is reported in exact parts-per-million (integer div — ppm
-    * rather than ppb keeps every intermediate product inside long
-    * range out to the widest ladder W) so the output is float-free.
+    * πᵢ is reported in exact parts-per-million (integer div) so the
+    * output is float-free. The clamp divides BEFORE applying `least`
+    * (floor is monotonic, so least(a,b) div W == least(a div W,
+    * b div W) and W·1e6 div W == 1e6 exactly): the only product that
+    * must fit in a long is k·wᵢ·1e6 — per-ROW bounded — never the
+    * corpus-sized W·1e6, which overflows once ΣW crosses 9.2e12
+    * (observed at the sf3 ladder rung on cents-weighted orders).
     */
   def ppsSample(df: DataFrame, idCol: String, weight: org.apache.spark.sql.Column,
                 k: Long, seed: Long): DataFrame = {
@@ -194,7 +198,7 @@ object Sampling {
     df.withColumn("__w_l", w)
       .crossJoin(broadcast(tot))
       .filter(concat(lit("0"), u6) < thresh)
-      .withColumn("pi_ppm", expr(s"least($k * __w_l * 1000000, __W * 1000000) div __W"))
+      .withColumn("pi_ppm", expr(s"least(($k * __w_l * 1000000) div __W, 1000000)"))
       .drop("__w_l", "__W")
   }
 }

@@ -374,6 +374,98 @@ object Stats {
         round(col("k") / col("lsum"), 4).as("tail_alpha"))
   }
 
+  /** One-way ANOVA (Fisher 1925): F statistic and effect size η² for
+    * an integer-valued response across k groups. Per-group sufficient
+    * statistics (n, Σx exact longs; Σx² in DECIMAL(38,0) so the GRAND
+    * total is still an exact decimal sum, not a sum of per-group
+    * doubles); the between-group Σ s_g²/n_g folds in group-ascending
+    * order (the bhFdrGate discipline) so the one irrational
+    * accumulation is order-deterministic across engines, retries and
+    * AQE. Two map-side-combined aggregations; k rows cross the second.
+    */
+  def anovaOneWay(df: DataFrame, groupCol: String, v: Column): DataFrame = {
+    val per = df.select(col(groupCol).as("g"), v.as("x"))
+      .groupBy("g").agg(
+        count(lit(1)).as("ng"), sum("x").as("sg"),
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("ssg"))
+    val sbTerm = (col("sg").cast("double") * col("sg").cast("double") /
+      col("ng").cast("double")).as("t")
+    val tot = per.agg(
+      count(lit(1)).as("k"), sum("ng").as("n"), sum("sg").as("s"),
+      sum("ssg").cast("double").as("sst_raw"),
+      aggregate(sort_array(collect_list(struct(col("g"), sbTerm))),
+        lit(0.0), (a, x) => a + x.getField("t")).as("sb_raw"))
+    val corr = col("s").cast("double") * col("s").cast("double") / col("n").cast("double")
+    val ssb = col("sb_raw") - corr
+    val ssw = col("sst_raw") - col("sb_raw")
+    val sst = col("sst_raw") - corr
+    tot.select(
+      col("k"), col("n"),
+      round((ssb / (col("k") - 1).cast("double")) /
+        (ssw / (col("n") - col("k")).cast("double")), 4).as("f_stat"),
+      round(ssb / sst, 6).as("eta_sq"))
+  }
+
+  /** Differentially-private count release (Dwork et al. 2006): each
+    * group's count plus Laplace(1/ε) noise via the inverse CDF,
+    * x = −(1/ε)·sign(u−½)·ln(1−2|u−½|). The uniform u is HASH-DERIVED
+    * (md5 of the group key + seed, offset by ½ ulp so u ∈ (0,1)
+    * strictly) — deterministic noise is what makes the release
+    * re-computable, auditable and engine-portable while keeping the
+    * same distributional shape; swap in true randomness at the release
+    * boundary for a production ε-DP guarantee. One aggregation, one
+    * map over group rows.
+    */
+  def dpCountRelease(df: DataFrame, groupCol: String, epsilon: Double, seed: Long): DataFrame = {
+    val per = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n_true"))
+    val u = (conv(substring(md5(concat(col("g").cast("string"), lit(":" + seed))), 1, 6),
+      16, 10).cast("double") + 0.5) / 16777216.0
+    val c = u - 0.5
+    val noise = lit(-1.0 / epsilon) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
+    per.select(col("g").as(groupCol),
+      round(col("n_true").cast("double") + noise, 4).as("released_count"),
+      lit(epsilon).as("epsilon"))
+  }
+
+  /** k-anonymity audit (Sweeney 2002): group by the quasi-identifier
+    * columns and flag every equivalence class smaller than k — the
+    * classes a release must suppress or generalize before publication.
+    * The structural complement of [[dpCountRelease]]: DP perturbs the
+    * answer, k-anonymity gates the rows. One map-side-combined
+    * aggregation; only (QI, count) rows shuffle, output is
+    * class-bounded not row-bounded.
+    */
+  def kAnonymityAudit(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("suppressed", col("class_size") < k)
+
+  /** Fano factor (variance-to-mean ratio of per-bin event counts;
+    * Fano 1947) per group — the burstiness diagnostic: 1 ≈ Poisson
+    * arrivals, >1 bursty, <1 regular. Bins are the OBSERVED distinct
+    * `bin` values (empty bins contribute nothing — stated, since the
+    * two conventions differ). Two aggregations over exact longs (count
+    * per (group, bin), then n/Σc/Σc² per group — c² cannot overflow a
+    * long until a single bin holds 3×10⁹ events); variance and mean
+    * are closed forms of those sums, so the doubles are a pure
+    * function of exact integers.
+    */
+  def fanoBurstiness(df: DataFrame, groupCol: String, bin: Column): DataFrame = {
+    val perBin = df.select(col(groupCol).as("g"), bin.as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val per = perBin.groupBy("g").agg(
+      count(lit(1)).as("n_bins"), sum("c").as("n_events"),
+      sum(col("c") * col("c")).as("ss"))
+    val n = col("n_bins").cast("double")
+    val mean = col("n_events").cast("double") / n
+    val variance = (col("ss").cast("double") -
+      col("n_events").cast("double") * col("n_events").cast("double") / n) / (n - 1)
+    per.filter(col("n_bins") > 1)
+      .select(col("g").as(groupCol), col("n_bins"), col("n_events"),
+        round(mean, 4).as("mean_per_bin"),
+        round(variance / mean, 4).as("fano"))
+  }
+
   /** Welch's unequal-variance t-test (Welch 1947) between the rows
     * where `isA` holds and the rest. `v` must be integer-valued (cast
     * upstream, e.g. cents): the six sufficient statistics (n, Σx, Σx²

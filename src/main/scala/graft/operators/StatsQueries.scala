@@ -152,6 +152,33 @@ object StatsQueries {
       DataOps.formatProfile(t.customer, "c_name")
         .unionByName(DataOps.formatProfile(t.orders, "o_orderpriority"))
         .unionByName(DataOps.formatProfile(t.events, "props"))
+    },
+
+    // #86o one-way ANOVA: does event value differ across event types?
+    "q_anova" -> { (s, dir) =>
+      Stats.anovaOneWay(Tables(s, dir).events, "event_type", centsValue)
+    },
+
+    // #92 DP-noised count release per source (hash-derived Laplace,
+    // epsilon = 0.5) — the privacy-aware publication surface.
+    "q_dp_release" -> { (s, dir) =>
+      Stats.dpCountRelease(Tables(s, dir).documents, "source", epsilon = 0.5, seed = 23L)
+    },
+
+    // #92b k-anonymity audit on customer quasi-identifiers (nation,
+    // market segment, 1000-unit balance bucket — cents-integer
+    // arithmetic, offset so the div never sees a negative): classes
+    // below k=5 are the ones a release must suppress.
+    "q_k_anonymity" -> { (s, dir) =>
+      val c = Tables(s, dir).customer.withColumn("bal_kbucket",
+        expr("(cast(round(c_acctbal * 100) as bigint) + 1000000) div 100000"))
+      Stats.kAnonymityAudit(c, Seq("c_nationkey", "c_mktsegment", "bal_kbucket"), k = 5L)
+    },
+
+    // #85c burstiness: Fano factor of daily event counts per type
+    // (1 = Poisson, >1 bursty).
+    "q_burstiness" -> { (s, dir) =>
+      Stats.fanoBurstiness(Tables(s, dir).events, "event_type", to_date(col("ts")))
     }
   )
 
@@ -376,6 +403,53 @@ object StatsQueries {
          |SELECT "column", mask, $collapse AS mask_collapsed, n, example_min, example_max
          |FROM m""".stripMargin
     },
+    "q_anova" ->
+      """WITH t AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |per AS (SELECT g, CAST(count(*) AS BIGINT) AS ng, CAST(sum(x) AS BIGINT) AS sg,
+        |          sum(CAST(x AS HUGEINT) * x) AS ssg
+        |        FROM t GROUP BY g),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |          CAST(sum(sg) AS BIGINT) AS s, sum(ssg)::DOUBLE AS sst_raw,
+        |          list_reduce(list(sg::DOUBLE * sg::DOUBLE / ng::DOUBLE ORDER BY g),
+        |                      (a, b) -> a + b) AS sb_raw
+        |        FROM per)
+        |SELECT k, n,
+        |  round(((sb_raw - s::DOUBLE * s::DOUBLE / n::DOUBLE) / (k - 1)::DOUBLE) /
+        |        ((sst_raw - sb_raw) / (n - k)::DOUBLE), 4) + 0.0 AS f_stat,
+        |  round((sb_raw - s::DOUBLE * s::DOUBLE / n::DOUBLE) /
+        |        (sst_raw - s::DOUBLE * s::DOUBLE / n::DOUBLE), 6) + 0.0 AS eta_sq
+        |FROM tot""".stripMargin,
+    "q_dp_release" ->
+      """WITH per AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n_true
+        |             FROM documents GROUP BY g),
+        |u AS (SELECT g, n_true,
+        |        ((('0x' || substr(md5(g || ':23'), 1, 6))::BIGINT::DOUBLE + 0.5)
+        |          / 16777216.0) - 0.5 AS c
+        |      FROM per)
+        |SELECT g AS source,
+        |  round(n_true::DOUBLE + (-2.0) * sign(c) * ln(1.0 - 2.0 * abs(c)), 4) + 0.0
+        |    AS released_count,
+        |  0.5 + 0.0 AS epsilon
+        |FROM u""".stripMargin,
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000 AS bal_kbucket,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  count(*) < 5 AS suppressed
+        |FROM customer GROUP BY 1, 2, 3""".stripMargin,
+    "q_burstiness" ->
+      """WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS b,
+        |             CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |p AS (SELECT g, CAST(count(*) AS BIGINT) AS n_bins,
+        |        CAST(sum(c) AS BIGINT) AS n_events, CAST(sum(c * c) AS BIGINT) AS ss
+        |      FROM d GROUP BY g)
+        |SELECT g AS event_type, n_bins, n_events,
+        |  round(n_events::DOUBLE / n_bins::DOUBLE, 4) + 0.0 AS mean_per_bin,
+        |  round(((ss::DOUBLE - n_events::DOUBLE * n_events::DOUBLE / n_bins::DOUBLE)
+        |         / (n_bins - 1)::DOUBLE) / (n_events::DOUBLE / n_bins::DOUBLE), 4) + 0.0
+        |    AS fano
+        |FROM p WHERE n_bins > 1""".stripMargin,
     "q_attribution" ->
       """WITH conv AS (SELECT user_id AS u, ts AS cts, event_id AS conv_id FROM events
         |              WHERE event_type = 'purchase'),

@@ -379,6 +379,37 @@ object TextDedup {
     (verified, handle)
   }
 
+  /** N-gram coverage of a held-out test slice by the training corpus —
+    * the decontamination question asked the other way round: not "did
+    * eval text leak into training" but "does the corpus COVER the
+    * domain the eval probes". Per test doc: distinct n-grams, how many
+    * appear anywhere in the (non-test) corpus, and coverage in exact
+    * ppm (integer division — float-free).
+    *
+    * Shape: one shingle pass; the corpus side collapses to a DISTINCT
+    * gram set (hash-aggregate, map-side combined), the test side
+    * semi-joins it — gram-keyed, id-only rows; test docs are a sliver
+    * so the join is corpus-gram-bounded. 100 TB note: for repeated
+    * eval suites, persist the corpus gram set bucketed by gram
+    * (Sinks.writeBucketed) and the per-suite probe is a co-located
+    * semi-join with no corpus re-scan.
+    */
+  def ngramCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    isTest: Column, n: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), isTest.as("t"),
+      TextAnalysis.wordNgrams(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val corpusGrams = base.filter(!col("t")).select(explode(col("sh")).as("gr")).distinct()
+    val testGrams = base.filter(col("t")).select(col("id"), explode(col("sh")).as("gr"))
+    val tstats = testGrams.groupBy("id").agg(count(lit(1)).as("n_trigrams"))
+    val cstats = testGrams.join(corpusGrams, Seq("gr"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_covered"))
+    tstats.join(cstats, Seq("id"), "left")
+      .select(col("id"), col("n_trigrams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("coverage_ppm", expr("n_covered * 1000000 div n_trigrams"))
+  }
+
   /** Recall/precision evaluation of the portable MinHash-LSH chain
     * against a KNOWN truth pair set — "eval the dedup operator" as a
     * first-class query: a curation run that cannot state its near-dup

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextAnalysis
+
 /** BM25 text retrieval (Robertson & Zaragoza 2009) — the lexical
   * search primitive an LLM data pipeline uses for targeted corpus
   * mining (find documents about X) and retrieval-based decontamination.
@@ -82,6 +84,58 @@ object TextRank {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
     (ranked, handle)
+  }
+
+  /** All-pairs document similarity by IDF-weighted cosine over the
+    * PRUNED word-TRIGRAM vocabulary (df ≤ `maxDf`) via the inverted
+    * index — the classic sparse similarity join (Bayardo et al. 2007's
+    * candidate shape): only documents sharing a surviving trigram ever
+    * pair, so candidate volume is Σ_{df≤maxDf} df² ≤ maxDf·Σdf —
+    * LINEAR in corpus size with the cap fixed, never |D|². Trigram
+    * (not unigram) features are the load-bearing choice: corpus
+    * vocabularies are heavy-tailed at the word level (a word shared by
+    * 1% of a 10⁹-doc corpus still blows the join) while n-gram df
+    * decays geometrically, and dropping high-df features is standard
+    * practice anyway (stopword-frequency features carry no
+    * discriminative mass). Features are per-doc DISTINCT shingles, so
+    * tf is binary and the weight is pure smoothed idf.
+    *
+    * Determinism: per-pair dot products and per-doc norms fold in
+    * TERM-ASCENDING order (sort_array + aggregate, the bhFdrGate
+    * discipline), so the double sequence is identical on any engine /
+    * partition order; ranking is (6-dp cosine, id, id). idf =
+    * ln((N+1)/(df+1)) + 1 — the smoothed sklearn form.
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       maxDf: Long = 20, topK: Int = 50): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(TextAnalysis.wordNgrams(col(textCol), 3)).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfc = tf.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val wt = tf.join(broadcast(dfc), "w").crossJoin(broadcast(nDocs))
+      .select(col("id"), col("w"),
+        (col("tf") * (log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))).as("wt"))
+      .localCheckpoint(true)
+    def sortedFold(term: Column): Column =
+      aggregate(sort_array(collect_list(struct(col("w"), term.as("t")))),
+        lit(0.0), (a, x) => a + x.getField("t"))
+    val norms = wt.groupBy("id").agg(sortedFold(col("wt") * col("wt")).as("n2"))
+    val dots = wt.as("x").join(wt.as("y"),
+      col("x.w") === col("y.w") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("x.w").as("w"),
+        (col("x.wt") * col("y.wt")).as("p"))
+      .groupBy("id_a", "id_b").agg(sortedFold(col("p")).as("dot"))
+    val cos = dots
+      .join(norms.select(col("id").as("id_a"), col("n2").as("na2")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("nb2")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("cosine"))
+    import org.apache.spark.sql.expressions.Window
+    cos.orderBy(col("cosine").desc, col("id_a"), col("id_b")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("id_a"), col("id_b"))).cast("long"))
   }
 
   /** BM25 hard-negative mining for retrieval training (the standard

@@ -207,6 +207,54 @@ class StatsSpec extends SparkSpec {
     assert(Graph.linkPrediction(tri, "s", "d", minCommon = 1L).count() == 0L)
   }
 
+  test("anovaOneWay: identical groups give F = 0; separated groups give F > 0") {
+    val same = (Seq("a", "b").flatMap(g => Seq(1L, 2L, 3L).map(x => (g, x)))).toDF("g", "x")
+    val r0 = Stats.anovaOneWay(same, "g", col("x")).collect().head
+    assert(r0.getAs[Long]("k") == 2L && r0.getAs[Long]("n") == 6L)
+    assert(r0.getAs[Double]("f_stat") == 0.0 && r0.getAs[Double]("eta_sq") == 0.0)
+    val apart = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(101L, 102L, 103L).map(("b", _)))
+      .toDF("g", "x")
+    val r1 = Stats.anovaOneWay(apart, "g", col("x")).collect().head
+    assert(r1.getAs[Double]("f_stat") > 1000.0)  // means 100 apart, sd 1
+    assert(r1.getAs[Double]("eta_sq") > 0.99)
+  }
+
+  test("dpCountRelease: deterministic, bounded Laplace noise, epsilon echoed") {
+    val df = (1 to 50).map(i => (s"g${i % 3}", i)).toDF("g", "v")
+    val a = Stats.dpCountRelease(df, "g", epsilon = 0.5, seed = 23L).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("released_count")).toMap
+    val b = Stats.dpCountRelease(df, "g", epsilon = 0.5, seed = 23L).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("released_count")).toMap
+    assert(a == b)                       // hash-derived noise re-computes exactly
+    // |noise| <= (1/eps)*ln(2^24) ~ 33.3 for a 24-bit uniform
+    val counts = Map("g0" -> 16.0, "g1" -> 17.0, "g2" -> 17.0)
+    counts.foreach { case (g, n) => assert(math.abs(a(g) - n) <= 34.0, s"$g: ${a(g)}") }
+  }
+
+  test("kAnonymityAudit: small classes flagged, large classes pass") {
+    val df = ((1 to 10).map(i => ("us", "auto")) ++ Seq(("fr", "auto"), ("fr", "ship")))
+      .toDF("country", "segment")
+    val r = Stats.kAnonymityAudit(df, Seq("country", "segment"), k = 5L)
+      .collect().map(x => (x.getAs[String]("country"), x.getAs[String]("segment")) ->
+        (x.getAs[Long]("class_size"), x.getAs[Boolean]("suppressed"))).toMap
+    assert(r(("us", "auto")) == (10L, false))
+    assert(r(("fr", "auto")) == (1L, true))
+    assert(r(("fr", "ship")) == (1L, true))
+  }
+
+  test("fanoBurstiness: constant bins give 0, bursty bins exceed 1, single bin dropped") {
+    val rows =
+      (1 to 4).flatMap(d => Seq.fill(3)(("steady", d))) ++      // 3 per bin -> var 0
+      (Seq.fill(10)(("bursty", 1)) ++ Seq(("bursty", 2))) ++    // 10 + 1 -> fano >> 1
+      Seq.fill(7)(("single", 1))                                // 1 bin -> filtered out
+    val r = Stats.fanoBurstiness(rows.toDF("g", "d"), "g", col("d"))
+      .collect().map(x => x.getAs[String]("g") -> x.getAs[Double]("fano")).toMap
+    assert(r("steady") == 0.0)
+    // mean 5.5, var ((100+1)-2*30.25)/1 = 40.5, fano = 40.5/5.5
+    assert(math.abs(r("bursty") - 40.5 / 5.5) < 1e-4)
+    assert(!r.contains("single"))
+  }
+
   test("assortativity: a star graph is perfectly disassortative (r = -1)") {
     // K1,4: every edge joins the deg-4 hub to a deg-1 leaf
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s", "d")

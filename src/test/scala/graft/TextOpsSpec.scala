@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Bloom, TextDedup, TextRank, VectorOps}
+import graft.operators.{Bloom, TextDedup, TextEval, TextRank, VectorOps}
 
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -252,6 +252,77 @@ class TextOpsSpec extends SparkSpec {
       .map(p => (p, p - 1000000)).toSet
     assert(expected.subsetOf(pairs),
       s"variants not matched to originals: ${(expected -- pairs).take(5)}")
+  }
+
+  test("ngramCoverage: contained test doc scores 1e6 ppm, alien doc scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", false),
+      (2L, "alpha beta gamma", true),                // both trigrams in doc 1
+      (3L, "one two three four", true)               // nothing shared
+    ).toDF("doc_id", "text", "is_test")
+    val r = TextDedup.ngramCoverage(docs, "doc_id", "text", col("is_test"))
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("coverage_ppm")).toMap
+    assert(r(2L) == 1000000L)
+    assert(r(3L) == 0L)
+  }
+
+  test("tfidfCosinePairs: identical docs rank first at cosine 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "quasar pulsar nebula white dwarf"),
+      (2L, "quasar pulsar nebula white dwarf"),   // identical -> cosine 1.0
+      (3L, "quasar pulsar nebula red giant"),     // shares 1 of its 3 trigrams
+      (4L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val out = TextRank.tfidfCosinePairs(docs, "doc_id", "text", maxDf = 10, topK = 10)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(out.head.getAs[Long]("id_a") == 1L && out.head.getAs[Long]("id_b") == 2L)
+    assert(out.head.getAs[Double]("cosine") == 1.0)
+    // docs 1/2 each pair with 3 via the shared "quasar pulsar nebula"
+    assert(out.length == 3)
+    assert(out(1).getAs[Double]("cosine") == out(2).getAs[Double]("cosine"))
+    assert(out(1).getAs[Double]("cosine") < 1.0 && out(1).getAs[Double]("cosine") > 0.0)
+    // doc 4 shares no trigram with anyone -> appears in no pair
+    assert(!out.exists(r => r.getAs[Long]("id_a") == 4L || r.getAs[Long]("id_b") == 4L))
+  }
+
+  test("bleuPairs: identical pair scores 1.0, disjoint scores 0, worked example matches") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on the mat"), // identical -> 1.0
+      (2L, "the cat sat on the mat", "dog runs fast here now"), // disjoint -> 0.0
+      // cand = ref + 1 extra token: m1=6/7, m2=5/6, BP=1 (cand longer)
+      (3L, "the cat sat on the mat", "the cat sat on the mat quickly")
+    ).toDF("id", "ref", "cand")
+    val r = TextEval.bleuPairs(pairs, "id", "ref", "cand")
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("bleu")).toMap
+    assert(r(1L) == 1.0)
+    assert(r(2L) == 0.0)
+    val expected = math.sqrt((6.0 / 7.0) * (5.0 / 6.0))
+    assert(math.abs(r(3L) - expected) < 1e-4, s"got ${r(3L)}, want $expected")
+  }
+
+  test("werPairs: token edits count insertions/substitutions, identical is 0") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "alpha beta gamma", "alpha beta gamma"),        // 0 edits
+      (2L, "alpha beta gamma", "alpha delta gamma"),       // 1 substitution
+      (3L, "alpha beta gamma", "alpha beta gamma delta"),  // 1 insertion
+      (4L, "alpha beta gamma delta", "beta gamma")         // 2 deletions
+    ).toDF("id", "ref", "cand")
+    val r = TextEval.werPairs(pairs, "id", "ref", "cand")
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("token_edits"), x.getAs[Long]("wer_ppm"))).toMap
+    assert(r(1L) == (0L, 0L))
+    assert(r(2L) == (1L, 333333L))
+    assert(r(3L) == (1L, 333333L))
+    assert(r(4L) == (2L, 500000L))
+    // ASCII-alphabet twin (the engine-portable oracle path) is edit-identical
+    val ascii = TextEval.werPairs(pairs, "id", "ref", "cand", codepointBase = 33, maxVocab = 93)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("token_edits"), x.getAs[Long]("wer_ppm"))).toMap
+    assert(ascii == r)
   }
 
   test("lshDedupEval: identical planted pair is found and verified at recall 1e6") {

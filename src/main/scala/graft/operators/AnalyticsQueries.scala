@@ -73,6 +73,24 @@ object AnalyticsQueries {
     // Soundex, distance 1 — found), every 5th is reversed (different
     // block — the documented blocking miss). Chain + levenshtein
     // reproduce in DuckDB.
+    // #67b sorted-neighborhood linkage (Hernández & Stolfo 1995) on
+    // the same synthesized corpus: one global name sort, window 3,
+    // candidates = exactly 2 per record — the tightest-candidate
+    // blocking family, spec'd to MISS the reversed-name variants by
+    // design (that is the method's documented trade-off).
+    "q_sorted_neighborhood" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+      val name = concat(
+        translate(reverse(col("c_custkey").cast("string")), "0123456789", "BCDLMRFGST"),
+        element_at(linkSurnames, pmod(col("c_custkey"), lit(12)).cast("int") + 1))
+      val left = c.select(col("c_custkey").as("id"), name.as("name"))
+      val right = c.select((col("c_custkey") + 1000000L).as("id"),
+        when(pmod(col("c_custkey"), lit(5)) === 0, reverse(name))
+          .otherwise(concat(name, lit("e"))).as("name"))
+      Linkage.sortedNeighborhood(left.unionByName(right), "id", "name",
+        window = 3, minJw = 0.9)
+    },
+
     "q_record_linkage" -> { (s, dir) =>
       val c = Tables(s, dir).customer
       val name = concat(
@@ -829,6 +847,29 @@ object AnalyticsQueries {
         |  round(sum(CASE WHEN rn = 1 THEN value * pow(0.5, n - 1)
         |            ELSE value * 0.5 * pow(0.5, n - rn) END), 4) AS ewma
         |FROM x GROUP BY user_id""".stripMargin,
+    "q_sorted_neighborhood" -> {
+      val surnames = linkSurnameList.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH nm AS (SELECT c_custkey,
+         |        translate(reverse(CAST(c_custkey AS VARCHAR)), '0123456789', 'BCDLMRFGST') ||
+         |        list_extract($surnames, CAST(c_custkey % 12 AS INT) + 1) AS name
+         |      FROM customer),
+         |u AS (SELECT c_custkey AS id, name FROM nm
+         |      UNION ALL
+         |      SELECT c_custkey + 1000000,
+         |        CASE WHEN c_custkey % 5 = 0 THEN reverse(name) ELSE name || 'e' END FROM nm),
+         |o AS (SELECT id, name,
+         |        lag(id, 1) OVER w AS id1, lag(name, 1) OVER w AS nm1,
+         |        lag(id, 2) OVER w AS id2, lag(name, 2) OVER w AS nm2
+         |      FROM u WINDOW w AS (ORDER BY name, id)),
+         |p AS (SELECT id1 AS id_a, nm1 AS name_a, id AS id_b, name AS name_b
+         |      FROM o WHERE id1 IS NOT NULL
+         |      UNION ALL
+         |      SELECT id2, nm2, id, name FROM o WHERE id2 IS NOT NULL)
+         |SELECT id_a, id_b, name_a, name_b,
+         |       round(jaro_winkler_similarity(name_a, name_b), 6) + 0.0 AS jw
+         |FROM p WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.9""".stripMargin
+    },
+
     // Soundex chain rendered by the same step list the query uses
     // (Phonetic.soundexSqlDuck); levenshtein is built into both engines.
     "q_record_linkage" -> {

@@ -351,6 +351,16 @@ object DomainQueries {
       Reports.publications(pubs(t), pubFunder(t), funders(t))
     },
 
+    // #51c pure-SQL surface twin of the publications report: ONE ANSI
+    // string executed verbatim by spark.sql over the SqlSurface views
+    // (the JDBC/Connect client path) AND by DuckDB as the oracle — the
+    // SQL-only route to the flagship is itself oracle-proven, and the
+    // API twin (q_report_publications) must hash-match it.
+    "q_sql_report" -> { (s, dir) =>
+      graft.SqlSurface.register(s, dir)
+      s.sql(reportAnsiSql)
+    },
+
     // #24b academic_council_authored / faculty_authored distill flags
     // (harvest_incremental/distill.py:72-87): bool-any over the pub's
     // joined authors; pubs with no authors coalesce to false like the
@@ -449,7 +459,19 @@ object DomainQueries {
       |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
       |  JOIN part ON p_partkey = l_partkey GROUP BY l_orderkey)""".stripMargin
 
+  /** Engine-portable ANSI for the publications report — run verbatim
+    * by BOTH Spark (q_sql_report via spark.sql over GraftViews) and
+    * DuckDB (as the oracle of both report twins). Restricted to the
+    * shared dialect: bool_or, year(), COALESCE.
+    */
+  private[operators] val reportAnsiSql: String =
+    s"""WITH $ffCte
+       |SELECT o_orderkey AS pub_id, year(o_orderdate) AS pub_year, o_orderpriority AS title,
+       |       COALESCE(ff.federally_funded, false) AS federally_funded
+       |FROM orders LEFT JOIN ff ON ff.pub_id = o_orderkey""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_sql_report" -> reportAnsiSql,
     "q_distill_first" ->
       """SELECT o_orderkey,
         |  COALESCE(
@@ -594,11 +616,7 @@ object DomainQueries {
         |FROM s
         |FULL OUTER JOIN o ON s.k = o.k
         |FULL OUTER JOIN w ON COALESCE(s.k, o.k) = w.k""".stripMargin,
-    "q_report_publications" ->
-      s"""WITH $ffCte
-         |SELECT o_orderkey AS pub_id, year(o_orderdate) AS pub_year, o_orderpriority AS title,
-         |       COALESCE(ff.federally_funded, false) AS federally_funded
-         |FROM orders LEFT JOIN ff ON ff.pub_id = o_orderkey""".stripMargin,
+    "q_report_publications" -> reportAnsiSql,
     "q_distill_authored" ->
       """WITH pa AS (SELECT DISTINCT l_orderkey AS pub_id, l_suppkey AS author_id FROM lineitem),
         |af AS (SELECT pa.pub_id,

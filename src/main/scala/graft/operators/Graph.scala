@@ -429,6 +429,40 @@ object Graph {
     dist
   }
 
+  /** Weighted single-source shortest paths, fixed Bellman-Ford rounds
+    * (Bellman 1958): after k rounds every distance using ≤ k edges is
+    * final — the hop cap is the declared semantic (like [[bfsLevels]]'
+    * depth cap), not an approximation knob left implicit. Integer
+    * weights keep every distance exact and engine-portable.
+    *
+    * Shape: per round, one join of the current (id, dist) table
+    * against the symmetrized edge list and one min-aggregate — id/dist
+    * pairs only, payloads never move; the frontier table is
+    * node-bounded regardless of path multiplicity (the aggregate
+    * collapses per round, unlike a recursive-CTE oracle whose
+    * intermediate path set can blow up). localCheckpoint per round
+    * truncates the lineage so round k's plan does not replay rounds
+    * 1..k-1.
+    */
+  def bellmanFord(edges: DataFrame, src: String, dst: String, w: String,
+                  seed: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col(src).as("u"), col(dst).as("v"), col(w).as("w"))
+      .unionByName(edges.select(col(dst).as("u"), col(src).as("v"), col(w).as("w")))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var dist = seed.select(col("id"), lit(0L).as("dist_w")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val prev = dist
+      val relaxed = dist.join(sym, dist("id") === sym("u"))
+        .select(col("v").as("id"), (col("dist_w") + col("w")).as("dist_w"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("id").agg(min("dist_w").as("dist_w"))
+        .localCheckpoint(true)
+      releaseCheckpoint(prev)
+    }
+    releaseCheckpoint(sym)
+    dist
+  }
+
   /** Degree histogram of an undirected graph: (degree, node count) —
     * the first graph-health profile (power-law check feeds the Hill
     * estimator on the degree column). Symmetrize, per-vertex count,

@@ -363,4 +363,46 @@ object Inference {
       .select(col("g").as(groupCol), col("n1"), col("n2"),
         round(col("anum").cast("double") / (col("n1") * col("n2")).cast("double"), 4).as("emd"))
   }
+
+  /** Split conformal prediction interval per group (Vovk et al. 2005;
+    * Lei et al. 2018): the calibration split's mean is the point
+    * predictor, the conformal radius q̂ is the ⌈(1−α)(n+1)⌉-th
+    * smallest absolute calibration residual, and the held-out split
+    * reports empirical coverage — the finite-sample-valid interval a
+    * model-eval pipeline wants next to its point metrics.
+    *
+    * Exact end-to-end: residuals are kept SCALED by n_cal
+    * (|v·n − s| — integer, no division), the order statistic is a
+    * per-group ranked window filtered at the integer index
+    * ⌈(1−α)(n+1)⌉ computed with pct arithmetic in longs, and coverage
+    * compares scaled integers; only the reported q̂ divides back.
+    * Per-row products stay in long range while v·n_cal < 2⁶³ (~10⁵
+    * cents × 10¹³ rows — documented bound, per-GROUP rows). Shapes:
+    * two keyed aggregates + one per-group ranked window over
+    * calibration rows only.
+    */
+  def splitConformal(df: DataFrame, groupCol: String, isCalib: Column, v: Column,
+                     coveragePct: Int): DataFrame = {
+    val t = df.select(col(groupCol).as("g"), isCalib.as("cal"), v.cast("long").as("x"))
+    val calStats = t.filter(col("cal")).groupBy("g")
+      .agg(count(lit(1)).as("n_cal"), sum("x").as("s_cal"))
+    val scored = t.join(broadcast(calStats), "g")
+      .withColumn("r", abs(col("x") * col("n_cal") - col("s_cal")))
+    // ⌈pct·(n+1)/100⌉ in pure long arithmetic (Column./ would be a
+    // double division)
+    val k = expr(s"($coveragePct * (n_cal + 1) + 99) div 100")
+    val qhat = scored.filter(col("cal"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("r"), col("x"))))
+      .filter(col("rn") === least(k, col("n_cal")))
+      .select(col("g"), col("r").as("q_scaled"))
+    scored.filter(!col("cal"))
+      .join(qhat, "g")
+      .groupBy("g", "n_cal", "q_scaled").agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("q_scaled"), 1L).otherwise(0L)).as("covered"))
+      .select(col("g").as(groupCol), col("n_cal"), col("n_test"),
+        round(col("q_scaled").cast("double") / col("n_cal").cast("double"), 4).as("q_hat"),
+        expr("covered * 1000000 div n_test").as("coverage_ppm"))
+  }
 }

@@ -73,6 +73,28 @@ object InferenceQueries {
       Graph.degreeHistogram(coPurchaseEdges(Tables(s, dir)), "pa", "pb")
     },
 
+    // #88b weighted single-source shortest paths: Bellman-Ford over
+    // the co-purchase graph, support-derived integer weights
+    // (stronger ties = shorter), 4 relaxation rounds from the
+    // highest-degree vertex (smallest id on ties) — the min-id seed
+    // lands in a 2-node component at sf0.1.
+    "q_shortest_path" -> { (s, dir) =>
+      val e = coPurchaseEdges(Tables(s, dir))
+        .withColumn("w", greatest(lit(1L), lit(10L) - col("n")))
+      val sym = e.select(col("pa").as("u")).unionByName(e.select(col("pb").as("u")))
+      val seed = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("u")).limit(1).select(col("u").as("id"))
+      Graph.bellmanFord(e, "pa", "pb", "w", seed, rounds = 4)
+    },
+
+    // #90c split conformal prediction per event type: even event_ids
+    // calibrate a 90% interval around the calibration mean, odd
+    // event_ids report held-out coverage.
+    "q_conformal" -> { (s, dir) =>
+      Inference.splitConformal(Tables(s, dir).events, "event_type",
+        col("event_id") % 2 === 0, centsValue, coveragePct = 90)
+    },
+
     // #86j ROC AUC via the rank-sum identity: does the event value
     // separate purchases from the rest?
     "q_auc_roc" -> { (s, dir) =>
@@ -318,6 +340,42 @@ object InferenceQueries {
         |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes, CAST(sum(id) AS BIGINT) AS sum_ids,
         |       min(id) AS min_id, max(id) AS max_id
         |FROM m GROUP BY dist""".stripMargin,
+    "q_shortest_path" ->
+      """WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e0 AS (SELECT x.i AS pa, y.i AS pb, CAST(count(*) AS BIGINT) AS n
+        |       FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ew AS (SELECT pa, pb, greatest(1, 10 - n) AS w FROM e0),
+        |e AS (SELECT pa AS u, pb AS v, w FROM ew UNION SELECT pb, pa, w FROM ew),
+        |seed AS (SELECT u AS id FROM (
+        |           SELECT u, count(*) AS deg FROM (
+        |             SELECT pa AS u FROM e0 UNION ALL SELECT pb FROM e0) s
+        |           GROUP BY u ORDER BY deg DESC, u LIMIT 1)),
+        |sp AS (SELECT id, CAST(0 AS BIGINT) AS d, 0 AS hops FROM seed
+        |       UNION
+        |       SELECT e.v, sp.d + e.w, sp.hops + 1 FROM sp JOIN e ON e.u = sp.id
+        |       WHERE sp.hops < 4)
+        |SELECT id, CAST(min(d) AS BIGINT) AS dist_w FROM sp GROUP BY id""".stripMargin,
+    "q_conformal" ->
+      """WITH t AS (SELECT event_type AS g, event_id % 2 = 0 AS cal,
+        |             CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |cs AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal, CAST(sum(x) AS BIGINT) AS s_cal
+        |       FROM t WHERE cal GROUP BY g),
+        |sc AS (SELECT t.g, cal, abs(x * n_cal - s_cal) AS r, x, n_cal,
+        |         (90 * (n_cal + 1) + 99) // 100 AS k
+        |       FROM t JOIN cs ON cs.g = t.g),
+        |q AS (SELECT g, r AS q_scaled FROM (
+        |        SELECT g, r, n_cal, k, row_number() OVER (PARTITION BY g ORDER BY r, x) AS rn
+        |        FROM sc WHERE cal) z
+        |      WHERE rn = least(k, n_cal)),
+        |te AS (SELECT sc.g, sc.n_cal, q_scaled,
+        |         CAST(count(*) AS BIGINT) AS n_test,
+        |         CAST(sum(CASE WHEN r <= q_scaled THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        |       FROM sc JOIN q ON q.g = sc.g WHERE NOT cal GROUP BY 1, 2, 3)
+        |SELECT g AS event_type, n_cal, n_test,
+        |  round(q_scaled::DOUBLE / n_cal::DOUBLE, 4) + 0.0 AS q_hat,
+        |  covered * 1000000 // n_test AS coverage_ppm
+        |FROM te""".stripMargin,
     "q_pq_assign" ->
       """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         |sub AS (SELECT id, s.s, list_slice(v, s.s * 16 + 1, s.s * 16 + 16) AS sv

@@ -54,4 +54,39 @@ object Linkage {
         levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Sorted-neighborhood linkage (Hernández & Stolfo 1995): sort all
+    * records by the key, compare each record only to its `window`−1
+    * predecessors, keep pairs scoring ≥ `minJw` Jaro-Winkler — the
+    * third blocking family next to phonetic blocks
+    * ([[blockedFuzzyJoin]]) and LSH: candidate volume is EXACTLY
+    * n·(window−1), the tightest bound of the three, at the cost of
+    * missing pairs whose keys sort far apart (e.g. reversed names —
+    * the documented weakness that pairs it WITH, not instead of, the
+    * other blockers in a production pass).
+    *
+    * Shape: one global sort + fixed lag() taps — the q_ntile posture
+    * (single-partition window locally; a range-partitioned sort at
+    * cluster scale, since lag(k) only ever crosses one partition
+    * boundary). Scoring is the native codegen Jaro-Winkler on the
+    * windowed pairs only.
+    */
+  def sortedNeighborhood(records: DataFrame, idCol: String, keyCol: String,
+                         window: Int, minJw: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("key"), col("id"))
+    val base = records.select(col(idCol).as("id"), col(keyCol).as("key"))
+    val tapped = base.select(Seq(col("id"), col("key")) ++
+      (1 until window).map(k =>
+        struct(lag(col("id"), k).over(w).as("id"), lag(col("key"), k).over(w).as("key"))
+          .as(s"p$k")): _*)
+    val pairs = tapped.select(col("id"), col("key"),
+      explode(array((1 until window).map(k => col(s"p$k")): _*)).as("p"))
+      .filter(col("p.id").isNotNull)
+    pairs.select(
+      col("p.id").as("id_a"), col("id").as("id_b"),
+      col("p.key").as("name_a"), col("key").as("name_b"),
+      round(graft.plans.JaroWinkler(col("p.key"), col("key")), 6).as("jw"))
+      .filter(col("jw") >= minJw)
+  }
 }

@@ -97,15 +97,19 @@ object LlmQueries {
       TextEval.bleuPairs(p, "doc_id", "ref", "cand").withColumnRenamed("id", "doc_id")
     },
 
-    // #96b token-level WER on the same pairs: token edit distance via
-    // the vocab→codepoint encoding + native levenshtein (no UDF).
-    // ASCII alphabet (base 33) = the engine-portable twin: DuckDB's
-    // levenshtein counts bytes, so the oracle needs 1-byte chars.
+    // #96b token-level WER@40 on planted transcript corruptions: every
+    // pair substitutes token 5 with 'zzz'; every tenth also deletes
+    // token 10 — edits land INSIDE the scored prefix. Per-pair ASCII
+    // dictionary + native levenshtein (no UDF, no global vocab state).
     "q_wer_pairs" -> { (s, dir) =>
+      val ws = split(lower(col("text")), "\\s+")
+      val sub = concat(slice(ws, 1, 4), array(lit("zzz")), slice(ws, 6, 1000000))
+      val mut = when(col("doc_id") % 10 === 0,
+        concat(slice(sub, 1, 9), slice(sub, 11, 1000000))).otherwise(sub)
       val p = Tables(s, dir).documents.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text").as("ref"),
-          concat(col("text"), lit(" extra tail token")).as("cand"))
-      TextEval.werPairs(p, "doc_id", "ref", "cand", codepointBase = 33, maxVocab = 93)
+          concat_ws(" ", mut).as("cand"))
+      TextEval.werPairs(p, "doc_id", "ref", "cand", maxTokens = 40)
         .withColumnRenamed("id", "doc_id")
     },
 
@@ -686,6 +690,16 @@ object LlmQueries {
       NaiveBayes.predict(docs,
         NaiveBayes.fit(docs, labelCol = "lang", textCol = "text", buckets = 1024),
         idCol = "doc_id", textCol = "text", buckets = 1024)
+    },
+
+    // #42ak2 confident-learning label-noise gate (Northcutt et al.
+    // 2021, margin form): docs whose self-trained classifier beats the
+    // given lang label by >= 0.5 log-odds — the labels the data itself
+    // contradicts.
+    "q_label_noise" -> { (s, dir) =>
+      NaiveBayes.labelNoise(Tables(s, dir).documents, "doc_id", "lang", "text",
+        margin = 0.5, buckets = 1024)
+        .withColumnRenamed("id", "doc_id").withColumnRenamed("label", "lang")
     }
   )
 
@@ -721,6 +735,36 @@ object LlmQueries {
       |          ELSE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
       |               / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
       |      FROM cand c JOIN g a ON a.doc_id = c.id_a JOIN g b ON b.doc_id = c.id_b)""".stripMargin
+
+  /** Shared NB train+score CTE chain (model fit from the corpus's own
+    * labels + per-(doc, class) log-posterior scores) — the common
+    * prefix of the q_nb_lang and q_label_noise oracles. Defined BEFORE
+    * `oracles`: object vals initialize in source order.
+    */
+  private val nbScoreCte =
+    """binned AS (SELECT class, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+      |                FROM (SELECT lang AS class, unnest(string_split(lower(text), ' ')) AS w
+      |                      FROM documents) t),
+      |counts AS (SELECT class, b, count(*) AS n FROM binned GROUP BY class, b),
+      |ctot AS (SELECT class, sum(n) AS ct FROM counts GROUP BY class),
+      |pri AS (SELECT lang AS class, count(*) AS docs FROM documents GROUP BY lang),
+      |nd AS (SELECT count(*) AS nd FROM documents),
+      |model AS (SELECT c.class, c.b,
+      |            ln((c.n + 1.0) / (ctot.ct + 1024.0)) AS loglik,
+      |            ln(pri.docs * 1.0 / nd.nd) AS logprior,
+      |            ln(1.0 / (ctot.ct + 1024.0)) AS logmiss
+      |          FROM counts c JOIN ctot USING (class) JOIN pri USING (class) CROSS JOIN nd),
+      |db AS (SELECT id, b, count(*) AS cnt FROM
+      |        (SELECT doc_id AS id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+      |         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t)
+      |       GROUP BY id, b),
+      |cls AS (SELECT DISTINCT class, logprior, logmiss FROM model),
+      |sc AS (SELECT db.id, cls.class, cls.logprior,
+      |         cls.logprior + sum(db.cnt * coalesce(m.loglik, cls.logmiss)) AS score
+      |       FROM db CROSS JOIN cls
+      |       LEFT JOIN (SELECT class, b, loglik FROM model) m
+      |         ON m.class = cls.class AND m.b = db.b
+      |       GROUP BY db.id, cls.class, cls.logprior)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -786,16 +830,27 @@ object LlmQueries {
         |  END, 4) + 0.0 AS bleu
         |FROM j""".stripMargin,
     "q_wer_pairs" ->
-      """WITH p AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS rw,
-        |             string_split(lower(text) || ' extra tail token', ' ') AS cw
-        |           FROM documents WHERE doc_id % 5 = 0),
-        |v AS (SELECT DISTINCT g FROM (
-        |        SELECT unnest(rw) AS g FROM p UNION ALL SELECT unnest(cw) AS g FROM p)),
-        |d AS (SELECT g, chr(CAST(33 + row_number() OVER (ORDER BY g) AS INTEGER)) AS ch FROM v),
+      """WITH w0 AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |            FROM documents WHERE doc_id % 5 = 0),
+        |m0 AS (SELECT doc_id, ws,
+        |         list_concat(list_concat(ws[1:4], ['zzz']), ws[6:]) AS sub FROM w0),
+        |p AS (SELECT doc_id AS id, list_slice(ws, 1, 40) AS rw,
+        |        CASE WHEN doc_id % 10 = 0
+        |             THEN list_slice(list_concat(sub[1:9], sub[11:]), 1, 40)
+        |             ELSE list_slice(sub, 1, 40) END AS cw
+        |      FROM m0),
+        |v AS (SELECT DISTINCT id, g FROM (
+        |        SELECT id, unnest(rw) AS g FROM p
+        |        UNION ALL SELECT id, unnest(cw) AS g FROM p)),
+        |d AS (SELECT id, g,
+        |        chr(CAST(33 + row_number() OVER (PARTITION BY id ORDER BY g) AS INTEGER)) AS ch
+        |      FROM v),
         |rt AS (SELECT id, i, rw[i] AS g FROM p, unnest(range(1, len(rw) + 1)) AS t(i)),
         |ct AS (SELECT id, i, cw[i] AS g FROM p, unnest(range(1, len(cw) + 1)) AS t(i)),
-        |rs AS (SELECT id, string_agg(ch, '' ORDER BY i) AS s FROM rt JOIN d USING (g) GROUP BY id),
-        |cs AS (SELECT id, string_agg(ch, '' ORDER BY i) AS s FROM ct JOIN d USING (g) GROUP BY id),
+        |rs AS (SELECT rt.id, string_agg(ch, '' ORDER BY i) AS s
+        |       FROM rt JOIN d ON d.id = rt.id AND d.g = rt.g GROUP BY rt.id),
+        |cs AS (SELECT ct.id, string_agg(ch, '' ORDER BY i) AS s
+        |       FROM ct JOIN d ON d.id = ct.id AND d.g = ct.g GROUP BY ct.id),
         |l AS (SELECT id, CAST(len(rw) AS BIGINT) AS n_ref, CAST(len(cw) AS BIGINT) AS n_cand FROM p)
         |SELECT l.id AS doc_id, n_ref, n_cand,
         |  CAST(levenshtein(COALESCE(cs.s, ''), rs.s) AS BIGINT) AS token_edits,
@@ -1432,33 +1487,24 @@ object LlmQueries {
     // per-class unseen-bin mass, and the rounded-score argmax with
     // smallest-label tiebreak.
     "q_nb_lang" ->
-      """WITH binned AS (SELECT class, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
-        |                FROM (SELECT lang AS class, unnest(string_split(lower(text), ' ')) AS w
-        |                      FROM documents) t),
-        |counts AS (SELECT class, b, count(*) AS n FROM binned GROUP BY class, b),
-        |ctot AS (SELECT class, sum(n) AS ct FROM counts GROUP BY class),
-        |pri AS (SELECT lang AS class, count(*) AS docs FROM documents GROUP BY lang),
-        |nd AS (SELECT count(*) AS nd FROM documents),
-        |model AS (SELECT c.class, c.b,
-        |            ln((c.n + 1.0) / (ctot.ct + 1024.0)) AS loglik,
-        |            ln(pri.docs * 1.0 / nd.nd) AS logprior,
-        |            ln(1.0 / (ctot.ct + 1024.0)) AS logmiss
-        |          FROM counts c JOIN ctot USING (class) JOIN pri USING (class) CROSS JOIN nd),
-        |db AS (SELECT id, b, count(*) AS cnt FROM
-        |        (SELECT doc_id AS id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
-        |         FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t)
-        |       GROUP BY id, b),
-        |cls AS (SELECT DISTINCT class, logprior, logmiss FROM model),
-        |sc AS (SELECT db.id, cls.class, cls.logprior,
-        |         cls.logprior + sum(db.cnt * coalesce(m.loglik, cls.logmiss)) AS score
-        |       FROM db CROSS JOIN cls
-        |       LEFT JOIN (SELECT class, b, loglik FROM model) m
-        |         ON m.class = cls.class AND m.b = db.b
-        |       GROUP BY db.id, cls.class, cls.logprior)
+      s"""WITH $nbScoreCte
         |SELECT id, class AS predicted, round(score, 4) AS score FROM (
         |  SELECT id, class, score,
         |         row_number() OVER (PARTITION BY id ORDER BY round(score, 4) DESC, class) AS rn
         |  FROM sc) ranked
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    "q_label_noise" ->
+      s"""WITH $nbScoreCte,
+        |r AS (SELECT id, class, round(score, 4) AS score FROM sc),
+        |best AS (SELECT id, class AS predicted, score AS s_pred FROM (
+        |           SELECT id, class, score,
+        |             row_number() OVER (PARTITION BY id ORDER BY score DESC, class) AS rn
+        |           FROM r) x WHERE rn = 1),
+        |giv AS (SELECT d.doc_id AS id, d.lang AS label, r.score AS s_given
+        |        FROM documents d JOIN r ON r.id = d.doc_id AND r.class = d.lang)
+        |SELECT g.id AS doc_id, g.label AS lang, b.predicted,
+        |       round(b.s_pred - g.s_given, 4) + 0.0 AS noise_margin
+        |FROM giv g JOIN best b ON b.id = g.id
+        |WHERE b.predicted <> g.label AND round(b.s_pred - g.s_given, 4) >= 0.5""".stripMargin
   )
 }

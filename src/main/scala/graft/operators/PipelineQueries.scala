@@ -40,6 +40,21 @@ object PipelineQueries {
         )
     },
 
+    // #49b NATIVE session windows (the Catalyst session_window
+    // operator Structured Streaming shares, vs q_sessionize's typed
+    // mapGroups form): 30-min-gap sessions per user, declarative —
+    // one (user, merged-window) hash aggregate, no per-group sort or
+    // object serialization, AQE-splittable.
+    "q_session_native" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          max(unix_millis(col("ts"))).as("last_ms"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
+          col("last_ms"), col("n_events"), col("value_cents"))
+    },
+
     // #12b exact dedup with bounded state: the batch twin of
     // dropDuplicatesWithinWatermark (stream form in StreamingSpec).
     "q_stream_dedup" -> { (s, dir) =>
@@ -499,6 +514,18 @@ object PipelineQueries {
         |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM y)
         |SELECT user_id, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM z GROUP BY user_id, sid""".stripMargin,
+    "q_session_native" ->
+      """WITH x AS (SELECT user_id, ts, value,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+        |y AS (SELECT user_id, ts, value,
+        |        CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+        |             THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT user_id, ts, value,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM y)
+        |SELECT user_id, epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS last_ms,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM z GROUP BY user_id, sid""".stripMargin,
     "q_stream_dedup" ->
       """SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms FROM (

@@ -52,6 +52,14 @@ object ScaleQueries {
         e.filter(col("id") % 20 =!= 0), bench, decontamTau)
     },
 
+    // #42bn2 embedding-space drift per label: even-id snapshot vs
+    // odd-id snapshot centroids compared by cosine + L2 — semantic
+    // drift detection next to the scalar PSI/KS/EMD gates.
+    "q_embed_drift" -> { (s, dir) =>
+      VectorOps.centroidDrift(Tables(s, dir).embeddings, "label", "embedding",
+        col("vec_id") % 2 === 0)
+    },
+
     // 2-D point-in-box spatial join via z-cell cover: eight
     // deterministic overlapping boxes over the (l_partkey, l_suppkey)
     // plane, matched by a broadcast HASH join on the grid cell + exact
@@ -96,6 +104,24 @@ object ScaleQueries {
          |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
          |FROM z GROUP BY 1""".stripMargin,
 
+    "q_embed_drift" ->
+      """WITH e AS (SELECT label AS g, vec_id % 2 = 0 AS a, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |x AS (SELECT g, a, i.i AS pos, avg(v[i.i]) AS m
+        |      FROM e, unnest(range(1, len(v) + 1)) AS i(i) GROUP BY 1, 2, 3),
+        |ca AS (SELECT g, list(m ORDER BY pos) AS u FROM x WHERE a GROUP BY g),
+        |cb AS (SELECT g, list(m ORDER BY pos) AS w FROM x WHERE NOT a GROUP BY g),
+        |n AS (SELECT g, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |      FROM e GROUP BY g),
+        |j AS (SELECT ca.g, u, w FROM ca JOIN cb USING (g))
+        |SELECT j.g AS label, n.n_a, n.n_b,
+        |  round(list_dot_product(u, w) /
+        |    (sqrt(list_dot_product(u, u)) * sqrt(list_dot_product(w, w))), 4) + 0.0
+        |    AS centroid_cosine,
+        |  round(sqrt(list_sum(list_transform(range(1, len(u) + 1),
+        |    i -> (u[i] - w[i]) * (u[i] - w[i])))), 4) + 0.0 AS centroid_l2
+        |FROM j JOIN n ON n.g = j.g""".stripMargin,
     "q_embed_decontam" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
          |b AS (SELECT id, v FROM e WHERE id % 20 = 0 AND id < 20000),

@@ -371,7 +371,11 @@ object Stats {
       .select(
         col(groupCol), col("k"),
         round(col("lsum") / col("k"), 4).as("hill_mean_log"),
-        round(col("k") / col("lsum"), 4).as("tail_alpha"))
+        // a perfectly flat tail (all top-k equal the reference order
+        // statistic) has lsum = 0 exactly: α is undefined (NULL), and
+        // ANSI Spark throws DIVIDE_BY_ZERO rather than emit Inf —
+        // surfaced by the sf3 ladder rung on uniform synthetic sources
+        when(col("lsum") > 0, round(col("k") / col("lsum"), 4)).as("tail_alpha"))
   }
 
   /** One-way ANOVA (Fisher 1925): F statistic and effect size η² for
@@ -425,6 +429,124 @@ object Stats {
     per.select(col("g").as(groupCol),
       round(col("n_true").cast("double") + noise, 4).as("released_count"),
       lit(epsilon).as("epsilon"))
+  }
+
+  /** Difference-in-differences estimator (Ashenfelter & Card 1985):
+    * DiD = (ȳ_treated,post − ȳ_treated,pre) − (ȳ_control,post −
+    * ȳ_control,pre) — the parallel-trends causal readout over a 2×2 of
+    * exact cell sums. One aggregation, eight longs, closed form.
+    */
+  def diffInDiff(df: DataFrame, isTreated: Column, isPost: Column, v: Column): DataFrame = {
+    val t = df.select(isTreated.as("tr"), isPost.as("po"), v.cast("long").as("x"))
+    def cell(tr: Boolean, po: Boolean, f: Column) =
+      sum(when(col("tr") === tr && col("po") === po, f).otherwise(lit(0L)))
+    val agg = t.agg(
+      cell(true, false, lit(1L)).as("n10"), cell(true, false, col("x")).as("s10"),
+      cell(true, true, lit(1L)).as("n11"), cell(true, true, col("x")).as("s11"),
+      cell(false, false, lit(1L)).as("n00"), cell(false, false, col("x")).as("s00"),
+      cell(false, true, lit(1L)).as("n01"), cell(false, true, col("x")).as("s01"))
+    def m(s: String, n: String) = col(s).cast("double") / col(n).cast("double")
+    agg.select(
+      col("n10"), col("n11"), col("n00"), col("n01"),
+      round(m("s10", "n10"), 4).as("mean_treated_pre"),
+      round(m("s11", "n11"), 4).as("mean_treated_post"),
+      round(m("s00", "n00"), 4).as("mean_control_pre"),
+      round(m("s01", "n01"), 4).as("mean_control_post"),
+      round((m("s11", "n11") - m("s10", "n10")) - (m("s01", "n01") - m("s00", "n00")), 4)
+        .as("did"))
+  }
+
+  /** Off-policy evaluation of a stochastic target policy from logged
+    * (action, reward) data by inverse propensity scoring (Horvitz &
+    * Thompson 1952; Li et al. 2011): behavior propensities are the
+    * empirical action frequencies, so w = π(a)/p̂(a) and the IPS value
+    * collapses to Σ_a π(a)·S_a/n_a over exact per-action sums. Also
+    * reported: the self-normalized SNIPS value (Swaminathan & Joachims
+    * 2015) and the effective sample size (Σw)²/Σw² — the diagnostic
+    * that says whether the logged data supports the target policy at
+    * all. One keyed aggregate; the per-action closed forms fold
+    * action-ascending (sort_array + aggregate), so every double sum is
+    * order-exact.
+    */
+  def ipsPolicyValue(df: DataFrame, actionCol: String, reward: Column,
+                     target: Seq[(String, Double)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = target.toDF("a", "pi")
+    val per = df.select(col(actionCol).as("a"), reward.cast("long").as("r"))
+      .groupBy("a").agg(count(lit(1)).as("na"), sum("r").as("sa"))
+    val n = per.agg(sum("na").as("n"))
+    val terms = per.join(broadcast(tgt), "a").crossJoin(broadcast(n))
+      .select(struct(col("a"),
+        (col("pi") * col("sa").cast("double") / col("na").cast("double")).as("ips_t"),
+        (col("pi") * col("n").cast("double")).as("w_t"),
+        (col("pi") * col("pi") * col("n").cast("double") * col("n").cast("double") /
+          col("na").cast("double")).as("w2_t"),
+        col("n")).as("s"))
+    def fold(field: String) =
+      aggregate(col("arr"), lit(0.0), (acc, x) => acc + x.getField(field))
+    terms.agg(sort_array(collect_list(col("s"))).as("arr"))
+      .select(element_at(col("arr"), 1).getField("n").as("n"),
+        fold("ips_t").as("ips"), fold("w_t").as("sw"), fold("w2_t").as("sw2"))
+      .select(col("n"),
+        round(col("ips"), 4).as("ips_value"),
+        round(col("n").cast("double") * col("ips") / col("sw"), 4).as("snips_value"),
+        round(col("sw") * col("sw") / col("sw2"), 4).as("ess"))
+  }
+
+  /** Distribution-free confidence interval for the median per group
+    * (binomial order-statistic interval, normal approximation; Conover
+    * 1999 §3.2): lo/hi are the ⌊(n−z√n)/2⌋-th and (n−lo+1)-th order
+    * statistics — no bootstrap resampling, no distributional
+    * assumption, one ranked window. The median itself is reported in
+    * exact half-units (x_{⌈n/2⌉}+x_{⌊n/2⌋+1} summed as integers, then
+    * one division) per the spearman half-rank discipline. z√n is a
+    * product of IEEE-exact sqrt and a constant — bit-identical on any
+    * engine — so the floor'd indices are engine-exact too.
+    */
+  def medianCi(df: DataFrame, groupCol: String, v: Column, z: Double = 1.96): DataFrame = {
+    val t = df.select(col(groupCol).as("g"), v.cast("long").as("x"))
+    val n = t.groupBy("g").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("g").orderBy("x")
+    val ranked = t.withColumn("rn", row_number().over(w)).join(broadcast(n), "g")
+    val kLo = greatest(lit(1L), floor((col("n").cast("double") -
+      lit(z) * sqrt(col("n").cast("double"))) / 2.0).cast("long"))
+    val kHi = least(col("n"), col("n") - kLo + 1)
+    val mLo = expr("(n + 1) div 2") // ⌈n/2⌉ (Column./ would divide in doubles)
+    val mHi = expr("n div 2 + 1")   // ⌊n/2⌋+1
+    ranked
+      .withColumn("k_lo", kLo).withColumn("k_hi", kHi)
+      .withColumn("m_lo", mLo).withColumn("m_hi", mHi)
+      .filter(col("rn") === col("k_lo") || col("rn") === col("k_hi") ||
+        col("rn") === col("m_lo") || col("rn") === col("m_hi"))
+      .groupBy("g", "n").agg(
+        min(when(col("rn") === col("k_lo"), col("x"))).as("ci_lo"),
+        min(when(col("rn") === col("k_hi"), col("x"))).as("ci_hi"),
+        (min(when(col("rn") === col("m_lo"), col("x"))) +
+          min(when(col("rn") === col("m_hi"), col("x")))).as("med2"))
+      .select(col("g").as(groupCol), col("n"),
+        round(col("med2").cast("double") / 2.0, 2).as("median"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Weighted median per group: the smallest value whose cumulative
+    * weight reaches half the total (2·cumw ≥ W in exact longs — no
+    * half-unit division). One value-ordered window over the per-
+    * (group, value) weight histogram — domain-bounded, not
+    * row-bounded — plus a min_by to pick the crossing.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, v: Column, weight: Column): DataFrame = {
+    val h = df.select(col(groupCol).as("g"), v.cast("long").as("x"),
+      weight.cast("long").as("w"))
+      .groupBy("g", "x").agg(sum("w").as("w"))
+    val wc = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.groupBy("g").agg(sum("w").as("tw"))
+    h.withColumn("cumw", sum("w").over(wc))
+      .join(broadcast(tot), "g")
+      .filter(col("cumw") * 2 >= col("tw"))
+      .groupBy("g", "tw").agg(min("x").as("weighted_median"))
+      .select(col("g").as(groupCol), col("tw").as("total_w"), col("weighted_median"))
   }
 
   /** k-anonymity audit (Sweeney 2002): group by the quasi-identifier

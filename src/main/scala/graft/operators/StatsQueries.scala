@@ -179,6 +179,34 @@ object StatsQueries {
     // (1 = Poisson, >1 bursty).
     "q_burstiness" -> { (s, dir) =>
       Stats.fanoBurstiness(Tables(s, dir).events, "event_type", to_date(col("ts")))
+    },
+
+    // #86p distribution-free median CI per event type (order-statistic
+    // interval — no bootstrap, no normality assumption).
+    "q_median_ci" -> { (s, dir) =>
+      Stats.medianCi(Tables(s, dir).events, "event_type", centsValue)
+    },
+
+    // #86q weighted median of line price weighted by quantity.
+    "q_weighted_median" -> { (s, dir) =>
+      Stats.weightedMedian(Tables(s, dir).lineitem, "l_returnflag",
+        round(col("l_extendedprice") * 100).cast("long"), col("l_quantity").cast("long"))
+    },
+
+    // #91 difference-in-differences: even-user cohort treated, second
+    // half of the month is the post period.
+    "q_did" -> { (s, dir) =>
+      Stats.diffInDiff(Tables(s, dir).events,
+        col("user_id") % 2 === 0, dayofmonth(col("ts")) >= 16, centsValue)
+    },
+
+    // #91b off-policy IPS/SNIPS evaluation of a purchase-heavy target
+    // policy against the logged uniform-ish behavior, with effective
+    // sample size.
+    "q_ips_eval" -> { (s, dir) =>
+      Stats.ipsPolicyValue(Tables(s, dir).events, "event_type", centsValue,
+        Seq("purchase" -> 0.6, "click" -> 0.1, "view" -> 0.1,
+          "signup" -> 0.1, "error" -> 0.1))
     }
   )
 
@@ -320,7 +348,7 @@ object StatsQueries {
         |a AS (SELECT r.g, CAST(count(*) AS BIGINT) AS k, sum(ln(xv / xref)) AS lsum
         |      FROM r JOIN ref USING (g) WHERE i <= 10 GROUP BY r.g)
         |SELECT g AS source, k, round(lsum / k, 4) + 0.0 AS hill_mean_log,
-        |       round(k / lsum, 4) + 0.0 AS tail_alpha
+        |       CASE WHEN lsum > 0 THEN round(k / lsum, 4) + 0.0 END AS tail_alpha
         |FROM a""".stripMargin,
     "q_clustering_coef" ->
       """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
@@ -431,6 +459,74 @@ object StatsQueries {
         |    AS released_count,
         |  0.5 + 0.0 AS epsilon
         |FROM u""".stripMargin,
+    "q_did" ->
+      """WITH t AS (SELECT user_id % 2 = 0 AS tr, day(ts) >= 16 AS po,
+        |             CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |  CAST(sum(CASE WHEN tr AND NOT po THEN x ELSE 0 END) AS BIGINT) AS s10,
+        |  CAST(sum(CASE WHEN tr AND po THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |  CAST(sum(CASE WHEN tr AND po THEN x ELSE 0 END) AS BIGINT) AS s11,
+        |  CAST(sum(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |  CAST(sum(CASE WHEN NOT tr AND NOT po THEN x ELSE 0 END) AS BIGINT) AS s00,
+        |  CAST(sum(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |  CAST(sum(CASE WHEN NOT tr AND po THEN x ELSE 0 END) AS BIGINT) AS s01
+        |FROM t)
+        |SELECT n10, n11, n00, n01,
+        |  round(s10::DOUBLE / n10::DOUBLE, 4) + 0.0 AS mean_treated_pre,
+        |  round(s11::DOUBLE / n11::DOUBLE, 4) + 0.0 AS mean_treated_post,
+        |  round(s00::DOUBLE / n00::DOUBLE, 4) + 0.0 AS mean_control_pre,
+        |  round(s01::DOUBLE / n01::DOUBLE, 4) + 0.0 AS mean_control_post,
+        |  round((s11::DOUBLE / n11::DOUBLE - s10::DOUBLE / n10::DOUBLE)
+        |      - (s01::DOUBLE / n01::DOUBLE - s00::DOUBLE / n00::DOUBLE), 4) + 0.0 AS did
+        |FROM a""".stripMargin,
+    "q_ips_eval" ->
+      """WITH t AS (SELECT event_type AS a, CAST(round(value * 100) AS BIGINT) AS r FROM events),
+        |per AS (SELECT a, CAST(count(*) AS BIGINT) AS na, CAST(sum(r) AS BIGINT) AS sa
+        |        FROM t GROUP BY a),
+        |n AS (SELECT CAST(sum(na) AS BIGINT) AS n FROM per),
+        |tgt AS (SELECT * FROM (VALUES ('purchase', 0.6), ('click', 0.1), ('view', 0.1),
+        |                              ('signup', 0.1), ('error', 0.1)) AS v(a, pi)),
+        |rows_ AS (SELECT per.a, na, sa, pi, n.n FROM per JOIN tgt USING (a), n),
+        |f AS (SELECT max(n) AS n,
+        |        list_reduce(list(pi * sa::DOUBLE / na::DOUBLE ORDER BY a),
+        |                    (x, y) -> x + y) AS ips,
+        |        list_reduce(list(pi * n::DOUBLE ORDER BY a), (x, y) -> x + y) AS sw,
+        |        list_reduce(list(pi * pi * n::DOUBLE * n::DOUBLE / na::DOUBLE ORDER BY a),
+        |                    (x, y) -> x + y) AS sw2
+        |      FROM rows_)
+        |SELECT n, round(ips, 4) + 0.0 AS ips_value,
+        |  round(n::DOUBLE * ips / sw, 4) + 0.0 AS snips_value,
+        |  round(sw * sw / sw2, 4) + 0.0 AS ess
+        |FROM f""".stripMargin,
+    "q_median_ci" ->
+      """WITH t AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY g),
+        |r AS (SELECT t.g, x, row_number() OVER (PARTITION BY t.g ORDER BY x) AS rn, n.n
+        |      FROM t JOIN n ON n.g = t.g),
+        |kk AS (SELECT g, n,
+        |         greatest(1, CAST(floor((n::DOUBLE - 1.96 * sqrt(n::DOUBLE)) / 2.0) AS BIGINT)) AS k_lo
+        |       FROM n),
+        |k2 AS (SELECT g, n, k_lo, least(n, n - k_lo + 1) AS k_hi,
+        |         (n + 1) // 2 AS m_lo, n // 2 + 1 AS m_hi FROM kk),
+        |s AS (SELECT r.g, r.n,
+        |        min(CASE WHEN rn = k_lo THEN x END) AS ci_lo,
+        |        min(CASE WHEN rn = k_hi THEN x END) AS ci_hi,
+        |        min(CASE WHEN rn = m_lo THEN x END) + min(CASE WHEN rn = m_hi THEN x END) AS med2
+        |      FROM r JOIN k2 ON k2.g = r.g GROUP BY r.g, r.n)
+        |SELECT g AS event_type, n, round(med2::DOUBLE / 2.0, 2) + 0.0 AS median,
+        |       CAST(ci_lo AS BIGINT) AS ci_lo, CAST(ci_hi AS BIGINT) AS ci_hi
+        |FROM s""".stripMargin,
+    "q_weighted_median" ->
+      """WITH h AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+        |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |           FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT g, x, w,
+        |        sum(w) OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING) AS cumw,
+        |        sum(w) OVER (PARTITION BY g) AS tw FROM h)
+        |SELECT g AS l_returnflag, CAST(tw AS BIGINT) AS total_w,
+        |       CAST(min(x) AS BIGINT) AS weighted_median
+        |FROM c WHERE cumw * 2 >= tw GROUP BY g, tw""".stripMargin,
     "q_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,
         |  (CAST(round(c_acctbal * 100) AS BIGINT) + 1000000) // 100000 AS bal_kbucket,

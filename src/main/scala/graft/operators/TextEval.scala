@@ -69,48 +69,48 @@ object TextEval {
       round(bleu, 4).as("bleu"))
   }
 
-  /** Token-level word error rate per (id, reference, candidate) pair:
-    * Levenshtein distance over TOKEN sequences, computed by mapping
-    * each distinct token to one BMP codepoint (CJK block, 0x4E01+rank)
-    * and running the native char-level `levenshtein` on the encoded
-    * strings — token edit distance without a UDF or a per-pair DP
-    * loop, on both engines (DuckDB mirrors with chr()). The mapping is
-    * rank-over-sorted-vocab, so it is a pure function of the token SET:
-    * deterministic, engine-portable, retry-stable.
+  /** Token-level word error rate per (id, reference, candidate) pair
+    * over the first `maxTokens` tokens of each side: Levenshtein
+    * distance over TOKEN sequences, computed by mapping each PAIR's
+    * distinct tokens to single printable-ASCII chars and running the
+    * native char-level `levenshtein` on the encoded strings — token
+    * edit distance without a UDF or a per-pair DP loop, on both
+    * engines. Single-byte chars are load-bearing: DuckDB's
+    * `levenshtein` counts BYTES, so any multi-byte alphabet breaks
+    * engine parity (measured 3× on a CJK alphabet).
     *
-    * Shape: the vocab ranking is one global window over the DISTINCT
-    * token set — vocab-bounded, not corpus-bounded (the q_oov_rate
-    * posture); encoding shuffles (id, pos, token) rows once per side
-    * and reassembles via the sort_array fold. The default CJK block
-    * holds 20,479 tokens — `require`d up front (one vocab-sized
-    * count); larger vocabularies need a hashed-truncation variant.
+    * The dictionary is PER PAIR (rank over the pair's own sorted
+    * token set), so the alphabet bound is structural — 2·maxTokens ≤
+    * 93 printable slots by construction, independent of corpus
+    * vocabulary (a global dictionary died at the sf1 ladder rung when
+    * the scaled corpus crossed 93 distinct tokens). Prefix truncation
+    * is the declared semantic (WER@k, the bounded-cost eval gate);
+    * rank-over-sorted-set makes the encoding a pure function of the
+    * pair, deterministic and retry-stable.
     *
-    * `codepointBase` picks the encoding alphabet: the default 0x4E00
-    * CJK block is the big-vocab path, while base 33 (printable ASCII,
-    * 93 slots) is the ENGINE-PORTABLE twin — DuckDB's `levenshtein`
-    * counts BYTES, so only a single-byte-UTF-8 alphabet is comparable
-    * across engines (the md5-vs-xxhash twin discipline; identical code
-    * path, one constant).
+    * Shape: pair-partitioned windows and id-keyed joins only —
+    * nothing global, everything AQE-splittable; encoding shuffles
+    * (id, pos, token) rows once per side and reassembles via the
+    * sort_array fold.
     */
   def werPairs(pairs: DataFrame, idCol: String, refCol: String, candCol: String,
-               codepointBase: Int = 19968, maxVocab: Int = 20479): DataFrame = {
+               maxTokens: Int = 40): DataFrame = {
+    require(2 * maxTokens <= 93,
+      s"werPairs: 2*maxTokens must fit the 93-slot ASCII alphabet, got $maxTokens")
+    def tok(c: Column) = slice(graft.functions.TextAnalysis.tokenize(c), 1, maxTokens)
     val base = pairs.select(col(idCol).as("id"),
-      graft.functions.TextAnalysis.tokenize(col(refCol)).as("rw"),
-      graft.functions.TextAnalysis.tokenize(col(candCol)).as("cw"))
+      tok(col(refCol)).as("rw"), tok(col(candCol)).as("cw"))
       .filter(size(col("rw")) > 0)
       .localCheckpoint(true)
-    val vocab = base.select(explode(col("rw")).as("w"))
-      .union(base.select(explode(col("cw")).as("w")))
+    val dict = base.select(col("id"), explode(col("rw")).as("w"))
+      .union(base.select(col("id"), explode(col("cw")).as("w")))
       .distinct()
-      .withColumn("r", row_number().over(Window.orderBy("w")).cast("long"))
+      .withColumn("r", row_number().over(Window.partitionBy("id").orderBy("w")).cast("long"))
       .withColumn("ch",
-        decode(unhex(lpad(hex(col("r") + lit(codepointBase.toLong)), 4, "0")), "UTF-16BE"))
-      .localCheckpoint(true)
-    require(vocab.count() <= maxVocab.toLong,
-      s"werPairs vocab exceeds the $maxVocab-slot encoding alphabet")
+        decode(unhex(lpad(hex(col("r") + lit(33L)), 4, "0")), "UTF-16BE"))
     def encoded(tokens: Column, as: String): DataFrame =
       base.select(col("id"), posexplode(tokens).as(Seq("pos", "w")))
-        .join(broadcast(vocab.select("w", "ch")), "w")
+        .join(dict.select("id", "w", "ch"), Seq("id", "w"))
         .groupBy("id")
         .agg(aggregate(sort_array(collect_list(struct(col("pos"), col("ch")))),
           lit(""), (a, x) => concat(a, x.getField("ch"))).as(as))

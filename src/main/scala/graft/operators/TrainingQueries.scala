@@ -82,6 +82,29 @@ object TrainingQueries {
         .agg(sum(col("n")).as("n_docs"), sum(col("toks")).as("total_tokens"))
     },
 
+    // #42ag2 incremental JOIN maintenance (the classic delta rule
+    // ΔQ = ΔR⋈S for insert-only deltas; Blakeley et al. 1986): the
+    // materialized orders⋈lineitem rollup is maintained as
+    // base-join ∪ delta-join — only the delta (1/10 of orders here)
+    // re-joins, the base result is reused as-is. The oracle computes
+    // the MONOLITHIC join, so the hash-match IS the maintenance-
+    // correctness proof. At 100 TB the delta join probes a bucketed
+    // lineitem (Sinks.writeBucketed) and touches no base-result rows.
+    "q_incr_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val li = t.lineitem.select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      def joined(o: org.apache.spark.sql.DataFrame) =
+        o.select(col("o_orderkey"), col("o_orderpriority"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      val base = joined(t.orders.filter(col("o_orderkey") % 10 =!= 0))
+      val delta = joined(t.orders.filter(col("o_orderkey") % 10 === 0))
+      base.unionByName(delta).groupBy("o_orderpriority")
+        .agg(sum(col("n")).as("n_items"), sum(col("cents")).as("total_cents"))
+    },
+
     // ANALYZE-style corpus profile: one aggregation pass emits the
     // dataset card a training run is gated on — row count, per-column
     // null/distinct counts, value ranges, token totals. Exact distinct
@@ -207,6 +230,12 @@ object TrainingQueries {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY source""".stripMargin,
+    "q_incr_join" ->
+      """WITH j AS (SELECT o_orderpriority, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM j GROUP BY o_orderpriority""".stripMargin,
     "q_profile_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,

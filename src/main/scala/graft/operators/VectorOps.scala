@@ -59,6 +59,36 @@ object VectorOps {
         (col("sim") < simThreshold).as("is_outlier"))
   }
 
+  /** Embedding-space drift between two snapshots per group: the
+    * centroid of split A vs split B, compared by cosine and L2 — the
+    * semantic companion of the value-space PSI/KS/EMD drift gates: a
+    * source whose MEANING moved shows up here before any scalar
+    * profile shifts. Same aggregate shape as [[centroidOutliers]]
+    * (groups × dims rows, corpus never shuffles vectors) and the same
+    * determinism posture: 4-dp rounding on the emitted comparisons
+    * absorbs double-sum order.
+    */
+  def centroidDrift(corpus: DataFrame, groupCol: String, vecCol: String,
+                    isA: Column): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val cent = corpus
+      .select(col(groupCol).as("g"), isA.as("a"), posexplode(v).as(Seq("pos", "val")))
+      .groupBy("g", "a", "pos").agg(avg(col("val")).as("m"))
+      .groupBy("g", "a")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("c"))
+    val counts = corpus.groupBy(col(groupCol).as("g")).agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(isA, 0L).otherwise(1L)).as("n_b"))
+    val ca = cent.filter(col("a")).select(col("g"), col("c").as("u"))
+    val cb = cent.filter(!col("a")).select(col("g"), col("c").as("w"))
+    ca.join(cb, "g").join(broadcast(counts), "g")
+      .select(col("g").as(groupCol), col("n_a"), col("n_b"),
+        round(cosine(col("u"), col("w")), 4).as("centroid_cosine"),
+        round(sqrt(aggregate(zip_with(col("u"), col("w"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t)), 4).as("centroid_l2"))
+  }
+
   /** Exact top-k cosine neighbors for each probe row.
     * probes/corpus: (id, vec). Self-pairs excluded.
     */

@@ -339,6 +339,18 @@ class InferenceSpec extends SparkSpec {
     assert(r2.getAs[Double]("chi2") > 0.0)
   }
 
+  test("splitConformal: hand-computed radius and coverage") {
+    // calibration 0,10,...,90: mean 45, scaled residuals |10v-450|,
+    // k = ceil(0.9*11) = 10 -> q_scaled = 450 -> q_hat = 45.0
+    val cal = (0 to 9).map(i => ("g", true, i * 10L))
+    val test = Seq(("g", false, 45L), ("g", false, 100L)) // r=0 in, r=550 out
+    val r = Inference.splitConformal((cal ++ test).toDF("g", "cal", "x"),
+      "g", col("cal"), col("x"), coveragePct = 90).collect().head
+    assert(r.getAs[Long]("n_cal") == 10L && r.getAs[Long]("n_test") == 2L)
+    assert(r.getAs[Double]("q_hat") == 45.0)
+    assert(r.getAs[Long]("coverage_ppm") == 500000L)
+  }
+
   test("emdDriftBy: identical halves give 0; a pure shift gives the shift size") {
     val same = ((1 to 10).map(i => ("g", true, i.toLong)) ++
       (1 to 10).map(i => ("g", false, i.toLong))).toDF("g", "a", "x")

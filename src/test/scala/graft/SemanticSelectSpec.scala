@@ -112,6 +112,18 @@ class SemanticSelectSpec extends SparkSpec {
     assert(out == Map(1L -> "sport", 2L -> "food"))
   }
 
+  test("labelNoise flags the planted mislabel and spares consistent docs") {
+    import graft.operators.NaiveBayes
+    val docs = (1 to 10).map(i => (i.toLong, "en", "aaa bbb ccc ddd")) ++
+      (11 to 20).map(i => (i.toLong, "fr", "xxx yyy zzz www")) :+
+      ((99L, "en", "xxx yyy zzz www")) // text says fr, label says en
+    val out = NaiveBayes.labelNoise(docs.toDF("doc_id", "lang", "text"),
+      "doc_id", "lang", "text", margin = 0.5, buckets = 256).collect()
+    assert(out.map(_.getAs[Long]("id")).toSet == Set(99L))
+    assert(out.head.getAs[String]("predicted") == "fr")
+    assert(out.head.getAs[Double]("noise_margin") > 0.5)
+  }
+
   test("NaiveBayes learns a planted class signal at corpus volume") {
     import graft.operators.NaiveBayes
     // The synthetic documents' lang labels are independent of the text

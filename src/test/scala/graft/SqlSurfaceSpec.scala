@@ -31,6 +31,16 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(joined.nonEmpty && joined.map(_.getLong(1)).sum > 0)
   }
 
+  test("verbatim-ANSI report (q_sql_report) hash-matches the Column-API twin") {
+    val viaSql = SparkEntry.queries("q_sql_report")(spark, sfDir)
+    val viaApi = SparkEntry.queries("q_report_publications")(spark, sfDir)
+    assert(viaSql.columns.sorted.sameElements(viaApi.columns.sorted))
+    val cols = viaApi.columns.sorted.toSeq
+    val s = viaSql.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted
+    val a = viaApi.select(cols.head, cols.tail: _*).collect().map(_.toString).sorted
+    assert(s.length > 0 && s.sameElements(a))
+  }
+
   test("injected graft_* functions and views work in one SQL statement") {
     SqlSurface.register(spark, sfDir)
     // native codegen expression + base view in a single pure-SQL query

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DataOps, Graph, Stats, TimeSeries}
+import graft.operators.{DataOps, Graph, Linkage, Stats, TimeSeries}
 
 /** Library-level invariants for the classical-statistics layer: each
   * test pins a closed-form answer on handcrafted data (the DuckDB
@@ -229,6 +229,67 @@ class StatsSpec extends SparkSpec {
     // |noise| <= (1/eps)*ln(2^24) ~ 33.3 for a 24-bit uniform
     val counts = Map("g0" -> 16.0, "g1" -> 17.0, "g2" -> 17.0)
     counts.foreach { case (g, n) => assert(math.abs(a(g) - n) <= 34.0, s"$g: ${a(g)}") }
+  }
+
+  test("diffInDiff: constructed parallel-trends violation of exactly 10") {
+    // treated: 10 -> 30, control: 10 -> 20  =>  DiD = 10
+    val rows = Seq.fill(5)((true, false, 10L)) ++ Seq.fill(5)((true, true, 30L)) ++
+      Seq.fill(5)((false, false, 10L)) ++ Seq.fill(5)((false, true, 20L))
+    val df = rows.toDF("tr", "po", "x")
+    val r = Stats.diffInDiff(df, col("tr"), col("po"), col("x")).collect().head
+    assert(r.getAs[Double]("mean_treated_post") == 30.0)
+    assert(r.getAs[Double]("did") == 10.0)
+  }
+
+  test("ipsPolicyValue: deterministic policy reduces to the action's mean; ESS = its support") {
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 0L), ("b", 40L)).toDF("act", "r")
+    val r = Stats.ipsPolicyValue(df, "act", col("r"), Seq("a" -> 1.0)).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("ips_value") == 15.0)   // mean reward of action a
+    assert(r.getAs[Double]("snips_value") == 15.0) // weights sum to n exactly
+    assert(r.getAs[Double]("ess") == 2.0)          // only a's rows carry weight
+  }
+
+  test("sortedNeighborhood: adjacent near-names pair, distant names do not") {
+    val recs = Seq((1L, "anna"), (2L, "annae"), (3L, "bob"), (4L, "zed")).toDF("id", "nm")
+    val out = Linkage.sortedNeighborhood(recs, "id", "nm", window = 3, minJw = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(out.toSet == Set((1L, 2L)))
+  }
+
+  test("medianCi: 1..100 gives median 50.5 with order-statistic bounds 40/61") {
+    val df = (1 to 100).map(i => ("g", i.toLong)).toDF("g", "x")
+    val r = Stats.medianCi(df, "g", col("x")).collect().head
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Double]("median") == 50.5)
+    // k_lo = floor((100 - 1.96*10)/2) = 40, k_hi = 100 - 40 + 1 = 61
+    assert(r.getAs[Long]("ci_lo") == 40L && r.getAs[Long]("ci_hi") == 61L)
+  }
+
+  test("weightedMedian: heavy value pulls the median; uniform weights reduce to lower median") {
+    val heavy = Seq(("h", 1L, 1L), ("h", 2L, 1L), ("h", 3L, 10L)).toDF("g", "x", "w")
+    val r1 = Stats.weightedMedian(heavy, "g", col("x"), col("w")).collect().head
+    assert(r1.getAs[Long]("total_w") == 12L && r1.getAs[Long]("weighted_median") == 3L)
+    val unif = (1 to 4).map(i => ("u", i.toLong, 1L)).toDF("g", "x", "w")
+    val r2 = Stats.weightedMedian(unif, "g", col("x"), col("w")).collect().head
+    assert(r2.getAs[Long]("weighted_median") == 2L)
+  }
+
+  test("bellmanFord: cheap 2-hop path beats expensive direct edge; hop cap respected") {
+    // 1 -10- 2, 1 -1- 3, 3 -1- 2  => dist(2) = 2 via 3, not 10 direct;
+    // chain 2-4-5-6-7: node 6 is 4 edges via the expensive direct
+    // (10+3=13) but 5 edges via the cheap route — at rounds = 4 the
+    // ≤k-edges semantic returns 13; node 7 needs 5 edges, so absent
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L),
+      (2L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L), (6L, 7L, 1L)
+    ).toDF("s", "d", "w")
+    val seed = Seq(1L).toDF("id")
+    val r = Graph.bellmanFord(edges, "s", "d", "w", seed, rounds = 4)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("dist_w")).toMap
+    assert(r(1L) == 0L && r(3L) == 1L && r(2L) == 2L)
+    assert(r(4L) == 3L && r(5L) == 4L && r(6L) == 13L)
+    assert(!r.contains(7L)) // needs 5 edges, rounds = 4
   }
 
   test("kAnonymityAudit: small classes flagged, large classes pass") {

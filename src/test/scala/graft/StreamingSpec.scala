@@ -104,6 +104,24 @@ class StreamingSpec extends SparkSpec {
     assert(out(2).user_id == 2)
   }
 
+  test("native session_window: gap semantics pin the islands oracle (boundary MERGES)") {
+    // gap 10 min: events at :00, :05 merge; an event at EXACTLY
+    // last + gap (:15) also merges — Spark extends the session for
+    // t <= last + gap, so the islands oracle must break only on
+    // `diff > gap` (strictly). One second past the gap splits.
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 2.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:15:00"), 3.0), // == last + gap -> merges
+      (1L, Timestamp.valueOf("2024-01-01 10:25:01"), 4.0)  // > last + gap -> splits
+    ).toDF("user_id", "ts", "value")
+    val out = df.groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("sw.start").cast("string").as("s"), col("n"))
+      .collect().map(r => r.getAs[String]("s") -> r.getAs[Long]("n")).toMap
+    assert(out == Map("2024-01-01 10:00:00" -> 3L, "2024-01-01 10:25:01" -> 1L))
+  }
+
   test("intervalJoin runs as a stream-stream join with watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val li = MemoryStream[(Long, Long, java.sql.Timestamp)]

@@ -287,6 +287,19 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.exists(r => r.getAs[Long]("id_a") == 4L || r.getAs[Long]("id_b") == 4L))
   }
 
+  test("centroidDrift: orthogonal snapshots score cosine 0 / L2 sqrt2; identical score 1 / 0") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(3)((1, true, Seq(1.0f, 0.0f))) ++ Seq.fill(3)((1, false, Seq(0.0f, 1.0f))) ++
+      Seq.fill(2)((2, true, Seq(1.0f, 1.0f))) ++ Seq.fill(2)((2, false, Seq(1.0f, 1.0f)))
+    val df = rows.toDF("label", "a", "embedding")
+    val r = VectorOps.centroidDrift(df, "label", "embedding", col("a"))
+      .collect().map(x => x.getAs[Int]("label") ->
+        (x.getAs[Double]("centroid_cosine"), x.getAs[Double]("centroid_l2"))).toMap
+    assert(r(1) == (0.0, 1.4142))
+    assert(r(2) == (1.0, 0.0))
+  }
+
   test("bleuPairs: identical pair scores 1.0, disjoint scores 0, worked example matches") {
     import spark.implicits._
     val pairs = Seq(
@@ -318,11 +331,11 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2L) == (1L, 333333L))
     assert(r(3L) == (1L, 333333L))
     assert(r(4L) == (2L, 500000L))
-    // ASCII-alphabet twin (the engine-portable oracle path) is edit-identical
-    val ascii = TextEval.werPairs(pairs, "id", "ref", "cand", codepointBase = 33, maxVocab = 93)
-      .collect().map(x => x.getAs[Long]("id") ->
-        (x.getAs[Long]("token_edits"), x.getAs[Long]("wer_ppm"))).toMap
-    assert(ascii == r)
+    // WER@k semantics: edits beyond the scored prefix are invisible
+    val trunc = TextEval.werPairs(
+      Seq((7L, "alpha beta gamma delta", "alpha beta zzz zzz")).toDF("id", "ref", "cand"),
+      "id", "ref", "cand", maxTokens = 2).collect().head
+    assert(trunc.getAs[Long]("n_ref") == 2L && trunc.getAs[Long]("token_edits") == 0L)
   }
 
   test("lshDedupEval: identical planted pair is found and verified at recall 1e6") {

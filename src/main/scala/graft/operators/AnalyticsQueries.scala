@@ -91,6 +91,30 @@ object AnalyticsQueries {
         window = 3, minJw = 0.9)
     },
 
+    // #67c Fellegi-Sunter probabilistic scoring over the sorted-
+    // neighborhood candidates: m/u rates learned from the planted
+    // truth (|id_a − id_b| = 1e6), three agreement fields, log₂
+    // likelihood-ratio decision weights.
+    "q_fellegi_sunter" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+      val name = concat(
+        translate(reverse(col("c_custkey").cast("string")), "0123456789", "BCDLMRFGST"),
+        element_at(linkSurnames, pmod(col("c_custkey"), lit(12)).cast("int") + 1))
+      val left = c.select(col("c_custkey").as("id"), name.as("name"))
+      val right = c.select((col("c_custkey") + 1000000L).as("id"),
+        when(pmod(col("c_custkey"), lit(5)) === 0, reverse(name))
+          .otherwise(concat(name, lit("e"))).as("name"))
+      val cand = Linkage.sortedNeighborhood(left.unionByName(right), "id", "name",
+        window = 3, minJw = 0.0)
+        .withColumn("ag_surname", regexp_extract(col("name_a"), "[a-z]+$", 0) ===
+          regexp_extract(col("name_b"), "[a-z]+$", 0))
+        .withColumn("ag_prefix", substring(col("name_a"), 1, 3) ===
+          substring(col("name_b"), 1, 3))
+        .withColumn("ag_len", length(col("name_a")) === length(col("name_b")))
+      Linkage.fellegiSunter(cand, abs(col("id_a") - col("id_b")) === 1000000L,
+        Seq("ag_surname", "ag_prefix", "ag_len"))
+    },
+
     "q_record_linkage" -> { (s, dir) =>
       val c = Tables(s, dir).customer
       val name = concat(
@@ -847,6 +871,51 @@ object AnalyticsQueries {
         |  round(sum(CASE WHEN rn = 1 THEN value * pow(0.5, n - 1)
         |            ELSE value * 0.5 * pow(0.5, n - rn) END), 4) AS ewma
         |FROM x GROUP BY user_id""".stripMargin,
+    "q_fellegi_sunter" -> {
+      val surnames = linkSurnameList.map(s => s"'$s'").mkString("[", ", ", "]")
+      def m(f: String) = s"(a_m_$f + 0.5) / (n_m + 1.0)"
+      def u(f: String) = s"(a_u_$f + 0.5) / (n_u + 1.0)"
+      def term(flag: String, f: String) =
+        s"(CASE WHEN $flag THEN log2((${m(f)}) / (${u(f)})) " +
+          s"ELSE log2((1.0 - ${m(f)}) / (1.0 - ${u(f)})) END)"
+      s"""WITH nm AS (SELECT c_custkey,
+         |        translate(reverse(CAST(c_custkey AS VARCHAR)), '0123456789', 'BCDLMRFGST') ||
+         |        list_extract($surnames, CAST(c_custkey % 12 AS INT) + 1) AS name
+         |      FROM customer),
+         |un AS (SELECT c_custkey AS id, name FROM nm
+         |      UNION ALL
+         |      SELECT c_custkey + 1000000,
+         |        CASE WHEN c_custkey % 5 = 0 THEN reverse(name) ELSE name || 'e' END FROM nm),
+         |o AS (SELECT id, name,
+         |        lag(id, 1) OVER w AS id1, lag(name, 1) OVER w AS nm1,
+         |        lag(id, 2) OVER w AS id2, lag(name, 2) OVER w AS nm2
+         |      FROM un WINDOW w AS (ORDER BY name, id)),
+         |p AS (SELECT id1 AS id_a, nm1 AS name_a, id AS id_b, name AS name_b
+         |      FROM o WHERE id1 IS NOT NULL
+         |      UNION ALL
+         |      SELECT id2, nm2, id, name FROM o WHERE id2 IS NOT NULL),
+         |f AS (SELECT id_a, id_b,
+         |        regexp_extract(name_a, '[a-z]+$$') = regexp_extract(name_b, '[a-z]+$$') AS ag_surname,
+         |        substr(name_a, 1, 3) = substr(name_b, 1, 3) AS ag_prefix,
+         |        length(name_a) = length(name_b) AS ag_len,
+         |        abs(id_a - id_b) = 1000000 AS is_match
+         |      FROM p),
+         |s AS (SELECT
+         |  CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_m,
+         |  CAST(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_u,
+         |  CAST(sum(CASE WHEN is_match AND ag_surname THEN 1 ELSE 0 END) AS BIGINT) AS a_m_surname,
+         |  CAST(sum(CASE WHEN NOT is_match AND ag_surname THEN 1 ELSE 0 END) AS BIGINT) AS a_u_surname,
+         |  CAST(sum(CASE WHEN is_match AND ag_prefix THEN 1 ELSE 0 END) AS BIGINT) AS a_m_prefix,
+         |  CAST(sum(CASE WHEN NOT is_match AND ag_prefix THEN 1 ELSE 0 END) AS BIGINT) AS a_u_prefix,
+         |  CAST(sum(CASE WHEN is_match AND ag_len THEN 1 ELSE 0 END) AS BIGINT) AS a_m_len,
+         |  CAST(sum(CASE WHEN NOT is_match AND ag_len THEN 1 ELSE 0 END) AS BIGINT) AS a_u_len
+         |FROM f)
+         |SELECT id_a, id_b, ag_surname, ag_prefix, ag_len, is_match,
+         |  round(${term("ag_surname", "surname")} + ${term("ag_prefix", "prefix")}
+         |        + ${term("ag_len", "len")}, 4) + 0.0 AS fs_weight
+         |FROM f, s""".stripMargin
+    },
+
     "q_sorted_neighborhood" -> {
       val surnames = linkSurnameList.map(s => s"'$s'").mkString("[", ", ", "]")
       s"""WITH nm AS (SELECT c_custkey,

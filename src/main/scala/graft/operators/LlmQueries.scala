@@ -692,6 +692,22 @@ object LlmQueries {
         idCol = "doc_id", textCol = "text", buckets = 1024)
     },
 
+    // #86s McNemar's paired test: heuristic lang-id (classifier A) vs
+    // the self-trained Naive Bayes (classifier B) on the SAME docs
+    // against the lang labels — the discordant-pair readout for
+    // comparing classifiers on a shared eval set.
+    "q_mcnemar" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
+      val a = d.select(col("doc_id"), col("lang"),
+        TextAnalysis.predictLang(col("text"), profiles, "und").as("pred_a"))
+      val b = NaiveBayes.predict(d,
+        NaiveBayes.fit(d, "lang", "text", buckets = 1024), "doc_id", "text", buckets = 1024)
+        .select(col("id").as("doc_id"), col("predicted").as("pred_b"))
+      Stats.mcnemar(a.join(b, "doc_id"),
+        col("pred_a") === col("lang"), col("pred_b") === col("lang"))
+    },
+
     // #42ak2 confident-learning label-noise gate (Northcutt et al.
     // 2021, margin form): docs whose self-trained classifier beats the
     // given lang label by >= 0.5 log-odds — the labels the data itself
@@ -1493,6 +1509,41 @@ object LlmQueries {
         |         row_number() OVER (PARTITION BY id ORDER BY round(score, 4) DESC, class) AS rn
         |  FROM sc) ranked
         |WHERE rn = 1""".stripMargin,
+    "q_mcnemar" ->
+      s"""WITH $nbScoreCte,
+        |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS en,
+        |        CAST(len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS BIGINT) AS de,
+        |        CAST(len(list_filter(ws, x -> x IN ('el','la','de','los','las','y','es','en','un','una'))) AS BIGINT) AS es,
+        |        CAST(len(list_filter(ws, x -> x IN ('le','la','les','et','des','est','un','une','dans','pour'))) AS BIGINT) AS fr
+        |      FROM w),
+        |pa AS (SELECT doc_id,
+        |        CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+        |             WHEN en = greatest(en, de, es, fr) THEN 'en'
+        |             WHEN de = greatest(en, de, es, fr) THEN 'de'
+        |             WHEN es = greatest(en, de, es, fr) THEN 'es'
+        |             ELSE 'fr' END AS pred_a
+        |       FROM h),
+        |pb AS (SELECT id AS doc_id, class AS pred_b FROM (
+        |         SELECT id, class, score,
+        |           row_number() OVER (PARTITION BY id ORDER BY round(score, 4) DESC, class) AS rn
+        |         FROM sc) ranked WHERE rn = 1),
+        |j AS (SELECT d.doc_id, pa.pred_a = d.lang AS a, pb.pred_b = d.lang AS b
+        |      FROM documents d JOIN pa USING (doc_id) JOIN pb USING (doc_id)),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+        |  CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+        |  CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        |FROM j)
+        |SELECT n_both, n_a_only, n_b_only, n_neither,
+        |  CASE WHEN n_a_only + n_b_only > 0
+        |       THEN round((n_a_only::DOUBLE - n_b_only::DOUBLE)
+        |                  * (n_a_only::DOUBLE - n_b_only::DOUBLE)
+        |                  / (n_a_only::DOUBLE + n_b_only::DOUBLE), 4) + 0.0
+        |  END AS chi2
+        |FROM m""".stripMargin,
     "q_label_noise" ->
       s"""WITH $nbScoreCte,
         |r AS (SELECT id, class, round(score, 4) AS score FROM sc),

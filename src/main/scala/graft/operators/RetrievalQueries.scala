@@ -34,6 +34,16 @@ object RetrievalQueries {
         .select(col("term"), col("id").as("doc_id"), col("tf"), col("score"), col("rank"))
     },
 
+    // #87b rank-biased overlap between the n_chars ranking and the
+    // token-count ranking of documents (RBO@20, p = 0.9) — did the
+    // new scorer reorder the head?
+    "q_rbo" -> { (s, dir) =>
+      val d = Tables(s, dir).documents
+      Stats.rankBiasedOverlap(d, "doc_id", col("n_chars"),
+        size(graft.functions.TextAnalysis.tokenize(col("text"))).cast("long"),
+        col("doc_id"), depth = 20, p = 0.9)
+    },
+
     // #93e sparse IDF-cosine similarity join over the pruned word-
     // trigram vocabulary (df <= 20) via the inverted index — top-50
     // doc pairs.
@@ -165,6 +175,21 @@ object RetrievalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_rbo" ->
+      """WITH t AS (SELECT doc_id AS id, n_chars AS sa,
+        |             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS sb
+        |           FROM documents),
+        |r AS (SELECT id,
+        |        row_number() OVER (ORDER BY sa DESC, id) AS ra,
+        |        row_number() OVER (ORDER BY sb DESC, id) AS rb FROM t),
+        |k AS (SELECT id, greatest(ra, rb) AS m FROM r WHERE ra <= 20 AND rb <= 20),
+        |d AS (SELECT unnest(range(1, 21)) AS d),
+        |x AS (SELECT d.d, CAST(count(k.id) AS BIGINT) AS x
+        |      FROM d LEFT JOIN k ON k.m <= d.d GROUP BY d.d)
+        |SELECT CAST(20 AS BIGINT) AS depth, 0.9 + 0.0 AS p,
+        |  round(list_reduce(list((1.0 - 0.9) * pow(0.9, d - 1) * x / d ORDER BY d),
+        |                    (a, b) -> a + b), 4) + 0.0 AS rbo
+        |FROM x""".stripMargin,
     "q_tfidf_pairs" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |t AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),

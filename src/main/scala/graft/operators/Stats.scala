@@ -129,6 +129,65 @@ object Stats {
       round((u1 - mu) / sigma, 4).as("z_score"))
   }
 
+  /** McNemar's test (McNemar 1947) for two classifiers evaluated on
+    * the SAME items — the paired readout model comparisons need
+    * (accuracy deltas on shared eval sets are correlated; the
+    * discordant pairs carry all the signal): χ² = (b−c)²/(b+c) over
+    * the counts where exactly one classifier is right. One
+    * aggregation, four exact longs, closed form; NULL χ² when no
+    * discordant pairs exist (the test is undefined, not zero).
+    */
+  def mcnemar(df: DataFrame, aCorrect: Column, bCorrect: Column): DataFrame = {
+    val agg = df.select(aCorrect.as("a"), bCorrect.as("b")).agg(
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n_both"),
+      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n_a_only"),
+      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n_b_only"),
+      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n_neither"))
+    val b = col("n_a_only").cast("double")
+    val c = col("n_b_only").cast("double")
+    agg.select(col("n_both"), col("n_a_only"), col("n_b_only"), col("n_neither"),
+      when(col("n_a_only") + col("n_b_only") > 0,
+        round((b - c) * (b - c) / (b + c), 4)).as("chi2"))
+  }
+
+  /** Kruskal-Wallis H test (Kruskal & Wallis 1952): the k-group
+    * rank-sum test — ANOVA's nonparametric sibling on the same
+    * half-rank histogram machinery as [[mannWhitneyU]]: ranks derive
+    * at DISTINCT-VALUE grain (the window is value-domain-bounded, not
+    * row-bounded), per-group rank sums are exact integers in half
+    * units, and the tie-corrected H = [12/(N(N+1)) Σ R_g²/n_g −
+    * 3(N+1)] / [1 − Σ(t³−t)/(N³−N)] is one closed form over those
+    * longs. Group rank sums fold group-ascending for the one
+    * irrational accumulation.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, v: Column): DataFrame = {
+    val hist = df.select(col(groupCol).as("g"), v.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cgv"))
+    val byVal = hist.groupBy("v").agg(sum("cgv").as("t"))
+    val w = Window.orderBy(col("v"))
+    val rankedVals = byVal.select(col("v"), col("t"),
+      (sum(col("t")).over(w) - col("t")).as("cumPrev"))
+    // 2·avgrank(v) = 2·cumPrev + t + 1 (integer); R2_g = Σ c_gv·(2·avgrank)
+    val perGroup = hist.join(rankedVals, "v")
+      .groupBy("g").agg(
+        sum("cgv").as("ng"),
+        sum(col("cgv") * (col("cumPrev") * 2 + col("t") + 1)).as("r2"))
+    val rTerm = (col("r2").cast("double") * col("r2").cast("double") /
+      (lit(4.0) * col("ng").cast("double"))).as("t")
+    val ties = byVal.agg(
+      sum(col("t") * col("t") * col("t") - col("t")).as("tieSum"))
+    val tot = perGroup.agg(
+      count(lit(1)).as("k"), sum("ng").as("n"),
+      aggregate(sort_array(collect_list(struct(col("g"), rTerm))),
+        lit(0.0), (a, x) => a + x.getField("t")).as("rss"))
+      .crossJoin(broadcast(ties))
+    val n = col("n").cast("double")
+    val hRaw = lit(12.0) / (n * (n + 1.0)) * col("rss") - lit(3.0) * (n + 1.0)
+    val corr = lit(1.0) - col("tieSum").cast("double") / (n * n * n - n)
+    tot.select(col("k"), col("n"),
+      round(hRaw / corr, 4).as("h_stat"))
+  }
+
   /** ROC AUC of a score against a binary label via the rank-sum
     * identity AUC = U/(n⁺·n⁻) (Hanley & McNeil 1982) — ties get the
     * trapezoidal half-credit automatically through average ranks. The
@@ -429,6 +488,36 @@ object Stats {
     per.select(col("g").as(groupCol),
       round(col("n_true").cast("double") + noise, 4).as("released_count"),
       lit(epsilon).as("epsilon"))
+  }
+
+  /** Rank-biased overlap of two rankings of the same items (Webber,
+    * Moffat & Zobel 2010), truncated at `depth`: RBO@k =
+    * (1−p)·Σ_{d≤k} p^{d−1}·|A_d ∩ B_d|/d — the top-weighted
+    * ranking-similarity measure for comparing two orderings (old vs
+    * new scorer, lexical vs semantic retrieval) that, unlike Kendall/
+    * Spearman, tolerates non-conjoint tails. Overlap counts X_d are
+    * exact integers (an item contributes from depth max(ra,rb)); the
+    * 20-term geometric fold runs depth-ascending (sort_array +
+    * aggregate). The two rank windows are global but the join is
+    * depth-bounded immediately — the q_ntile range-partition posture.
+    */
+  def rankBiasedOverlap(df: DataFrame, idCol: String, scoreA: Column, scoreB: Column,
+                        tie: Column, depth: Int, p: Double): DataFrame = {
+    val ranked = df.select(col(idCol).as("id"), scoreA.as("sa"), scoreB.as("sb"), tie.as("t"))
+      .withColumn("ra", row_number().over(Window.orderBy(col("sa").desc, col("t"))))
+      .withColumn("rb", row_number().over(Window.orderBy(col("sb").desc, col("t"))))
+      .filter(col("ra") <= depth && col("rb") <= depth)
+      .select(col("id"), greatest(col("ra"), col("rb")).cast("long").as("m"))
+    val depths = df.sparkSession.range(1, depth + 1).toDF("d")
+    val xd = depths.join(ranked, col("m") <= col("d"), "left")
+      .groupBy("d").agg(count(col("id")).as("x"))
+    xd.agg(sort_array(collect_list(struct(col("d"), col("x")))).as("arr"))
+      .select(
+        lit(depth).cast("long").as("depth"),
+        lit(p).as("p"),
+        round(aggregate(col("arr"), lit(0.0), (acc, e) =>
+          acc + lit(1.0 - p) * pow(lit(p), e.getField("d").cast("double") - 1.0) *
+            e.getField("x").cast("double") / e.getField("d").cast("double")), 4).as("rbo"))
   }
 
   /** Difference-in-differences estimator (Ashenfelter & Card 1985):

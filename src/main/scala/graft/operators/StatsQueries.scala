@@ -200,6 +200,12 @@ object StatsQueries {
         col("user_id") % 2 === 0, dayofmonth(col("ts")) >= 16, centsValue)
     },
 
+    // #86r Kruskal-Wallis H across event types — the nonparametric
+    // sibling of q_anova on the same half-rank histogram machinery.
+    "q_kruskal" -> { (s, dir) =>
+      Stats.kruskalWallis(Tables(s, dir).events, "event_type", centsValue)
+    },
+
     // #91b off-policy IPS/SNIPS evaluation of a purchase-heavy target
     // policy against the logged uniform-ish behavior, with effective
     // sample size.
@@ -459,6 +465,26 @@ object StatsQueries {
         |    AS released_count,
         |  0.5 + 0.0 AS epsilon
         |FROM u""".stripMargin,
+    "q_kruskal" ->
+      """WITH t AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cgv FROM t GROUP BY 1, 2),
+        |bv AS (SELECT v, CAST(sum(cgv) AS BIGINT) AS t FROM h GROUP BY v),
+        |rv AS (SELECT v, t,
+        |         CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t AS BIGINT) AS cp
+        |       FROM bv),
+        |pg AS (SELECT g, CAST(sum(cgv) AS BIGINT) AS ng,
+        |         CAST(sum(cgv * (cp * 2 + rv.t + 1)) AS BIGINT) AS r2
+        |       FROM h JOIN rv USING (v) GROUP BY g),
+        |ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tiesum FROM bv),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |          list_reduce(list(r2::DOUBLE * r2::DOUBLE / (4.0 * ng::DOUBLE) ORDER BY g),
+        |                      (a, b) -> a + b) AS rss
+        |        FROM pg)
+        |SELECT k, n,
+        |  round((12.0 / (n::DOUBLE * (n + 1)::DOUBLE) * rss - 3.0 * (n + 1)::DOUBLE)
+        |        / (1.0 - tiesum::DOUBLE /
+        |           (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)), 4) + 0.0 AS h_stat
+        |FROM tot, ties""".stripMargin,
     "q_did" ->
       """WITH t AS (SELECT user_id % 2 = 0 AS tr, day(ts) >= 16 AS po,
         |             CAST(round(value * 100) AS BIGINT) AS x FROM events),

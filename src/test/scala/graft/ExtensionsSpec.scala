@@ -113,6 +113,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("graft_vec_dot"))
   }
 
+  test("MaterializedViews: count-by-source rewrites to the summary scan and back") {
+    import graft.plans.MaterializedViews
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    val summary = base.groupBy("source").agg(count(lit(1)).as("cnt")).localCheckpoint(true)
+    val expect = summary.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    MaterializedViews.register("docs_by_source", "documents.parquet", "source", summary)
+    try {
+      val q = spark.read.parquet(s"$sfDir/documents.parquet").groupBy("source").count()
+      // rewritten: the base parquet scan is gone from the physical plan
+      assert(!q.queryExecution.executedPlan.toString.contains("documents.parquet"))
+      val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect)
+      // different grouping column -> pattern miss, base scan stays
+      val other = spark.read.parquet(s"$sfDir/documents.parquet").groupBy("lang").count()
+      assert(other.queryExecution.executedPlan.toString.contains("documents.parquet"))
+      assert(other.count() > 0)
+    } finally MaterializedViews.clear()
+    // registry cleared -> the same query scans the base again
+    val back = spark.read.parquet(s"$sfDir/documents.parquet").groupBy("source").count()
+    assert(back.queryExecution.executedPlan.toString.contains("documents.parquet"))
+    assert(back.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+  }
+
   test("saltedEquiJoin equals the plain join") {
     val big = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_orderkey", "l_partkey", "l_quantity")
     val small = spark.read.parquet(s"$sfDir/part.parquet").select("p_partkey", "p_size")

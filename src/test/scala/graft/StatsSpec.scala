@@ -231,6 +231,53 @@ class StatsSpec extends SparkSpec {
     counts.foreach { case (g, n) => assert(math.abs(a(g) - n) <= 34.0, s"$g: ${a(g)}") }
   }
 
+  test("kruskalWallis: identical groups give H = 0; separated groups match the closed form") {
+    val same = Seq("a", "b").flatMap(g => Seq(1L, 2L, 3L).map((g, _))).toDF("g", "x")
+    val r0 = Stats.kruskalWallis(same, "g", col("x")).collect().head
+    assert(r0.getAs[Double]("h_stat") == 0.0)
+    val apart = (Seq(1L, 2L, 3L).map(("a", _)) ++ Seq(101L, 102L, 103L).map(("b", _)))
+      .toDF("g", "x")
+    val r1 = Stats.kruskalWallis(apart, "g", col("x")).collect().head
+    // R = {6, 15}: H = 12/(6*7) * (36/3 + 225/3) - 3*7 = 87*2/7 - 21
+    assert(math.abs(r1.getAs[Double]("h_stat") - (87.0 * 2 / 7 - 21.0)) < 1e-3)
+  }
+
+  test("mcnemar: discordant counts drive chi2; no discordants -> NULL") {
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(3)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(2)((false, false))
+    val r = Stats.mcnemar(rows.toDF("a", "b"), col("a"), col("b")).collect().head
+    assert(r.getAs[Long]("n_a_only") == 3L && r.getAs[Long]("n_b_only") == 1L)
+    assert(r.getAs[Double]("chi2") == 1.0) // (3-1)^2 / 4
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Stats.mcnemar(agree, col("a"), col("b")).collect().head.isNullAt(4))
+  }
+
+  test("fellegiSunter: smoothed m/u rates give the closed-form log2 weights") {
+    // matches: 3 of 4 agree -> m = 3.5/5 = .7; non: 1 of 4 -> u = 1.5/5 = .3
+    val pairs = (Seq((1L, 101L, true, true), (2L, 102L, true, true), (3L, 103L, true, true),
+      (4L, 104L, false, true)) ++
+      Seq((5L, 205L, true, false), (6L, 206L, false, false),
+        (7L, 207L, false, false), (8L, 208L, false, false)))
+      .toDF("id_a", "id_b", "ag_f", "truth")
+    val r = Linkage.fellegiSunter(pairs, col("truth"), Seq("ag_f"))
+      .collect().map(x => x.getAs[Long]("id_a") -> x.getAs[Double]("fs_weight")).toMap
+    val agreeW = math.log(0.7 / 0.3) / math.log(2.0)
+    assert(math.abs(r(1L) - agreeW) < 1e-3)      // agree -> +log2(m/u)
+    assert(math.abs(r(4L) + agreeW) < 1e-3)      // disagree -> log2(.3/.7) = -agreeW
+  }
+
+  test("rankBiasedOverlap: identical rankings give 1 - p^k, disjoint heads give 0") {
+    val items = (1 to 40).map(i => (i.toLong, i.toLong, i.toLong)).toDF("id", "x", "y")
+    val same = Stats.rankBiasedOverlap(items, "id", col("x"), col("y"), col("id"),
+      depth = 20, p = 0.9).collect().head
+    assert(same.getAs[Double]("rbo") ==
+      math.round((1.0 - math.pow(0.9, 20)) * 10000) / 10000.0)
+    val rev = (1 to 40).map(i => (i.toLong, i.toLong, -i.toLong)).toDF("id", "x", "y")
+    val disj = Stats.rankBiasedOverlap(rev, "id", col("x"), col("y"), col("id"),
+      depth = 20, p = 0.9).collect().head
+    assert(disj.getAs[Double]("rbo") == 0.0)
+  }
+
   test("diffInDiff: constructed parallel-trends violation of exactly 10") {
     // treated: 10 -> 30, control: 10 -> 20  =>  DiD = 10
     val rows = Seq.fill(5)((true, false, 10L)) ++ Seq.fill(5)((true, true, 30L)) ++

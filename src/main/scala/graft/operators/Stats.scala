@@ -498,15 +498,22 @@ object Stats {
     * Spearman, tolerates non-conjoint tails. Overlap counts X_d are
     * exact integers (an item contributes from depth max(ra,rb)); the
     * 20-term geometric fold runs depth-ascending (sort_array +
-    * aggregate). The two rank windows are global but the join is
-    * depth-bounded immediately — the q_ntile range-partition posture.
+    * aggregate). Each list head comes from a BOUNDED-HEAP top-k pass
+    * (TopKPerKey with a constant key: map-side partial heaps, no
+    * full-table sort, no global window) — ranks are then assigned
+    * inside the ≤depth subset, where they equal the global ranks by
+    * construction. The corpus is scanned twice and sorted never.
     */
   def rankBiasedOverlap(df: DataFrame, idCol: String, scoreA: Column, scoreB: Column,
                         tie: Column, depth: Int, p: Double): DataFrame = {
-    val ranked = df.select(col(idCol).as("id"), scoreA.as("sa"), scoreB.as("sb"), tie.as("t"))
-      .withColumn("ra", row_number().over(Window.orderBy(col("sa").desc, col("t"))))
-      .withColumn("rb", row_number().over(Window.orderBy(col("sb").desc, col("t"))))
-      .filter(col("ra") <= depth && col("rb") <= depth)
+    val base = df.select(col(idCol).as("id"), scoreA.as("sa"), scoreB.as("sb"), tie.as("t"))
+      .withColumn("__k", lit(1))
+    def head(score: String, rank: String): DataFrame =
+      TopK.perKey(base, Seq("__k"), struct(-col(score), col("t")), depth)
+        .withColumn(rank,
+          row_number().over(Window.orderBy(col(score).desc, col("t"))))
+        .select(col("id"), col(rank))
+    val ranked = head("sa", "ra").join(head("sb", "rb"), "id")
       .select(col("id"), greatest(col("ra"), col("rb")).cast("long").as("m"))
     val depths = df.sparkSession.range(1, depth + 1).toDF("d")
     val xd = depths.join(ranked, col("m") <= col("d"), "left")

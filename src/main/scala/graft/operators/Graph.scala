@@ -252,6 +252,90 @@ object Graph {
       s"\nSELECT id, round(r, 6) AS rank FROM r$iters"
   }
 
+  /** Personalized PageRank (Jeh & Widom 2003 / Page et al. 1999's
+    * restart vector): identical power iteration to [[pageRank]] but
+    * teleports to the SEED distribution instead of uniformly —
+    * "importance relative to these nodes", the similarity/
+    * recommendation primitive a uniform PageRank can't express.
+    * Dangling mass also returns through the restart vector (the
+    * standard PPR convention). Same scale shape: edges checkpointed
+    * once with out-degrees, only (id, rank) pairs move per round, the
+    * dangling probe is one scalar aggregate; the seed table
+    * broadcasts.
+    */
+  def personalizedPageRank(edges: DataFrame, src: String, dst: String,
+                           seeds: DataFrame, iters: Int = 3,
+                           damping: Double = 0.85): DataFrame = {
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val v = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(true)
+    val dangling = v.join(e.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val nSeeds = seeds.count()
+    val sVec = v.join(broadcast(seeds.select(col("id"), lit(1.0 / nSeeds).as("w"))),
+      Seq("id"), "left")
+      .select(col("id"), coalesce(col("w"), lit(0.0)).as("w"))
+      .localCheckpoint(true)
+    var ranks = sVec.select(col("id"), col("w").as("r")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dm = ranks.join(dangling, "id")
+        .agg(coalesce(sum(col("r")), lit(0.0))).head.getDouble(0)
+      val contribs = eDeg.join(ranks, eDeg("src") === ranks("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("deg")).as("m"))
+      val next = sVec.join(contribs, Seq("id"), "left")
+        .select(col("id"), col("w"),
+          (lit(1.0 - damping) * col("w") +
+            lit(damping) * (coalesce(col("m"), lit(0.0)) + lit(dm) * col("w"))).as("r"))
+        .localCheckpoint(true)
+      releaseCheckpoint(ranks)
+      ranks = next.select("id", "r")
+    }
+    ranks.select(col("id"), round(col("r"), 6).as("ppr"))
+      .filter(col("ppr") > 0)
+  }
+
+  /** DuckDB SQL for the identical fixed-iteration PPR; `edgeCte` is a
+    * CTE named e (src, dst, deduplicated, self-loop-free) and
+    * `seedCte` a CTE named sd with column id. Unrolled from the same
+    * (iters, damping) so query and oracle cannot drift; MATERIALIZED
+    * per the [[pageRankSqlDuck]] inlining lesson.
+    */
+  def pprSqlDuck(edgeCte: String, seedCte: String, iters: Int = 3,
+                 damping: Double = 0.85): String = {
+    val d = damping
+    val base =
+      s"""$edgeCte,
+         |$seedCte,
+         |v AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |od AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |ns AS MATERIALIZED (SELECT count(*) AS n FROM sd),
+         |sv AS MATERIALIZED (SELECT v.id,
+         |        CASE WHEN sd.id IS NULL THEN 0.0 ELSE 1.0 / (SELECT n FROM ns) END AS w
+         |      FROM v LEFT JOIN sd ON sd.id = v.id),
+         |r0 AS MATERIALIZED (SELECT id, w AS r FROM sv)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val p = s"r${k - 1}"
+      s"""r$k AS MATERIALIZED (
+         |  SELECT sv.id, (1 - $d) * sv.w + $d * (COALESCE(c.m, 0) +
+         |    (SELECT COALESCE(sum(p.r), 0) FROM $p p LEFT JOIN od ON od.src = p.id
+         |     WHERE od.src IS NULL) * sv.w) AS r
+         |  FROM sv LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.r / od.deg) AS m
+         |    FROM $p p JOIN e ON e.src = p.id JOIN od ON od.src = p.id
+         |    GROUP BY e.dst) c ON c.id = sv.id)""".stripMargin
+    }
+    (base +: rounds).mkString("WITH ", ",\n", "") +
+      s"\nSELECT id, round(r, 6) AS ppr FROM r$iters WHERE round(r, 6) > 0"
+  }
+
   /** k-core decomposition peel, fixed rounds: repeatedly delete
     * vertices of degree < k until the k-core (the maximal induced
     * subgraph where every vertex keeps ≥ k neighbors) remains. The

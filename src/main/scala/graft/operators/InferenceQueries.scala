@@ -87,6 +87,17 @@ object InferenceQueries {
       Graph.bellmanFord(e, "pa", "pb", "w", seed, rounds = 4)
     },
 
+    // #88c personalized PageRank from the 5 lowest part ids over the
+    // symmetrized co-purchase graph — "importance relative to these
+    // parts", the recommendation primitive uniform PageRank lacks.
+    "q_ppr" -> { (s, dir) =>
+      val e = coPurchaseEdges(Tables(s, dir))
+      val sym = e.select(col("pa"), col("pb"))
+        .unionByName(e.select(col("pb").as("pa"), col("pa").as("pb")))
+      val seeds = e.select(col("pa").as("id")).distinct().orderBy("id").limit(5)
+      Graph.personalizedPageRank(sym, "pa", "pb", seeds, iters = 3, damping = 0.85)
+    },
+
     // #90c split conformal prediction per event type: even event_ids
     // calibrate a 90% interval around the calibration mean, odd
     // event_ids report held-out coverage.
@@ -340,6 +351,13 @@ object InferenceQueries {
         |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes, CAST(sum(id) AS BIGINT) AS sum_ids,
         |       min(id) AS min_id, max(id) AS max_id
         |FROM m GROUP BY dist""".stripMargin,
+    "q_ppr" -> Graph.pprSqlDuck(
+      """bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e0 AS (SELECT x.i AS pa, y.i AS pb FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM e0 UNION SELECT pb, pa FROM e0)""".stripMargin,
+      """sd AS (SELECT id FROM (SELECT DISTINCT pa AS id FROM e0) ORDER BY id LIMIT 5)""",
+      iters = 3, damping = 0.85),
     "q_shortest_path" ->
       """WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
         |e0 AS (SELECT x.i AS pa, y.i AS pb, CAST(count(*) AS BIGINT) AS n

@@ -129,6 +129,65 @@ object Stats {
       round((u1 - mu) / sigma, 4).as("z_score"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013): adjust
+    * the experiment metric with a pre-experiment covariate,
+    * Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), and report the
+    * adjusted treatment effect plus the variance-reduction factor
+    * 1 − ρ²(X,Y) — the standard lever for shrinking A/B confidence
+    * intervals without more traffic. One aggregation: per-arm and
+    * pooled exact sufficient statistics (longs + DECIMAL(38,0) for
+    * the product sums, the welchT discipline), closed forms after.
+    */
+  def cuped(df: DataFrame, isA: Column, y: Column, x: Column): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(19,0)")
+    val t = df.select(isA.as("a"), y.cast("long").as("y"), x.cast("long").as("x"))
+    val agg = t.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(d38(col("x")) * d38(col("y"))).cast("double").as("sxy"),
+      sum(d38(col("x")) * d38(col("x"))).cast("double").as("sxx"),
+      sum(d38(col("y")) * d38(col("y"))).cast("double").as("syy"),
+      sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("a"), col("y")).otherwise(0L)).as("sya"),
+      sum(when(col("a"), col("x")).otherwise(0L)).as("sxa"))
+    val n = col("n").cast("double")
+    val mx = col("sx").cast("double") / n
+    val my = col("sy").cast("double") / n
+    val covXY = col("sxy") / n - mx * my
+    val varX = col("sxx") / n - mx * mx
+    val varY = col("syy") / n - my * my
+    val theta = covXY / varX
+    val na = col("na").cast("double")
+    val nb = n - na
+    val rawEffect = col("sya").cast("double") / na -
+      (col("sy") - col("sya")).cast("double") / nb
+    val xGap = col("sxa").cast("double") / na -
+      (col("sx") - col("sxa")).cast("double") / nb
+    agg.select(
+      col("na").as("n_treat"), (col("n") - col("na")).as("n_control"),
+      round(theta, 4).as("theta"),
+      round(rawEffect, 4).as("raw_effect"),
+      round(rawEffect - theta * xGap, 4).as("cuped_effect"),
+      round(lit(1.0) - covXY * covXY / (varX * varY), 4).as("var_ratio"))
+  }
+
+  /** Leave-one-out target encoding (mean encoding with the row's own
+    * label excluded — the self-leakage guard; Micci-Barreca 2001's
+    * empirical-Bayes family, LOO variant): enc_i = (S_cat − y_i) /
+    * (n_cat − 1), NULL for singleton categories (no information
+    * without leaking). Exact: one (category) aggregate broadcast
+    * back, the encoding is integer arithmetic per row until the final
+    * division.
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, y: Column): DataFrame = {
+    val t = df.withColumn("__y", y.cast("long"))
+    val stats = t.groupBy(col(catCol)).agg(count(lit(1)).as("__n"), sum("__y").as("__s"))
+    t.join(broadcast(stats), catCol)
+      .withColumn("loo_enc",
+        when(col("__n") > 1,
+          round((col("__s") - col("__y")).cast("double") / (col("__n") - 1).cast("double"), 4)))
+      .drop("__y", "__n", "__s")
+  }
+
   /** McNemar's test (McNemar 1947) for two classifiers evaluated on
     * the SAME items — the paired readout model comparisons need
     * (accuracy deltas on shared eval sets are correlated; the

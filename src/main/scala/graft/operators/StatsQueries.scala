@@ -213,6 +213,24 @@ object StatsQueries {
       Stats.ipsPolicyValue(Tables(s, dir).events, "event_type", centsValue,
         Seq("purchase" -> 0.6, "click" -> 0.1, "view" -> 0.1,
           "signup" -> 0.1, "error" -> 0.1))
+    },
+
+    // #91c CUPED variance reduction on the same arms as q_did;
+    // covariate = props payload length (a synthetic stand-in for the
+    // pre-experiment metric — the mechanics are what is exercised).
+    "q_cuped" -> { (s, dir) =>
+      Stats.cuped(Tables(s, dir).events, col("user_id") % 2 === 0,
+        centsValue, length(col("props")).cast("long"))
+    },
+
+    // #42u2 leave-one-out target encoding of order priority against
+    // order value — mean encoding with the self-leakage guard.
+    "q_target_encode" -> { (s, dir) =>
+      Stats.targetEncodeLoo(
+        Tables(s, dir).orders.select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("y_cents")),
+        "o_orderpriority", col("y_cents"))
+        .select("o_orderkey", "o_orderpriority", "loo_enc")
     }
   )
 
@@ -465,6 +483,39 @@ object StatsQueries {
         |    AS released_count,
         |  0.5 + 0.0 AS epsilon
         |FROM u""".stripMargin,
+    "q_cuped" ->
+      """WITH t AS (SELECT user_id % 2 = 0 AS a, CAST(round(value * 100) AS BIGINT) AS y,
+        |             CAST(length(props) AS BIGINT) AS x FROM events),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |        CAST(sum(y) AS BIGINT) AS sy,
+        |        sum(CAST(x AS HUGEINT) * y)::DOUBLE AS sxy,
+        |        sum(CAST(x AS HUGEINT) * x)::DOUBLE AS sxx,
+        |        sum(CAST(y AS HUGEINT) * y)::DOUBLE AS syy,
+        |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |        CAST(sum(CASE WHEN a THEN y ELSE 0 END) AS BIGINT) AS sya,
+        |        CAST(sum(CASE WHEN a THEN x ELSE 0 END) AS BIGINT) AS sxa
+        |      FROM t),
+        |c AS (SELECT *,
+        |        sxy / n - (sx::DOUBLE / n) * (sy::DOUBLE / n) AS covxy,
+        |        sxx / n - (sx::DOUBLE / n) * (sx::DOUBLE / n) AS varx,
+        |        syy / n - (sy::DOUBLE / n) * (sy::DOUBLE / n) AS vary,
+        |        sya::DOUBLE / na - (sy - sya)::DOUBLE / (n - na) AS raw_eff,
+        |        sxa::DOUBLE / na - (sx - sxa)::DOUBLE / (n - na) AS x_gap
+        |      FROM s)
+        |SELECT na AS n_treat, n - na AS n_control,
+        |  round(covxy / varx, 4) + 0.0 AS theta,
+        |  round(raw_eff, 4) + 0.0 AS raw_effect,
+        |  round(raw_eff - covxy / varx * x_gap, 4) + 0.0 AS cuped_effect,
+        |  round(1.0 - covxy * covxy / (varx * vary), 4) + 0.0 AS var_ratio
+        |FROM c""".stripMargin,
+    "q_target_encode" ->
+      """WITH t AS (SELECT o_orderkey, o_orderpriority,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+        |s AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(y) AS BIGINT) AS sy FROM t GROUP BY 1)
+        |SELECT o_orderkey, t.o_orderpriority,
+        |  CASE WHEN n > 1 THEN round((sy - y)::DOUBLE / (n - 1)::DOUBLE, 4) + 0.0 END AS loo_enc
+        |FROM t JOIN s USING (o_orderpriority)""".stripMargin,
     "q_kruskal" ->
       """WITH t AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v FROM events),
         |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cgv FROM t GROUP BY 1, 2),

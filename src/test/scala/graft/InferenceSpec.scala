@@ -339,6 +339,18 @@ class InferenceSpec extends SparkSpec {
     assert(r2.getAs[Double]("chi2") > 0.0)
   }
 
+  test("personalizedPageRank: seed outranks its neighbors; disconnected component gets nothing") {
+    // symmetric triangle 1-2-3 (a star oscillates odd/even — bipartite
+    // power iteration); 4-5 disconnected
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L),
+      (4L, 5L), (5L, 4L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("id")
+    val r = Graph.personalizedPageRank(edges, "s", "d", seeds, iters = 3)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Double]("ppr")).toMap
+    assert(r(1L) > r(2L) && r(2L) == r(3L) && r(2L) > 0)
+    assert(!r.contains(4L) && !r.contains(5L)) // mass never teleports there
+  }
+
   test("splitConformal: hand-computed radius and coverage") {
     // calibration 0,10,...,90: mean 45, scaled residuals |10v-450|,
     // k = ceil(0.9*11) = 10 -> q_scaled = 450 -> q_hat = 45.0

@@ -231,6 +231,28 @@ class StatsSpec extends SparkSpec {
     counts.foreach { case (g, n) => assert(math.abs(a(g) - n) <= 34.0, s"$g: ${a(g)}") }
   }
 
+  test("cuped: balanced covariate leaves the effect, theta recovers the slope exactly") {
+    // y = 2x + 5*treated, x identical across arms -> theta = 2,
+    // raw and adjusted effects both exactly 5
+    val rows = (1 to 10).map(i => (true, 2L * i + 5, i.toLong)) ++
+      (1 to 10).map(i => (false, 2L * i, i.toLong))
+    val r = Stats.cuped(rows.toDF("a", "y", "x"), col("a"), col("y"), col("x"))
+      .collect().head
+    assert(r.getAs[Double]("theta") == 2.0)
+    assert(r.getAs[Double]("raw_effect") == 5.0)
+    assert(r.getAs[Double]("cuped_effect") == 5.0)
+    assert(r.getAs[Double]("var_ratio") == 0.1592) // 1 - rho^2, hand-computed
+  }
+
+  test("targetEncodeLoo: own label excluded, singleton category is NULL") {
+    val df = Seq(("A", 10L), ("A", 20L), ("A", 30L), ("B", 99L)).toDF("cat", "y")
+    val out = Stats.targetEncodeLoo(df, "cat", col("y")).collect()
+    val a = out.filter(_.getAs[String]("cat") == "A")
+      .map(r => r.getAs[Long]("y") -> r.getAs[Double]("loo_enc")).toMap
+    assert(a == Map(10L -> 25.0, 20L -> 20.0, 30L -> 15.0))
+    assert(out.find(_.getAs[String]("cat") == "B").get.isNullAt(2))
+  }
+
   test("kruskalWallis: identical groups give H = 0; separated groups match the closed form") {
     val same = Seq("a", "b").flatMap(g => Seq(1L, 2L, 3L).map((g, _))).toDF("g", "x")
     val r0 = Stats.kruskalWallis(same, "g", col("x")).collect().head

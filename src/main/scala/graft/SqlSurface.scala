@@ -34,8 +34,12 @@ object SqlSurface {
     "graft_fuzzy_dedup" -> "q_fuzzy_dedup",
     "graft_curation_pipeline" -> "q_curation_pipeline")
 
-  /** Register base tables + flagship pipeline views over `dir`. */
-  def register(spark: SparkSession, dir: String): Unit = {
+  /** Base lake tables only — enough for ad-hoc SQL over the raw
+    * views (and what q_sql_report's verbatim-ANSI twin needs; the
+    * flagship-view registration below builds seven pipeline plans,
+    * which is client-session setup, not per-query work).
+    */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
     val t = Tables(spark, dir)
     Seq(
       "region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
@@ -43,6 +47,11 @@ object SqlSurface {
       "lineitem" -> t.lineitem, "events" -> t.events,
       "documents" -> t.documents, "embeddings" -> t.embeddings
     ).foreach { case (name, df) => df.createOrReplaceTempView(name) }
+  }
+
+  /** Register base tables + flagship pipeline views over `dir`. */
+  def register(spark: SparkSession, dir: String): Unit = {
+    registerTables(spark, dir)
     pipelineViews.foreach { case (view, q) =>
       SparkEntry.queries(q)(spark, dir).createOrReplaceTempView(view)
     }

@@ -357,7 +357,7 @@ object DomainQueries {
     // SQL-only route to the flagship is itself oracle-proven, and the
     // API twin (q_report_publications) must hash-match it.
     "q_sql_report" -> { (s, dir) =>
-      graft.SqlSurface.register(s, dir)
+      graft.SqlSurface.registerTables(s, dir)
       s.sql(reportAnsiSql)
     },
 

@@ -87,6 +87,16 @@ object InferenceQueries {
       Graph.bellmanFord(e, "pa", "pb", "w", seed, rounds = 4)
     },
 
+    // #89b additive seasonal decomposition of the daily event-value
+    // series per type: centered 7-day trend, per-weekday seasonal fit
+    // on the (exact, 7-scaled) detrended series, residual.
+    "q_stl_decompose" -> { (s, dir) =>
+      val daily = Tables(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(centsValue).as("cents"))
+      TimeSeries.seasonalDecompose(daily, "event_type", "day", col("cents"))
+    },
+
     // #88c personalized PageRank from the 5 lowest part ids over the
     // symmetrized co-purchase graph — "importance relative to these
     // parts", the recommendation primitive uniform PageRank lacks.
@@ -351,6 +361,26 @@ object InferenceQueries {
         |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes, CAST(sum(id) AS BIGINT) AS sum_ids,
         |       min(id) AS min_id, max(id) AS max_id
         |FROM m GROUP BY dist""".stripMargin,
+    "q_stl_decompose" ->
+      """WITH t AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+        |             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT g, d, x,
+        |        CAST(sum(x) OVER (PARTITION BY g ORDER BY d
+        |          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+        |        CAST(count(*) OVER (PARTITION BY g ORDER BY d
+        |          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS n7
+        |      FROM t),
+        |wd AS (SELECT *, CASE WHEN n7 = 7 THEN x * 7 - s7 END AS detr7 FROM w),
+        |se AS (SELECT g, dayofweek(d) AS dow, CAST(sum(detr7) AS BIGINT) AS sd,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |       FROM wd WHERE detr7 IS NOT NULL GROUP BY 1, 2)
+        |SELECT wd.g AS event_type, wd.d AS day, x AS value,
+        |  CASE WHEN n7 = 7 THEN round(s7::DOUBLE / 7.0, 4) + 0.0 END AS trend,
+        |  round(sd::DOUBLE / (nd * 7)::DOUBLE, 4) + 0.0 AS seasonal,
+        |  CASE WHEN n7 = 7 THEN round(x::DOUBLE - s7::DOUBLE / 7.0
+        |         - sd::DOUBLE / (nd * 7)::DOUBLE, 4) + 0.0 END AS residual
+        |FROM wd LEFT JOIN se ON se.g = wd.g AND se.dow = dayofweek(wd.d)""".stripMargin,
     "q_ppr" -> Graph.pprSqlDuck(
       """bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
         |e0 AS (SELECT x.i AS pa, y.i AS pb FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i

@@ -227,6 +227,45 @@ object TimeSeries {
     * percentile over the bounded per-group slope set, rounded 6 dp so
     * both engines agree to the digit.
     */
+  /** Additive seasonal decomposition (classical moving-average
+    * decomposition; the averaging core of STL, Cleveland et al. 1990,
+    * without loess): per group over a daily series,
+    * trend = centered 7-day moving average, seasonal = per-weekday
+    * mean of the detrended series, residual = value − trend −
+    * seasonal. Series edges (incomplete windows) carry NULL trend and
+    * are excluded from the seasonal fit.
+    *
+    * Exactness: the detrended value is kept SCALED by 7
+    * (7·v − Σ₇ — pure longs, no double subtraction), so the seasonal
+    * component is an exact integer ratio Σ(detr₇)/(7n) and every
+    * emitted double is a closed form of exact longs. Windows are
+    * keyed per group over the date axis — day-domain-bounded, not
+    * row-bounded.
+    */
+  def seasonalDecompose(daily: DataFrame, groupCol: String, dateCol: String,
+                        v: Column): DataFrame = {
+    val t = daily.select(col(groupCol).as("g"), col(dateCol).as("d"), v.cast("long").as("x"))
+    val w = Window.partitionBy("g").orderBy("d").rowsBetween(-3, 3)
+    val windowed = t
+      .withColumn("s7", sum("x").over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("detr7", when(col("n7") === 7, col("x") * 7 - col("s7")))
+    val seasonal = windowed.filter(col("detr7").isNotNull)
+      .groupBy(col("g"), dayofweek(col("d")).as("dow"))
+      .agg(sum("detr7").as("sd"), count(lit(1)).as("nd"))
+      .withColumn("seas_raw", col("sd").cast("double") / (col("nd") * 7).cast("double"))
+    val seas = seasonal.select(col("g").as("sg"), col("dow"), col("seas_raw"))
+    windowed
+      .join(seas,
+        windowed("g") === col("sg") && dayofweek(windowed("d")) === col("dow"), "left")
+      .select(windowed("g").as(groupCol), col("d").as(dateCol), col("x").as("value"),
+        when(col("n7") === 7, round(col("s7").cast("double") / 7.0, 4)).as("trend"),
+        round(col("seas_raw"), 4).as("seasonal"),
+        when(col("n7") === 7,
+          round(col("x").cast("double") - col("s7").cast("double") / 7.0 -
+            col("seas_raw"), 4)).as("residual"))
+  }
+
   def theilSenSlope(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
     val a = df.select(col(groupCol).as("g"),
       col(xCol).cast("double").as("xa"), col(yCol).cast("double").as("ya"))

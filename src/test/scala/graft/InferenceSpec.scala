@@ -339,6 +339,26 @@ class InferenceSpec extends SparkSpec {
     assert(r2.getAs[Double]("chi2") > 0.0)
   }
 
+  test("seasonalDecompose: planted weekly spike lands in seasonal, residual exactly 0") {
+    import graft.operators.TimeSeries
+    // v_t = 10t + 100 on every 7th day: trend absorbs the line,
+    // seasonal absorbs the spike, residual vanishes in exact rationals
+    val rows = (0 until 28).map { t =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(t))
+      ("g", d, 10L * t + (if (t % 7 == 0) 100L else 0L))
+    }
+    val out = TimeSeries.seasonalDecompose(rows.toDF("g", "day", "v"), "g", "day", col("v"))
+      .collect()
+    val interior = out.filter(!_.isNullAt(3))
+    assert(interior.length == 28 - 6)
+    assert(interior.forall(r => math.abs(r.getAs[Double]("residual")) == 0.0))
+    val spikeSeasonal = out.filter(r =>
+      r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay % 7 ==
+        java.time.LocalDate.of(2024, 1, 1).toEpochDay % 7)
+      .map(_.getAs[Double]("seasonal")).distinct
+    assert(spikeSeasonal.length == 1 && math.abs(spikeSeasonal.head - 600.0 / 7) < 1e-3)
+  }
+
   test("personalizedPageRank: seed outranks its neighbors; disconnected component gets nothing") {
     // symmetric triangle 1-2-3 (a star oscillates odd/even — bipartite
     // power iteration); 4-5 disconnected

@@ -488,6 +488,90 @@ object TextDedup {
     * xxhash64 path is the codegen perf form. Batch inputs get the
     * deterministic twin: same joins, plain distinct.
     */
+  /** Per-bucket first occupant kept as streaming state. */
+  final case class BucketFirst(firstId: Long, firstMs: Long)
+  /** A later arrival colliding with its bucket's first occupant. */
+  final case class StreamDupHit(id: Long, first_id: Long, band: Int)
+
+  /** Stream-vs-STREAM LSH near-dup with growing state — the self-
+    * referential form of [[nearDupsAgainstReferenceReleasable]]: no
+    * static reference corpus; every arriving document is banded and
+    * each (band, bucket) keeps its FIRST occupant as
+    * flatMapGroupsWithState state, so a later arrival colliding with
+    * any occupied bucket is flagged against that first document.
+    * This is the ingest-time dedup gate of a training pipeline: the
+    * candidate report exists the moment the duplicate arrives, not at
+    * the next batch job.
+    *
+    * State discipline: ONE (firstId, firstMs) pair per occupied
+    * bucket — state size is the distinct-bucket count, not the
+    * corpus; buckets idle past `stateTtl` are EVICTED via event-time
+    * timeout (the documented trade: a duplicate arriving after the
+    * horizon is missed — rerun the batch chain for full-history
+    * dedup, exactly like the watermark dedup twin). Arrivals inside
+    * one micro-batch order by (ms, id), so the elected first is
+    * deterministic under replay. Output is candidate hits (verify
+    * with the batch jaccard pass downstream — state cannot hold
+    * shingle sets without blowing the per-bucket bound).
+    */
+  def lshNearDupStreamStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = 3600000L,
+      ngram: Int = 3,
+      h: Int = 64,
+      bands: Int = 16): org.apache.spark.sql.Dataset[StreamDupHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rows = h / bands
+    val banded = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        TextAnalysis.wordNgrams(col(textCol), ngram).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col("id"), col("ts"), minhashSignature(col("__sh"), h).as("__sig"))
+      .select(col("id"), col("ts"), explode(lshBands(col("__sig"), bands, rows)).as("b"))
+      // the watermarked TIMESTAMP column must reach the stateful
+      // operator itself for event-time timeout to resolve
+      .select(col("id"), col("ts"),
+        col("b.band").as("band"), col("b.bh").cast("string").as("bh"))
+      .as[(Long, java.sql.Timestamp, Int, String)]
+    banded
+      .groupByKey { case (_, _, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[BucketFirst, StreamDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()
+      ) { case ((band, _), rowsIt, state: GroupState[BucketFirst]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val arrivals = rowsIt.toSeq
+            .map { case (id, t, _, _) => (id, t.getTime) }
+            .sortBy { case (id, ms) => (ms, id) }
+          val hits = scala.collection.mutable.ArrayBuffer.empty[StreamDupHit]
+          var cur = state.getOption
+          var maxMs = 0L
+          arrivals.foreach { case (id, ms) =>
+            maxMs = math.max(maxMs, ms)
+            cur match {
+              case None => cur = Some(BucketFirst(id, ms))
+              case Some(f) if f.firstId != id => hits += StreamDupHit(id, f.firstId, band)
+              case _ => ()
+            }
+          }
+          cur.foreach { c =>
+            state.update(c)
+            state.setTimeoutTimestamp(math.max(maxMs, c.firstMs) + stateTtlMs)
+          }
+          hits.iterator
+        }
+      }
+  }
+
   def nearDupsAgainstReferenceReleasable(
       stream: DataFrame,
       reference: DataFrame,

@@ -228,6 +228,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshNearDupStreamStream: growing state flags a later near-dup against the FIRST arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val hits = graft.operators.TextDedup.lshNearDupStreamStream(
+      stream, "doc_id", "text", tsCol = "ts", ngram = 3, h = 8, bands = 4)
+    val q = hits.writeStream.format("memory").queryName("ssnd").outputMode("append").start()
+    try {
+      // batch 1 seeds state: two unrelated docs, no hits possible
+      input.addData(
+        (1L, ts(0), "the quick brown fox jumps over the lazy dog today"),
+        (2L, ts(1), "completely unrelated text about catalyst plans here"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM ssnd").count() == 0L)
+      // batch 2: doc 3 is a near-dup of doc 1 (arrived earlier ->
+      // doc 1 is the bucket occupant); doc 4 matches nothing
+      input.addData(
+        (3L, ts(5), "the quick brown fox jumps over the lazy dog today as well"),
+        (4L, ts(6), "nothing shared with either of the previous documents"))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT id, first_id FROM ssnd")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((3L, 1L)), pairs.toString)
+    } finally q.stop()
+  }
+
   test("nearDupsAgainstReference flags stream docs colliding with the static corpus") {
     implicit val sqlCtx = spark.sqlContext
     val reference = Seq(

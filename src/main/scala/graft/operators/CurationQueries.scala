@@ -200,6 +200,13 @@ object CurationQueries {
         Tables(s, dir).documents.select("doc_id", "lang"), "lang", "doc_id", k = 10)
     },
 
+    // #42d4 class-balanced downsampling: every lang keeps exactly the
+    // minority lang's count (md5-order reservoir, deterministic).
+    "q_class_balance" -> { (s, dir) =>
+      Sampling.classBalance(
+        Tables(s, dir).documents.select("doc_id", "lang"), "lang", "doc_id")
+    },
+
     // Neyman-allocation sampling (alloc_h ∝ N_h·σ_h): the budget goes
     // where strata are big AND internally variable — the
     // minimum-variance stratified design. σ from exact integer sums,
@@ -591,6 +598,13 @@ object CurationQueries {
         |         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 10""".stripMargin,
+    "q_class_balance" ->
+      """WITH k AS (SELECT min(c) AS k FROM (
+        |             SELECT count(*) AS c FROM documents GROUP BY lang)),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |SELECT doc_id, lang FROM r, k WHERE rn <= k.k""".stripMargin,
     // Same exact-integer-sum σ, 6-dp share rounding, and whole-row
     // allocation rounding as Sampling.neymanPlan.
     "q_neyman_plan" ->

@@ -165,6 +165,21 @@ object Sampling {
       struct(col("__h"), col(idCol)), k
     ).drop("__h")
 
+  /** Class-balanced downsampling: every stratum keeps exactly the
+    * MINORITY class's count, selected by the [[exactKPerStratum]]
+    * md5-order reservoir — the classic class-rebalancing step before
+    * training a classifier on skewed labels, deterministic and
+    * engine-portable. The minority count is one class-count-bounded
+    * aggregate collapsed to a driver scalar (the PageRank dangling-
+    * mass pattern), so the bounded-heap TopKPerKey still gets its
+    * plan-time k.
+    */
+  def classBalance(df: DataFrame, stratumCol: String, idCol: String): DataFrame = {
+    val kMin = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .agg(min("n")).head.getLong(0).toInt
+    exactKPerStratum(df, stratumCol, idCol, kMin)
+  }
+
   /** Probability-proportional-to-size Poisson sampling (Hájek 1964;
     * the Horvitz–Thompson design): row i with positive integer weight
     * wᵢ is kept with inclusion probability πᵢ = min(1, k·wᵢ/W), so the

@@ -98,6 +98,15 @@ class SamplingSpec extends SparkSpec {
     assert(s.count() == docs.filter(col("lang") === "en").count())
   }
 
+  test("classBalance: every class downsampled to exactly the minority count") {
+    import spark.implicits._
+    val df = ((1 to 5).map(i => (i.toLong, "big")) ++ Seq((10L, "small"), (11L, "small")))
+      .toDF("id", "cls")
+    val out = Sampling.classBalance(df, "cls", "id")
+      .collect().groupBy(_.getAs[String]("cls")).view.mapValues(_.length).toMap
+    assert(out == Map("big" -> 2, "small" -> 2))
+  }
+
   test("ppsSample: certainty rows always kept at pi = 1e6 ppm, E[n] in range") {
     import spark.implicits._
     // one whale holding half the weight among 1000 minnows

@@ -275,6 +275,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOp(s, "Exchange") == 1, s.take(3000))
   }
 
+  test("round-7 additions: bounded heaps for RBO, one-agg closed forms, broadcast-backed scorers") {
+    // RBO: both list heads via the custom bounded-heap operator, no
+    // full-table sort windows
+    val rbo = formatted("q_rbo")
+    assert(rbo.contains("PartialTopK") && rbo.contains("FinalTopK"), rbo.take(3000))
+    // one-aggregation closed forms: no shuffle beyond the single agg
+    // exchange pair (partial/final), definitely no joins or windows
+    for (name <- Seq("q_did", "q_cuped", "q_anova", "q_welch_t", "q_mcnemar")) {
+      val s = formatted(name)
+      assert(countOp(s, "Window") == 0, s"$name windows: ${s.take(2000)}")
+      assert(countOp(s, "SortMergeJoin") == 0, s"$name SMJ: ${s.take(2000)}")
+    }
+    // Fellegi-Sunter: the m/u statistics row comes back as a
+    // broadcast, never a shuffled join
+    val fs = formatted("q_fellegi_sunter")
+    assert(countOp(fs, "BroadcastNestedLoopJoin") >= 1, fs.take(3000))
+    assert(countOp(fs, "SortMergeJoin") == 0, fs.take(3000))
+    // LOO target encoding: category stats broadcast back to the rows
+    val te = formatted("q_target_encode")
+    assert(countOp(te, "BroadcastExchange") >= 1, te.take(3000))
+    assert(countOp(te, "SortMergeJoin") == 0, te.take(3000))
+  }
+
   test("no accidental cartesian products outside the intentional ones") {
     val intentional = Set("q_ann_bruteforce", "q_edit_distance", "q_range_join", "q_approx_stats")
     for (name <- SparkEntry.queries.keys if !intentional(name)) {

@@ -28,6 +28,40 @@ class PropertySpec extends SparkSpec {
     assert(p1.collect().map(_.getString(0)).toSeq == p2.collect().map(_.getString(0)).toSeq)
   }
 
+  test("BLEU invariants on random token pairs: in [0,1], identity = 1, disjoint = 0") {
+    import graft.operators.TextEval
+    val wordGen = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e"))
+    val pairs = samples(Gen.zip(wordGen, wordGen), 30).zipWithIndex
+      .map { case ((r, c), i) => (i.toLong, r.mkString(" "), c.mkString(" ")) }
+    val scored = TextEval.bleuPairs(pairs.toDF("id", "ref", "cand"), "id", "ref", "cand")
+      .collect().map(_.getAs[Double]("bleu"))
+    assert(scored.forall(b => b >= 0.0 && b <= 1.0))
+    // identity pairs score exactly 1; disjoint-vocab pairs exactly 0
+    val ident = pairs.map { case (i, r, _) => (i, r, r) }
+    assert(TextEval.bleuPairs(ident.toDF("id", "ref", "cand"), "id", "ref", "cand")
+      .collect().forall(_.getAs[Double]("bleu") == 1.0))
+    val disjoint = pairs.map { case (i, r, _) => (i, r, "x y z w v x y z") }
+    assert(TextEval.bleuPairs(disjoint.toDF("id", "ref", "cand"), "id", "ref", "cand")
+      .collect().forall(_.getAs[Double]("bleu") == 0.0))
+  }
+
+  test("WER invariants on random token pairs: identity = 0, bounded by max length") {
+    import graft.operators.TextEval
+    val wordGen = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f")))
+    val pairs = samples(Gen.zip(wordGen, wordGen), 30).zipWithIndex
+      .map { case ((r, c), i) => (i.toLong, r.mkString(" "), c.mkString(" ")) }
+    val out = TextEval.werPairs(pairs.toDF("id", "ref", "cand"), "id", "ref", "cand")
+      .collect()
+    assert(out.forall { r =>
+      val e = r.getAs[Long]("token_edits")
+      e >= 0 && e <= math.max(r.getAs[Long]("n_ref"), r.getAs[Long]("n_cand"))
+    })
+    val ident = pairs.map { case (i, r, _) => (i, r, r) }
+    assert(TextEval.werPairs(ident.toDF("id", "ref", "cand"), "id", "ref", "cand")
+      .collect().forall(_.getAs[Long]("token_edits") == 0L))
+  }
+
   test("containment bounds: in [0,1], >= jaccard, and 1 for any subset bag") {
     val wordGen = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e", "f", "gh", "i"))
     val pairs = samples(Gen.zip(wordGen, wordGen), 30)

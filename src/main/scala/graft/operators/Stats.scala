@@ -247,6 +247,34 @@ object Stats {
       round(hRaw / corr, 4).as("h_stat"))
   }
 
+  /** Cliff's delta (Cliff 1993): the ordinal effect size
+    * P(x_A > x_B) − P(x_A < x_B) that should accompany every
+    * Mann-Whitney p-value — significance without magnitude is the
+    * classic A/B misread. Derived on the same half-rank histogram:
+    * 2U₁ = r2sum₁ − 2·n₁(n₁+1)/2 is exact, so
+    * δ = (2U₁ − n₁n₂)/(n₁n₂) is one division over exact longs (ties
+    * get half-credit automatically through average ranks).
+    */
+  def cliffsDelta(df: DataFrame, isTreatment: Column, v: Column): DataFrame = {
+    val hist = df.select(v.as("v"), isTreatment.as("grp"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("grp"), 1L).otherwise(0L)).as("c1"))
+    val w = Window.orderBy(col("v"))
+    val ranked = hist.select(
+      col("c1"), col("c"),
+      (sum(col("c")).over(w) - col("c")).as("cumPrev"))
+    val agg = ranked.agg(
+      sum(col("c1") * (col("cumPrev") * 2 + col("c") + 1)).as("r2sum1"),
+      sum("c1").as("n1"),
+      sum(col("c") - col("c1")).as("n2"))
+    // 2·U1 = r2sum1 − n1(n1+1) exactly (half-rank units)
+    val twoU = col("r2sum1") - col("n1") * (col("n1") + 1)
+    agg.select(col("n1"), col("n2"),
+      round((twoU - col("n1") * col("n2")).cast("double") /
+        (col("n1") * col("n2")).cast("double"), 4).as("cliffs_delta"))
+  }
+
   /** ROC AUC of a score against a binary label via the rank-sum
     * identity AUC = U/(n⁺·n⁻) (Hanley & McNeil 1982) — ties get the
     * trapezoidal half-credit automatically through average ranks. The

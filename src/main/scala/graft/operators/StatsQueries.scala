@@ -206,6 +206,13 @@ object StatsQueries {
       Stats.kruskalWallis(Tables(s, dir).events, "event_type", centsValue)
     },
 
+    // #86t Cliff's delta: the effect size q_mannwhitney's p-value
+    // needs next to it (purchase values vs the rest).
+    "q_cliffs_delta" -> { (s, dir) =>
+      Stats.cliffsDelta(Tables(s, dir).events,
+        col("event_type") === "purchase", centsValue)
+    },
+
     // #91b off-policy IPS/SNIPS evaluation of a purchase-heavy target
     // policy against the logged uniform-ish behavior, with effective
     // sample size.
@@ -483,6 +490,22 @@ object StatsQueries {
         |    AS released_count,
         |  0.5 + 0.0 AS epsilon
         |FROM u""".stripMargin,
+    "q_cliffs_delta" ->
+      """WITH t AS (SELECT event_type = 'purchase' AS grp,
+        |             CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |      FROM t GROUP BY v),
+        |r AS (SELECT c1, c,
+        |        CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS cp
+        |      FROM h),
+        |a AS (SELECT CAST(sum(c1 * (cp * 2 + c + 1)) AS BIGINT) AS r2sum1,
+        |        CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c - c1) AS BIGINT) AS n2
+        |      FROM r)
+        |SELECT n1, n2,
+        |  round((r2sum1 - n1 * (n1 + 1) - n1 * n2)::DOUBLE / (n1 * n2)::DOUBLE, 4) + 0.0
+        |    AS cliffs_delta
+        |FROM a""".stripMargin,
     "q_cuped" ->
       """WITH t AS (SELECT user_id % 2 = 0 AS a, CAST(round(value * 100) AS BIGINT) AS y,
         |             CAST(length(props) AS BIGINT) AS x FROM events),

@@ -231,6 +231,17 @@ class StatsSpec extends SparkSpec {
     counts.foreach { case (g, n) => assert(math.abs(a(g) - n) <= 34.0, s"$g: ${a(g)}") }
   }
 
+  test("cliffsDelta: complete separation gives ±1, identical samples give 0") {
+    val above = ((1 to 5).map(i => (true, 100L + i)) ++ (1 to 5).map(i => (false, i.toLong)))
+      .toDF("grp", "v")
+    assert(Stats.cliffsDelta(above, col("grp"), col("v"))
+      .collect().head.getAs[Double]("cliffs_delta") == 1.0)
+    val same = ((1 to 5).map(i => (true, i.toLong)) ++ (1 to 5).map(i => (false, i.toLong)))
+      .toDF("grp", "v")
+    assert(Stats.cliffsDelta(same, col("grp"), col("v"))
+      .collect().head.getAs[Double]("cliffs_delta") == 0.0)
+  }
+
   test("cuped: balanced covariate leaves the effect, theta recovers the slope exactly") {
     // y = 2x + 5*treated, x identical across arms -> theta = 2,
     // raw and adjusted effects both exactly 5

@@ -883,8 +883,8 @@ object LlmQueries {
          |        CAST((SELECT count(*) FROM cand JOIN tr USING (id_a, id_b)) AS BIGINT) AS truth_found,
          |        CAST((SELECT count(*) FROM v JOIN tr USING (id_a, id_b)) AS BIGINT) AS verified_truth)
          |SELECT n_truth, n_candidates, n_verified, truth_found, verified_truth,
-         |  verified_truth * 1000000 // n_truth AS recall_ppm,
-         |  n_verified * 1000000 // n_candidates AS verify_rate_ppm
+         |  CASE WHEN n_truth > 0 THEN verified_truth * 1000000 // n_truth END AS recall_ppm,
+         |  CASE WHEN n_candidates > 0 THEN n_verified * 1000000 // n_candidates END AS verify_rate_ppm
          |FROM m""".stripMargin,
     "q_quality_score" ->
       s"""WITH $wsCte,

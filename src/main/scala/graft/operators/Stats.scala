@@ -556,25 +556,27 @@ object Stats {
       round(ssb / sst, 6).as("eta_sq"))
   }
 
-  /** Differentially-private count release (Dwork et al. 2006): each
-    * group's count plus Laplace(1/ε) noise via the inverse CDF,
+  /** Laplace-noised count release — the MECHANISM of a differentially
+    * private count publication (Dwork et al. 2006): each group's count
+    * plus Laplace(1/ε)-shaped noise via the inverse CDF,
     * x = −(1/ε)·sign(u−½)·ln(1−2|u−½|). The uniform u is HASH-DERIVED
     * (md5 of the group key + seed, offset by ½ ulp so u ∈ (0,1)
-    * strictly) — deterministic noise is what makes the release
-    * re-computable, auditable and engine-portable while keeping the
-    * same distributional shape; swap in true randomness at the release
-    * boundary for a production ε-DP guarantee. One aggregation, one
-    * map over group rows.
+    * strictly), which makes the output re-computable, testable and
+    * engine-portable — and therefore NOT a DP guarantee: anyone who
+    * knows the seed can subtract the noise. A production release must
+    * swap `u` for true randomness at the release boundary; only then
+    * may the output be labeled with an ε. Accordingly this surface
+    * carries no epsilon column — `epsilon` here is just the noise
+    * scale parameter. One aggregation, one map over group rows.
     */
-  def dpCountRelease(df: DataFrame, groupCol: String, epsilon: Double, seed: Long): DataFrame = {
+  def laplaceNoisedCounts(df: DataFrame, groupCol: String, epsilon: Double, seed: Long): DataFrame = {
     val per = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n_true"))
     val u = (conv(substring(md5(concat(col("g").cast("string"), lit(":" + seed))), 1, 6),
       16, 10).cast("double") + 0.5) / 16777216.0
     val c = u - 0.5
     val noise = lit(-1.0 / epsilon) * signum(c) * log(lit(1.0) - lit(2.0) * abs(c))
     per.select(col("g").as(groupCol),
-      round(col("n_true").cast("double") + noise, 4).as("released_count"),
-      lit(epsilon).as("epsilon"))
+      round(col("n_true").cast("double") + noise, 4).as("released_count"))
   }
 
   /** Rank-biased overlap of two rankings of the same items (Webber,
@@ -735,7 +737,7 @@ object Stats {
   /** k-anonymity audit (Sweeney 2002): group by the quasi-identifier
     * columns and flag every equivalence class smaller than k — the
     * classes a release must suppress or generalize before publication.
-    * The structural complement of [[dpCountRelease]]: DP perturbs the
+    * The structural complement of [[laplaceNoisedCounts]]: DP perturbs the
     * answer, k-anonymity gates the rows. One map-side-combined
     * aggregation; only (QI, count) rows shuffle, output is
     * class-bounded not row-bounded.

@@ -159,10 +159,12 @@ object StatsQueries {
       Stats.anovaOneWay(Tables(s, dir).events, "event_type", centsValue)
     },
 
-    // #92 DP-noised count release per source (hash-derived Laplace,
-    // epsilon = 0.5) — the privacy-aware publication surface.
+    // #92 Laplace-noised count release per source (hash-derived noise,
+    // scale 1/0.5) — the MECHANISM of a DP count publication; the
+    // deterministic form carries no epsilon label by design (see
+    // Stats.laplaceNoisedCounts).
     "q_dp_release" -> { (s, dir) =>
-      Stats.dpCountRelease(Tables(s, dir).documents, "source", epsilon = 0.5, seed = 23L)
+      Stats.laplaceNoisedCounts(Tables(s, dir).documents, "source", epsilon = 0.5, seed = 23L)
     },
 
     // #92b k-anonymity audit on customer quasi-identifiers (nation,
@@ -487,8 +489,7 @@ object StatsQueries {
         |      FROM per)
         |SELECT g AS source,
         |  round(n_true::DOUBLE + (-2.0) * sign(c) * ln(1.0 - 2.0 * abs(c)), 4) + 0.0
-        |    AS released_count,
-        |  0.5 + 0.0 AS epsilon
+        |    AS released_count
         |FROM u""".stripMargin,
     "q_cliffs_delta" ->
       """WITH t AS (SELECT event_type = 'purchase' AS grp,

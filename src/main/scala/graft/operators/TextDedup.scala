@@ -463,8 +463,12 @@ object TextDedup {
       .crossJoin(verified.join(tr, Seq("id_a", "id_b")).agg(count(lit(1)).as("verified_truth")))
     out.select(col("n_truth"), col("n_candidates"), col("n_verified"),
       col("truth_found"), col("verified_truth"),
-      expr("verified_truth * 1000000 div n_truth").as("recall_ppm"),
-      expr("n_verified * 1000000 div n_candidates").as("verify_rate_ppm"))
+      // NULL (not ANSI DIVIDE_BY_ZERO) on an empty truth set or a
+      // collision-free corpus — the hillTail tail_alpha discipline.
+      expr("case when n_truth > 0 then verified_truth * 1000000 div n_truth end")
+        .as("recall_ppm"),
+      expr("case when n_candidates > 0 then n_verified * 1000000 div n_candidates end")
+        .as("verify_rate_ppm"))
   }
 
   /** Near-duplicate flagging of an incoming stream AGAINST A STATIC

@@ -44,7 +44,19 @@ object MaterializedViews {
                summary: DataFrame): Unit = {
     require(summary.columns.toSeq == Seq(groupCol, "cnt"),
       s"summary must have columns ($groupCol, cnt), got ${summary.columns.mkString(",")}")
-    registry.put(name, SummaryDef(basePathSuffix, groupCol, summary))
+    // A summary whose own plan still scans the registered base (the
+    // natural base.groupBy(g).count() formulation) would match the
+    // rewrite pattern itself: Rewrite would substitute it, recurse into
+    // the substitution, and rewrite forever (optimizer StackOverflow).
+    // Eagerly materialize such summaries so the stored plan is a
+    // LocalRelation-backed scan — rollup-sized by contract, and the
+    // materialization also pins the registered contents to what the
+    // registrant computed (the documented refresh contract).
+    val stored =
+      if (relationAnywhere(summary.queryExecution.analyzed, basePathSuffix))
+        summary.localCheckpoint(true)
+      else summary
+    registry.put(name, SummaryDef(basePathSuffix, groupCol, stored))
   }
 
   def deregister(name: String): Unit = registry.remove(name)
@@ -57,14 +69,34 @@ object MaterializedViews {
     case _ => None
   }
 
+  /** Path match on a component boundary: `a/b/documents.parquet`
+    * matches suffix `documents.parquet`, but `a/test_documents.parquet`
+    * does NOT — a raw endsWith would silently answer an unrelated
+    * table with a colliding suffix and same group column from the
+    * wrong summary.
+    */
+  private def pathMatches(path: String, suffix: String): Boolean =
+    path == suffix || path.endsWith("/" + suffix)
+
+  private def relationOf(lr: LogicalRelation, suffix: String): Boolean =
+    lr.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.location.rootPaths.exists(p => pathMatches(p.toString, suffix))
+      case _ => false
+    }
+
+  /** Does ANY node of `plan` scan the base path (used by register()'s
+    * self-reference check — unlike [[relationMatches]] it looks through
+    * every operator, not just the prune-Project chain).
+    */
+  private def relationAnywhere(plan: LogicalPlan, suffix: String): Boolean =
+    plan.collectFirst {
+      case lr: LogicalRelation if relationOf(lr, suffix) => ()
+    }.nonEmpty
+
   private def relationMatches(plan: LogicalPlan, suffix: String): Boolean =
     scannedPath(plan).exists {
-      case lr: LogicalRelation =>
-        lr.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.rootPaths.exists(_.toString.endsWith(suffix))
-          case _ => false
-        }
+      case lr: LogicalRelation => relationOf(lr, suffix)
       case _ => false
     }
 

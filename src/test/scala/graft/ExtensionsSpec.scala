@@ -136,6 +136,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(back.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
   }
 
+  test("MaterializedViews: self-referential summary does not loop; suffix collision not matched") {
+    import graft.plans.MaterializedViews
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the NATURAL formulation — no localCheckpoint: its plan scans the
+    // registered base, so the raw rewrite would substitute itself
+    // forever. register() must eagerly materialize it instead.
+    val naturalSummary = base.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val expect = naturalSummary.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    MaterializedViews.register("docs_by_source_nat", "documents.parquet", "source", naturalSummary)
+    try {
+      val q = spark.read.parquet(s"$sfDir/documents.parquet").groupBy("source").count()
+      // terminates (no optimizer StackOverflow) and is answered from the
+      // materialized summary, not the base scan
+      assert(!q.queryExecution.executedPlan.toString.contains("documents.parquet"))
+      assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+
+      // an UNRELATED table whose path merely ends with the registered
+      // suffix (test_documents.parquet vs documents.parquet) and shares
+      // the group-column name must NOT be answered from the summary
+      val dir = java.nio.file.Files.createTempDirectory("mv_collide").toString
+      val collidePath = s"$dir/test_documents.parquet"
+      Seq(("only_src", 1L)).toDF("source", "x").write.mode("overwrite").parquet(collidePath)
+      val collide = spark.read.parquet(collidePath).groupBy("source").count()
+      assert(collide.queryExecution.executedPlan.toString.contains("test_documents.parquet"))
+      assert(collide.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("only_src" -> 1L))
+    } finally MaterializedViews.clear()
+  }
+
   test("saltedEquiJoin equals the plain join") {
     val big = spark.read.parquet(s"$sfDir/lineitem.parquet").select("l_orderkey", "l_partkey", "l_quantity")
     val small = spark.read.parquet(s"$sfDir/part.parquet").select("p_partkey", "p_size")

@@ -219,11 +219,14 @@ class StatsSpec extends SparkSpec {
     assert(r1.getAs[Double]("eta_sq") > 0.99)
   }
 
-  test("dpCountRelease: deterministic, bounded Laplace noise, epsilon echoed") {
+  test("laplaceNoisedCounts: deterministic, bounded noise, no epsilon label") {
     val df = (1 to 50).map(i => (s"g${i % 3}", i)).toDF("g", "v")
-    val a = Stats.dpCountRelease(df, "g", epsilon = 0.5, seed = 23L).collect()
+    val rel = Stats.laplaceNoisedCounts(df, "g", epsilon = 0.5, seed = 23L)
+    // the deterministic mechanism must NOT claim an epsilon on output
+    assert(rel.columns.toSeq == Seq("g", "released_count"))
+    val a = rel.collect()
       .map(r => r.getAs[String]("g") -> r.getAs[Double]("released_count")).toMap
-    val b = Stats.dpCountRelease(df, "g", epsilon = 0.5, seed = 23L).collect()
+    val b = Stats.laplaceNoisedCounts(df, "g", epsilon = 0.5, seed = 23L).collect()
       .map(r => r.getAs[String]("g") -> r.getAs[Double]("released_count")).toMap
     assert(a == b)                       // hash-derived noise re-computes exactly
     // |noise| <= (1/eps)*ln(2^24) ~ 33.3 for a 24-bit uniform

@@ -436,14 +436,16 @@ object DomainQueries {
         )
     },
 
-    // ntile quantile bucketing per segment (window family completeness).
+    // ntile quantile bucketing per segment (window family
+    // completeness). Five segments × corpus/5 rows each is the
+    // few-massive-partitions window pathology — ranks come from the
+    // two-pass range-partitioned GlobalRank, buckets from the
+    // SQL-standard ntile closed form (bit-identical, spec-proven).
     "q_ntile" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables(s, dir).customer.select(
-        col("c_custkey"), col("c_mktsegment"),
-        ntile(4).over(w).as("quartile")
-      )
+      GlobalRank.ntilePerGroup(
+        Tables(s, dir).customer.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        Seq("c_mktsegment"), Seq(col("c_acctbal"), col("c_custkey")), 4, "quartile")
+        .select("c_custkey", "c_mktsegment", "quartile")
     },
 
     // #26 publications_by_author report with author-list distills.

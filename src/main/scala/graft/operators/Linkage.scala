@@ -65,24 +65,41 @@ object Linkage {
     * the documented weakness that pairs it WITH, not instead of, the
     * other blockers in a production pass).
     *
-    * Shape: one global sort + fixed lag() taps — the q_ntile posture
-    * (single-partition window locally; a range-partitioned sort at
-    * cluster scale, since lag(k) only ever crosses one partition
-    * boundary). Scoring is the native codegen Jaro-Winkler on the
-    * windowed pairs only.
+    * Shape: NO global window. [[GlobalRank]] assigns the global sort
+    * position via the two-pass range-partitioned rank; rows then hash
+    * into fixed-size rank blocks (8192), each block's first window−1
+    * rows are ALSO copied to the previous block as ghost rows, and the
+    * lag() taps run inside bounded per-block windows — every pair
+    * (rn−k, rn) is produced exactly once (from the block that owns the
+    * PREDECESSOR's rank), so the candidate set is identical to the
+    * global-window formulation while no task ever sorts more than
+    * block + window rows. Scoring is the native codegen Jaro-Winkler
+    * on the windowed pairs only.
     */
   def sortedNeighborhood(records: DataFrame, idCol: String, keyCol: String,
                          window: Int, minJw: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("key"), col("id"))
+    val blockSize = 8192L
     val base = records.select(col(idCol).as("id"), col(keyCol).as("key"))
-    val tapped = base.select(Seq(col("id"), col("key")) ++
+    val ranked = GlobalRank.rowNumbers(base, Nil, Seq(col("key"), col("id")), "__rn").df
+      .withColumn("__blk", expr(s"(__rn - 1) div $blockSize"))
+    // ghost copies: a block's first window-1 rows re-appear at the end
+    // of the previous block so cross-boundary lags resolve there
+    val ghosts = ranked
+      .filter(col("__blk") > 0 && expr(s"(__rn - 1) % $blockSize") < lit(window - 1))
+      .withColumn("__blk", col("__blk") - 1)
+    val w = Window.partitionBy("__blk").orderBy("__rn")
+    val tapped = ranked.unionByName(ghosts).select(Seq(col("id"), col("key"),
+      col("__rn"), col("__blk")) ++
       (1 until window).map(k =>
         struct(lag(col("id"), k).over(w).as("id"), lag(col("key"), k).over(w).as("key"))
           .as(s"p$k")): _*)
-    val pairs = tapped.select(col("id"), col("key"),
-      explode(array((1 until window).map(k => col(s"p$k")): _*)).as("p"))
+    val pairs = tapped.select(col("id"), col("key"), col("__rn"), col("__blk"),
+      posexplode(array((1 until window).map(k => col(s"p$k")): _*)).as(Seq("pos", "p")))
       .filter(col("p.id").isNotNull)
+      // the pair (rn-k, rn) belongs to the block that owns rank rn-k:
+      // emitted there and only there (kills ghost-ghost duplicates)
+      .filter(expr(s"(__rn - pos - 2) div $blockSize") === col("__blk"))
     pairs.select(
       col("p.id").as("id_a"), col("id").as("id_b"),
       col("p.key").as("name_a"), col("key").as("name_b"),

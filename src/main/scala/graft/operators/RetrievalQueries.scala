@@ -48,8 +48,8 @@ object RetrievalQueries {
     // trigram vocabulary (df <= 20) via the inverted index — top-50
     // doc pairs.
     "q_tfidf_pairs" -> { (s, dir) =>
-      TextRank.tfidfCosinePairs(Tables(s, dir).documents, "doc_id", "text",
-        maxDf = 20, topK = 50)
+      // df cap self-scales in-plan (Bayardo df²-mass budget 4600·N^¾)
+      TextRank.tfidfCosinePairs(Tables(s, dir).documents, "doc_id", "text", topK = 50)
     },
 
     // #87 reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
@@ -198,9 +198,13 @@ object RetrievalQueries {
         |tf AS (SELECT doc_id, tw, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
         |d AS (SELECT tw, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tw),
         |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |hc AS (SELECT df, sum(count(*)::HUGEINT * df * df) OVER (ORDER BY df) AS cum
+        |       FROM d GROUP BY df),
+        |cap AS (SELECT greatest(coalesce(max(df), 0), 2) AS cap FROM hc, nd
+        |        WHERE cum <= 4600 * CAST(floor(sqrt(nd::DOUBLE) * sqrt(sqrt(nd::DOUBLE))) AS BIGINT)),
         |wt AS (SELECT tf.doc_id, tf.tw,
         |         tf.tf * (ln((nd.nd + 1.0) / (d.df + 1.0)) + 1.0) AS wt
-        |       FROM tf JOIN d USING (tw), nd WHERE d.df <= 20),
+        |       FROM tf JOIN d USING (tw), nd, cap WHERE d.df <= cap.cap),
         |nr AS (SELECT doc_id, list_reduce(list(wt * wt ORDER BY tw), (a, b) -> a + b) AS n2
         |       FROM wt GROUP BY doc_id),
         |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,

@@ -105,15 +105,46 @@ object TextRank {
     * discipline), so the double sequence is identical on any engine /
     * partition order; ranking is (6-dp cosine, id, id). idf =
     * ln((N+1)/(df+1)) + 1 — the smoothed sklearn form.
+    *
+    * The df cap SELF-SCALES (`maxDf = 0`, the default): the Bayardo
+    * candidate bound Σ_{df≤cap} df² is held under a budget of
+    * `capBudgetC · N^¾` by picking the largest cap whose cumulative
+    * df²-mass fits — derived IN-PLAN from the df histogram (cumulative
+    * window at histogram grain, bounded by distinct df values), so the
+    * knob turns itself as the corpus grows instead of waiting for an
+    * operator to re-tune it. N^¾ = sqrt(N)·sqrt(sqrt(N)) — two
+    * correctly-rounded IEEE sqrts, engine-exact in the DuckDB oracle.
+    * Sub-linear by design: per-doc candidate work SHRINKS slowly at
+    * scale (measured trigram mass is ~552·N at cap 20 regardless of
+    * sf, so a fixed cap holds the ladder ratio only barely; the ¾
+    * power buys the headroom). Floor of 2 so pair formation never
+    * dies. A positive `maxDf` pins the legacy fixed cap (tests).
     */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
-                       maxDf: Long = 20, topK: Int = 50): DataFrame = {
+                       maxDf: Long = 0, topK: Int = 50,
+                       capBudgetC: Long = 4600): DataFrame = {
     val tf = docs
       .select(col(idCol).as("id"), explode(TextAnalysis.wordNgrams(col(textCol), 3)).as("w"))
       .groupBy("id", "w").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    val dfc = tf.groupBy("w").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
     val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val dfAll = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val dfc =
+      if (maxDf > 0) dfAll.filter(col("df") <= maxDf)
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val wcum = Window.orderBy("df")
+        val capRow = dfAll.groupBy("df").agg(count(lit(1)).as("nt"))
+          .select(col("df"),
+            sum(col("nt").cast("decimal(19,0)") * col("df").cast("decimal(19,0)") *
+              col("df").cast("decimal(19,0)")).over(wcum).as("cum"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("cum") <= (lit(capBudgetC) *
+            floor(sqrt(col("nd").cast("double")) * sqrt(sqrt(col("nd").cast("double"))))
+              .cast("long")).cast("decimal(38,0)"))
+          .agg(greatest(coalesce(max("df"), lit(0L)), lit(2L)).as("cap"))
+        dfAll.crossJoin(broadcast(capRow)).filter(col("df") <= col("cap")).drop("cap")
+      }
     val wt = tf.join(broadcast(dfc), "w").crossJoin(broadcast(nDocs))
       .select(col("id"), col("w"),
         (col("tf") * (log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))).as("wt"))

@@ -287,6 +287,26 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.exists(r => r.getAs[Long]("id_a") == 4L || r.getAs[Long]("id_b") == 4L))
   }
 
+  test("tfidfCosinePairs: self-scaling df cap enforces the df²-mass budget") {
+    import spark.implicits._
+    // 12 docs sharing one common trigram (df=12) plus pairwise-shared
+    // rarer trigrams; with the default budget the tiny corpus keeps
+    // every term (cap = max df), so derived == uncapped
+    val docs = (1 to 12).map { i =>
+      (i.toLong, s"common shared trigram unique$i word$i tail${i % 4} x${i % 4} y${i % 4}")
+    }.toDF("doc_id", "text")
+    val derived = TextRank.tfidfCosinePairs(docs, "doc_id", "text", topK = 100)
+    val uncapped = TextRank.tfidfCosinePairs(docs, "doc_id", "text", maxDf = 1000, topK = 100)
+    assert(derived.exceptAll(uncapped).isEmpty && uncapped.exceptAll(derived).isEmpty)
+    // a unit budget constant forces the floor cap of 2: the df=12
+    // common trigram (mass 144 > 12^0.75) must be pruned
+    val floored = TextRank.tfidfCosinePairs(docs, "doc_id", "text", topK = 100,
+      capBudgetC = 1)
+    val fixed2 = TextRank.tfidfCosinePairs(docs, "doc_id", "text", maxDf = 2, topK = 100)
+    assert(floored.exceptAll(fixed2).isEmpty && fixed2.exceptAll(floored).isEmpty)
+    assert(floored.count() < uncapped.count())
+  }
+
   test("centroidDrift: orthogonal snapshots score cosine 0 / L2 sqrt2; identical score 1 / 0") {
     import spark.implicits._
     val rows =

@@ -193,30 +193,44 @@ object Graph {
     val v = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
     // (src, dst, deg): out-degree joined in once, not per round.
+    // Vertices with no out-edges leak their rank each round; each
+    // becomes ONE synthetic edge to a sentinel vertex, so the
+    // dangling mass comes out of the SAME aggregation as the
+    // contributions — one job per round, not a separate dangling
+    // probe (the mass is read back from the checkpointed contribs, a
+    // narrow local filter over materialized blocks).
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint(true)
-    // Vertices with no out-edges leak their rank each round; it is
-    // redistributed uniformly. The id set is fixed, computed once.
     val dangling = v.join(e.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint(true)
+    val eAug = eDeg.unionByName(
+        dangling.select(col("id").as("src"), lit(DanglingSentinel).as("dst"), lit(1L).as("deg")))
+      .repartition(col("src")).localCheckpoint(true)
     val n = v.count()
     var ranks = v.select(col("id"), lit(1.0 / n).as("r")).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val dm = ranks.join(dangling, "id")
-        .agg(coalesce(sum(col("r")), lit(0.0))).head.getDouble(0)
-      val contribs = eDeg.join(ranks, eDeg("src") === ranks("id"))
+      val contribs = eAug.join(ranks, eAug("src") === ranks("id"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("deg")).as("m"))
-      val next = v.join(contribs, Seq("id"), "left")
+        .localCheckpoint(true)
+      val dm = contribs.filter(col("id") === DanglingSentinel)
+        .agg(coalesce(sum("m"), lit(0.0))).head().getDouble(0)
+      val next = v.join(contribs.filter(col("id") =!= DanglingSentinel), Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("m"), lit(0.0)) + lit(dm / n))).as("r"))
         .localCheckpoint(true)
+      releaseCheckpoint(contribs)
       releaseCheckpoint(ranks)
       ranks = next
     }
     ranks.select(col("id"), round(col("r"), 6).as("rank"))
   }
+
+  /** Sentinel vertex id collecting dangling-node mass inside the
+    * contribution aggregation of [[pageRank]] / [[personalizedPageRank]]
+    * — never a real node id (ids come from cast long columns; the
+    * synthetic edge is the only producer of this value).
+    */
+  private val DanglingSentinel = Long.MinValue
 
   /** DuckDB SQL computing the identical fixed-iteration PageRank over
     * `edgeCte` (a CTE named e with columns src, dst, already
@@ -259,8 +273,9 @@ object Graph {
     * recommendation primitive a uniform PageRank can't express.
     * Dangling mass also returns through the restart vector (the
     * standard PPR convention). Same scale shape: edges checkpointed
-    * once with out-degrees, only (id, rank) pairs move per round, the
-    * dangling probe is one scalar aggregate; the seed table
+    * once with out-degrees, only (id, rank) pairs move per round, and
+    * the dangling mass rides the contribution aggregation itself via
+    * the sentinel vertex — ONE job per round; the seed table
     * broadcasts.
     */
   def personalizedPageRank(edges: DataFrame, src: String, dst: String,
@@ -274,10 +289,13 @@ object Graph {
       .localCheckpoint(true)
     val v = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
+    // Same one-job-per-round shape as [[pageRank]]: dangling nodes
+    // feed a sentinel vertex inside the contribution aggregation.
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint(true)
     val dangling = v.join(e.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint(true)
+    val eAug = eDeg.unionByName(
+        dangling.select(col("id").as("src"), lit(DanglingSentinel).as("dst"), lit(1L).as("deg")))
+      .repartition(col("src")).localCheckpoint(true)
     val nSeeds = seeds.count()
     val sVec = v.join(broadcast(seeds.select(col("id"), lit(1.0 / nSeeds).as("w"))),
       Seq("id"), "left")
@@ -285,16 +303,18 @@ object Graph {
       .localCheckpoint(true)
     var ranks = sVec.select(col("id"), col("w").as("r")).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val dm = ranks.join(dangling, "id")
-        .agg(coalesce(sum(col("r")), lit(0.0))).head.getDouble(0)
-      val contribs = eDeg.join(ranks, eDeg("src") === ranks("id"))
+      val contribs = eAug.join(ranks, eAug("src") === ranks("id"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("deg")).as("m"))
-      val next = sVec.join(contribs, Seq("id"), "left")
+        .localCheckpoint(true)
+      val dm = contribs.filter(col("id") === DanglingSentinel)
+        .agg(coalesce(sum("m"), lit(0.0))).head().getDouble(0)
+      val next = sVec.join(contribs.filter(col("id") =!= DanglingSentinel), Seq("id"), "left")
         .select(col("id"), col("w"),
           (lit(1.0 - damping) * col("w") +
             lit(damping) * (coalesce(col("m"), lit(0.0)) + lit(dm) * col("w"))).as("r"))
         .localCheckpoint(true)
+      releaseCheckpoint(contribs)
       releaseCheckpoint(ranks)
       ranks = next.select("id", "r")
     }

@@ -468,20 +468,21 @@ object TimeSeries {
     *
     * Exactness: deltas, the running sum, and the per-day argmax are
     * all integers; ties at one timestamp order −1 before +1 (ORDER BY
-    * ms, delta) so both engines walk the identical sequence. Scale
-    * shape: the delta stream is 2 rows/interval and the running sum is
-    * one ordered window — for multi-tenant sharding partition the
-    * window by tenant; the GLOBAL frame is the operator's semantics
-    * (concurrency across everything) and is the one place a total
-    * order is genuinely required.
+    * ms, delta) so both engines walk the identical sequence — and rows
+    * tied on the FULL (ms, delta) key are interchangeable (identical
+    * deltas produce the same prefix-sum multiset under any
+    * permutation), so the global order is effectively total. Scale
+    * shape: the delta stream is 2 rows/interval and the running sum
+    * comes from [[GlobalRank]]'s range-partitioned running-sum pass —
+    * the GLOBAL frame is the operator's semantics (concurrency across
+    * everything) but no single task ever sorts the whole stream.
     */
   def peakConcurrency(intervals: DataFrame, startMs: Column, endMs: Column): DataFrame = {
     val deltas = intervals.select(startMs.as("ms"), lit(1L).as("delta"))
       .unionByName(intervals.select((endMs + 1).as("ms"), lit(-1L).as("delta")))
-    val wRun = Window.orderBy(col("ms"), col("delta"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = deltas.select(col("ms"), col("delta"),
-      sum(col("delta")).over(wRun).as("conc"))
+    val run = GlobalRank.rowNumbers(deltas, Nil, Seq(col("ms"), col("delta")), "__rn",
+      running = Seq(("delta", "conc"))).df
+      .select(col("ms"), col("delta"), col("conc"))
     // epoch-day bucket (ms // 86400000) rather than a calendar date:
     // timezone-free, so the rollup is engine- and session-TZ-portable
     val withDay = run.withColumn("day", floor(col("ms") / lit(86400000L)).cast("long"))

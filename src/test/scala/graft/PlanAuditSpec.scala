@@ -298,6 +298,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(countOp(te, "SortMergeJoin") == 0, te.take(3000))
   }
 
+  test("window posture: no unpartitioned window over row-grain data anywhere") {
+    // The scale-killer class this repo has now fully retired: an
+    // unpartitioned Window sorts its whole input on ONE task. The
+    // allowlist names every query where an unpartitioned window is
+    // legitimate because its input is PROVABLY bounded — a value
+    // HISTOGRAM (cardinality-grain, the mannWhitneyU discipline), a
+    // k-row bucket/head table, or a per-group summary — with the
+    // bounding input stated. Row-grain global windows are not
+    // allowlistable; use GlobalRank.
+    val histogramGrain = Map(
+      "q_mannwhitney" -> "distinct-value histogram of event values",
+      "q_kruskal" -> "distinct-value histogram of event values",
+      "q_auc_roc" -> "distinct-score histogram",
+      "q_cliffs_delta" -> "distinct-value half-rank histogram",
+      "q_lift_deciles" -> "k-row bucket table cumulative",
+      "q_tfidf_pairs" -> "df histogram (self-scaling cap) + post-limit top-k rank",
+      "q_bm25" -> "top-k head table (post-limit rank)",
+      "q_ks_test" -> "distinct-value histogram (ECDF steps)",
+      "q_logrank" -> "distinct event-time table",
+      "q_kaplan_meier" -> "distinct event-time table",
+      "q_bh_fdr" -> "per-source p-value table (sources-bounded)",
+      "q_rbo" -> "two depth-bounded head tables",
+      "q_rrf_fusion" -> "two top-100 head tables",
+      "q_cumulative_uniques" -> "per-day summary ledger",
+      "q_bpe_pairs" -> "merge-pair frequency head",
+      "q_unimax_mix" -> "language budget table",
+      "q_dsir_select" -> "selection head (k-bounded)")
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    val exercised = scala.collection.mutable.Set.empty[String]
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty => w
+      }
+      if (bad.nonEmpty) {
+        if (histogramGrain.contains(name)) exercised += name else offenders += name
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned ordered windows outside the bounded-input allowlist: " +
+        offenders.mkString(", "))
+    // the allowlist is a contract, not a dumping ground: entries whose
+    // plans no longer carry an unpartitioned window must be removed
+    val stale = histogramGrain.keySet -- exercised
+    assert(stale.isEmpty, s"stale allowlist entries (no unpartitioned window): " +
+      stale.toSeq.sorted.mkString(", "))
+  }
+
   test("no accidental cartesian products outside the intentional ones") {
     val intentional = Set("q_ann_bruteforce", "q_edit_distance", "q_range_join", "q_approx_stats")
     for (name <- SparkEntry.queries.keys if !intentional(name)) {

@@ -1,0 +1,248 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 WRITE path — the last rung of the source-API ladder
+  * (SyntheticDocs covers reads with filter/prune/aggregate pushdown;
+  * this sibling covers the two-phase commit protocol a real sink must
+  * implement):
+  *
+  *   df.write.format("graft.sources.DocsSink")
+  *     .option("path", dir).mode("append").save()
+  *
+  * Protocol, exactly as a production object-store sink stages it:
+  *   - each task's [[DataWriter]] streams rows to a STAGED file under
+  *     `path/_staging/` (unique per task attempt), visible to nobody;
+  *   - task `commit()` seals the file and returns a commit message
+  *     carrying (staged path, partition id, task id, row count);
+  *   - task `abort()` deletes the task's staged file — a failed or
+  *     speculative attempt leaves nothing;
+  *   - driver [[BatchWrite.commit]] MOVES every staged file into the
+  *     target directory and then atomically publishes the `_manifest`
+  *     (one line per committed task) — the manifest write is the
+  *     commit point, exactly one message per input partition;
+  *   - driver [[BatchWrite.abort]] removes any staged leftovers and
+  *     publishes nothing: readers see the pre-job state.
+  *
+  * The read path lists ONLY manifest-listed files, so uncommitted or
+  * orphaned part files are invisible by construction (the Iceberg/
+  * Delta style metadata-gated read, scaled down to one manifest).
+  * Rows travel as URL-encoded TSV — dependency-free, lossless for any
+  * string content.
+  *
+  * Schema is fixed to the documents shape ([[SyntheticDocs.schema]]):
+  * (doc_id long, source string, n_chars long, text string).
+  */
+class DocsSink extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticDocs.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("DocsSink requires a 'path' option"))
+    new DocsSinkTable(path)
+  }
+}
+
+object DocsSink {
+  val ManifestName = "_manifest"
+  val StagingName = "_staging"
+
+  private[sources] def manifestPath(dir: String): Path = Paths.get(dir, ManifestName)
+  private[sources] def stagingDir(dir: String): Path = Paths.get(dir, StagingName)
+
+  /** Committed (file, rows, partitionId, taskId) entries, manifest order. */
+  def manifestEntries(dir: String): Seq[(String, Long, Int, Long)] = {
+    val mf = manifestPath(dir)
+    if (!Files.exists(mf)) Nil
+    else Files.readAllLines(mf, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(f, n, p, t) = line.split("\t")
+        (f, n.toLong, p.toInt, t.toLong)
+      }
+  }
+}
+
+private[sources] class DocsSinkTable(path: String)
+    extends Table with SupportsWrite with SupportsRead {
+  override def name(): String = s"docs_sink($path)"
+  override def schema(): StructType = SyntheticDocs.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val expect = SyntheticDocs.schema.map(f => (f.name, f.dataType))
+    val got = info.schema().map(f => (f.name, f.dataType))
+    require(got == expect,
+      s"DocsSink schema mismatch: expected $expect, got $got")
+    new WriteBuilder {
+      override def build(): Write = new DocsWrite(path)
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = SyntheticDocs.schema
+      override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+      override def build(): Scan = new DocsSinkScan(path, required)
+    }
+}
+
+private[sources] class DocsWrite(path: String) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"DocsSink path=$path"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(DocsSink.stagingDir(path))
+    new DocsWriterFactory(path)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val entries = messages.map(_.asInstanceOf[DocsCommitMessage])
+    // move every staged file into the target dir, THEN publish the
+    // manifest — the manifest write is the visibility point
+    entries.foreach { m =>
+      val staged = Paths.get(m.stagedPath)
+      require(Files.exists(staged), s"staged file missing at job commit: $staged")
+      Files.move(staged, dir.resolve(staged.getFileName),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val prior = DocsSink.manifestEntries(path).map { case (f, n, p, t) =>
+      s"$f\t$n\t$p\t$t"
+    }
+    val lines = prior ++ entries.map { m =>
+      s"${Paths.get(m.stagedPath).getFileName}\t${m.rows}\t${m.partitionId}\t${m.taskId}"
+    }
+    val tmp = dir.resolve(DocsSink.ManifestName + ".tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, DocsSink.manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    cleanupStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // committed-task staged files plus any stragglers: all deleted,
+    // nothing published
+    messages.foreach {
+      case m: DocsCommitMessage => Files.deleteIfExists(Paths.get(m.stagedPath))
+      case _ => ()
+    }
+    cleanupStaging()
+  }
+
+  private def cleanupStaging(): Unit = {
+    val staging = DocsSink.stagingDir(path)
+    if (Files.exists(staging)) {
+      Files.list(staging).iterator().asScala.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(staging)
+    }
+  }
+}
+
+private[sources] case class DocsCommitMessage(stagedPath: String, partitionId: Int,
+                                              taskId: Long, rows: Long)
+    extends WriterCommitMessage
+
+private[sources] class DocsWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DocsDataWriter(path, partitionId, taskId)
+}
+
+private[sources] class DocsDataWriter(path: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val staged =
+    DocsSink.stagingDir(path).resolve(f"part-$partitionId%05d-t$taskId.tsv")
+  private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
+  private var rows = 0L
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  override def write(record: InternalRow): Unit = {
+    out.write(s"${record.getLong(0)}\t${enc(record.getUTF8String(1).toString)}\t" +
+      s"${record.getLong(2)}\t${enc(record.getUTF8String(3).toString)}\n")
+    rows += 1L
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    DocsCommitMessage(staged.toString, partitionId, taskId, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(staged)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Manifest-gated read-back: one input partition per committed file;
+  * files not in the manifest do not exist as far as the reader is
+  * concerned. Column pruning is honored (decode only requested
+  * fields).
+  */
+private[sources] class DocsSinkScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DocsSink path=$path ReadSchema: ${required.catalogString}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    DocsSink.manifestEntries(path)
+      .map { case (f, _, _, _) => DocsFilePartition(Paths.get(path, f).toString) }
+      .toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsSinkReaderFactory(required)
+}
+
+private[sources] case class DocsFilePartition(file: String) extends InputPartition
+
+private[sources] class DocsSinkReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[DocsFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val lines = Files.lines(Paths.get(file), StandardCharsets.UTF_8)
+      private val it = lines.iterator()
+      private var cur: Array[String] = _
+      private val fields = required.fieldNames
+
+      private def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+
+      override def next(): Boolean = {
+        if (!it.hasNext) false
+        else { cur = it.next().split("\t", -1); true }
+      }
+      override def get(): InternalRow = {
+        val vals = fields.map {
+          case "doc_id" => cur(0).toLong.asInstanceOf[AnyRef]
+          case "source" => UTF8String.fromString(dec(cur(1)))
+          case "n_chars" => cur(2).toLong.asInstanceOf[AnyRef]
+          case "text" => UTF8String.fromString(dec(cur(3)))
+        }
+        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = lines.close()
+    }
+  }
+}

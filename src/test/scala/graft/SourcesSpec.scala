@@ -405,4 +405,68 @@ class SourcesSpec extends SparkSpec {
     assert(frames.forall(_.getLong(0) == 1L)) // image rows filtered out
     assert(frames.length == 3)                 // ceil(10/4) frames
   }
+
+  test("DocsSink DSv2 write: two-phase commit round-trip with per-partition accounting") {
+    import graft.sources.DocsSink
+    val dir = Files.createTempDirectory("docs_sink").toString
+    // generate through the DSv2 READ connector, write through the DSv2
+    // WRITE connector — the full source-API loop
+    val df = spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", 1000).option("partitions", 7).load()
+    val nParts = df.rdd.getNumPartitions
+    df.write.format("graft.sources.DocsSink").option("path", dir)
+      .mode("append").save()
+    // commit accounting: exactly one committed task per input partition
+    val entries = DocsSink.manifestEntries(dir)
+    assert(entries.length == nParts, s"entries=${entries.length} parts=$nParts")
+    assert(entries.map(_._3).sorted == (0 until nParts), "partition ids")
+    assert(entries.map(_._2).sum == 1000L, "row accounting")
+    // staging fully cleaned; only committed part files + manifest remain
+    val left = Files.list(java.nio.file.Paths.get(dir)).iterator()
+    val names = Iterator.continually(left).takeWhile(_.hasNext).map(_.next().getFileName.toString).toSet
+    assert(!names.contains(DocsSink.StagingName), names.toString)
+    assert(names.size == nParts + 1, names.toString) // parts + _manifest
+    // manifest-gated read-back: identical content, pruning honored
+    val back = spark.read.format("graft.sources.DocsSink").option("path", dir).load()
+    assert(back.count() == 1000L)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    assert(back.select(sum("n_chars")).collect().head.getLong(0) ==
+      df.select(sum("n_chars")).collect().head.getLong(0))
+    // an orphan part file NOT in the manifest is invisible to readers
+    Files.write(java.nio.file.Paths.get(dir, "part-99999-t999.tsv"),
+      "7\tzz\t1\tzz\n".getBytes)
+    assert(spark.read.format("graft.sources.DocsSink").option("path", dir).load()
+      .count() == 1000L)
+  }
+
+  test("DocsSink DSv2 write: failed job aborts cleanly — no manifest, no partial files") {
+    import graft.sources.DocsSink
+    val dir = Files.createTempDirectory("docs_sink_abort").toString
+    val df = spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", 100).option("partitions", 4).load()
+      // poison: fails inside the write stage AFTER some rows flowed
+      .withColumn("n_chars", expr("case when doc_id = 77 then raise_error('poison') " +
+        "else n_chars end"))
+    intercept[Exception] {
+      df.write.format("graft.sources.DocsSink").option("path", dir)
+        .mode("append").save()
+    }
+    // abort left the target untouched: no manifest, no staged files,
+    // no published part files — and the read path sees an empty table
+    assert(DocsSink.manifestEntries(dir).isEmpty)
+    val p = java.nio.file.Paths.get(dir)
+    if (Files.exists(p)) {
+      val s = Files.list(p)
+      val names = try {
+        val it = s.iterator()
+        Iterator.continually(it).takeWhile(_.hasNext)
+          .map(_.next().getFileName.toString).toSet
+      } finally s.close()
+      assert(!names.contains(DocsSink.ManifestName), names.toString)
+      assert(!names.contains(DocsSink.StagingName), names.toString)
+      assert(!names.exists(_.endsWith(".tsv")), names.toString)
+    }
+    assert(spark.read.format("graft.sources.DocsSink").option("path", dir).load()
+      .count() == 0L)
+  }
 }

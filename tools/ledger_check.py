@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Ledger consistency checker: SURVEY.md's per-row correctness marks
+must agree with the latest CORRECTNESS_r*.json, query by query.
+
+Contract enforced:
+  - every `✓ q_name` in SURVEY must be hash_match=true in CORRECTNESS;
+  - every `◦ q_name` must be a declared no-oracle entry (err == "no_oracle")
+    or absent from the driver suite (spec-only surfaces);
+  - every CORRECTNESS query must be claimed by at least one SURVEY row
+    (✓ or ◦) so the coverage table and the driver suite stay 1:1.
+
+Usage: python3 tools/ledger_check.py [CORRECTNESS_rNN.json]
+(defaults to the lexicographically-latest CORRECTNESS_r*.json in cwd)
+"""
+import glob
+import json
+import re
+import sys
+
+
+def main() -> int:
+    cpath = sys.argv[1] if len(sys.argv) > 1 else sorted(glob.glob("CORRECTNESS_r*.json"))[-1]
+    correctness = json.load(open(cpath))
+    survey = open("SURVEY.md", encoding="utf-8").read()
+
+    # Marks apply to every query listed after them in the same status
+    # cell ("✓ q_a, q_b + spec" claims both); a later ◦/✓ switches the
+    # mark mid-cell.
+    checked, rows_only = set(), set()
+    for line in survey.splitlines():
+        if "✓" not in line and "◦" not in line:
+            continue
+        cell = line.rsplit("|", 2)[-2] if line.count("|") >= 2 else line
+        mark = None
+        for tok in re.findall(r"✓|◦|q_\w+", cell):
+            if tok in ("✓", "◦"):
+                mark = tok
+            elif mark == "✓":
+                checked.add(tok)
+            elif mark == "◦":
+                rows_only.add(tok)
+    rows_only -= checked  # a query hash-proven anywhere counts as ✓
+
+    errors = []
+    for q in sorted(checked):
+        e = correctness.get(q)
+        if e is None:
+            errors.append(f"SURVEY marks ✓ {q} but it is not in {cpath}")
+        elif not e.get("hash_match"):
+            errors.append(f"SURVEY marks ✓ {q} but {cpath} says "
+                          f"hash_match={e.get('hash_match')} err={e.get('err')}")
+    for q in sorted(rows_only):
+        e = correctness.get(q)
+        if e is not None and e.get("err") != "no_oracle":
+            errors.append(f"SURVEY marks ◦ {q} (rows-only) but {cpath} says "
+                          f"err={e.get('err')} hash_match={e.get('hash_match')} "
+                          f"- promote the mark to ✓")
+    claimed = checked | rows_only
+    for q in sorted(correctness):
+        if q not in claimed:
+            errors.append(f"{cpath} has {q} but no SURVEY row claims it (✓ or ◦)")
+
+    if errors:
+        print(f"LEDGER DRIFT vs {cpath}:")
+        for e in errors:
+            print("  " + e)
+        return 1
+    print(f"ledger consistent vs {cpath}: {len(checked)} ✓, {len(rows_only)} ◦, "
+          f"{len(correctness)} driver queries, all claimed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,6 +39,29 @@ object AnalyticsQueries {
   private val linkSurnames = array(linkSurnameList.map(lit): _*)
 
   val queries: Map[String, Q] = Map(
+    // #97 range-partitioned GLOBAL ranking as a first-class query: the
+    // two-pass GlobalRank row number over the whole customer table,
+    // oracle-checked against row_number() — the operator the
+    // ntile/average-precision/sweep-line family now runs on, proven
+    // at driver grain with no unpartitioned window in the plan.
+    "q_rank_global" -> { (s, dir) =>
+      GlobalRank.rowNumbers(
+        Tables(s, dir).customer.select("c_custkey", "c_acctbal"),
+        Nil, Seq(col("c_acctbal").desc, col("c_custkey")), "rn").df
+        .select(col("c_custkey"), col("rn"))
+    },
+
+    // #97b global running total (cents-exact) via GlobalRank's
+    // range-partitioned running sums — cumulative revenue in order
+    // date order without a single-task sort.
+    "q_running_total" -> { (s, dir) =>
+      val o = Tables(s, dir).orders.select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      GlobalRank.rowNumbers(o, Nil, Seq(col("o_orderdate"), col("o_orderkey")), "rn",
+        running = Seq(("cents", "cum_cents"))).df
+        .select(col("o_orderkey"), col("cum_cents"))
+    },
+
     // PageRank over the supplier→part graph: fixed power iterations,
     // dangling mass redistributed uniformly. Edges hash-partitioned
     // once and reused each round; ranks are the only per-round shuffle.
@@ -625,6 +648,16 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rank_global" ->
+      """SELECT c_custkey,
+        |  CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |FROM customer""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER
+        |    (ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |FROM orders""".stripMargin,
     // Unrolled programmatically from the SAME (iters, damping) the
     // query passes — oracle and query cannot drift.
     "q_pagerank" -> Graph.pageRankSqlDuck(pagerankEdgeCteDuck, iters = 3, damping = 0.85),

@@ -32,6 +32,21 @@ object AnalyticsQueries {
   private val kcoreEdgeCteDuck =
     """e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS u, l_partkey % 300 + 1000000000 AS v FROM lineitem)"""
 
+  /** q_ktruss parameters, shared with the unrolled oracle. The word
+    * co-occurrence graph (same one q_triangles counts) carries real
+    * triangles; k−2 = 3 keeps a non-trivial dense core at every
+    * harness sf; exact at ANY (k, rounds) since both engines run the
+    * identical fixed peel.
+    */
+  private val kTrussK = 5
+  private val kTrussRounds = 3
+  private val ktrussEdgeCteDuck =
+    """w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+      |p0 AS (SELECT unnest(list_transform(range(1, len(ws)),
+      |         i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS u FROM w WHERE len(ws) >= 2),
+      |e0 AS MATERIALIZED (SELECT DISTINCT least(u.w1, u.w2) AS a, greatest(u.w1, u.w2) AS b
+      |      FROM p0 WHERE u.w1 <> u.w2)""".stripMargin
+
   /** Surname pool for q_record_linkage (shared with its oracle). */
   private val linkSurnameList = Seq(
     "miller", "smith", "garcia", "johnson", "brown", "davis",
@@ -60,6 +75,22 @@ object AnalyticsQueries {
       GlobalRank.rowNumbers(o, Nil, Seq(col("o_orderdate"), col("o_orderkey")), "rn",
         running = Seq(("cents", "cum_cents"))).df
         .select(col("o_orderkey"), col("cum_cents"))
+    },
+
+    // #97c GLOBAL lag without an unpartitioned window: GlobalRank row
+    // numbers over the corpus-wide (ts, event_id) order, then an
+    // equi-join on rn = rn−1 — the lag/lead family at cluster scale
+    // (each successor pair meets in a hash-partitioned join on rn;
+    // nothing sorts the corpus on one task). Emits every event's gap
+    // to its globally previous event, q_interarrival's per-key gap
+    // statistic lifted to the whole stream.
+    "q_global_lag" -> { (s, dir) =>
+      val e = Tables(s, dir).events.select(col("event_id"), col("ts"))
+      val ranked = GlobalRank.rowNumbers(e, Nil, Seq(col("ts"), col("event_id")), "rn").df
+      val prev = ranked.select((col("rn") + 1L).as("rn"), col("ts").as("__prev"))
+      ranked.join(prev, "rn")
+        .select(col("event_id"),
+          ((unix_millis(col("ts")) - unix_millis(col("__prev"))) / 1000.0).as("gap_s"))
     },
 
     // PageRank over the supplier→part graph: fixed power iterations,
@@ -432,6 +463,15 @@ object AnalyticsQueries {
       Graph.triangleCount(pairs, "src", "dst")
     },
 
+    // #79c k-truss edge peel on the same word graph: the edges inside
+    // at-least-(k−2)-triangle cohesion after 3 fixed rounds, with
+    // their final support — community cores minus the hub spokes
+    // k-core keeps.
+    "q_ktruss" -> { (s, dir) =>
+      val pairs = TextRank.adjacentPairRows(Tables(s, dir).documents, "text")
+      Graph.kTruss(pairs, "w1", "w2", k = kTrussK, rounds = kTrussRounds)
+    },
+
     // As-of join: each purchase matched to the user's latest earlier
     // error event. Union + running-last window: one shuffle per side.
     "q_asof_join" -> { (s, dir) =>
@@ -658,11 +698,18 @@ object AnalyticsQueries {
         |    (ORDER BY o_orderdate, o_orderkey
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
         |FROM orders""".stripMargin,
+    "q_global_lag" ->
+      """WITH x AS (SELECT event_id, ts, lag(ts) OVER (ORDER BY ts, event_id) AS prev
+        |           FROM events)
+        |SELECT event_id, (epoch_ms(ts) - epoch_ms(prev)) / 1000.0 AS gap_s
+        |FROM x WHERE prev IS NOT NULL""".stripMargin,
     // Unrolled programmatically from the SAME (iters, damping) the
     // query passes — oracle and query cannot drift.
     "q_pagerank" -> Graph.pageRankSqlDuck(pagerankEdgeCteDuck, iters = 3, damping = 0.85),
     "q_kcore" ->
       (Graph.kCoreSqlDuck(kcoreEdgeCteDuck, k = kCoreK, rounds = kCoreRounds) + "\nORDER BY id"),
+    "q_ktruss" ->
+      Graph.kTrussSqlDuck(ktrussEdgeCteDuck, k = kTrussK, rounds = kTrussRounds),
     // Same fixed binning, Laplace smoothing, and 4-dp rounding; ln is
     // the only transcendental and sits inside the rounded sum.
     "q_psi_drift" ->

@@ -425,6 +425,83 @@ object Graph {
          |GROUP BY s.u""".stripMargin
   }
 
+  /** k-truss decomposition, fixed peel rounds (Cohen 2008): keep the
+    * edges that sit in at least k−2 triangles of the surviving
+    * subgraph — the EDGE-grain cohesion mine that separates genuine
+    * communities from the hub-dominated k-core (a star center has
+    * high degree but its spokes sit in no triangle, so a truss drops
+    * them). Output: surviving canonical edges with their support in
+    * the final subgraph.
+    *
+    * Scale shape per round: triangle enumeration exactly as
+    * [[triangleCount]] (wedges through each triangle's lowest vertex,
+    * Σ deg²-bounded, only id pairs move), a 3-way explode of triangle
+    * rows back to their edges, one (u,v) count agg, one peel join.
+    * The canonical edge set is checkpointed per round and the
+    * previous round's blocks released, like [[kCore]]; fixed rounds,
+    * never data-dependent driver loops.
+    */
+  def kTruss(edges: DataFrame, src: String, dst: String, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    def supportOf(e: DataFrame): DataFrame = {
+      val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+        .join(e.as("e3"), col("ta") === col("e3.a") && col("tc") === col("e3.b"))
+        .select("ta", "tb", "tc")
+      tri.select(explode(array(
+          struct(col("ta").as("u"), col("tb").as("v")),
+          struct(col("tb").as("u"), col("tc").as("v")),
+          struct(col("ta").as("u"), col("tc").as("v")))).as("ed"))
+        .groupBy(col("ed.u").as("u"), col("ed.v").as("v"))
+        .agg(count(lit(1)).as("support"))
+    }
+    var cur = edges
+      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val s = supportOf(cur)
+      // inner join: an edge in no triangle has no support row and is
+      // peeled (0 < k-2 always here) — identical semantics to the
+      // oracle's JOIN.
+      val next = cur.join(s, cur("a") === s("u") && cur("b") === s("v"))
+        .filter(col("support") >= k - 2)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      releaseCheckpoint(cur)
+      cur = next
+    }
+    val fin = supportOf(cur)
+    cur.join(fin, cur("a") === fin("u") && cur("b") === fin("v"), "left")
+      .select(col("a").as("u"), col("b").as("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** DuckDB SQL for the identical fixed-round k-truss peel over
+    * `edgeCte` (CTE chain ending in e0: canonical a<b, self-loop-free,
+    * distinct edges) — unrolled from the same (k, rounds) so query and
+    * oracle cannot drift.
+    */
+  def kTrussSqlDuck(edgeCte: String, k: Int, rounds: Int): String = {
+    def triSql(src: String, tri: String, sup: String): String =
+      s"""$tri AS MATERIALIZED (
+         |  SELECT x.a AS ta, x.b AS tb, y.b AS tc FROM $src x
+         |  JOIN $src y ON y.a = x.b JOIN $src z ON z.a = x.a AND z.b = y.b),
+         |$sup AS (SELECT u, v, count(*) AS sup FROM (
+         |    SELECT ta AS u, tb AS v FROM $tri
+         |    UNION ALL SELECT tb AS u, tc AS v FROM $tri
+         |    UNION ALL SELECT ta AS u, tc AS v FROM $tri) t GROUP BY u, v)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      triSql(s"e${r - 1}", s"tr$r", s"s$r") + s""",
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${r - 1} e JOIN s$r s ON s.u = e.a AND s.v = e.b
+         |  WHERE s.sup >= ${k - 2})""".stripMargin
+    }
+    val fin = triSql(s"e$rounds", "trF", "sF")
+    ((edgeCte +: peels) :+ fin).mkString("WITH ", ",\n", "") +
+      s"""
+         |SELECT e.a AS u, e.b AS v, CAST(coalesce(sF.sup, 0) AS BIGINT) AS support
+         |FROM e$rounds e LEFT JOIN sF ON sF.u = e.a AND sF.v = e.b""".stripMargin
+  }
+
   /** Triangle count of an undirected graph — the local-clustering
     * signal (spam/link-farm detection in a link graph, community
     * density in a co-occurrence graph). Standard distributed

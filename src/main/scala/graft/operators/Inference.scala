@@ -28,6 +28,38 @@ object Inference {
     * integer max of |cum_a*n_b - cum_b*n_a| until the final divide.
     * The asymptotic z = D * sqrt(n_a*n_b/(n_a+n_b)).
     */
+  /** Two-sample Cramér–von Mises T (Anderson 1962) — the
+    * whole-distribution companion to [[ksTest]]: where KS reads only
+    * the single worst ECDF gap, T integrates the SQUARED gap over the
+    * pooled empirical measure, so many small persistent differences
+    * (a variance or tail change KS under-weights) still register.
+    * T = (n₁n₂/N)·Σ_x (F₁−F₂)²·(c₁+c₂)/N, kept exact as
+    * Σ (c₁+c₂)·(cum₁·n₂ − cum₂·n₁)² in DECIMAL (d ≤ n₁·n₂ so d² needs
+    * 128-bit — ≡ DuckDB HUGEINT) over the distinct-value histogram;
+    * one double division at the end. Same scale posture as ksTest:
+    * the ECDF scan is bounded by value cardinality, not rows.
+    */
+  def cramerVonMises(df: DataFrame, isA: Column, v: Column): DataFrame = {
+    def d(c: Column) = c.cast("decimal(19,0)")
+    val t = df.select(isA.as("a"), v.cast("long").as("x"))
+    val h = t.groupBy("x").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.select(col("c1"), col("c2"),
+      sum("c1").over(w).as("cum1"), sum("c2").over(w).as("cum2"))
+    val tot = h.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"), (col("c1") + col("c2")).as("cnt"),
+        (col("cum1") * col("n2") - col("cum2") * col("n1")).as("dd"))
+      .groupBy("n1", "n2")
+      .agg(sum(d(col("cnt")) * d(col("dd")) * d(col("dd"))).cast("double").as("num"))
+      .select(col("n1"), col("n2"),
+        round(col("num") / (col("n1").cast("double") * col("n2").cast("double") *
+          ((col("n1") + col("n2")).cast("double") *
+            (col("n1") + col("n2")).cast("double"))), 6).as("cvm_t"))
+  }
+
   def ksTest(df: DataFrame, isA: Column, v: Column): DataFrame = {
     val t = df.select(isA.as("a"), v.cast("long").as("x"))
     val h = t.groupBy("x").agg(

@@ -33,6 +33,14 @@ object InferenceQueries {
       Inference.ksTest(ev, col("event_type") === "purchase", centsValue)
     },
 
+    // #93g Cramér–von Mises on the same two samples as q_ks_test —
+    // the integrated-squared-gap statistic that catches the spread/
+    // tail shifts KS's single max under-weights.
+    "q_cvm_test" -> { (s, dir) =>
+      val ev = Tables(s, dir).events.filter(col("event_type").isin("purchase", "click"))
+      Inference.cramerVonMises(ev, col("event_type") === "purchase", centsValue)
+    },
+
     // #87b chi-square independence of source × lang over documents.
     "q_chi2_indep" -> { (s, dir) =>
       Inference.chiSquareIndependence(Tables(s, dir).documents, "source", "lang")
@@ -273,6 +281,24 @@ object InferenceQueries {
         |  round(dnum::DOUBLE / (n1 * n2)::DOUBLE *
         |        sqrt((n1 * n2)::DOUBLE / (n1 + n2)::DOUBLE), 4) + 0.0 AS ks_z
         |FROM d""".stripMargin,
+    "q_cvm_test" ->
+      """WITH t AS (SELECT event_type = 'purchase' AS a,
+        |             CAST(round(value * 100) AS BIGINT) AS x
+        |           FROM events WHERE event_type IN ('purchase', 'click')),
+        |h AS (SELECT x, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |        CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |      FROM t GROUP BY x),
+        |c AS (SELECT c1, c2, sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2
+        |      FROM h WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+        |s AS (SELECT n1, n2,
+        |        sum(CAST(c1 + c2 AS HUGEINT) * (cum1 * n2 - cum2 * n1)
+        |            * (cum1 * n2 - cum2 * n1)) AS num
+        |      FROM c, n GROUP BY n1, n2)
+        |SELECT n1, n2,
+        |  round(num::DOUBLE / (n1::DOUBLE * n2::DOUBLE *
+        |        ((n1 + n2)::DOUBLE * (n1 + n2)::DOUBLE)), 6) + 0.0 AS cvm_t
+        |FROM s""".stripMargin,
     "q_chi2_indep" ->
       """WITH cells AS (SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS n
         |               FROM documents GROUP BY r, c),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.plans.ZOrder2
+import graft.plans.{Hilbert2, ZOrder2}
 import graft.sources.Tables
 
 /** Oracle-checked queries for the physical-layout and semantic-
@@ -34,6 +34,23 @@ object ScaleQueries {
         Tables(s, dir).lineitem.select(col("l_partkey"), col("l_suppkey")),
         "l_partkey", "l_suppkey", zBits)
         .groupBy((col("z") / lit(1L << (2 * zBits - 4))).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+    },
+
+    // Hilbert-curve layout twin of q_zorder_layout: same 16-bucket
+    // contract on the same keys, but positions come from the Hilbert
+    // walk (native Hilbert2 expression) — consecutive positions are
+    // ADJACENT cells, so the per-bucket bounding boxes this reports
+    // are tighter than Morton's and min-max pruning discards more
+    // files for the same filter. Oracle replays the identical xy2d
+    // level walk as a CTE chain.
+    "q_hilbert_layout" -> { (s, dir) =>
+      Layout.withH(
+        Tables(s, dir).lineitem.select(col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", zBits)
+        .groupBy((col("h") / lit(1L << (2 * zBits - 4))).cast("long").as("bucket"))
         .agg(count(lit(1)).as("cnt"),
           min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
           min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
@@ -103,6 +120,20 @@ object ScaleQueries {
          |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
          |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
          |FROM z GROUP BY 1""".stripMargin,
+
+    "q_hilbert_layout" -> {
+      val (ctes, last) = Hilbert2.sqlDuckCtes("b", zBits, Seq("l_partkey", "l_suppkey"))
+      s"""WITH m AS (SELECT max(l_partkey) AS xm, max(l_suppkey) AS ym FROM lineitem),
+         |b AS (SELECT l_partkey, l_suppkey,
+         |        (l_partkey * ${1L << zBits}) // (xm + 1) AS hx0,
+         |        (l_suppkey * ${1L << zBits}) // (ym + 1) AS hy0
+         |      FROM lineitem CROSS JOIN m),
+         |$ctes
+         |SELECT hd // ${1L << (2 * zBits - 4)} AS bucket, count(*) AS cnt,
+         |       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+         |       min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+         |FROM $last GROUP BY 1""".stripMargin
+    },
 
     "q_embed_drift" ->
       """WITH e AS (SELECT label AS g, vec_id % 2 = 0 AS a, embedding::DOUBLE[] AS v

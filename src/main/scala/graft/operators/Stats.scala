@@ -124,6 +124,52 @@ object Stats {
     agg.select(col(groupCol), col("n"), round(num / den, 6).as("spearman_rho"))
   }
 
+  /** Per-group Kendall rank correlation τ-b (Kendall 1938; tie-aware
+    * b-variant) — the pairwise-concordance alternative to [[spearman]]
+    * whose value is a direct probability statement (P(concordant) −
+    * P(discordant)) and whose arithmetic is integers end-to-end:
+    * nc/nd are Σ c_i·c_j over JOINT-histogram cell pairs with strictly
+    * increasing x (equal-x pairs contribute to neither), the tie terms
+    * come from the marginal histograms, and
+    * τ-b = (nc−nd)/(√(n0−n1)·√(n0−n2)) divides once at the end
+    * (two correctly-rounded sqrts, never the 128-bit product).
+    *
+    * Scale posture: rows collapse to the (g, x, y) joint histogram
+    * first (map-side combinable); the pair enumeration is a self-join
+    * of that histogram keyed on the group — bounded by |X|·|Y| cells
+    * per group, NOT by rows, so it is only for bounded-cardinality
+    * pairs (quantity × discount points), never raw cents. Nothing
+    * row-grain ever pairs or sorts.
+    */
+  def kendallTauB(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("g"), x.as("vx"), y.as("vy"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(false)
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.g") === col("b.g") && col("a.vx") < col("b.vx"))
+      .select(col("a.g").as("g"),
+        (col("a.c") * col("b.c")).as("w"),
+        when(col("a.vy") < col("b.vy"), 1).when(col("a.vy") > col("b.vy"), -1)
+          .otherwise(0).as("s"))
+    val conc = pairs.groupBy("g").agg(
+      sum(when(col("s") === 1, col("w")).otherwise(0L)).as("nc"),
+      sum(when(col("s") === -1, col("w")).otherwise(0L)).as("nd"))
+    def tieTerm(vcol: String, as: String): DataFrame =
+      cells.groupBy(col("g"), col(vcol)).agg(sum("c").as("t"))
+        .groupBy("g").agg(sum(expr("t * (t - 1) div 2")).as(as))
+    val tot = cells.groupBy("g").agg(sum("c").as("n"))
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+    tot.join(tieTerm("vx", "tx"), "g").join(tieTerm("vy", "ty"), "g")
+      .join(conc, "g")
+      .select(col("g").as(groupCol), col("n"), col("nc"), col("nd"),
+        // τ undefined when an axis is a single tie block (n0 = n1):
+        // NULL, not DIVIDE_BY_ZERO — ANSI throws even on double/0.0
+        // (the hillTail sf3 lesson).
+        when(col("n0") > col("tx") && col("n0") > col("ty"),
+          round((col("nc") - col("nd")).cast("double") /
+            (sqrt((col("n0") - col("tx")).cast("double")) *
+              sqrt((col("n0") - col("ty")).cast("double"))), 6)).as("tau_b"))
+  }
+
   /** Mann-Whitney U rank-sum test (Mann & Whitney 1947) between two
     * value samples identified by `isTreatment`. Combined tie-averaged
     * ranks in exact half-units; U and the normal-approximation z are
@@ -844,5 +890,168 @@ object Stats {
       round(m2, 4).as("mean_b"),
       round((m1 - m2) / sqrt(se2), 4).as("t_stat"),
       round(dfW, 2).as("df_welch"))
+  }
+
+  /** Brown-Forsythe robust homogeneity-of-variance test (Brown &
+    * Forsythe 1974): one-way ANOVA F on z = |x − median_g| — the
+    * median-centered Levene (1960) variant that keeps its size under
+    * non-normality. The answer to "are these groups' SPREADS equal",
+    * the precondition the plain ANOVA/t family assumes.
+    *
+    * Exactness: F is scale-invariant, so the test runs on
+    * z2 = |2x − (x_(⌈n/2⌉) + x_(⌊n/2⌋+1))| — twice the deviation from
+    * the median, an INTEGER because the doubled median is the sum of
+    * the two middle order statistics. No interpolated-median doubles
+    * anywhere; the one irrational fold (Σ s_g²/n_g) runs
+    * group-ascending like [[anovaOneWay]].
+    *
+    * Scale posture: rows collapse to the (group, value) histogram
+    * first (map-side combinable); the median order statistics come
+    * from cumulative counts over that histogram — windows bounded by
+    * value cardinality, not row count (the spearman discipline) — and
+    * the ANOVA sums are count-weighted on the same histogram, exactly
+    * equal to the row-grain sums. Nothing row-grain ever sorts.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, v: Column): DataFrame = {
+    val h = df.select(col(groupCol).as("g"), v.as("x"))
+      .groupBy("g", "x").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("g")).orderBy(col("x"))
+    val cum = h.select(col("g"), col("x"), col("c"), sum("c").over(w).as("cum"))
+    val tot = h.groupBy("g").agg(sum("c").as("n"))
+    val med2 = cum.join(broadcast(tot), "g")
+      .groupBy("g").agg(
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("x"))).as("lo"),
+        min(when(col("cum") >= expr("(n + 2) div 2"), col("x"))).as("hi"))
+      .select(col("g"), (col("lo") + col("hi")).as("m2"))
+    val z = h.join(broadcast(med2), "g")
+      .select(col("g"), col("c"), abs(lit(2L) * col("x") - col("m2")).as("z2"))
+    val per = z.groupBy("g").agg(
+      sum("c").as("ng"), sum(col("c") * col("z2")).as("sg"),
+      sum(col("c").cast("decimal(19,0)") * col("z2").cast("decimal(19,0)") *
+        col("z2").cast("decimal(19,0)")).as("ssg"))
+    val sbTerm = (col("sg").cast("double") * col("sg").cast("double") /
+      col("ng").cast("double")).as("t")
+    val agg2 = per.agg(
+      count(lit(1)).as("k"), sum("ng").as("n"), sum("sg").as("s"),
+      sum("ssg").cast("double").as("sst_raw"),
+      aggregate(sort_array(collect_list(struct(col("g"), sbTerm))),
+        lit(0.0), (a, x) => a + x.getField("t")).as("sb_raw"))
+    val corr = col("s").cast("double") * col("s").cast("double") / col("n").cast("double")
+    val ssb = col("sb_raw") - corr
+    val ssw = col("sst_raw") - col("sb_raw")
+    agg2.select(
+      col("k"), col("n"),
+      round((ssb / (col("k") - 1).cast("double")) /
+        (ssw / (col("n") - col("k")).cast("double")), 4).as("f_stat"))
+  }
+
+  /** Jarque-Bera normality test (Jarque & Bera 1980) per group:
+    * sample skewness g1 = m3/m2^{3/2}, kurtosis g2 = m4/m2², and
+    * JB = n/6·(g1² + (g2−3)²/4) — the one-aggregation "is this column
+    * normal enough for the z/t family" gate a profiling pass runs
+    * next to [[anovaOneWay]].
+    *
+    * Exactness: the four raw power sums Σx, Σx², Σx³, Σx⁴ accumulate
+    * in DECIMAL (x integer-valued, cast upstream; x⁴ ≈ 1e20 per row at
+    * cents scale, ~1e28 summed — well inside DECIMAL(38,0) ≡ DuckDB
+    * HUGEINT), and the central-moment expansion runs on those exact
+    * sums in one deterministic double expression. Purely map-side
+    * combined; one row per group shuffles.
+    */
+  def jarqueBera(df: DataFrame, groupCol: String, v: Column): DataFrame = {
+    def d(c: Column) = c.cast("decimal(19,0)")
+    val agg = df.select(col(groupCol).as("g"), v.as("x"))
+      .withColumn("x2", col("x") * col("x"))
+      .groupBy("g").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("s1"),
+        sum(d(col("x2"))).cast("double").as("s2"),
+        sum(d(col("x2")) * d(col("x"))).cast("double").as("s3"),
+        sum(d(col("x2")) * d(col("x2"))).cast("double").as("s4"))
+    val n = col("n").cast("double")
+    val m = col("s1").cast("double") / n
+    val m2 = col("s2") / n - m * m
+    val m3 = col("s3") / n - lit(3.0) * m * (col("s2") / n) + lit(2.0) * m * m * m
+    val m4 = col("s4") / n - lit(4.0) * m * (col("s3") / n) +
+      lit(6.0) * m * m * (col("s2") / n) - lit(3.0) * m * m * m * m
+    // m2·√m2, not pow(m2, 1.5): sqrt is IEEE correctly-rounded in both
+    // engines, pow is not — the only way the 6dp round can drift.
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    agg.select(
+      col("g").as(groupCol), col("n"),
+      round(skew, 6).as("skewness"),
+      round(kurt, 6).as("kurtosis"),
+      round(n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 4).as("jb_stat"))
+  }
+
+  /** Grubbs' outlier statistic (Grubbs 1950) per group:
+    * G = max(mean−min, max−mean)/s — how many sample standard
+    * deviations the most extreme value sits from the mean, the
+    * classical single-outlier screen on a numeric column (compare the
+    * robust median/MAD gate, which flags MANY outliers; Grubbs asks
+    * whether the single worst point is defensible). Closed form of
+    * five sufficient statistics (n, Σx, Σx² exact, min, max); ties
+    * between the two sides resolve to the HIGH side deterministically.
+    * One map-side-combined aggregation.
+    */
+  def grubbs(df: DataFrame, groupCol: String, v: Column): DataFrame = {
+    val agg = df.select(col(groupCol).as("g"), v.as("x"))
+      .groupBy("g").agg(
+        count(lit(1)).as("n"), sum("x").as("s1"),
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+          .cast("double").as("s2"),
+        min("x").as("mn"), max("x").as("mx"))
+    val n = col("n").cast("double")
+    val mean = col("s1").cast("double") / n
+    val sd = sqrt((col("s2") - col("s1").cast("double") * col("s1").cast("double") / n) /
+      (n - 1))
+    val devLow = mean - col("mn").cast("double")
+    val devHigh = col("mx").cast("double") - mean
+    agg.select(
+      col("g").as(groupCol), col("n"),
+      round(greatest(devLow, devHigh) / sd, 4).as("g_stat"),
+      when(devLow > devHigh, col("mn")).otherwise(col("mx")).as("x_extreme"))
+  }
+
+  /** Two-feature multiple regression y = b1·x1 + b2·x2 + intercept per
+    * group, solved from the normal equations' 2×2 closed form (Cramer)
+    * on centered exact sums — the "does y still depend on x1 once x2
+    * is controlled for" step up from [[olsFit]], still ONE map-side
+    * combined aggregation with one row per group crossing the shuffle
+    * (the design matrix never materializes; at 100 TB this is the only
+    * shape a regression over the corpus can take short of an iterative
+    * solver). Inputs integer-valued (cast upstream); R² from the
+    * fitted-sum identity b1·Sx1y + b2·Sx2y over Syy.
+    */
+  def ols2(df: DataFrame, groupCol: String, x1: Column, x2: Column, y: Column): DataFrame = {
+    def d(c: Column) = c.cast("decimal(19,0)")
+    val agg = df.select(col(groupCol).as("g"), x1.as("a"), x2.as("b"), y.as("y"))
+      .groupBy("g").agg(
+        count(lit(1)).as("n"),
+        sum("a").cast("double").as("sa"), sum("b").cast("double").as("sb"),
+        sum("y").cast("double").as("sy"),
+        sum(d(col("a")) * d(col("a"))).cast("double").as("saa"),
+        sum(d(col("b")) * d(col("b"))).cast("double").as("sbb"),
+        sum(d(col("a")) * d(col("b"))).cast("double").as("sab"),
+        sum(d(col("a")) * d(col("y"))).cast("double").as("say"),
+        sum(d(col("b")) * d(col("y"))).cast("double").as("sby"),
+        sum(d(col("y")) * d(col("y"))).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val aa = col("saa") - col("sa") * col("sa") / n
+    val bb = col("sbb") - col("sb") * col("sb") / n
+    val ab = col("sab") - col("sa") * col("sb") / n
+    val ay = col("say") - col("sa") * col("sy") / n
+    val by = col("sby") - col("sb") * col("sy") / n
+    val yy = col("syy") - col("sy") * col("sy") / n
+    val det = aa * bb - ab * ab
+    val b1 = (ay * bb - by * ab) / det
+    val b2 = (by * aa - ay * ab) / det
+    agg.select(
+      col("g").as(groupCol), col("n"),
+      round(b1, 6).as("b1"),
+      round(b2, 6).as("b2"),
+      round((col("sy") - b1 * col("sa") - b2 * col("sb")) / n, 6).as("intercept"),
+      round((b1 * ay + b2 * by) / yy, 6).as("r2"))
   }
 }

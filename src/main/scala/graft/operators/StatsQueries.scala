@@ -240,6 +240,45 @@ object StatsQueries {
           round(col("o_totalprice") * 100).cast("long").as("y_cents")),
         "o_orderpriority", col("y_cents"))
         .select("o_orderkey", "o_orderpriority", "loo_enc")
+    },
+
+    // #86u Brown-Forsythe: are the event types' value SPREADS equal —
+    // the variance-homogeneity precondition q_anova silently assumes,
+    // run on the same cents column at histogram grain.
+    "q_brown_forsythe" -> { (s, dir) =>
+      Stats.brownForsythe(Tables(s, dir).events, "event_type", centsValue)
+    },
+
+    // #86v Jarque-Bera normality screen per event type (skewness,
+    // kurtosis, JB) — one aggregation over exact power sums.
+    "q_jarque_bera" -> { (s, dir) =>
+      Stats.jarqueBera(Tables(s, dir).events, "event_type", centsValue)
+    },
+
+    // #86w Grubbs single-outlier statistic on order totals per
+    // priority class: how many σ the worst order sits from its class
+    // mean, and which endpoint it is.
+    "q_grubbs" -> { (s, dir) =>
+      Stats.grubbs(Tables(s, dir).orders, "o_orderpriority",
+        round(col("o_totalprice") * 100).cast("long"))
+    },
+
+    // #86x two-feature regression: price on quantity AND discount
+    // points per return class — does discount carry signal once
+    // quantity is controlled for.
+    "q_ols_multi" -> { (s, dir) =>
+      Stats.ols2(Tables(s, dir).lineitem, "l_returnflag",
+        col("l_quantity").cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))
+    },
+
+    // #86y Kendall τ-b between quantity and discount points per
+    // return class — bounded-cardinality pair (50 × 11 cells), the
+    // regime the joint-histogram pair join is for.
+    "q_kendall" -> { (s, dir) =>
+      Stats.kendallTauB(Tables(s, dir).lineitem, "l_returnflag",
+        col("l_quantity").cast("long"), round(col("l_discount") * 100).cast("long"))
     }
   )
 
@@ -662,6 +701,116 @@ object StatsQueries {
         |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_convs,
         |       CAST(sum(1000000 // n_t) AS BIGINT) AS linear_credit_ppm
-        |FROM s GROUP BY channel""".stripMargin
+        |FROM s GROUP BY channel""".stripMargin,
+    "q_brown_forsythe" ->
+      """WITH t AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |h AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        |cum AS (SELECT g, x, c,
+        |          sum(c) OVER (PARTITION BY g ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM h),
+        |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY g),
+        |med AS (SELECT cum.g,
+        |          min(CASE WHEN cum >= (nn.n + 1) // 2 THEN x END)
+        |          + min(CASE WHEN cum >= (nn.n + 2) // 2 THEN x END) AS m2
+        |        FROM cum JOIN nn ON nn.g = cum.g GROUP BY cum.g),
+        |z AS (SELECT h.g, h.c, abs(2 * h.x - med.m2) AS z2 FROM h JOIN med ON med.g = h.g),
+        |per AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng, CAST(sum(c * z2) AS BIGINT) AS sg,
+        |          sum(CAST(c AS HUGEINT) * z2 * z2) AS ssg
+        |        FROM z GROUP BY g),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |          CAST(sum(sg) AS BIGINT) AS s, sum(ssg)::DOUBLE AS sst_raw,
+        |          list_reduce(list(sg::DOUBLE * sg::DOUBLE / ng::DOUBLE ORDER BY g),
+        |                      (a, b) -> a + b) AS sb_raw
+        |        FROM per)
+        |SELECT k, n,
+        |  round(((sb_raw - s::DOUBLE * s::DOUBLE / n::DOUBLE) / (k - 1)::DOUBLE) /
+        |        ((sst_raw - sb_raw) / (n - k)::DOUBLE), 4) + 0.0 AS f_stat
+        |FROM tot""".stripMargin,
+    "q_jarque_bera" ->
+      """WITH t AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |p AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s1,
+        |        sum(CAST(x * x AS HUGEINT))::DOUBLE AS s2,
+        |        sum(CAST(x * x AS HUGEINT) * x)::DOUBLE AS s3,
+        |        sum(CAST(x * x AS HUGEINT) * (x * x))::DOUBLE AS s4
+        |      FROM t GROUP BY g),
+        |m AS (SELECT g, n, s1::DOUBLE / n::DOUBLE AS mu, s2, s3, s4 FROM p),
+        |cm AS (SELECT g, n,
+        |         s2 / n::DOUBLE - mu * mu AS m2,
+        |         s3 / n::DOUBLE - 3.0 * mu * (s2 / n::DOUBLE) + 2.0 * mu * mu * mu AS m3,
+        |         s4 / n::DOUBLE - 4.0 * mu * (s3 / n::DOUBLE)
+        |           + 6.0 * mu * mu * (s2 / n::DOUBLE) - 3.0 * mu * mu * mu * mu AS m4
+        |       FROM m),
+        |sk AS (SELECT g, n, m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) AS kurt FROM cm)
+        |SELECT g AS event_type, n,
+        |  round(skew, 6) + 0.0 AS skewness,
+        |  round(kurt, 6) + 0.0 AS kurtosis,
+        |  round(n::DOUBLE / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0), 4) + 0.0
+        |    AS jb_stat
+        |FROM sk""".stripMargin,
+    "q_grubbs" ->
+      """WITH t AS (SELECT o_orderpriority AS g, CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        |           FROM orders),
+        |p AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s1,
+        |        sum(CAST(x AS HUGEINT) * x)::DOUBLE AS s2,
+        |        min(x) AS mn, max(x) AS mx
+        |      FROM t GROUP BY g),
+        |d AS (SELECT g, n, mn, mx,
+        |        s1::DOUBLE / n::DOUBLE - mn::DOUBLE AS dev_lo,
+        |        mx::DOUBLE - s1::DOUBLE / n::DOUBLE AS dev_hi,
+        |        sqrt((s2 - s1::DOUBLE * s1::DOUBLE / n::DOUBLE) / (n - 1)::DOUBLE) AS sd
+        |      FROM p)
+        |SELECT g AS o_orderpriority, n,
+        |  round(greatest(dev_lo, dev_hi) / sd, 4) + 0.0 AS g_stat,
+        |  CAST(CASE WHEN dev_lo > dev_hi THEN mn ELSE mx END AS BIGINT) AS x_extreme
+        |FROM d""".stripMargin,
+    "q_ols_multi" ->
+      """WITH t AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS a,
+        |             CAST(round(l_discount * 100) AS BIGINT) AS b,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |           FROM lineitem),
+        |p AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |        sum(a)::DOUBLE AS sa, sum(b)::DOUBLE AS sb, sum(y)::DOUBLE AS sy,
+        |        sum(CAST(a AS HUGEINT) * a)::DOUBLE AS saa,
+        |        sum(CAST(b AS HUGEINT) * b)::DOUBLE AS sbb,
+        |        sum(CAST(a AS HUGEINT) * b)::DOUBLE AS sab,
+        |        sum(CAST(a AS HUGEINT) * y)::DOUBLE AS say,
+        |        sum(CAST(b AS HUGEINT) * y)::DOUBLE AS sby,
+        |        sum(CAST(y AS HUGEINT) * y)::DOUBLE AS syy
+        |      FROM t GROUP BY g),
+        |c AS (SELECT g, n, sa, sb, sy,
+        |        saa - sa * sa / n::DOUBLE AS aa, sbb - sb * sb / n::DOUBLE AS bb,
+        |        sab - sa * sb / n::DOUBLE AS ab, say - sa * sy / n::DOUBLE AS ay,
+        |        sby - sb * sy / n::DOUBLE AS by, syy - sy * sy / n::DOUBLE AS yy
+        |      FROM p),
+        |s AS (SELECT g, n, sa, sb, sy, ay, by, yy,
+        |        (ay * bb - by * ab) / (aa * bb - ab * ab) AS b1,
+        |        (by * aa - ay * ab) / (aa * bb - ab * ab) AS b2
+        |      FROM c)
+        |SELECT g AS l_returnflag, n,
+        |  round(b1, 6) + 0.0 AS b1, round(b2, 6) + 0.0 AS b2,
+        |  round((sy - b1 * sa - b2 * sb) / n::DOUBLE, 6) + 0.0 AS intercept,
+        |  round((b1 * ay + b2 * by) / yy, 6) + 0.0 AS r2
+        |FROM s""".stripMargin,
+    "q_kendall" ->
+      """WITH t AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS vx,
+        |             CAST(round(l_discount * 100) AS BIGINT) AS vy
+        |           FROM lineitem),
+        |cells AS (SELECT g, vx, vy, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2, 3),
+        |pr AS (SELECT a.g,
+        |         CAST(sum(CASE WHEN a.vy < b.vy THEN a.c * b.c ELSE 0 END) AS BIGINT) AS nc,
+        |         CAST(sum(CASE WHEN a.vy > b.vy THEN a.c * b.c ELSE 0 END) AS BIGINT) AS nd
+        |       FROM cells a JOIN cells b ON b.g = a.g AND a.vx < b.vx GROUP BY a.g),
+        |tx AS (SELECT g, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS tx FROM
+        |         (SELECT g, vx, sum(c) AS t FROM cells GROUP BY 1, 2) m GROUP BY g),
+        |ty AS (SELECT g, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ty FROM
+        |         (SELECT g, vy, sum(c) AS t FROM cells GROUP BY 1, 2) m GROUP BY g),
+        |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n, sum(c) * (sum(c) - 1) // 2 AS n0
+        |       FROM cells GROUP BY g)
+        |SELECT nn.g AS l_returnflag, nn.n, pr.nc, pr.nd,
+        |  CASE WHEN nn.n0 > tx.tx AND nn.n0 > ty.ty THEN
+        |    round((pr.nc - pr.nd)::DOUBLE /
+        |          (sqrt((nn.n0 - tx.tx)::DOUBLE) * sqrt((nn.n0 - ty.ty)::DOUBLE)), 6) + 0.0
+        |  END AS tau_b
+        |FROM nn JOIN tx ON tx.g = nn.g JOIN ty ON ty.g = nn.g JOIN pr ON pr.g = nn.g""".stripMargin
   )
 }

@@ -55,6 +55,42 @@ class LabelPropSpec extends SparkSpec {
     assert(r4.exceptAll(r5).isEmpty && r5.exceptAll(r4).isEmpty)
   }
 
+  test("kTruss: support peel keeps triangle cohesion, drops hubs and bridges k-core keeps") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles) + a pendant triangle
+    // {5,6,7} (support 1 each) bridged by 4–5 (support 0).
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L), (4L, 5L)
+    ).toDF("u", "v")
+    // 3-truss (support >= 1): both triangles survive with their exact
+    // supports, the bridge is peeled round 1 (zero triangles).
+    val t3 = Graph.kTruss(edges, "u", "v", k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t3.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L)), s"3-truss wrong: $t3")
+    assert(Set((1L, 2L), (2L, 3L), (3L, 4L)).forall(t3(_) == 2L), s"K4 supports: $t3")
+    assert(Set((5L, 6L), (6L, 7L)).forall(t3(_) == 1L), s"triangle supports: $t3")
+    // 4-truss (support >= 2): only K4 survives; the pendant triangle's
+    // edges peel, and K4's supports are UNCHANGED by their removal.
+    val t4 = Graph.kTruss(edges, "u", "v", k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4.keySet == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) &&
+      t4.values.forall(_ == 2L), s"4-truss wrong: $t4")
+    // The CASCADE: in the triangle strip {1,2,3},{2,3,4},{3,4,5} only
+    // the two SHARED edges have support 2; peeling the support-1 rim
+    // at k=4 destroys every triangle, which starves the shared edges
+    // next round — the strip's 4-truss cascades to empty.
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (3L, 5L), (4L, 5L))
+      .toDF("u", "v")
+    assert(Graph.kTruss(strip, "u", "v", k = 4, rounds = 3).isEmpty,
+      "strip 4-truss should cascade to empty")
+    // Directed duplicates and self-loops don't inflate support.
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("u", "v")
+    val d3 = Graph.kTruss(dup, "u", "v", k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d3 == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), s"dedup wrong: $d3")
+  }
+
   test("labelPropagation is deterministic under ties (min label wins) and pairs converge") {
     // A path a–m–z: m hears {a, z} plus its self-vote {m}, all tied;
     // the tie must break to the smallest label every run.

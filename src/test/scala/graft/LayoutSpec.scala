@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Layout, VectorOps}
-import graft.plans.ZOrder2
+import graft.plans.{Hilbert2, ZOrder2}
 
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
@@ -26,6 +26,39 @@ class LayoutSpec extends SparkSpec {
       .collect()
     got.foreach { r =>
       assert(r.getLong(2) == ZOrder2.interleave(r.getLong(0), r.getLong(1), 8))
+    }
+  }
+
+  test("Hilbert2.index is the canonical first-order curve, a bijection, and NEVER jumps") {
+    // bits=1 base case: the U-shaped walk (0,0)→(0,1)→(1,1)→(1,0)
+    assert(Hilbert2.index(0L, 0L, 1) == 0L)
+    assert(Hilbert2.index(0L, 1L, 1) == 1L)
+    assert(Hilbert2.index(1L, 1L, 1) == 2L)
+    assert(Hilbert2.index(1L, 0L, 1) == 3L)
+    // keys wider than `bits` contribute only their low bits
+    assert(Hilbert2.index(0x1F05L, 0x03L, 4) == Hilbert2.index(0x05L, 0x03L, 4))
+
+    // bits=4: bijection [0,16)² ↔ [0,256), and the defining locality
+    // property Morton lacks — consecutive curve positions are ALWAYS
+    // adjacent grid cells (|Δx| + |Δy| = 1), so contiguous row runs
+    // cover tight bounding boxes with no diagonal jumps.
+    val byD = (for (x <- 0 until 16; y <- 0 until 16)
+      yield Hilbert2.index(x.toLong, y.toLong, 4) -> ((x, y))).toMap
+    assert(byD.size == 256 && byD.keySet == (0L until 256L).toSet)
+    (0L until 255L).foreach { d =>
+      val (x0, y0) = byD(d); val (x1, y1) = byD(d + 1)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1,
+        s"jump at d=$d: ($x0,$y0) -> ($x1,$y1)")
+    }
+  }
+
+  test("Hilbert2 expression evaluates via codegen identically to the Scala impl") {
+    val df = spark.range(0, 512).select(
+      (col("id") % 19).as("x"), (col("id") % 23).as("y"))
+    val got = df.select(col("x"), col("y"), Hilbert2(col("x"), col("y"), 8).as("h"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == Hilbert2.index(r.getLong(0), r.getLong(1), 8))
     }
   }
 

@@ -316,6 +316,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_tfidf_pairs" -> "df histogram (self-scaling cap) + post-limit top-k rank",
       "q_bm25" -> "top-k head table (post-limit rank)",
       "q_ks_test" -> "distinct-value histogram (ECDF steps)",
+      "q_cvm_test" -> "distinct-value histogram (ECDF steps)",
       "q_logrank" -> "distinct event-time table",
       "q_kaplan_meier" -> "distinct event-time table",
       "q_bh_fdr" -> "per-source p-value table (sources-bounded)",

@@ -697,6 +697,47 @@ object Graph {
         (col("deg_a") * col("deg_b")).as("pref_attach"))
   }
 
+  /** Adamic-Adar link scoring (Adamic & Adar 2003): for non-adjacent
+    * candidate pairs, Σ_z 1/ln(deg z) over common neighbors z — the
+    * rare-shared-neighbor refinement of [[linkPrediction]]'s raw count.
+    *
+    * Engine-portable despite the irrational terms: the wedge join
+    * first collapses to INTEGER counts per (pair, deg z) — the float
+    * sum then runs over the handful of distinct degree values a pair's
+    * neighbors span, not per wedge, and a 4dp round absorbs the
+    * ordering slack (the KL/perplexity-family convention). Every
+    * common neighbor is adjacent to both endpoints, so deg z ≥ 2 and
+    * ln(deg z) is never 0. Same Σ deg² wedge bound and `minCommon`
+    * output knob as linkPrediction.
+    */
+  def adamicAdar(edges: DataFrame, src: String, dst: String,
+                 minCommon: Long): DataFrame = {
+    val e = edges
+      .select(least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+        greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("v"), col("deg"))
+    val hub = sym.join(deg, col("b") === col("v")).drop("v")
+      .select(col("a"), col("b"), col("deg").as("deg_z"))
+    // wedges through z = l.b, carrying deg z; collapse to integer
+    // counts at (pair, deg_z) grain BEFORE any float enters
+    val byDeg = hub.as("l").join(sym.as("r"),
+        col("l.b") === col("r.a") && col("l.a") < col("r.b"))
+      .groupBy(col("l.a").as("pa"), col("r.b").as("pb"), col("l.deg_z").as("dz"))
+      .agg(count(lit(1)).as("c"))
+    val cand = byDeg.groupBy("pa", "pb")
+      .agg(sum(col("c")).as("cn"),
+        round(sum(col("c").cast("double") / log(col("dz").cast("double"))), 4)
+          .as("adamic_adar"))
+      .filter(col("cn") >= minCommon)
+    cand.join(e, cand("pa") === e("a") && cand("pb") === e("b"), "left_anti")
+      .select(col("pa"), col("pb"), col("cn"), col("adamic_adar"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the symmetrized edge list — positive when
     * hubs attach to hubs, negative for hub-and-spoke graphs. Exact

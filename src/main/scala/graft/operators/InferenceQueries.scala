@@ -250,6 +250,14 @@ object InferenceQueries {
       Graph.assortativity(coPurchaseEdges(Tables(s, dir)), "pa", "pb")
     },
 
+    // Adamic-Adar link scoring on the same graph: common-neighbor
+    // evidence downweighted by how promiscuous the shared neighbor is
+    // (Adamic & Adar 2003) — integer counts per (pair, degree) first,
+    // float only over the degree histogram.
+    "q_adamic_adar" -> { (s, dir) =>
+      Graph.adamicAdar(coPurchaseEdges(Tables(s, dir)), "pa", "pb", minCommon = 2L)
+    },
+
     // #90 GROUPING SETS with explicit grouping flags — the surface
     // between rollup (q_rollup) and cube (q_cube): an arbitrary
     // subset lattice in one pass.
@@ -775,6 +783,23 @@ object InferenceQueries {
         |       WHERE e.a IS NULL)
         |SELECT nc.pa, nc.pb, nc.cn, da.deg * db.deg AS pref_attach
         |FROM nc JOIN deg da ON da.vx = nc.pa JOIN deg db ON db.vx = nc.pb""".stripMargin,
+    "q_adamic_adar" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e0 AS (SELECT x.i AS pa, y.i AS pb FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS a, pb AS b FROM e0),
+        |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u AS vx, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+        |wd AS (SELECT l.u AS pa, r.v AS pb, d.deg AS dz, CAST(count(*) AS BIGINT) AS c
+        |       FROM sym l JOIN sym r ON l.v = r.u AND l.u < r.v
+        |       JOIN deg d ON d.vx = l.v
+        |       GROUP BY 1, 2, 3),
+        |cand AS (SELECT pa, pb, CAST(sum(c) AS BIGINT) AS cn,
+        |           round(sum(CAST(c AS DOUBLE) / ln(CAST(dz AS DOUBLE))), 4) AS adamic_adar
+        |         FROM wd GROUP BY 1, 2 HAVING sum(c) >= 2)
+        |SELECT cand.pa, cand.pb, cand.cn, cand.adamic_adar
+        |FROM cand LEFT JOIN e ON e.a = cand.pa AND e.b = cand.pb
+        |WHERE e.a IS NULL""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,

@@ -74,6 +74,41 @@ object Stats {
     agg.select(col(groupCol), col("n"), round(num / den, 6).as("pearson_r"))
   }
 
+  /** Per-group FIRST-ORDER PARTIAL correlation r_xy·z (Yule 1907):
+    * the x–y association with the confounder z regressed out of both
+    * sides, computed from the three pairwise Pearson coefficients via
+    *
+    *   r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))
+    *
+    * All three coefficients come from ONE aggregation of the nine
+    * exact sufficient sums (n, Σx, Σy, Σz, Σx², Σy², Σz², Σxy, Σxz,
+    * Σyz) — decimal(38,0) cross-products, one row per group over the
+    * shuffle, same contract as [[pearson]]. NULL when either partial
+    * variance is zero (x or z, y or z perfectly collinear).
+    */
+  def partialCorrelation(df: DataFrame, groupCol: String,
+                         x: Column, y: Column, z: Column): DataFrame = {
+    val agg = df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(z).cast("double").as("sz"),
+        dsum(x, x).as("sxx"), dsum(y, y).as("syy"), dsum(z, z).as("szz"),
+        dsum(x, y).as("sxy"), dsum(x, z).as("sxz"), dsum(y, z).as("syz"))
+    val n = col("n").cast("double")
+    def r(spq: Column, sp: Column, sq: Column, spp: Column, sqq: Column): Column =
+      (spq * n - sp * sq) /
+        (sqrt(spp * n - sp * sp) * sqrt(sqq * n - sq * sq))
+    val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    val den = sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    agg.select(col(groupCol), col("n"),
+      round(rxy, 6).as("r_xy"),
+      when(den > 0, round((rxy - rxz * ryz) / den, 6)).as("r_xy_given_z"))
+  }
+
   /** Per-group Spearman rank correlation (Spearman 1904).
     *
     * Tie-averaged fractional ranks kept EXACT by working in half-rank

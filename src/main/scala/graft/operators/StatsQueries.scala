@@ -49,6 +49,18 @@ object StatsQueries {
       Stats.spearman(xyPair(Tables(s, dir)), "l_returnflag", col("x"), col("y"))
     },
 
+    // First-order partial correlation r_xy·z (Yule 1907): the
+    // quantity–price association with the discount rate partialled
+    // out — nine exact sums, one aggregation.
+    "q_partial_corr" -> { (s, dir) =>
+      val t = Tables(s, dir).lineitem.select(
+        col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"),
+        round(col("l_discount") * 100).cast("long").as("z"))
+      Stats.partialCorrelation(t, "l_returnflag", col("x"), col("y"), col("z"))
+    },
+
     // #86e Mann-Whitney U: purchase vs click order values — the
     // nonparametric "did the distribution shift" test.
     "q_mannwhitney" -> { (s, dir) =>
@@ -313,6 +325,33 @@ object StatsQueries {
          |  round((sxy * n - sx * sy) /
          |        (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy)), 6) + 0.0 AS pearson_r
          |FROM s""".stripMargin,
+    "q_partial_corr" ->
+      """WITH t AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice*100) AS BIGINT) AS y,
+        |         CAST(round(l_discount*100) AS BIGINT) AS z FROM lineitem),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |        sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy, sum(z)::DOUBLE AS sz,
+        |        sum(CAST(x AS HUGEINT) * x)::DOUBLE AS sxx,
+        |        sum(CAST(y AS HUGEINT) * y)::DOUBLE AS syy,
+        |        sum(CAST(z AS HUGEINT) * z)::DOUBLE AS szz,
+        |        sum(CAST(x AS HUGEINT) * y)::DOUBLE AS sxy,
+        |        sum(CAST(x AS HUGEINT) * z)::DOUBLE AS sxz,
+        |        sum(CAST(y AS HUGEINT) * z)::DOUBLE AS syz
+        |      FROM t GROUP BY g),
+        |r AS (SELECT g, n,
+        |        (sxy * n - sx * sy) /
+        |          (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy)) AS rxy,
+        |        (sxz * n - sx * sz) /
+        |          (sqrt(sxx * n - sx * sx) * sqrt(szz * n - sz * sz)) AS rxz,
+        |        (syz * n - sy * sz) /
+        |          (sqrt(syy * n - sy * sy) * sqrt(szz * n - sz * sz)) AS ryz
+        |      FROM s)
+        |SELECT g AS l_returnflag, n, round(rxy, 6) + 0.0 AS r_xy,
+        |  CASE WHEN sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) > 0
+        |       THEN round((rxy - rxz * ryz) /
+        |              sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) + 0.0
+        |  END AS r_xy_given_z
+        |FROM r""".stripMargin,
     "q_spearman" ->
       s"""WITH $xyCte,
          |r AS (SELECT g,

@@ -447,6 +447,13 @@ object AnalyticsQueries {
         Seq("view", "click", "purchase"))
     },
 
+    // Time-CONSTRAINED funnel: each stage must land within an hour of
+    // the previous one — the gap-bounded form of q_funnel.
+    "q_funnel_windowed" -> { (s, dir) =>
+      TimeSeries.funnelWindowed(Tables(s, dir).events, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), maxGapSeconds = 3600L)
+    },
+
     // First-order Markov transition matrix over per-user event
     // sequences; (ts, event_id) is the total order.
     "q_transitions" -> { (s, dir) =>
@@ -884,6 +891,24 @@ object AnalyticsQueries {
         |      FROM z GROUP BY user_id, sid),
         |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path)
         |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q_funnel_windowed" ->
+      """WITH b AS (SELECT user_id AS k, ts, event_type AS ty FROM events),
+        |s0 AS (SELECT *, min(CASE WHEN ty = 'view' THEN ts END) OVER (PARTITION BY k) AS t0 FROM b),
+        |s1 AS (SELECT *, min(CASE WHEN ty = 'click' AND ts >= t0
+        |                        AND ts <= t0 + INTERVAL 3600 SECOND THEN ts END)
+        |                   OVER (PARTITION BY k) AS t1 FROM s0),
+        |s2 AS (SELECT *, min(CASE WHEN ty = 'purchase' AND ts >= t1
+        |                        AND ts <= t1 + INTERVAL 3600 SECOND THEN ts END)
+        |                   OVER (PARTITION BY k) AS t2 FROM s1),
+        |pk AS (SELECT k, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2 FROM s2 GROUP BY k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(count(t0) AS BIGINT) AS n_view,
+        |       CAST(count(t1) AS BIGINT) AS n_click,
+        |       CAST(count(t2) AS BIGINT) AS n_purchase,
+        |       round(count(t0) / CAST(count(*) AS DOUBLE), 4) AS rate_view,
+        |       round(count(t1) / CAST(count(*) AS DOUBLE), 4) AS rate_click,
+        |       round(count(t2) / CAST(count(*) AS DOUBLE), 4) AS rate_purchase
+        |FROM pk""".stripMargin,
     // Same stage-windowed construction; ts comparisons stay inside
     // one engine so the nanos-vs-micros representation cancels.
     "q_funnel" ->

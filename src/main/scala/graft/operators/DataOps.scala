@@ -11,6 +11,30 @@ import org.apache.spark.sql.functions._
   */
 object DataOps {
 
+  /** Functional-dependency violation profiling (the Potter's Wheel /
+    * Deequ-style schema screen): for each candidate FD det → dep,
+    * how many determinant keys map to MORE than one dependent value,
+    * and how bad the worst key is. One groupBy per candidate at
+    * determinant grain (map-side combinable count-distinct via a
+    * two-level aggregate); the per-FD summaries union to a
+    * candidate-count-sized frame. Violation rate is integer
+    * parts-per-million — engine-exact.
+    */
+  def fdProfile(df: DataFrame,
+                candidates: Seq[(String, String, String)]): DataFrame = {
+    val parts = candidates.map { case (det, dep, name) =>
+      val perKey = df.groupBy(col(det).as("k"))
+        .agg(countDistinct(col(dep)).as("nd"))
+      perKey.agg(
+        lit(name).as("fd"),
+        count(lit(1)).as("n_keys"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("nd")).as("max_distinct"))
+        .withColumn("violation_ppm", expr("(1000000 * n_violating) div n_keys"))
+    }
+    parts.reduce(_ unionByName _)
+  }
+
   /** Reliability diagram + Expected Calibration Error for a
     * probabilistic classifier (Naeini et al. 2015's ECE over an
     * equal-width confidence binning). The gate in front of

@@ -738,6 +738,92 @@ object Graph {
       .select(col("pa"), col("pb"), col("cn"), col("adamic_adar"))
   }
 
+  /** Neighborhood Jaccard node similarity: |N(a)∩N(b)| / |N(a)∪N(b)|
+    * for candidate pairs with ≥ `minCommon` common neighbors — the
+    * set-overlap member of the [[linkPrediction]] / [[adamicAdar]]
+    * family (includes ADJACENT pairs, flagged, since neighborhood
+    * similarity is meaningful for existing edges too).
+    *
+    * Engine-exact: cn and degrees are integers, the union is
+    * deg_a + deg_b − cn by inclusion-exclusion, and the score is ONE
+    * IEEE division — bit-identical across engines, no rounding
+    * needed. Same Σ deg² wedge bound as the siblings.
+    */
+  def neighborhoodJaccard(edges: DataFrame, src: String, dst: String,
+                          minCommon: Long): DataFrame = {
+    val e = edges
+      .select(least(col(src).cast("long"), col(dst).cast("long")).as("a"),
+        greatest(col(src).cast("long"), col(dst).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("v"), col("deg"))
+    val cand = sym.as("l").join(sym.as("r"),
+        col("l.b") === col("r.a") && col("l.a") < col("r.b"))
+      .groupBy(col("l.a").as("pa"), col("r.b").as("pb"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= minCommon)
+    val eFlag = e.select(col("a").as("ea"), col("b").as("eb"))
+    cand
+      .join(eFlag, col("pa") === col("ea") && col("pb") === col("eb"), "left")
+      .withColumn("is_edge", col("ea").isNotNull).drop("ea", "eb")
+      .join(deg.withColumnRenamed("deg", "deg_a"), col("pa") === col("v")).drop("v")
+      .join(deg.withColumnRenamed("deg", "deg_b"), col("pb") === col("v")).drop("v")
+      .select(col("pa"), col("pb"), col("cn"), col("is_edge"),
+        (col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")).cast("double")).as("jaccard"))
+  }
+
+  /** HITS hubs and authorities (Kleinberg 1999) — `rounds` mutual-
+    * reinforcement rounds h ← A·a, a ← Aᵀ·h over a DIRECTED edge set,
+    * normalized ONCE at the end (the iteration is scale-free, so
+    * per-round normalization only rescales; skipping it keeps every
+    * intermediate score an INTEGER walk count — hᵣ(u) counts length-
+    * (2r−1) alternating walks from u — making the recursion
+    * engine-exact where a float power iteration would drift).
+    * DECIMAL(38,0) ≡ HUGEINT absorbs the growth; the two final
+    * hub/authority shares are single IEEE divisions by the broadcast
+    * totals.
+    *
+    * Scale shape: per round two edge⋈score joins + aggregations —
+    * edge-volume-bounded like [[pageRank]], never all-pairs; scores
+    * stay sparse (only nodes reachable at that depth carry rows) and
+    * the output rejoins the node set with zero-fill.
+    */
+  def hits(edges: DataFrame, src: String, dst: String, rounds: Int): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val e = edges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("u").as("id")).unionByName(e.select(col("v").as("id")))
+      .distinct()
+    // round 1 with a₀ ≡ 1 folds to the out-degree — one agg, no join
+    var h = e.groupBy(col("u").as("id")).agg(count(lit(1)).cast(d38).as("h"))
+    var a = e.join(h.select(col("id").as("u"), col("h")), Seq("u"))
+      .groupBy(col("v").as("id")).agg(sum("h").cast(d38).as("a"))
+    for (_ <- 2 to rounds) {
+      h = e.join(a.select(col("id").as("v"), col("a")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(sum("a").cast(d38).as("h"))
+      a = e.join(h.select(col("id").as("u"), col("h")), Seq("u"))
+        .groupBy(col("v").as("id")).agg(sum("h").cast(d38).as("a"))
+    }
+    val totals = h.agg(sum("h").as("th")).crossJoin(a.agg(sum("a").as("ta")))
+    nodes
+      .join(h, Seq("id"), "left").join(a, Seq("id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"),
+        coalesce(col("h"), lit(0).cast(d38)).as("hub_raw"),
+        coalesce(col("a"), lit(0).cast(d38)).as("auth_raw"),
+        (coalesce(col("h"), lit(0).cast(d38)).cast("double") /
+          col("th").cast("double")).as("hub_score"),
+        (coalesce(col("a"), lit(0).cast(d38)).cast("double") /
+          col("ta").cast("double")).as("auth_score"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the symmetrized edge list — positive when
     * hubs attach to hubs, negative for hub-and-spoke graphs. Exact

@@ -258,6 +258,28 @@ object InferenceQueries {
       Graph.adamicAdar(coPurchaseEdges(Tables(s, dir)), "pa", "pb", minCommon = 2L)
     },
 
+    // Neighborhood Jaccard node similarity on the same graph —
+    // |N∩|/|N∪| by inclusion-exclusion over integer wedge counts,
+    // ONE IEEE division (bit-identical, unrounded); adjacent pairs
+    // kept and flagged.
+    "q_node_jaccard" -> { (s, dir) =>
+      Graph.neighborhoodJaccard(coPurchaseEdges(Tables(s, dir)), "pa", "pb",
+        minCommon = 2L)
+    },
+
+    // HITS hubs/authorities (Kleinberg 1999) on the DIRECTED
+    // customer→part purchase graph (part ids offset so the two key
+    // spaces cannot collide): 2 mutual-reinforcement rounds kept as
+    // exact integer walk counts, normalized once at the end.
+    "q_hits" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val e = t.orders.join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"),
+          (col("l_partkey") + lit(100000000L)).as("v"))
+      Graph.hits(e, "u", "v", rounds = 2)
+    },
+
     // #90 GROUPING SETS with explicit grouping flags — the surface
     // between rollup (q_rollup) and cube (q_cube): an arbitrary
     // subset lattice in one pass.
@@ -800,6 +822,36 @@ object InferenceQueries {
         |SELECT cand.pa, cand.pb, cand.cn, cand.adamic_adar
         |FROM cand LEFT JOIN e ON e.a = cand.pa AND e.b = cand.pb
         |WHERE e.a IS NULL""".stripMargin,
+    "q_node_jaccard" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e0 AS (SELECT x.i AS pa, y.i AS pb FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS a, pb AS b FROM e0),
+        |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u AS vx, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+        |cand AS (SELECT l.u AS pa, r.v AS pb, CAST(count(*) AS BIGINT) AS cn
+        |         FROM sym l JOIN sym r ON l.v = r.u AND l.u < r.v
+        |         GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT cand.pa, cand.pb, cand.cn, e.a IS NOT NULL AS is_edge,
+        |  CAST(cand.cn AS DOUBLE) / CAST(da.deg + db.deg - cand.cn AS DOUBLE) AS jaccard
+        |FROM cand LEFT JOIN e ON e.a = cand.pa AND e.b = cand.pb
+        |JOIN deg da ON da.vx = cand.pa JOIN deg db ON db.vx = cand.pb""".stripMargin,
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS u, l_partkey + 100000000 AS v
+        |       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+        |h1 AS (SELECT u AS id, CAST(count(*) AS HUGEINT) AS h FROM e GROUP BY u),
+        |a1 AS (SELECT e.v AS id, CAST(sum(h1.h) AS HUGEINT) AS a
+        |       FROM e JOIN h1 ON h1.id = e.u GROUP BY e.v),
+        |h2 AS (SELECT e.u AS id, CAST(sum(a1.a) AS HUGEINT) AS h
+        |       FROM e JOIN a1 ON a1.id = e.v GROUP BY e.u),
+        |a2 AS (SELECT e.v AS id, CAST(sum(h2.h) AS HUGEINT) AS a
+        |       FROM e JOIN h2 ON h2.id = e.u GROUP BY e.v),
+        |t AS (SELECT (SELECT sum(h) FROM h2) AS th, (SELECT sum(a) FROM a2) AS ta)
+        |SELECT n.id, coalesce(h2.h, 0) AS hub_raw, coalesce(a2.a, 0) AS auth_raw,
+        |  CAST(coalesce(h2.h, 0) AS DOUBLE) / CAST(t.th AS DOUBLE) AS hub_score,
+        |  CAST(coalesce(a2.a, 0) AS DOUBLE) / CAST(t.ta AS DOUBLE) AS auth_score
+        |FROM nodes n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id, t""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,

@@ -369,6 +369,31 @@ object LlmQueries {
           round(col("hapax").cast("double") / col("vocab"), 4).as("hapax_frac"))
     },
 
+    // Vocabulary-richness estimators per source: bias-corrected Chao1
+    // species richness (Chao 1984: V + f1(f1−1)/(2(f2+1))) estimates
+    // how much vocabulary the sample has NOT seen yet, and the
+    // Good-Turing unseen-probability mass f1/N (Good 1953) says how
+    // often the next token will be novel — the "is this source
+    // saturated" corpus-growth planners. Integer f1/f2/V/N from the
+    // same one-pass term histogram as q_vocab_stats; each estimate is
+    // one IEEE division (plus one exact add), unrounded.
+    "q_vocab_richness" -> { (s, dir) =>
+      val tf = Tables(s, dir).documents
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      tf.groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(col("cnt")).as("n_tokens"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2"))
+        .select(col("source"), col("vocab"), col("n_tokens"), col("f1"), col("f2"),
+          (col("vocab").cast("double") +
+            (col("f1") * (col("f1") - 1)).cast("double") /
+              (lit(2L) * (col("f2") + 1)).cast("double")).as("chao1"),
+          (col("f1").cast("double") / col("n_tokens").cast("double"))
+            .as("gt_unseen_mass"))
+    },
+
     // Count-min heavy hitters over corpus tokens: build a 4×1024
     // sketch (integer-exact md5 bucketing, so the oracle rebuilds the
     // IDENTICAL counters), estimate every distinct token, emit the
@@ -1261,6 +1286,19 @@ object LlmQueries {
         |       round(count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS ttr,
         |       round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS hapax_frac
         |FROM c GROUP BY source""".stripMargin,
+    "q_vocab_richness" ->
+      """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |c AS (SELECT source, term, count(*) AS cnt FROM t GROUP BY source, term),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |        CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |        CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |      FROM c GROUP BY source)
+        |SELECT source, vocab, n_tokens, f1, f2,
+        |  CAST(vocab AS DOUBLE)
+        |    + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+        |  CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS gt_unseen_mass
+        |FROM s""".stripMargin,
     "q_embed_outlier" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |d AS (SELECT label, unnest(list_transform(v, (x, i) -> {'pos': i, 'val': x})) AS u FROM e),

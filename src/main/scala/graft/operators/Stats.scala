@@ -109,6 +109,55 @@ object Stats {
       when(den > 0, round((rxy - rxz * ryz) / den, 6)).as("r_xy_given_z"))
   }
 
+  /** Wald's sequential probability ratio test as a daily ledger
+    * (Wald 1945): per (variant, day) the CUMULATIVE conversion counts
+    * and the log-likelihood ratio for H₁: p = p1 vs H₀: p = p0,
+    *
+    *   LLR_t = K_t·ln(p1/p0) + (N_t−K_t)·ln((1−p1)/(1−p0)),
+    *
+    * with the Wald decision bounds ln((1−β)/α) / ln(β/(1−α)) — the
+    * "peek every day without inflating α" A/B companion to the fixed-
+    * horizon q_ab_test.
+    *
+    * Engine-exact WITHOUT rounding: the four log constants are
+    * evaluated ONCE on the driver and inlined as the same literal
+    * double into both plans (callers embed `"%.17g".format` of these
+    * into the oracle SQL), so LLR is two double·integer products and
+    * one add of identical IEEE inputs. Cumulative counts are a window
+    * at (variant, DAY) grain — bounded by the calendar, never rows.
+    */
+  def sprtLedger(df: DataFrame, variantCol: String, day: Column,
+                 isConv: Column, p0: Double, p1: Double,
+                 alpha: Double, beta: Double): DataFrame = {
+    val c1 = math.log(p1 / p0)
+    val c2 = math.log((1 - p1) / (1 - p0))
+    val upper = math.log((1 - beta) / alpha)
+    val lower = math.log(beta / (1 - alpha))
+    val daily = df.groupBy(col(variantCol).as("variant"), day.as("day"))
+      .agg(count(lit(1)).as("n"), sum(isConv.cast("long")).as("k"))
+    val w = Window.partitionBy("variant").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_k", sum("k").over(w))
+      .withColumn("llr", lit(c1) * col("cum_k").cast("double") +
+        lit(c2) * (col("cum_n") - col("cum_k")).cast("double"))
+      .withColumn("decision",
+        when(col("llr") >= lit(upper), "reject_h0")
+          .when(col("llr") <= lit(lower), "accept_h0")
+          .otherwise("continue"))
+      .select(col("variant"), col("day"), col("cum_n"), col("cum_k"),
+        col("llr"), col("decision"))
+  }
+
+  /** SPRT constants for oracle-SQL mirroring — the exact doubles
+    * [[sprtLedger]] inlines, printed by the caller at full precision.
+    */
+  def sprtConstants(p0: Double, p1: Double, alpha: Double, beta: Double):
+      (Double, Double, Double, Double) =
+    (math.log(p1 / p0), math.log((1 - p1) / (1 - p0)),
+      math.log((1 - beta) / alpha), math.log(beta / (1 - alpha)))
+
   /** Per-group Spearman rank correlation (Spearman 1904).
     *
     * Tie-averaged fractional ranks kept EXACT by working in half-rank

@@ -139,6 +139,40 @@ object StatsQueries {
         lookbackMs = 48L * 3600 * 1000)
     },
 
+    // Time-DECAY multi-touch attribution: integer power-of-two
+    // weights (half-life one day), per-conversion ppm shares by
+    // integer division — no float anywhere.
+    "q_attribution_decay" -> { (s, dir) =>
+      TimeSeries.attributionDecay(Tables(s, dir).events, "user_id", "ts",
+        "event_type", convType = "purchase",
+        touchTypes = Seq("click", "view", "signup"),
+        lookbackMs = 48L * 3600 * 1000, capDays = 30)
+    },
+
+    // Wald SPRT daily ledger (Wald 1945): cumulative LLR per variant
+    // with the always-valid peek bounds — the sequential companion to
+    // the fixed-horizon q_ab_test. Constants inlined identically into
+    // both engines.
+    "q_sprt" -> { (s, dir) =>
+      val e = Tables(s, dir).events.select(
+        concat(lit("v"), (col("user_id") % 3).cast("string")).as("variant"),
+        (floor(col("ts").cast("long") / 86400) * 86400).cast("long").as("d"),
+        (col("event_type") === "purchase").as("conv"))
+      Stats.sprtLedger(e, "variant", col("d"), col("conv"),
+        p0 = 0.18, p1 = 0.22, alpha = 0.05, beta = 0.2)
+    },
+
+    // Functional-dependency violation screen (Potter's Wheel / Deequ
+    // style): which candidate key→attribute dependencies actually
+    // hold, with ppm violation rates — integer end to end.
+    "q_fd_profile" -> { (s, dir) =>
+      DataOps.fdProfile(
+        Tables(s, dir).lineitem.select("l_orderkey", "l_suppkey", "l_partkey"),
+        Seq(("l_orderkey", "l_suppkey", "l_orderkey->l_suppkey"),
+          ("l_partkey", "l_suppkey", "l_partkey->l_suppkey"),
+          ("l_suppkey", "l_partkey", "l_suppkey->l_partkey")))
+    },
+
     // #86n Welch's unequal-variance t-test: purchase vs click order
     // values, exact sufficient statistics.
     "q_welch_t" -> { (s, dir) =>
@@ -741,6 +775,67 @@ object StatsQueries {
         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_convs,
         |       CAST(sum(1000000 // n_t) AS BIGINT) AS linear_credit_ppm
         |FROM s GROUP BY channel""".stripMargin,
+    "q_attribution_decay" ->
+      """WITH conv AS (SELECT user_id AS u, ts AS cts, event_id AS conv_id FROM events
+        |              WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id AS u, ts AS tts, event_id AS touch_id, event_type AS channel
+        |        FROM events WHERE event_type IN ('click', 'view', 'signup')),
+        |p AS (SELECT conv.conv_id, tch.channel,
+        |        (CAST(floor(epoch(conv.cts)) AS BIGINT)
+        |         - CAST(floor(epoch(tch.tts)) AS BIGINT)) // 86400 AS age_days
+        |      FROM conv JOIN tch USING (u)
+        |      WHERE tch.tts < conv.cts AND tch.tts >= conv.cts - INTERVAL 172800 SECOND),
+        |w AS (SELECT conv_id, channel,
+        |        (CAST(1 AS BIGINT) << CAST(greatest(0, 30 - age_days) AS INTEGER)) AS w
+        |      FROM p),
+        |s AS (SELECT conv_id, channel, w, sum(w) OVER (PARTITION BY conv_id) AS wsum FROM w)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(sum((1000000 * w) // wsum) AS BIGINT) AS decay_credit_ppm
+        |FROM s GROUP BY channel""".stripMargin,
+    "q_sprt" -> {
+      val (c1, c2, up, lo) = Stats.sprtConstants(0.18, 0.22, 0.05, 0.2)
+      s"""WITH t AS (SELECT concat('v', CAST(user_id % 3 AS VARCHAR)) AS variant,
+         |         CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day,
+         |         CAST(event_type = 'purchase' AS BIGINT) AS conv FROM events),
+         |d AS (SELECT variant, day, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(conv) AS BIGINT) AS k
+         |      FROM t GROUP BY 1, 2),
+         |c AS (SELECT variant, day,
+         |        sum(n) OVER (PARTITION BY variant ORDER BY day
+         |          ROWS UNBOUNDED PRECEDING) AS cum_n,
+         |        sum(k) OVER (PARTITION BY variant ORDER BY day
+         |          ROWS UNBOUNDED PRECEDING) AS cum_k
+         |      FROM d),
+         |l AS (SELECT variant, day, CAST(cum_n AS BIGINT) AS cum_n,
+         |        CAST(cum_k AS BIGINT) AS cum_k,
+         |        ${c1} * CAST(cum_k AS DOUBLE)
+         |          + ${c2} * CAST(cum_n - cum_k AS DOUBLE) AS llr
+         |      FROM c)
+         |SELECT variant, day, cum_n, cum_k, llr,
+         |  CASE WHEN llr >= ${up} THEN 'reject_h0'
+         |       WHEN llr <= ${lo} THEN 'accept_h0'
+         |       ELSE 'continue' END AS decision
+         |FROM l""".stripMargin
+    },
+    "q_fd_profile" ->
+      """WITH a AS (SELECT l_orderkey AS k, count(DISTINCT l_suppkey) AS nd FROM lineitem GROUP BY 1),
+        |b AS (SELECT l_partkey AS k, count(DISTINCT l_suppkey) AS nd FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_suppkey AS k, count(DISTINCT l_partkey) AS nd FROM lineitem GROUP BY 1),
+        |u AS (
+        |  SELECT 'l_orderkey->l_suppkey' AS fd, CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |    CAST(max(nd) AS BIGINT) AS max_distinct FROM a
+        |  UNION ALL
+        |  SELECT 'l_partkey->l_suppkey', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(nd) AS BIGINT) FROM b
+        |  UNION ALL
+        |  SELECT 'l_suppkey->l_partkey', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(nd) AS BIGINT) FROM c)
+        |SELECT fd, n_keys, n_violating, max_distinct,
+        |  (1000000 * n_violating) // n_keys AS violation_ppm
+        |FROM u""".stripMargin,
     "q_brown_forsythe" ->
       """WITH t AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x FROM events),
         |h AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),

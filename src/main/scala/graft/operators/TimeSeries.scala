@@ -115,6 +115,75 @@ object TimeSeries {
     }
   }
 
+  /** Time-constrained funnel: like [[funnel]], but each stage must
+    * follow the previous one within `maxGapSeconds` — the "click
+    * within an hour of the view" form real conversion analysis uses
+    * (the unconstrained funnel credits a purchase weeks later).
+    * Stage i's timestamp is the EARLIEST qualifying event after
+    * stage i−1 and inside its gap window. Same single-exchange
+    * chained-window shape as [[funnel]]; rates are one 4dp-rounded
+    * division per stage.
+    */
+  def funnelWindowed(events: DataFrame, keyCol: String, tsCol: String,
+                     typeCol: String, stages: Seq[String],
+                     maxGapSeconds: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy("__k")
+    val base = events.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      col(typeCol).as("__ty")).repartition(col("__k"))
+    val withStages = stages.zipWithIndex.foldLeft(base) { case (df, (stage, i)) =>
+      val cond =
+        if (i == 0) col("__ty") === stage
+        else col("__ty") === stage && col("__ts") >= col(s"__t${i - 1}") &&
+          col("__ts") <= col(s"__t${i - 1}") + expr(s"INTERVAL $maxGapSeconds SECOND")
+      df.withColumn(s"__t$i", min(when(cond, col("__ts"))).over(w))
+    }
+    val stageAggs = stages.indices.map(i => max(col(s"__t$i")).as(s"t$i"))
+    val perKey = withStages.groupBy("__k").agg(stageAggs.head, stageAggs.tail: _*)
+    val aggs = count(lit(1)).as("n_keys") +:
+      stages.indices.map(i => count(col(s"t$i")).as(s"n_${stages(i)}"))
+    val counted = perKey.agg(aggs.head, aggs.tail: _*)
+    stages.indices.foldLeft(counted) { (df, i) =>
+      df.withColumn(s"rate_${stages(i)}",
+        round(col(s"n_${stages(i)}").cast("double") / col("n_keys"), 4))
+    }
+  }
+
+  /** Time-DECAY multi-touch attribution: each touch inside the
+    * lookback earns weight 2^(capDays − age_days) (a half-life of one
+    * day, capped), and every conversion splits one credit by weight.
+    * Fully integer: the weights are exact powers of two in a LONG,
+    * the per-conversion share is parts-per-million via integer
+    * division — no float enters at all, so the engine-exactness is
+    * unconditional (the [[attribution]] ppm discipline extended to
+    * non-uniform weights). Same conversions×touches user-grain range
+    * join shape as [[attribution]].
+    */
+  def attributionDecay(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, convType: String,
+                       touchTypes: Seq[String], lookbackMs: Long,
+                       capDays: Int = 30): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), col(tsCol).as("cts"),
+        col("event_id").as("conv_id"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("u"), col(tsCol).as("tts"),
+        col("event_id").as("touch_id"), col(typeCol).as("channel"))
+    val pairs = conv.join(touch, Seq("u"))
+      .filter(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL ${lookbackMs / 1000} SECOND"))
+      .withColumn("age_days",
+        floor((col("cts").cast("long") - col("tts").cast("long")) / 86400L))
+      .withColumn("w",
+        expr(s"shiftleft(1L, int(greatest(0L, $capDays - age_days)))"))
+    val perConv = Window.partitionBy(col("conv_id"))
+    pairs.withColumn("wsum", sum(col("w")).over(perConv))
+      .withColumn("share_ppm", expr("(1000000 * w) div wsum"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("share_ppm")).as("decay_credit_ppm"))
+  }
+
   /** Rolling window aggregate per key: mean/min/max of the value over
     * the last `n` rows (current inclusive) in time order — the
     * smoothing pass a metrics pipeline applies before anomaly gates.

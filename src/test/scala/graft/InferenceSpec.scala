@@ -395,4 +395,33 @@ class InferenceSpec extends SparkSpec {
     assert(r1.getAs[Double]("emd") == 7.0)
     assert(r1.getAs[Long]("n1") == 10L && r1.getAs[Long]("n2") == 10L)
   }
+
+  test("hits: integer walk counts on a tiny bipartite graph, normalized once") {
+    // u1→{v1,v2}, u2→{v1}. Round 1: h=(2,1), a=(3,2).
+    // Round 2: h(u1)=a(v1)+a(v2)=5, h(u2)=a(v1)=3; a(v1)=5+3=8, a(v2)=5.
+    // Totals th=8, ta=13.
+    val e = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("u", "v")
+    val m = Graph.hits(e, "u", "v", rounds = 2).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[java.math.BigDecimal]("hub_raw").longValueExact(),
+          r.getAs[java.math.BigDecimal]("auth_raw").longValueExact(),
+          r.getAs[Double]("hub_score"))).toMap
+    assert(m(1L) == ((5L, 0L, 5.0 / 8.0)))
+    assert(m(2L) == ((3L, 0L, 3.0 / 8.0)))
+    assert(m(101L)._2 == 8L && m(102L)._2 == 5L)
+    assert(m(101L)._1 == 0L) // authorities have no out-edges
+  }
+
+  test("neighborhoodJaccard: triangle pair scores 1/3 and is flagged as an edge") {
+    // triangle a-b-c plus pendant d-a: N(b)={a,c}, N(c)={a,b} ->
+    // cn(b,c)={a}=1, union=2+2-1=3.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L)).toDF("s", "d")
+    val rows = Graph.neighborhoodJaccard(e, "s", "d", minCommon = 1L).collect()
+      .map(r => (r.getAs[Long]("pa"), r.getAs[Long]("pb")) ->
+        (r.getAs[Long]("cn"), r.getAs[Boolean]("is_edge"),
+          r.getAs[Double]("jaccard"))).toMap
+    assert(rows((2L, 3L)) == ((1L, true, 1.0 / 3.0)))
+    // non-adjacent (2,4): common neighbor {1}, union = 2+1-1 = 2
+    assert(rows((2L, 4L)) == ((1L, false, 0.5)))
+  }
 }

@@ -406,4 +406,70 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_directed_edges") == 8L)
     assert(r.getAs[Double]("assortativity") == -1.0)
   }
+
+  test("sprtLedger: overwhelming evidence crosses the Wald reject bound") {
+    import graft.operators.Stats
+    // p0=0.1 vs p1=0.9: five conversions in five trials on day 1 give
+    // llr = 5·ln(9) ≈ 11 >> ln((1-0.2)/0.05) = ln(16) ≈ 2.77.
+    val df = (1 to 5).map(_ => ("a", 1L, true)).toDF("v", "d", "c")
+    val r = Stats.sprtLedger(df, "v", col("d"), col("c"),
+      p0 = 0.1, p1 = 0.9, alpha = 0.05, beta = 0.2).collect().head
+    assert(r.getAs[Long]("cum_n") == 5L && r.getAs[Long]("cum_k") == 5L)
+    assert(r.getAs[Double]("llr") == 5.0 * math.log(0.9 / 0.1))
+    assert(r.getAs[String]("decision") == "reject_h0")
+    // all misses instead: llr = 5·ln(0.1/0.9) ≈ -11 -> accept_h0
+    val df2 = (1 to 5).map(_ => ("a", 1L, false)).toDF("v", "d", "c")
+    val r2 = Stats.sprtLedger(df2, "v", col("d"), col("c"),
+      p0 = 0.1, p1 = 0.9, alpha = 0.05, beta = 0.2).collect().head
+    assert(r2.getAs[String]("decision") == "accept_h0")
+  }
+
+  test("attributionDecay: a one-day-older touch earns exactly half the credit") {
+    import graft.operators.TimeSeries
+    import java.sql.Timestamp
+    val t0 = 1700000000L
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    val rows = Seq(
+      (1L, 10L, "purchase", ts(t0)),
+      (2L, 10L, "click", ts(t0 - 3600)),           // age 0 days -> w = 2^30
+      (3L, 10L, "view", ts(t0 - 86400 - 3600)))    // age 1 day  -> w = 2^29
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val m = TimeSeries.attributionDecay(rows, "user_id", "ts", "event_type",
+        "purchase", Seq("click", "view"), lookbackMs = 172800000L, capDays = 30)
+      .collect().map(r => r.getAs[String]("channel") ->
+        r.getAs[Long]("decay_credit_ppm")).toMap
+    assert(m("click") == 666666L) // (1e6·2^30) div (3·2^29)
+    assert(m("view") == 333333L)
+  }
+
+  test("fdProfile: a held dependency reports zero violations, a broken one counts keys") {
+    import graft.operators.DataOps
+    val df = Seq((1L, 10L, 100L), (1L, 10L, 200L), (2L, 20L, 100L))
+      .toDF("k", "dep_ok", "dep_bad")
+    val m = DataOps.fdProfile(df, Seq(("k", "dep_ok", "ok"), ("k", "dep_bad", "bad")))
+      .collect().map(r => r.getAs[String]("fd") ->
+        (r.getAs[Long]("n_violating"), r.getAs[Long]("violation_ppm"))).toMap
+    assert(m("ok") == ((0L, 0L)))
+    assert(m("bad") == ((1L, 500000L))) // key 1 maps to {100,200}
+  }
+
+  test("funnelWindowed: a stage outside the gap window breaks the chain") {
+    import graft.operators.TimeSeries
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    val rows = Seq(
+      // user 1: view -> click 30min later -> purchase 30min after that (all in gap)
+      (1L, "view", ts(1000)), (1L, "click", ts(1000 + 1800)),
+      (1L, "purchase", ts(1000 + 3600)),
+      // user 2: click arrives 2h after the view -> chain breaks at click
+      (2L, "view", ts(1000)), (2L, "click", ts(1000 + 7200)),
+      (2L, "purchase", ts(1000 + 7300)))
+      .toDF("user_id", "event_type", "ts")
+    val r = TimeSeries.funnelWindowed(rows, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), maxGapSeconds = 3600L).collect().head
+    assert(r.getAs[Long]("n_keys") == 2L)
+    assert(r.getAs[Long]("n_view") == 2L)
+    assert(r.getAs[Long]("n_click") == 1L)
+    assert(r.getAs[Long]("n_purchase") == 1L)
+  }
 }

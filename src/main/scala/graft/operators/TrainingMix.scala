@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-assembly planning operators — the steps between "curated
@@ -33,6 +34,76 @@ object TrainingMix {
       .withColumn("threshold", round(col("__thr"), 4))
       .withColumn("keep", col(scoreCol) >= col("__thr"))
       .drop("__thr")
+  }
+
+  /** Greedy per-source token-budget cut: each source keeps its
+    * highest-quality documents until its token budget is spent —
+    * the materialization step after [[mixPlan]] decides the budgets.
+    *
+    * BUCKET-ATOMIC at score-histogram grain: rows collapse to
+    * (source, score) buckets with token/doc subtotals, the cumulative
+    * token window runs over the per-source SCORE HISTOGRAM (bounded
+    * by score cardinality, never rows — the spearman discipline), and
+    * a bucket is kept iff strictly fewer than `budget` tokens precede
+    * it (the boundary bucket is kept whole, so ties need no
+    * ordering). Integers end-to-end; utilization is integer ppm.
+    */
+  def budgetCut(df: DataFrame, sourceCol: String, score: Column,
+                tokens: Column, budgetPerSource: Long): DataFrame = {
+    val h = df.groupBy(col(sourceCol), score.as("__s"))
+      .agg(count(lit(1)).as("__docs"), sum(tokens).as("__toks"))
+    val w = Window
+      .partitionBy(sourceCol).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("__before", coalesce(sum(col("__toks")).over(w), lit(0L)))
+      .filter(col("__before") < budgetPerSource)
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_buckets_kept"),
+        sum(col("__docs")).as("docs_kept"),
+        sum(col("__toks")).as("tokens_kept"),
+        min(col("__s")).as("cutoff_score"))
+      .withColumn("budget", lit(budgetPerSource))
+      .withColumn("utilization_ppm",
+        expr("(1000000 * tokens_kept) div budget"))
+  }
+
+  /** Curriculum interleave schedule: difficulty-quantile buckets
+    * WITHIN each stratum, emitted in round-robin order across strata
+    * (easy bucket of every stratum first, then the next tier) — the
+    * "train easy→hard but keep every domain present in every phase"
+    * ordering. Bucket assignment is the integer histogram rule
+    * b = (cum_prev · nBuckets) div n over the per-stratum difficulty
+    * histogram (cardinality-bounded, never a row-grain ntile); the
+    * schedule position is bucket · n_strata + stratum_index with the
+    * stratum index from a broadcast-sized dense rank. All integers.
+    */
+  def curriculumInterleave(df: DataFrame, stratumCol: String,
+                           difficulty: Column, nBuckets: Int): DataFrame = {
+    val h = df.groupBy(col(stratumCol).as("st"), difficulty.as("d"))
+      .agg(count(lit(1)).as("c"), sum(difficulty).as("toks"))
+    val w = Window
+      .partitionBy("st").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = Window.partitionBy("st")
+    val bucketed = h
+      .withColumn("cum_prev", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("n", sum(col("c")).over(n))
+      .withColumn("bucket", expr(s"(cum_prev * $nBuckets) div n"))
+      .groupBy("st", "bucket")
+      .agg(sum(col("c")).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        min(col("d")).as("min_difficulty"), max(col("d")).as("max_difficulty"))
+    // stratum index without any window: one stratum-count-bounded
+    // array, position from posexplode
+    val idx = bucketed.select(col("st")).distinct()
+      .agg(array_sort(collect_list(col("st"))).as("all"))
+      .select(size(col("all")).cast("long").as("n_strata"),
+        posexplode(col("all")).as(Seq("stratum_index", "st")))
+    bucketed.join(broadcast(idx), Seq("st"))
+      .select(col("st").as(stratumCol), col("bucket"), col("n_docs"),
+        col("n_tokens"), col("min_difficulty"), col("max_difficulty"),
+        col("stratum_index"),
+        (col("bucket") * col("n_strata") + col("stratum_index"))
+          .as("schedule_pos"))
   }
 
   /** Mixture scheduling: given target weights per source and a total
@@ -213,7 +284,7 @@ object TrainingMix {
     */
   def unimaxPlan(df: DataFrame, langCol: String, tokensCol: Column,
                  budget: Long, epochsCap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+
     val caps = df.groupBy(col(langCol))
       .agg(sum(tokensCol).as("n_tokens"))
       .select(col(langCol), col("n_tokens"),

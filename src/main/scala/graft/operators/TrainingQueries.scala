@@ -41,6 +41,25 @@ object TrainingQueries {
         stratumCol = "lang", scoreCol = "n_tokens", p = 0.25)
     },
 
+    // Greedy per-source token-budget cut at score-histogram grain:
+    // keep the best docs (char-length proxy) until 800 tokens per
+    // source are spent, boundary bucket kept whole — integers only.
+    "q_budget_cut" -> { (s, dir) =>
+      TrainingMix.budgetCut(
+        Tables(s, dir).documents.select(col("source"),
+          length(col("text")).cast("long").as("score"), nTok.as("toks")),
+        "source", col("score"), col("toks"), budgetPerSource = 800L)
+    },
+
+    // Curriculum interleave: 4 difficulty-quantile buckets per
+    // language, scheduled round-robin across languages (easy tier of
+    // every language first) — integer histogram bucketing, no ntile.
+    "q_curriculum" -> { (s, dir) =>
+      TrainingMix.curriculumInterleave(
+        Tables(s, dir).documents.select(col("lang"), nTok.as("d")),
+        "lang", col("d"), nBuckets = 4)
+    },
+
     // Mixture schedule: token budget × per-source weight → epochs.
     "q_mix_plan" -> { (s, dir) =>
       TrainingMix.mixPlan(Tables(s, dir).documents, "source", nTok,
@@ -176,6 +195,42 @@ object TrainingQueries {
         |    AS kl_bits
         |FROM c JOIN wt USING (w) JOIN st USING (source) CROSS JOIN n
         |GROUP BY c.source, st.n_s""".stripMargin,
+    "q_budget_cut" ->
+      """WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS s,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tk FROM documents),
+        |h AS (SELECT source, s, CAST(count(*) AS BIGINT) AS docs,
+        |        CAST(sum(tk) AS BIGINT) AS btoks FROM d GROUP BY 1, 2),
+        |c AS (SELECT *, coalesce(sum(btoks) OVER (PARTITION BY source ORDER BY s DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_buckets_kept,
+        |  CAST(sum(docs) AS BIGINT) AS docs_kept,
+        |  CAST(sum(btoks) AS BIGINT) AS tokens_kept,
+        |  CAST(min(s) AS BIGINT) AS cutoff_score,
+        |  CAST(800 AS BIGINT) AS budget,
+        |  (1000000 * CAST(sum(btoks) AS BIGINT)) // 800 AS utilization_ppm
+        |FROM c WHERE bef < 800 GROUP BY source""".stripMargin,
+    "q_curriculum" ->
+      """WITH d AS (SELECT lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dd FROM documents),
+        |h AS (SELECT lang, dd, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(dd) AS BIGINT) AS toks FROM d GROUP BY 1, 2),
+        |w AS (SELECT *, coalesce(sum(c) OVER (PARTITION BY lang ORDER BY dd
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev,
+        |        sum(c) OVER (PARTITION BY lang) AS n FROM h),
+        |b AS (SELECT lang, (cum_prev * 4) // n AS bucket, c, toks, dd FROM w),
+        |g AS (SELECT lang, bucket, CAST(sum(c) AS BIGINT) AS n_docs,
+        |        CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |        CAST(min(dd) AS BIGINT) AS min_difficulty,
+        |        CAST(max(dd) AS BIGINT) AS max_difficulty
+        |      FROM b GROUP BY 1, 2),
+        |idx AS (SELECT lang,
+        |          CAST(row_number() OVER (ORDER BY lang) - 1 AS INTEGER) AS stratum_index,
+        |          CAST((SELECT count(DISTINCT lang) FROM g) AS BIGINT) AS n_strata
+        |        FROM (SELECT DISTINCT lang FROM g))
+        |SELECT g.lang, CAST(g.bucket AS BIGINT) AS bucket, n_docs, n_tokens,
+        |  min_difficulty, max_difficulty, idx.stratum_index,
+        |  CAST(g.bucket * idx.n_strata + idx.stratum_index AS BIGINT) AS schedule_pos
+        |FROM g JOIN idx USING (lang)""".stripMargin,
     "q_source_jsd" ->
       """WITH sw AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
         |c AS (SELECT source, w, count(*) AS c_sw FROM sw GROUP BY 1, 2),

@@ -119,4 +119,29 @@ class TrainingMixSpec extends SparkSpec {
     assert(r2("a") > 0.0 && r2("a") <= 1.0)
     assert(r2("a") == r2("b")) // symmetric construction
   }
+
+  test("budgetCut keeps best-score buckets whole until the budget is crossed") {
+    // scores 30/20/10 with 50 tokens each, budget 80: bucket 30 (0
+    // before), bucket 20 (50 before) kept; bucket 10 (100 before) cut.
+    val df = Seq(("s", 30L, 50L), ("s", 20L, 50L), ("s", 10L, 50L))
+      .toDF("source", "score", "toks")
+    val r = TrainingMix.budgetCut(df, "source", col("score"), col("toks"), 80L)
+      .collect().head
+    assert(r.getAs[Long]("n_buckets_kept") == 2L)
+    assert(r.getAs[Long]("tokens_kept") == 100L) // boundary bucket whole
+    assert(r.getAs[Long]("cutoff_score") == 20L)
+    assert(r.getAs[Long]("utilization_ppm") == 1250000L) // overshoot visible
+  }
+
+  test("curriculumInterleave round-robins buckets across strata") {
+    // two strata, difficulties 1..4 -> 4 one-value buckets each;
+    // schedule: (b0,a)=0,(b0,b)=1,(b1,a)=2,...
+    val df = (1 to 4).flatMap(d => Seq(("a", d.toLong), ("b", d.toLong)))
+      .toDF("lang", "d")
+    val rows = TrainingMix.curriculumInterleave(df, "lang", col("d"), nBuckets = 4)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("schedule_pos")).toMap
+    assert(rows(("a", 0L)) == 0L && rows(("b", 0L)) == 1L)
+    assert(rows(("a", 1L)) == 2L && rows(("b", 3L)) == 7L)
+  }
 }

@@ -240,6 +240,72 @@ object Inference {
         round(col("surv"), 6).as("survival"))
   }
 
+  /** ECDF score normalization against a REFERENCE population: every
+    * target value is mapped to the fraction of the reference group's
+    * values ≤ it — scoring a new harvest against the trusted corpus'
+    * distribution (the within-group percent_rank of q_quantile_norm
+    * cannot do cross-population scoring). The merged distinct-value
+    * histogram carries reference cumulative counts past target-only
+    * values (the [[ksTestBy]] scan, group × value-domain bounded);
+    * the score is integer parts-per-million — engine-exact. Emitted
+    * at (group, value) grain with the target multiplicity alongside.
+    */
+  def ecdfScore(df: DataFrame, groupCol: String, isRef: Column,
+                v: Column): DataFrame = {
+    val t = df.select(col(groupCol).as("g"), isRef.as("r"), v.cast("long").as("x"))
+    val h = t.groupBy("g", "x").agg(
+      sum(when(col("r"), 1L).otherwise(0L)).as("cr"),
+      sum(when(!col("r"), 1L).otherwise(0L)).as("ct"))
+    val w = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nref = Window.partitionBy("g")
+    h.withColumn("ref_le", sum("cr").over(w))
+      .withColumn("n_ref", sum("cr").over(nref))
+      .filter(col("ct") > 0 && col("n_ref") > 0)
+      .select(col("g").as(groupCol), col("x").as("v"),
+        col("ct").as("n_target"), col("ref_le"), col("n_ref"),
+        expr("(1000000 * ref_le) div n_ref").as("pct_ppm"))
+  }
+
+  /** Nelson-Aalen cumulative-hazard estimator (Nelson 1972; Aalen
+    * 1978) — [[kaplanMeier]]'s additive sibling: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ
+    * with its variance Σ dᵢ/nᵢ², preferred when hazards are the
+    * modeling target (H = −ln S only asymptotically). Identical
+    * duration/risk-set construction and day-grain cumulative window
+    * as kaplanMeier (calendar-bounded, 6dp like the log-sum there —
+    * the summands are exact-integer ratios, the cumulative float sum
+    * carries the same ordering discipline).
+    */
+  def nelsonAalen(df: DataFrame, subjectCol: String, ts: Column,
+                  isEvent: Column): DataFrame = {
+    val t = df.select(col(subjectCol).as("s"), ts.as("ts"), isEvent.as("ev"))
+    val horizon = t.agg(max(unix_millis(col("ts"))).as("h_ms"))
+    val per = t.groupBy("s").agg(
+      min(unix_millis(col("ts"))).as("start_ms"),
+      min(when(col("ev"), unix_millis(col("ts")))).as("ev_ms"))
+    val durs = per.crossJoin(broadcast(horizon)).select(
+      ((coalesce(col("ev_ms"), col("h_ms")) - col("start_ms")) / lit(86400000L))
+        .cast("long").as("t_day"),
+      col("ev_ms").isNotNull.as("observed"))
+    val byDay = durs.groupBy("t_day").agg(
+      sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("observed"), 1L).otherwise(0L)).as("c"))
+    val wCum = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = byDay.agg(sum(col("d") + col("c")).as("n_subj"))
+    byDay.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("n_subj") - (sum(col("d") + col("c")).over(wCum) - col("d") - col("c")))
+      .withColumn("hazard",
+        sum(col("d").cast("double") / col("n_risk").cast("double")).over(wCum))
+      .withColumn("hazard_var",
+        sum(col("d").cast("double") /
+          (col("n_risk") * col("n_risk")).cast("double")).over(wCum))
+      .filter(col("d") > 0)
+      .select(col("t_day"), col("n_risk"), col("d").as("n_event"),
+        col("c").as("n_censor"),
+        round(col("hazard"), 6).as("cum_hazard"),
+        round(col("hazard_var"), 6).as("cum_hazard_var"))
+  }
+
   /** Benjamini–Hochberg FDR gate (Benjamini & Hochberg 1995) over a
     * family of per-group goodness-of-fit tests: each group's 3-category
     * distribution is tested against the corpus-wide mixture (chi²,

@@ -64,6 +64,24 @@ object InferenceQueries {
         col("event_type") === "error")
     },
 
+    // ECDF scoring of the odd-id half of the corpus against the
+    // even-id REFERENCE half's token-count distribution, per language
+    // — cross-population score normalization in integer ppm.
+    "q_ecdf_score" -> { (s, dir) =>
+      Inference.ecdfScore(
+        Tables(s, dir).documents.select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok")),
+        "lang", pmod(col("doc_id"), lit(2)) === 0, col("ntok"))
+    },
+
+    // Nelson-Aalen cumulative hazard — Kaplan-Meier's additive
+    // sibling on the same error-event survival data, with the Aalen
+    // variance alongside.
+    "q_nelson_aalen" -> { (s, dir) =>
+      Inference.nelsonAalen(Tables(s, dir).events, "user_id", col("ts"),
+        col("event_type") === "error")
+    },
+
     // #88 BFS hop levels over the co-purchase part graph (support>=2
     // edges), from the minimum part id, depth-capped at 6; per-level
     // aggregate so the check is a reachability-set compare.
@@ -403,6 +421,45 @@ object InferenceQueries {
         |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, d AS n_event, c AS n_censor,
         |  round(surv, 6) + 0.0 AS survival
         |FROM km WHERE d > 0""".stripMargin,
+    "q_ecdf_score" ->
+      """WITH d AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        |         (doc_id % 2 = 0) AS r FROM documents),
+        |h AS (SELECT lang, x,
+        |        CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |        CAST(sum(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS ct
+        |      FROM d GROUP BY 1, 2),
+        |c AS (SELECT lang, x, ct,
+        |        sum(cr) OVER (PARTITION BY lang ORDER BY x
+        |          ROWS UNBOUNDED PRECEDING) AS ref_le,
+        |        sum(cr) OVER (PARTITION BY lang) AS n_ref
+        |      FROM h)
+        |SELECT lang, x AS v, ct AS n_target, CAST(ref_le AS BIGINT) AS ref_le,
+        |  CAST(n_ref AS BIGINT) AS n_ref,
+        |  (1000000 * ref_le) // n_ref AS pct_ppm
+        |FROM c WHERE ct > 0 AND n_ref > 0""".stripMargin,
+    "q_nelson_aalen" ->
+      """WITH t AS (SELECT user_id AS s, epoch_ms(ts) AS ms,
+        |             event_type = 'error' AS ev FROM events),
+        |h AS (SELECT max(ms) AS h_ms FROM t),
+        |per AS (SELECT s, min(ms) AS start_ms,
+        |          min(CASE WHEN ev THEN ms END) AS ev_ms FROM t GROUP BY s),
+        |durs AS (SELECT (COALESCE(ev_ms, h_ms) - start_ms) // 86400000 AS t_day,
+        |           ev_ms IS NOT NULL AS observed FROM per, h),
+        |byday AS (SELECT t_day,
+        |            CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |            CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |          FROM durs GROUP BY t_day),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_subj FROM byday),
+        |r AS (SELECT t_day, d, c,
+        |        n_subj - (sum(d + c) OVER w - d - c) AS n_risk
+        |      FROM byday, tot WINDOW w AS (ORDER BY t_day)),
+        |na AS (SELECT t_day, d, c, n_risk,
+        |         sum(d::DOUBLE / n_risk::DOUBLE) OVER w AS hz,
+        |         sum(d::DOUBLE / (n_risk * n_risk)::DOUBLE) OVER w AS hv
+        |       FROM r WINDOW w AS (ORDER BY t_day))
+        |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, d AS n_event, c AS n_censor,
+        |  round(hz, 6) + 0.0 AS cum_hazard, round(hv, 6) + 0.0 AS cum_hazard_var
+        |FROM na WHERE d > 0""".stripMargin,
     "q_bfs_levels" ->
       """WITH RECURSIVE bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
         |e0 AS (SELECT x.i AS pa, y.i AS pb FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i

@@ -158,6 +158,47 @@ object Stats {
     (math.log(p1 / p0), math.log((1 - p1) / (1 - p0)),
       math.log((1 - beta) / alpha), math.log(beta / (1 - alpha)))
 
+  /** Wald–Wolfowitz runs test per key (Wald & Wolfowitz 1940): is the
+    * sequence of above/below-average values random, or does it
+    * cluster (trend/regime) or alternate (over-dispersion)?
+    *
+    * Dichotomization is against the GLOBAL mean as an exact integer
+    * cross-product test (v·N > Σv — no float threshold), runs count
+    * from one lag over the per-key (scaling-cardinality) order, and
+    * z = (R − μ)/σ from the closed form μ = 2n₁n₂/n + 1,
+    * σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) — every input an exact long, the
+    * float expression mirrored operation-for-operation in the oracle
+    * so the doubles are bit-identical. Keys with a one-sided or
+    * too-short sequence emit NULL z.
+    */
+  def runsTest(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+               x: Column, minN: Long): DataFrame = {
+    val t = df.select(col(keyCol).as("k"), x.cast("long").as("v"),
+      orderCols.head.as("__o1"),
+      orderCols.tail.headOption.getOrElse(lit(0)).as("__o2"))
+    val tot = t.agg(sum(col("v")).as("sv"), count(lit(1)).as("nv"))
+    val signed = t.crossJoin(broadcast(tot))
+      .withColumn("above", col("v") * col("nv") > col("sv"))
+    val w = Window.partitionBy("k").orderBy(col("__o1"), col("__o2"))
+    val runs = signed
+      .withColumn("prev", lag(col("above"), 1).over(w))
+      .groupBy(col("k").as(keyCol))
+      .agg(
+        sum(when(col("above"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("above"), 1L).otherwise(0L)).as("n2"),
+        (sum(when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+          .otherwise(0L))).as("runs"))
+    val n = col("n1") + col("n2")
+    val num = lit(2L) * col("n1") * col("n2")
+    val mu = num.cast("double") / n.cast("double") + lit(1.0)
+    val variance = num.cast("double") * (num - n).cast("double") /
+      (n * n * (n - 1)).cast("double")
+    runs.filter(n >= minN)
+      .withColumn("z_runs",
+        when(col("n1") > 0 && col("n2") > 0 && variance > 0,
+          (col("runs").cast("double") - mu) / sqrt(variance)))
+  }
+
   /** Per-group Spearman rank correlation (Spearman 1904).
     *
     * Tie-averaged fractional ranks kept EXACT by working in half-rank

@@ -162,6 +162,17 @@ object StatsQueries {
         p0 = 0.18, p1 = 0.22, alpha = 0.05, beta = 0.2)
     },
 
+    // Wald–Wolfowitz runs test per user: does the above/below-mean
+    // sign sequence cluster or alternate? Integer dichotomization
+    // (v·N > Σv), closed-form z mirrored op-for-op.
+    "q_runs_test" -> { (s, dir) =>
+      Stats.runsTest(
+        Tables(s, dir).events.select(col("user_id"),
+          col("ts").cast("long").as("sec"), col("event_id"),
+          round(col("value") * 100).cast("long").as("c")),
+        "user_id", Seq(col("sec"), col("event_id")), col("c"), minN = 20L)
+    },
+
     // Functional-dependency violation screen (Potter's Wheel / Deequ
     // style): which candidate key→attribute dependencies actually
     // hold, with ppm violation rates — integer end to end.
@@ -817,6 +828,27 @@ object StatsQueries {
          |       ELSE 'continue' END AS decision
          |FROM l""".stripMargin
     },
+    "q_runs_test" ->
+      """WITH t AS (SELECT user_id AS k, CAST(round(value*100) AS BIGINT) AS v,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS o1, event_id AS o2 FROM events),
+        |tot AS (SELECT CAST(sum(v) AS BIGINT) AS sv, CAST(count(*) AS BIGINT) AS nv FROM t),
+        |s AS (SELECT k, (v * nv > sv) AS above, o1, o2 FROM t, tot),
+        |l AS (SELECT k, above, lag(above) OVER (PARTITION BY k ORDER BY o1, o2) AS prev FROM s),
+        |r AS (SELECT k AS user_id,
+        |        CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+        |        CAST(sum(CASE WHEN prev IS NULL OR prev <> above THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        |      FROM l GROUP BY k)
+        |SELECT user_id, n1, n2, runs,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND
+        |       CAST(2*n1*n2 AS DOUBLE) * CAST(2*n1*n2 - (n1+n2) AS DOUBLE)
+        |         / CAST((n1+n2)*(n1+n2)*(n1+n2-1) AS DOUBLE) > 0
+        |     THEN (CAST(runs AS DOUBLE)
+        |            - (CAST(2*n1*n2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE) + 1.0))
+        |          / sqrt(CAST(2*n1*n2 AS DOUBLE) * CAST(2*n1*n2 - (n1+n2) AS DOUBLE)
+        |               / CAST((n1+n2)*(n1+n2)*(n1+n2-1) AS DOUBLE))
+        |  END AS z_runs
+        |FROM r WHERE n1 + n2 >= 20""".stripMargin,
     "q_fd_profile" ->
       """WITH a AS (SELECT l_orderkey AS k, count(DISTINCT l_suppkey) AS nd FROM lineitem GROUP BY 1),
         |b AS (SELECT l_partkey AS k, count(DISTINCT l_suppkey) AS nd FROM lineitem GROUP BY 1),

@@ -396,6 +396,31 @@ class InferenceSpec extends SparkSpec {
     assert(r1.getAs[Long]("n1") == 10L && r1.getAs[Long]("n2") == 10L)
   }
 
+  test("ecdfScore maps target values to the reference ECDF in exact ppm") {
+    // reference values {10, 20, 30}; target value 25 -> 2/3 of refs <= it.
+    val df = Seq(("g", true, 10L), ("g", true, 20L), ("g", true, 30L),
+      ("g", false, 25L)).toDF("g", "r", "x")
+    val row = Inference.ecdfScore(df, "g", col("r"), col("x")).collect()
+      .filter(_.getAs[Long]("v") == 25L).head
+    assert(row.getAs[Long]("ref_le") == 2L && row.getAs[Long]("n_ref") == 3L)
+    assert(row.getAs[Long]("pct_ppm") == 666666L)
+  }
+
+  test("nelsonAalen: uncensored single-day failures give H = d/n exactly") {
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    // 4 subjects start day 0; subjects 1,2 fail day 1 (H += 2/4),
+    // subject 3 fails day 2 (H += 1/2); subject 4 survives to horizon.
+    val rows = Seq(
+      (1L, ts(0), false), (2L, ts(0), false), (3L, ts(0), false), (4L, ts(0), false),
+      (1L, ts(1), true), (2L, ts(1), true), (3L, ts(2), true), (4L, ts(2), false))
+      .toDF("s", "ts", "ev")
+    val m = Inference.nelsonAalen(rows, "s", col("ts"), col("ev")).collect()
+      .map(r => r.getAs[Long]("t_day") -> r.getAs[Double]("cum_hazard")).toMap
+    assert(m(1L) == 0.5)    // 2/4
+    assert(m(2L) == 1.0)    // 0.5 + 1/2
+  }
+
   test("hits: integer walk counts on a tiny bipartite graph, normalized once") {
     // u1→{v1,v2}, u2→{v1}. Round 1: h=(2,1), a=(3,2).
     // Round 2: h(u1)=a(v1)+a(v2)=5, h(u2)=a(v1)=3; a(v1)=5+3=8, a(v2)=5.

@@ -453,6 +453,20 @@ class StatsSpec extends SparkSpec {
     assert(m("bad") == ((1L, 500000L))) // key 1 maps to {100,200}
   }
 
+  test("runsTest: alternating sequence scores positive z, clustered negative") {
+    import graft.operators.Stats
+    // 24 values alternating far above/below the global mean -> 24
+    // runs (max possible); clustered 12+12 -> 2 runs.
+    val alt = (0 until 24).map(i => ("alt", i.toLong, if (i % 2 == 0) 100L else 0L))
+    val clus = (0 until 24).map(i => ("clus", i.toLong, if (i < 12) 100L else 0L))
+    val df = (alt ++ clus).toDF("k", "o", "v")
+    val m = Stats.runsTest(df, "k", Seq(col("o"), lit(0)), col("v"), minN = 10L)
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("runs"), r.getAs[Double]("z_runs"))).toMap
+    assert(m("alt")._1 == 24L && m("alt")._2 > 3)
+    assert(m("clus")._1 == 2L && m("clus")._2 < -3)
+  }
+
   test("funnelWindowed: a stage outside the gap window breaks the chain") {
     import graft.operators.TimeSeries
     import java.sql.Timestamp

@@ -152,18 +152,24 @@ object Signal {
       .agg(min(col("slot")).as("s0"), max(col("slot")).as("s1"))
       .select(col("key"),
         explode(sequence(col("s0"), col("s1"), lit(stepSeconds))).as("slot"))
+    // BOTH lookaround directions as RUNNING frames: Spark evaluates
+    // (unboundedPreceding → currentRow) incrementally in O(n), while
+    // a (currentRow → unboundedFollowing) frame rescans the remainder
+    // per row — O(n²) per key (measured 31 s at sf0.1 before this
+    // rewrite, 10.5M grid rows). "Next observation" is therefore the
+    // running last over the DESCENDING slot order.
     val back = Window.partitionBy("key").orderBy("slot")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy("key").orderBy("slot")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val fwdAsc = Window.partitionBy("key").orderBy(col("slot").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val j = grid.join(slotAgg, Seq("key", "slot"), "left")
       .withColumn("os", when(col("sc").isNotNull, col("slot")))
       .withColumn("psc", last(col("sc"), ignoreNulls = true).over(back))
       .withColumn("pcn", last(col("cn"), ignoreNulls = true).over(back))
       .withColumn("ps", last(col("os"), ignoreNulls = true).over(back))
-      .withColumn("nsc", first(col("sc"), ignoreNulls = true).over(fwd))
-      .withColumn("ncn", first(col("cn"), ignoreNulls = true).over(fwd))
-      .withColumn("ns", first(col("os"), ignoreNulls = true).over(fwd))
+      .withColumn("nsc", last(col("sc"), ignoreNulls = true).over(fwdAsc))
+      .withColumn("ncn", last(col("cn"), ignoreNulls = true).over(fwdAsc))
+      .withColumn("ns", last(col("os"), ignoreNulls = true).over(fwdAsc))
     // exact-integer cross-multiplied lerp:
     //   v = (psc·ncn·(ns−slot) + nsc·pcn·(slot−ps)) / (pcn·ncn·(ns−ps)·100)
     def dl(c: Column): Column = c.cast(d38)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsQueries, CoreQueries, CurationQueries, DistillerQueries, DomainQueries, InferenceQueries, LlmQueries, PipelineQueries, RetrievalQueries, ScaleQueries, SignalQueries, StatsQueries, TrainingQueries}
+import graft.operators.{AnalyticsQueries, CoreQueries, CurationQueries, DistillerQueries, DomainQueries, EconQueries, InferenceQueries, LlmQueries, PipelineQueries, RetrievalQueries, ScaleQueries, SignalQueries, StatsQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,7 +16,7 @@ object SparkEntry {
     CoreQueries.queries ++ DomainQueries.queries ++ LlmQueries.queries ++
       PipelineQueries.queries ++ AnalyticsQueries.queries ++ DistillerQueries.queries ++
       CurationQueries.queries ++ TrainingQueries.queries ++ ScaleQueries.queries ++
-      StatsQueries.queries ++ RetrievalQueries.queries ++ InferenceQueries.queries ++ SignalQueries.queries
+      StatsQueries.queries ++ RetrievalQueries.queries ++ InferenceQueries.queries ++ SignalQueries.queries ++ EconQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -25,5 +25,5 @@ object SparkEntry {
     CoreQueries.oracles ++ DomainQueries.oracles ++ LlmQueries.oracles ++
       PipelineQueries.oracles ++ AnalyticsQueries.oracles ++ DistillerQueries.oracles ++
       CurationQueries.oracles ++ TrainingQueries.oracles ++ ScaleQueries.oracles ++
-      StatsQueries.oracles ++ RetrievalQueries.oracles ++ InferenceQueries.oracles ++ SignalQueries.oracles
+      StatsQueries.oracles ++ RetrievalQueries.oracles ++ InferenceQueries.oracles ++ SignalQueries.oracles ++ EconQueries.oracles
 }

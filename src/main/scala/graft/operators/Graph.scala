@@ -850,6 +850,36 @@ object Graph {
         col("pearson_r").as("assortativity"))
   }
 
+  /** Katz centrality (Katz 1953) as EXACT attenuated path counts over
+    * the symmetrized simple graph: with α = 1/8 and 3 terms,
+    * 512·Σₖ αᵏ·cₖ(v) = 64·c₁ + 8·c₂ + c₃ where cₖ(v) is the number of
+    * length-k walks ending at v — so the whole statistic stays in long
+    * integers (no float fixpoint, no convergence question, and the
+    * oracle is three unrolled joins).
+    *
+    * Scale shape: edges dedupe once and are the only corpus-sized
+    * table; each of the two propagation rounds is one join + one
+    * node-grain aggregate (counts move, never neighbor lists).
+    */
+  def katzPaths(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .union(edges.select(col(dst).cast("long").as("src"), col(src).cast("long").as("dst")))
+      .distinct()
+    val c1 = e.groupBy("dst").agg(count(lit(1)).as("c1"))
+      .withColumnRenamed("dst", "id")
+    def step(prev: DataFrame, prevC: String, cn: String): DataFrame =
+      e.join(prev.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst").agg(sum(prevC).as(cn))
+        .withColumnRenamed("dst", "id")
+    val c2 = step(c1, "c1", "c2")
+    val c3 = step(c2, "c2", "c3")
+    c1.join(c2, Seq("id"), "left").join(c3, Seq("id"), "left")
+      .select(col("id"), col("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"),
+        coalesce(col("c3"), lit(0L)).as("c3"))
+      .withColumn("katz512", col("c1") * 64 + col("c2") * 8 + col("c3"))
+  }
+
   /** Small-star: orient each edge high→low, then link every smaller
     * neighbor (and u itself) to the minimum seen.
     */

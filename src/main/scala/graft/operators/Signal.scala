@@ -191,4 +191,63 @@ object Signal {
       (num.cast("double") / den.cast("double")).as("v_interp"),
       col("sc").isNull.as("is_gap"))
   }
+
+  /** Gaps-and-islands consecutive-day streaks per actor: distinct
+    * active days collapse into runs via the classic day − row_number
+    * island key, then one row per actor carries the activity ledger
+    * (active days, streak count, longest streak, earliest start of a
+    * longest streak).
+    *
+    * Scale shape: the only window partitions by the ACTOR — key
+    * cardinality grows with the data, partition size is bounded by
+    * one actor's active days. The longest-streak start resolves with
+    * an actor-keyed self-join at island grain (no second window), so
+    * everything after the distinct is co-partitioned on actor.
+    */
+  def activeStreaks(df: DataFrame, actorCol: String, ts: Column): DataFrame = {
+    val days = df.select(col(actorCol).as("actor"),
+        floor(ts.cast("long") / 86400L).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy("actor").orderBy("day")
+    val islands = days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("actor", "island")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    val per = islands.groupBy("actor").agg(
+      sum("len").as("n_active_days"),
+      count(lit(1)).as("n_streaks"),
+      max("len").as("max_streak"))
+    per.join(islands, Seq("actor"))
+      .filter(col("len") === col("max_streak"))
+      .groupBy("actor", "n_active_days", "n_streaks", "max_streak")
+      .agg(min("start_day").as("best_start_day"))
+  }
+
+  /** Per-series maximum drawdown over a cumulative integer-cent sum:
+    * running total, running peak, peak − current, max. The classic
+    * peak-to-trough risk statistic, exact end to end (cent sums are
+    * longs; no floats anywhere).
+    *
+    * Scale shape: one window per SERIES key (caller supplies a
+    * compound key whose cardinality grows with the data — e.g.
+    * (event_type, user_id), never a low-cardinality pin), explicit
+    * ROWS running frames (incremental, never the O(n²)
+    * unboundedFollowing rescan), then a series-grain aggregate.
+    */
+  def maxDrawdown(df: DataFrame, seriesCols: Seq[String], ts: Column,
+                  cents: Column, tieBreak: Column): DataFrame = {
+    val keys = seriesCols.map(col)
+    val base = df.select(keys :+ ts.cast("long").as("t") :+ tieBreak.as("tb") :+
+      cents.as("c"): _*)
+    val run = Window.partitionBy(keys: _*).orderBy(col("t"), col("tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base
+      .withColumn("cum", sum("c").over(run))
+      .withColumn("peak", max("cum").over(run))
+    cum.groupBy(seriesCols.head, seriesCols.tail: _*)
+      .agg(
+        count(lit(1)).as("n_obs"),
+        max(col("peak") - col("cum")).as("max_dd_c"),
+        max("peak").as("peak_c"))
+  }
 }

@@ -1179,4 +1179,258 @@ object Stats {
       round((col("sy") - b1 * col("sa") - b2 * col("sb")) / n, 6).as("intercept"),
       round((b1 * ay + b2 * by) / yy, 6).as("r2"))
   }
+
+  /** Durbin-Watson first-order residual autocorrelation per group
+    * (Durbin & Watson 1950) on an integer (x, y) series ordered by x.
+    *
+    * Exactness: residual differences never materialize — with
+    * e_t − e_{t−1} = Δy − b·Δx, both DW terms expand over EXACT sums
+    * (ΣΔy², ΣΔyΔx, ΣΔx² from one lag window; the OLS five from the
+    * same aggregation), and the statistic is one double closed form.
+    * Scale: the lag window partitions by group at whatever grain the
+    * caller aggregated to (day-grain series stay calendar-bounded).
+    */
+  def durbinWatson(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
+    def d(c: Column) = c.cast("decimal(19,0)")
+    val ord = Window.partitionBy("g").orderBy("x")
+    val base = df.select(col(groupCol).as("g"), x.as("x"), y.as("y"))
+      .withColumn("dx", col("x") - lag("x", 1).over(ord))
+      .withColumn("dy", col("y") - lag("y", 1).over(ord))
+    val agg = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+      sum(d(col("x")) * d(col("x"))).cast("double").as("sxx"),
+      sum(d(col("x")) * d(col("y"))).cast("double").as("sxy"),
+      sum(d(col("y")) * d(col("y"))).cast("double").as("syy"),
+      sum(d(col("dy")) * d(col("dy"))).cast("double").as("sdd"),
+      sum(d(col("dy")) * d(col("dx"))).cast("double").as("sdx"),
+      sum(d(col("dx")) * d(col("dx"))).cast("double").as("sxx2"))
+    val n = col("n").cast("double")
+    val b = (col("sxy") * n - col("sx") * col("sy")) /
+      (col("sxx") * n - col("sx") * col("sx"))
+    val num = col("sdd") - lit(2.0) * b * col("sdx") + b * b * col("sxx2")
+    val den = (col("syy") - col("sy") * col("sy") / n) -
+      b * (col("sxy") - col("sx") * col("sy") / n)
+    agg.select(col("g").as(groupCol), col("n"),
+      round(b, 6).as("slope"), round(num / den, 6).as("dw"))
+  }
+
+  /** Chow structural-break F test (Chow 1960): did the regression
+    * y ~ x change at x = breakX? Per-segment and pooled SSR from the
+    * same one-pass conditional sums; F = ((SSRp − SSR1 − SSR2)/k) /
+    * ((SSR1+SSR2)/(n−2k)) with k = 2 parameters.
+    *
+    * One aggregation at (group, segment) grain plus a group-grain
+    * pooled pass — map-side combine does all the work; the SSR closed
+    * form is written once and applied to all three sum rows so both
+    * engines evaluate the identical expression tree.
+    */
+  def chowTest(df: DataFrame, groupCol: String, x: Column, y: Column,
+               breakX: Long): DataFrame = {
+    def d(c: Column) = c.cast("decimal(19,0)")
+    val seg = df.select(col(groupCol).as("g"), x.as("x"), y.as("y"))
+      .withColumn("seg", (col("x") < breakX).cast("int"))
+    def sums(in: DataFrame, by: Seq[String]): DataFrame =
+      in.groupBy(by.map(col): _*).agg(
+        count(lit(1)).as("n"),
+        sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+        sum(d(col("x")) * d(col("x"))).cast("double").as("sxx"),
+        sum(d(col("x")) * d(col("y"))).cast("double").as("sxy"),
+        sum(d(col("y")) * d(col("y"))).cast("double").as("syy"))
+    def ssr: Column = {
+      val n = col("n").cast("double")
+      (col("syy") - col("sy") * col("sy") / n) -
+        ((col("sxy") * n - col("sx") * col("sy")) /
+          (col("sxx") * n - col("sx") * col("sx"))) *
+        (col("sxy") - col("sx") * col("sy") / n)
+    }
+    val perSeg = sums(seg, Seq("g", "seg")).withColumn("ssr", ssr)
+      .groupBy("g").agg(
+        sum(when(col("seg") === 1, col("ssr"))).as("ssr1"),
+        sum(when(col("seg") === 0, col("ssr"))).as("ssr2"),
+        sum(when(col("seg") === 1, col("n"))).as("n1"),
+        sum(when(col("seg") === 0, col("n"))).as("n2"))
+    val pooled = sums(seg, Seq("g")).withColumn("ssr_p", ssr)
+      .select(col("g"), col("n"), col("ssr_p"))
+    val f = ((col("ssr_p") - (col("ssr1") + col("ssr2"))) / lit(2.0)) /
+      ((col("ssr1") + col("ssr2")) / (col("n").cast("double") - lit(4.0)))
+    pooled.join(perSeg, "g").select(
+      col("g").as(groupCol), col("n"), col("n1"), col("n2"),
+      round(f, 6).as("f_chow"))
+  }
+
+  /** Lag-1 Granger causality (Granger 1969): does x's yesterday help
+    * predict y's today beyond y's own yesterday? Restricted
+    * (y ~ y₋₁) vs unrestricted (y ~ y₋₁ + x₋₁) SSR from the ols2
+    * normal-equation moments; F = (SSR_r − SSR_u)/(SSR_u/(n−3)).
+    *
+    * The caller supplies the aligned series rows (one per (group,
+    * t) with both y and x); lags ride one group-partitioned window.
+    */
+  def grangerLag1(df: DataFrame, groupCol: String, t: Column, y: Column,
+                  xv: Column): DataFrame = {
+    def d(c: Column) = c.cast("decimal(19,0)")
+    val ord = Window.partitionBy("g").orderBy("t")
+    val base = df.select(col(groupCol).as("g"), t.as("t"), y.as("y"), xv.as("xv"))
+      .withColumn("yl", lag("y", 1).over(ord))
+      .withColumn("xl", lag("xv", 1).over(ord))
+      .filter(col("yl").isNotNull && col("xl").isNotNull)
+    val agg = base.groupBy("g").agg(
+      count(lit(1)).as("n"),
+      sum("yl").cast("double").as("sa"), sum("xl").cast("double").as("sb"),
+      sum("y").cast("double").as("sy"),
+      sum(d(col("yl")) * d(col("yl"))).cast("double").as("saa"),
+      sum(d(col("xl")) * d(col("xl"))).cast("double").as("sbb"),
+      sum(d(col("yl")) * d(col("xl"))).cast("double").as("sab"),
+      sum(d(col("yl")) * d(col("y"))).cast("double").as("say"),
+      sum(d(col("xl")) * d(col("y"))).cast("double").as("sby"),
+      sum(d(col("y")) * d(col("y"))).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val aa = col("saa") - col("sa") * col("sa") / n
+    val bb = col("sbb") - col("sb") * col("sb") / n
+    val ab = col("sab") - col("sa") * col("sb") / n
+    val ay = col("say") - col("sa") * col("sy") / n
+    val by = col("sby") - col("sb") * col("sy") / n
+    val yy = col("syy") - col("sy") * col("sy") / n
+    val ssrR = yy - (ay * ay) / aa
+    val det = aa * bb - ab * ab
+    val b1 = (ay * bb - by * ab) / det
+    val b2 = (by * aa - ay * ab) / det
+    val ssrU = yy - (b1 * ay + b2 * by)
+    val f = (ssrR - ssrU) / (ssrU / (n - lit(3.0)))
+    // RAW doubles: the SSRs are large-magnitude, so rounding would
+    // reintroduce the engines' divergent half-way conventions — the
+    // operands are exact, so the closed forms are already bit-equal.
+    agg.select(col("g").as(groupCol), col("n"),
+      ssrR.as("ssr_restricted"),
+      ssrU.as("ssr_unrestricted"),
+      f.as("f_granger"))
+  }
+
+  /** Cronbach's alpha internal-consistency reliability (Cronbach
+    * 1951) of integer-valued items over complete blocks:
+    * α = k/(k−1) · (1 − Σvarᵢ/var_total). Since every variance shares
+    * the same n, the ratio reduces to exact integer terms
+    * Σᵢ(n·Σvᵢ² − (Σvᵢ)²) over (n·ΣT² − (ΣT)²) — one double division
+    * at the end.
+    */
+  def cronbachAlpha(df: DataFrame, itemCol: String, blockCol: String,
+                    v: Column): DataFrame = {
+    def d(c: Column) = c.cast("decimal(19,0)")
+    val cell = df.select(col(itemCol).as("item"), col(blockCol).as("blk"), v.as("v"))
+    val kdf = cell.agg(countDistinct(col("item")).as("k"))
+    val sized = cell.groupBy("blk").agg(count(lit(1)).as("ci"))
+    val complete = cell.join(sized, "blk").crossJoin(kdf)
+      .filter(col("ci") === col("k"))
+    val items = complete.groupBy("item").agg(
+      count(lit(1)).as("nb"), sum("v").as("si"),
+      sum(d(col("v")) * d(col("v"))).as("sii"))
+    val num = items.agg(
+      max("nb").as("nb"),
+      sum(col("nb").cast("decimal(10,0)") * col("sii") -
+        d(col("si")) * d(col("si"))).as("num"),
+      count(lit(1)).as("k"))
+    val blocks = complete.groupBy("blk").agg(sum("v").as("tt"))
+    val den = blocks.agg(
+      sum("tt").as("st"),
+      sum(d(col("tt")) * d(col("tt"))).as("stt"))
+    val denom = (col("nb").cast("decimal(10,0)") * col("stt") -
+      d(col("st")) * d(col("st"))).cast("double")
+    val alpha = (col("k").cast("double") / (col("k") - 1).cast("double")) *
+      (lit(1.0) - col("num").cast("double") / denom)
+    num.crossJoin(den).select(
+      col("k"), col("nb").as("n_blocks"), round(alpha, 6).as("alpha"))
+  }
+
+  /** Cochran-Armitage trend-in-proportions test (Cochran 1954;
+    * Armitage 1955): is the case rate monotone in an ordered integer
+    * dose? Z² = N(N·Σwr − R·Σwn)² / (R(N−R)(N·Σw²n − (Σwn)²)) —
+    * a dose-histogram aggregation; every product stays exact in
+    * DECIMAL(38,0) ≡ HUGEINT and only the final ratio is double.
+    */
+  def cochranArmitage(df: DataFrame, dose: Column, isCase: Column): DataFrame = {
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val h = df.select(dose.cast("long").as("w"), isCase.cast("long").as("r"))
+      .groupBy("w").agg(count(lit(1)).as("ni"), sum("r").as("ri"))
+    val tot = h.agg(
+      sum("ni").as("nn"), sum("ri").as("rr"),
+      sum(col("w") * col("ni")).as("swn"),
+      sum(col("w") * col("ri")).as("swr"),
+      sum(col("w") * col("w") * col("ni")).as("sw2n"))
+    val dcol = d38(col("nn")) * d38(col("swr")) - d38(col("rr")) * d38(col("swn"))
+    val den = d38(col("rr")) * d38(col("nn") - col("rr")) *
+      (d38(col("nn")) * d38(col("sw2n")) - d38(col("swn")) * d38(col("swn")))
+    val z2 = col("nn").cast("double") * (dcol * dcol).cast("double") / den.cast("double")
+    tot.select(col("nn").as("n"), col("rr").as("n_cases"),
+      dcol.cast("long").as("trend_num"), round(z2, 6).as("z2_trend"))
+  }
+
+  /** Friedman rank test for k treatments over complete blocks
+    * (Friedman 1937), tie-averaged ranks kept exact in half-rank
+    * units: Q = 3·ΣR₂ⱼ²/(n·k·(k+1)) − 3·n·(k+1) with R₂ⱼ = 2·ΣRⱼ.
+    * The rank window partitions by BLOCK (k rows each — perfectly
+    * bounded); the cross-treatment Q is a k-row aggregate broadcast
+    * back onto the per-treatment rows.
+    */
+  def friedmanTest(df: DataFrame, itemCol: String, blockCol: String,
+                   v: Column): DataFrame = {
+    def d(c: Column) = c.cast("decimal(19,0)")
+    val cell = df.select(col(itemCol).as("item"), col(blockCol).as("blk"), v.as("v"))
+    val kdf = cell.agg(countDistinct(col("item")).as("k"))
+    val sized = cell.groupBy("blk").agg(count(lit(1)).as("ci"))
+    val complete = cell.join(sized, "blk").crossJoin(kdf)
+      .filter(col("ci") === col("k"))
+    val ranked = complete.withColumn("r2",
+      rank().over(Window.partitionBy("blk").orderBy("v")).cast("long") * 2 +
+        count(lit(1)).over(Window.partitionBy("blk", "v")) - 1)
+    val items = ranked.groupBy("item").agg(
+      sum("r2").as("r2sum"), count(lit(1)).as("nb"), max("k").as("k"))
+    val s = items.agg(
+      sum(d(col("r2sum")) * d(col("r2sum"))).as("ss"),
+      max("nb").as("nb"), max("k").as("k"))
+    val nD = col("nb").cast("double")
+    val kD = col("k").cast("double")
+    val q = lit(3.0) * col("ss").cast("double") / (nD * kD * (kD + lit(1.0))) -
+      lit(3.0) * nD * (kD + lit(1.0))
+    items.select(col("item"), col("nb").as("n_blocks"), col("r2sum"))
+      .crossJoin(s.select(round(q, 6).as("q_friedman")))
+      .withColumn("mean_rank",
+        round(col("r2sum").cast("double") / (col("n_blocks") * 2).cast("double"), 6))
+  }
+
+  /** Single-pass fixed-bound equi-width histogram quantiles: the
+    * 100 TB shape for approximate percentiles — one map-side-combined
+    * (group, bin) histogram, a 256-row-per-group cumulative walk, and
+    * the quantile is the lower edge of the first bin whose cumulative
+    * count reaches ⌈p·n⌉. Entirely integer-exact (bin indices and
+    * edges are longs; ⌈a·n/b⌉ = ⌊(a·n + b − 1)/b⌋, and every
+    * intermediate stays < 2⁵³ so the floor-of-double-division is
+    * engine-exact).
+    */
+  def histoQuantiles(df: DataFrame, groupCol: String, v: Column,
+                     lo: Long, hi: Long, bins: Int): DataFrame = {
+    val bin = least(greatest(
+      floor((v - lit(lo)).cast("double") * lit(bins.toDouble) / lit((hi - lo).toDouble)),
+      lit(0.0)), lit((bins - 1).toDouble)).cast("long")
+    val h = df.select(col(groupCol).as("g"), bin.as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum("cnt").over(wc))
+      .withColumn("ntot", sum("cnt").over(Window.partitionBy("g")))
+    def target(a: Int, bq: Int): Column =
+      floor((col("ntot") * a + (bq - 1)).cast("double") / lit(bq.toDouble))
+    def edge(bcol: Column): Column =
+      (lit(lo) + floor(bcol.cast("double") * lit((hi - lo).toDouble) / lit(bins.toDouble)))
+        .cast("long")
+    cum.groupBy("g").agg(
+      max("ntot").as("n"),
+      min(when(col("cum") >= target(1, 2), col("b"))).as("b50"),
+      min(when(col("cum") >= target(9, 10), col("b"))).as("b90"),
+      min(when(col("cum") >= target(99, 100), col("b"))).as("b99"))
+      .select(col("g").as(groupCol), col("n"),
+        edge(col("b50")).as("p50_lo_c"),
+        edge(col("b90")).as("p90_lo_c"),
+        edge(col("b99")).as("p99_lo_c"))
+  }
 }

@@ -862,17 +862,29 @@ object Graph {
     * node-grain aggregate (counts move, never neighbor lists).
     */
   def katzPaths(edges: DataFrame, src: String, dst: String): DataFrame = {
+    // Materialize the deduped symmetric edge set ONCE (it feeds c1 and
+    // both propagation joins — left lazy, the whole union+distinct
+    // lineage re-executes per consumer and the sf3 ladder measured the
+    // recomputation as a 6.9x step), partitioned on src so both
+    // propagation joins reuse the same exchange. The cₖ frames are
+    // node-grain; checkpointing them keeps each round's DAG one join
+    // deep, the pageRank discipline.
     val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .union(edges.select(col(dst).cast("long").as("src"), col(src).cast("long").as("dst")))
       .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
     val c1 = e.groupBy("dst").agg(count(lit(1)).as("c1"))
       .withColumnRenamed("dst", "id")
+      .localCheckpoint(true)
     def step(prev: DataFrame, prevC: String, cn: String): DataFrame =
       e.join(prev.withColumnRenamed("id", "src"), "src")
         .groupBy("dst").agg(sum(prevC).as(cn))
         .withColumnRenamed("dst", "id")
+        .localCheckpoint(true)
     val c2 = step(c1, "c1", "c2")
     val c3 = step(c2, "c2", "c3")
+    releaseCheckpoint(e)
     c1.join(c2, Seq("id"), "left").join(c3, Seq("id"), "left")
       .select(col("id"), col("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"),

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.{SyntheticDocs, SyntheticDocsStream}
+
+/** The streaming rung of the DSv2 connector ladder
+  * (sources/SyntheticDocsStream.scala): deterministic micro-batch
+  * offsets, replayable partitions, resume-without-re-emission, and
+  * column pruning on the streaming scan.
+  *
+  * planInputPartitions is invoked several times per micro-batch
+  * (planning + per-job re-planning), so interval assertions compare
+  * the DISTINCT planned sequence; the resume test uses a parquet sink
+  * because the memory sink does not support checkpoint recovery.
+  */
+class StreamingSourceSpec extends SparkSpec {
+
+  private def stream(rows: Int, rowsPerBatch: Int) =
+    spark.readStream.format("graft.sources.SyntheticDocsStream")
+      .option("rows", rows.toLong).option("rowsPerBatch", rowsPerBatch.toLong)
+      .option("partitions", 3).load()
+
+  private def plannedDistinct: Seq[(Long, Long)] =
+    SyntheticDocsStream.plannedBatches.asScala.toSeq.filter(p => p._2 > p._1).distinct
+
+  test("micro-batch source drains deterministically in rowsPerBatch steps") {
+    SyntheticDocsStream.plannedBatches.clear()
+    SyntheticDocsStream.committedOffsets.clear()
+    val q = stream(rows = 250, rowsPerBatch = 100)
+      .writeStream.format("memory").queryName("synth_stream_all").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val rows = spark.table("synth_stream_all").collect()
+    assert(rows.length == 250)
+    val ids = rows.map(_.getAs[Long]("doc_id")).sorted
+    assert(ids.head == 0L && ids.last == 249L && ids.distinct.length == 250)
+    // replayable content: rows are pure functions of doc_id
+    val r7 = rows.find(_.getAs[Long]("doc_id") == 7L).get
+    assert(r7.getAs[String]("text") == SyntheticDocs.textOf(7L))
+    assert(r7.getAs[String]("source") == SyntheticDocs.sourceOf(7L))
+    // exact batch ladder from admission control: 100 + 100 + 50
+    assert(plannedDistinct == Seq((0L, 100L), (100L, 200L), (200L, 250L)))
+    // commits trail by one trigger (batch N commits when N+1 starts),
+    // so the final 250 may still be pending when the query stops
+    assert(SyntheticDocsStream.committedOffsets.asScala.toSeq
+      .containsSlice(Seq(100L, 200L)))
+  }
+
+  test("restart resumes from the checkpointed offset without re-emission") {
+    val ckpt = Files.createTempDirectory("synthstream_resume").toString
+    val out = Files.createTempDirectory("synthstream_out").toString
+    def run(rows: Int): Unit = {
+      val q = stream(rows, rowsPerBatch = 100)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(200)
+    assert(spark.read.parquet(out).count() == 200)
+
+    SyntheticDocsStream.plannedBatches.clear()
+    // more data appears (rows grows 200 -> 300); same checkpoint
+    run(300)
+    assert(plannedDistinct == Seq((200L, 300L)),
+      s"re-planned already-committed data: $plannedDistinct")
+    val ids = spark.read.parquet(out).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(ids.length == 300 && ids.distinct.length == 300 && ids.last == 299L)
+  }
+
+  test("projection applies downstream of the streaming scan (no pushdown in micro-batch)") {
+    // Engine behavior pinned: Spark does NOT run operator pushdown
+    // (column pruning / filters) against MICRO-BATCH streaming scans —
+    // the scan always reads the full schema and the projection is
+    // applied as a post-scan operator. A production connector must
+    // therefore keep its streaming read path cheap for unrequested
+    // columns (or offer a schema option); the batch path of this same
+    // generator (SourcesSpec) gets real pruneColumns calls.
+    val q = stream(rows = 50, rowsPerBatch = 50).select("doc_id")
+      .writeStream.format("memory").queryName("synth_prune").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("synth_prune").columns.toSeq == Seq("doc_id"))
+    assert(SyntheticDocsStream.lastStreamReadSchema.fieldNames.toSeq ==
+      Seq("doc_id", "source", "n_chars", "text"))
+  }
+}

@@ -78,6 +78,42 @@ object DataOps {
         round(sum(abs(acc - cAvg) * col("n")).over(w) / sum(col("n")).over(w), 6).as("ece"))
   }
 
+  /** Murphy (1973) decomposition of the Brier score over the same
+    * binning as [[reliabilityDiagram]]: BS ≈ REL − RES + UNC, with
+    * REL = Σ_b n_b(p̄_b−ȳ_b)²/N (miscalibration — lower is better),
+    * RES = Σ_b n_b(ȳ_b−ȳ)²/N (discrimination — HIGHER is better) and
+    * UNC = ȳ(1−ȳ) the label entropy no forecaster can beat. The exact
+    * (unbinned) Brier Σ(c−y)²/N is emitted alongside so the binning
+    * residual is visible. One row out; bin-grain sums only (per-bin
+    * n/Σc/Σy/Σc²/Σcy), so nothing row-grain crosses the final fold.
+    */
+  def brierDecomposition(df: DataFrame, conf: Column, label: Column, bins: Int): DataFrame = {
+    val per = df
+      .select(least(floor(conf * bins), lit(bins - 1)).cast("int").as("bin"),
+        conf.as("c"), label.cast("int").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"), sum(col("y")).as("sy"),
+        sum(col("c") * col("c")).as("scc"), sum(col("c") * col("y")).as("scy"))
+    val g = per.agg(sum("n").as("nn"), sum("sy").as("syt"))
+    val nD = col("nn").cast("double")
+    val ybar = col("syt").cast("double") / nD
+    per.crossJoin(broadcast(g))
+      .agg(max("nn").as("n_rows_tmp"),
+        sum((col("sc") - col("sy")) * (col("sc") - col("sy")) / col("n")).as("rel_num"),
+        sum((col("sy") - col("n") * ybar) * (col("sy") - col("n") * ybar) / col("n"))
+          .as("res_num"),
+        sum(col("scc") - lit(2.0) * col("scy") + col("sy")).as("bs_num"),
+        max(ybar).as("ybar"))
+      .select(col("n_rows_tmp").as("n"),
+        round(col("ybar"), 6).as("y_rate"),
+        round(col("ybar") * (lit(1.0) - col("ybar")), 6).as("unc"),
+        round(col("rel_num") / col("n_rows_tmp"), 6).as("rel"),
+        round(col("res_num") / col("n_rows_tmp"), 6).as("res"),
+        round(col("bs_num") / col("n_rows_tmp"), 6).as("brier"),
+        round(col("rel_num") / col("n_rows_tmp") - col("res_num") / col("n_rows_tmp") +
+          col("ybar") * (lit(1.0) - col("ybar")), 6).as("brier_binned"))
+  }
+
   /** Per-group mean with a 95% Poisson-bootstrap confidence interval
     * (Chamandy et al. 2012, "Estimating uncertainty for massive data
     * streams") — error bars on corpus statistics in ONE pass over the

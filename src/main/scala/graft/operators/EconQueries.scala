@@ -118,6 +118,22 @@ object EconQueries {
       Stats.histoQuantiles(Tables(s, dir).lineitem, "l_returnflag",
         round(col("l_extendedprice") * 100).cast("long"),
         lo = 0L, hi = 10500000L, bins = 256)
+    },
+
+    // Ljung-Box portmanteau: is there ANY autocorrelation in the daily
+    // series up to lag 4 (the whole-curve complement of q_acf's
+    // per-lag view)?
+    "q_ljung_box" -> { (s, dir) =>
+      Stats.ljungBox(dailyCents(Tables(s, dir)), "g", col("day"), col("v"),
+          col("v"), maxLag = 4)
+        .withColumnRenamed("g", "event_type")
+    },
+
+    // Theil's U: does the weekly-seasonal forecast beat the naive one
+    // (U < 1) on each series?
+    "q_theil_u" -> { (s, dir) =>
+      Stats.theilU(dailyCents(Tables(s, dir)), "g", col("day"), col("v"))
+        .withColumnRenamed("g", "event_type")
     })
 
   /** Shared oracle CTE: the day-grain cent series. */
@@ -310,6 +326,44 @@ object EconQueries {
         |SELECT c1.id, c1.c1, coalesce(c2.c2, 0) AS c2, coalesce(c3.c3, 0) AS c3,
         |  64*c1.c1 + 8*coalesce(c2.c2, 0) + coalesce(c3.c3, 0) AS katz512
         |FROM c1 LEFT JOIN c2 ON c2.id = c1.id LEFT JOIN c3 ON c3.id = c1.id""".stripMargin,
+
+    "q_ljung_box" ->
+      s"""WITH $ddCte,
+         |l AS (SELECT g,
+         |        v * count(*) OVER (PARTITION BY g) - sum(v) OVER (PARTITION BY g) AS d,
+         |        lag(v, 1) OVER w * count(*) OVER (PARTITION BY g) - sum(v) OVER (PARTITION BY g) AS dl1,
+         |        lag(v, 2) OVER w * count(*) OVER (PARTITION BY g) - sum(v) OVER (PARTITION BY g) AS dl2,
+         |        lag(v, 3) OVER w * count(*) OVER (PARTITION BY g) - sum(v) OVER (PARTITION BY g) AS dl3,
+         |        lag(v, 4) OVER w * count(*) OVER (PARTITION BY g) - sum(v) OVER (PARTITION BY g) AS dl4
+         |      FROM dd WINDOW w AS (PARTITION BY g ORDER BY day, v)),
+         |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |        sum(CAST(d AS HUGEINT)*d)::DOUBLE AS den,
+         |        sum(CAST(dl1 AS HUGEINT)*d)::DOUBLE AS num1,
+         |        sum(CAST(dl2 AS HUGEINT)*d)::DOUBLE AS num2,
+         |        sum(CAST(dl3 AS HUGEINT)*d)::DOUBLE AS num3,
+         |        sum(CAST(dl4 AS HUGEINT)*d)::DOUBLE AS num4
+         |      FROM l GROUP BY g)
+         |SELECT g AS event_type, n, CAST(4 AS INT) AS lags,
+         |  CASE WHEN den > 0 THEN
+         |    ((num1/den)*(num1/den)/(CAST(n AS DOUBLE) - 1) +
+         |     (num2/den)*(num2/den)/(CAST(n AS DOUBLE) - 2) +
+         |     (num3/den)*(num3/den)/(CAST(n AS DOUBLE) - 3) +
+         |     (num4/den)*(num4/den)/(CAST(n AS DOUBLE) - 4))
+         |    * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2) END AS q_lb
+         |FROM s""".stripMargin,
+
+    "q_theil_u" ->
+      s"""WITH $ddCte,
+         |j AS (SELECT a.g, a.v, b.v AS v1, c.v AS v7
+         |      FROM dd a JOIN dd b ON b.g = a.g AND b.day = a.day - 1
+         |                JOIN dd c ON c.g = a.g AND c.day = a.day - 7),
+         |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+         |        sum(CAST(v - v1 AS HUGEINT)*(v - v1))::DOUBLE AS sse_naive,
+         |        sum(CAST(v - v7 AS HUGEINT)*(v - v7))::DOUBLE AS sse_seasonal
+         |      FROM j GROUP BY g)
+         |SELECT g AS event_type, n_days, sse_naive, sse_seasonal,
+         |  CASE WHEN sse_naive > 0 THEN sqrt(sse_seasonal / sse_naive) END AS theil_u
+         |FROM s""".stripMargin,
 
     "q_histo_quantiles" ->
       """WITH t AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),

@@ -140,6 +140,49 @@ object Graph {
     labels
   }
 
+  /** Newman modularity Q (Newman & Girvan 2004) of a node labeling
+    * over an undirected simple graph: Q = Σ_c [L_c/m − (d_c/2m)²]
+    * where L_c counts intra-community edges, d_c sums community
+    * degrees, m the edge total. Evaluated EXACTLY as one integer
+    * ratio, Q = (4m·ΣL_c − Σd_c²)/(4m²), DECIMAL(38,0) products and a
+    * single final double division — the quality score that turns
+    * labelPropagation's output into a judged clustering.
+    *
+    * Scale: edges join the (id, label) map twice (labels are the
+    * node-grain side); intra counts and degree sums are map-side
+    * combinable; the community-grain Σd_c² frame is community-bounded.
+    * Nothing all-pairs, nothing collected.
+    */
+  def modularity(pairs: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame): DataFrame = {
+    val e = pairs.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val lab = labels.select(col("id").cast("long").as("id"), col("label"))
+    val tagged = e
+      .join(lab.withColumnsRenamed(Map("id" -> "u", "label" -> "lu")), "u")
+      .join(lab.withColumnsRenamed(Map("id" -> "v", "label" -> "lv")), "v")
+    val m = tagged.agg(count(lit(1)).as("m"),
+      sum(when(col("lu") === col("lv"), 1L).otherwise(0L)).as("sum_internal"))
+    val deg = e.select(col("u").as("id")).unionByName(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .join(lab, "id")
+      .groupBy("label").agg(sum("deg").as("d_c"))
+    val dSq = deg.agg(count(lit(1)).as("n_communities"),
+      sum(col("d_c").cast("decimal(19,0)") * col("d_c").cast("decimal(19,0)")).as("sd2"))
+    // e's checkpoint blocks stay pinned until the session drops them:
+    // the m/deg consumers read it lazily, so an eager release here
+    // would truncate lineage out from under the final job.
+    val out = m.crossJoin(dSq)
+    out.select(col("m"), col("n_communities"), col("sum_internal"),
+      ((col("m").cast("decimal(19,0)") * col("sum_internal").cast("decimal(19,0)") * 4
+        - col("sd2")).cast("double") /
+        (col("m").cast("decimal(19,0)") * col("m").cast("decimal(19,0)") * 4)
+          .cast("double")).as("modularity"))
+  }
+
   /** DuckDB SQL computing the identical fixed-iteration label
     * propagation over `edgeCte` (a CTE named e with columns u, v,
     * directed, self-loop-free) — rounds unrolled from the same

@@ -166,4 +166,43 @@ object Layout {
         col(pyCol) >= col("y0") && col(pyCol) <= col("y1"))
       .drop("cell", "x0", "x1", "y0", "y1")
   }
+
+  /** Fixed-radius 2-D distance self-join via grid bucketing — the
+    * ε-neighborhood join under every spatial DBSCAN/kNN pipeline.
+    * Cell side = the radius, so every qualifying pair sits in the
+    * SAME or an ADJACENT cell: the left side fans out to its 3×3
+    * stencil, the equi-join on the cell key replaces the all-pairs
+    * cross product, and the exact integer test dx²+dy² ≤ r² verifies
+    * candidates. Each pair is emitted exactly once (the right side
+    * keeps its single home cell; id_a < id_b kills the mirror).
+    *
+    * Scale: candidate volume is Σ_cell 9·occ² — bounded by DENSITY
+    * (points per radius-cell), never by corpus size; the join is a
+    * plain shuffle on the cell key, so skewed hot cells fall under
+    * AQE's skew-split like any other key. Coordinates must be
+    * non-negative longs (microdegree-style fixed point, per the
+    * data-skipping layout ops above — floats never decide
+    * membership).
+    */
+  def gridRadiusJoin(points: DataFrame, idCol: String, xCol: String, yCol: String,
+                     radius: Long): DataFrame = {
+    require(radius >= 1L, "radius must be positive")
+    val p = points.select(col(idCol).as("id"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("cx", expr(s"x div $radius"))
+      .withColumn("cy", expr(s"y div $radius"))
+    val stencil = p.select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        explode(array((-1 to 1).flatMap(i => (-1 to 1).map(j =>
+          struct(lit(i.toLong).as("di"), lit(j.toLong).as("dj")))): _*)).as("o"),
+        col("cx"), col("cy"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("cx") + col("o.di")).as("cx"), (col("cy") + col("o.dj")).as("cy"))
+    stencil.join(p.withColumnRenamed("id", "id_b"), Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .filter((col("xa") - col("x")) * (col("xa") - col("x")) +
+        (col("ya") - col("y")) * (col("ya") - col("y")) <= lit(radius * radius))
+      .select(col("id_a"), col("id_b"),
+        ((col("xa") - col("x")) * (col("xa") - col("x")) +
+          (col("ya") - col("y")) * (col("ya") - col("y"))).as("dist2"))
+  }
 }

@@ -353,6 +353,28 @@ object LlmQueries {
         .filter(col("n_members") >= 2)
     },
 
+    // Newman modularity Q of the label-propagation partition over the
+    // near-dup graph — the quality judgment on q_communities' output
+    // (Q near 1: tight dup clusters; near 0: labels no better than
+    // random).
+    "q_modularity" -> { (s, dir) =>
+      val pairs = TextDedup.minhashNearDupsPortable(
+        planted(Tables(s, dir)), "doc_id", "text", h = 8, bands = 4)
+      val labels = Graph.labelPropagation(pairs, "id_a", "id_b", iters = 3)
+      Graph.modularity(pairs, "id_a", "id_b", labels)
+    },
+
+    // Murphy decomposition of the language-ID confidence's Brier score
+    // — REL/RES/UNC over the same 10 bins as q_calibration's ECE.
+    "q_brier" -> { (s, dir) =>
+      val hits = Seq("en", "de", "es", "fr")
+        .map(l => TextAnalysis.stopwordHits(col("text"), TextAnalysis.langProfiles(l)))
+      val conf = (hits.head + lit(0.5)) / (hits.reduce(_ + _) + lit(1.0))
+      DataOps.brierDecomposition(
+        Tables(s, dir).documents.select(conf.as("c"), (col("lang") === "en").as("y")),
+        col("c"), col("y"), bins = 10)
+    },
+
     // Corpus-health report: per-source vocabulary size, type-token
     // ratio, hapax fraction (the Zipf-tail sanity check a corpus
     // refresh is gated on).
@@ -1008,6 +1030,38 @@ object LlmQueries {
          |  round(sum(abs(sy::DOUBLE / n - sc / n) * n) OVER () / sum(n) OVER (), 6) AS ece
          |FROM pb
          |ORDER BY bin""".stripMargin,
+    "q_brier" ->
+      s"""WITH $wsCte,
+         |h AS (SELECT doc_id,
+         |        CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS en,
+         |        CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS BIGINT) AS de,
+         |        CAST(len(list_filter(ws, w -> w IN ('el','la','de','los','las','y','es','en','un','una'))) AS BIGINT) AS es,
+         |        CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','des','est','un','une','dans','pour'))) AS BIGINT) AS fr
+         |      FROM w),
+         |s AS (SELECT d.doc_id,
+         |        (h.en + 0.5) / (h.en + h.de + h.es + h.fr + 1.0) AS c,
+         |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |      FROM h JOIN documents d USING (doc_id)),
+         |pb AS (SELECT least(CAST(floor(c * 10) AS INT), 9) AS bin,
+         |         CAST(count(*) AS BIGINT) AS nb, sum(c) AS sc, CAST(sum(y) AS BIGINT) AS sy,
+         |         sum(c*c) AS scc, sum(c*y) AS scy
+         |       FROM s GROUP BY 1),
+         |g AS (SELECT CAST(sum(nb) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS syt FROM pb),
+         |a AS (SELECT max(g.nn) AS n_rows,
+         |        sum((pb.sc - pb.sy) * (pb.sc - pb.sy) / pb.nb) AS rel_num,
+         |        sum((pb.sy - pb.nb * (CAST(g.syt AS DOUBLE) / CAST(g.nn AS DOUBLE))) *
+         |            (pb.sy - pb.nb * (CAST(g.syt AS DOUBLE) / CAST(g.nn AS DOUBLE))) / pb.nb)
+         |          AS res_num,
+         |        sum(pb.scc - 2.0 * pb.scy + pb.sy) AS bs_num,
+         |        max(CAST(g.syt AS DOUBLE) / CAST(g.nn AS DOUBLE)) AS ybar
+         |      FROM pb CROSS JOIN g)
+         |SELECT n_rows AS n, round(ybar, 6) AS y_rate,
+         |  round(ybar * (1.0 - ybar), 6) AS unc,
+         |  round(rel_num / n_rows, 6) AS rel,
+         |  round(res_num / n_rows, 6) AS res,
+         |  round(bs_num / n_rows, 6) AS brier,
+         |  round(rel_num / n_rows - res_num / n_rows + ybar * (1.0 - ybar), 6) AS brier_binned
+         |FROM a""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH $wsCte,
          |g AS (SELECT doc_id,
@@ -1234,6 +1288,35 @@ object LlmQueries {
       s"""SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members FROM (
          |${Graph.labelPropSqlDuck(edgeCte, 3)}
          |) t GROUP BY label HAVING count(*) >= 2""".stripMargin
+    },
+    "q_modularity" -> {
+      val edgeCte =
+        s"""$minhashMd5Cte,
+           |e AS (SELECT id_a AS u, id_b AS v FROM j WHERE jaccard >= 0.5)""".stripMargin
+      // The label table re-derives its own WITH inside a subquery, so
+      // the outer WITH keeps an independent copy of the edge list for
+      // the degree/internal-edge sums.
+      s"""WITH $minhashMd5Cte,
+         |e AS (SELECT id_a AS u, id_b AS v FROM j WHERE jaccard >= 0.5),
+         |ed AS (SELECT least(u, v) AS u, greatest(u, v) AS v FROM e WHERE u <> v GROUP BY 1, 2),
+         |lab AS (SELECT * FROM (
+         |${Graph.labelPropSqlDuck(edgeCte, 3)}
+         |) t),
+         |tagged AS (SELECT ed.u, ed.v, la.label AS lu, lb.label AS lv FROM ed
+         |           JOIN lab la ON la.id = ed.u JOIN lab lb ON lb.id = ed.v),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |         CAST(sum(CASE WHEN lu = lv THEN 1 ELSE 0 END) AS BIGINT) AS sum_internal
+         |       FROM tagged),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+         |          (SELECT u AS id FROM ed UNION ALL SELECT v FROM ed) GROUP BY id),
+         |dc AS (SELECT lab.label, CAST(sum(deg) AS BIGINT) AS d_c
+         |       FROM deg JOIN lab ON lab.id = deg.id GROUP BY 1),
+         |ds AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |         sum(CAST(d_c AS HUGEINT)*d_c) AS sd2 FROM dc)
+         |SELECT m, ds.n_communities, sum_internal,
+         |  CAST(CAST(m AS HUGEINT)*sum_internal*4 - sd2 AS DOUBLE) /
+         |    CAST(CAST(m AS HUGEINT)*m*4 AS DOUBLE) AS modularity
+         |FROM mm, ds""".stripMargin
     },
     "q_textrank_keywords" ->
       s"""WITH $wsCte,

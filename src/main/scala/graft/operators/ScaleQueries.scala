@@ -105,6 +105,21 @@ object ScaleQueries {
     "q_shard_balance" -> { (s, dir) =>
       Layout.shardBalance(Tables(s, dir).documents, "doc_id",
         size(split(col("text"), " ")).cast("long"), "source", nShards = 32)
+    },
+
+    // Fixed-radius ε-neighborhood self-join via the 3×3 grid stencil —
+    // customers placed deterministically on an integer plane that
+    // GROWS with the key space, so per-cell density (the quadratic
+    // term) stays constant at every corpus scale. The oracle is the
+    // brute-force O(n²) join: same pairs, the grid only prunes.
+    "q_geo_radius" -> { (s, dir) =>
+      val c = Tables(s, dir).customer
+      val k = c.agg(max(col("c_custkey")).cast("long").as("k"))
+      val pts = c.crossJoin(broadcast(k)).select(
+        col("c_custkey").as("id"),
+        (col("c_custkey") * 48271L) % (col("k") * 1000L) as "x",
+        (col("c_custkey") * 69621L) % (col("k") * 1000L) as "y")
+      Layout.gridRadiusJoin(pts, "id", "x", "y", radius = 20000L)
     }
   )
 
@@ -194,6 +209,20 @@ object ScaleQueries {
          |t AS (SELECT sum(tokens) AS tt FROM p)
          |SELECT shard, docs, tokens, sources,
          |       round(tokens::DOUBLE * 32 / tt::DOUBLE, 4) + 0.0 AS even_share
-         |FROM p CROSS JOIN t""".stripMargin
+         |FROM p CROSS JOIN t""".stripMargin,
+
+    // Brute-force O(n²) reference for the grid-stencil radius join:
+    // membership is decided by EXACT integer arithmetic on both
+    // sides, so the sets must match pair-for-pair.
+    "q_geo_radius" ->
+      """WITH k AS (SELECT CAST(max(c_custkey) AS BIGINT) AS k FROM customer),
+        |p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        |        (c_custkey * 48271) % (k.k * 1000) AS x,
+        |        (c_custkey * 69621) % (k.k * 1000) AS y
+        |      FROM customer CROSS JOIN k)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS BIGINT) AS dist2
+        |FROM p a JOIN p b ON b.id > a.id
+        |WHERE (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 400000000""".stripMargin
   )
 }

@@ -266,7 +266,40 @@ object Stats {
     * pairs (quantity × discount points), never raw cents. Nothing
     * row-grain ever pairs or sorts.
     */
-  def kendallTauB(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
+  def kendallTauB(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame =
+    concordanceStats(df, groupCol, x, y)
+      .select(col("g").as(groupCol), col("n"), col("nc"), col("nd"),
+        // τ undefined when an axis is a single tie block (n0 = n1):
+        // NULL, not DIVIDE_BY_ZERO — ANSI throws even on double/0.0
+        // (the hillTail sf3 lesson).
+        when(col("n0") > col("tx") && col("n0") > col("ty"),
+          round((col("nc") - col("nd")).cast("double") /
+            (sqrt((col("n0") - col("tx")).cast("double")) *
+              sqrt((col("n0") - col("ty")).cast("double"))), 6)).as("tau_b"))
+
+  /** Somers' D (Somers 1962): the ASYMMETRIC concordance measure —
+    * Kendall's numerator normalized by only the pairs untied on the
+    * FIRST axis x: D = (nc − nd)/(n0 − T_x). With x a binary OUTCOME
+    * and y the score, the denominator is exactly the pos×neg pair
+    * count, so D equals the scoring-industry Gini (= 2·AUC − 1) —
+    * proven against [[aucRoc]] in StatsSpec. Same joint-histogram-
+    * grain machinery as [[kendallTauB]]: integers end-to-end,
+    * cardinality-bounded, one division at the end.
+    */
+  def somersD(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame =
+    concordanceStats(df, groupCol, x, y)
+      .select(col("g").as(groupCol), col("n"), col("nc"), col("nd"),
+        when(col("n0") > col("tx"),
+          round((col("nc") - col("nd")).cast("double") /
+            (col("n0") - col("tx")).cast("double"), 6)).as("somers_d"))
+
+  /** Shared concordance core of τ-b / Somers' D: the (g, x, y) joint
+    * histogram, the strictly-increasing-x cell-pair fold into nc/nd,
+    * the marginal tie terms, and the pair total — all exact integers.
+    * Returns one row per group: (g, n, n0, tx, ty, nc, nd).
+    */
+  private def concordanceStats(df: DataFrame, groupCol: String,
+                               x: Column, y: Column): DataFrame = {
     val cells = df.groupBy(col(groupCol).as("g"), x.as("vx"), y.as("vy"))
       .agg(count(lit(1)).as("c")).localCheckpoint(false)
     val pairs = cells.as("a").join(cells.as("b"),
@@ -285,14 +318,6 @@ object Stats {
       .withColumn("n0", expr("n * (n - 1) div 2"))
     tot.join(tieTerm("vx", "tx"), "g").join(tieTerm("vy", "ty"), "g")
       .join(conc, "g")
-      .select(col("g").as(groupCol), col("n"), col("nc"), col("nd"),
-        // τ undefined when an axis is a single tie block (n0 = n1):
-        // NULL, not DIVIDE_BY_ZERO — ANSI throws even on double/0.0
-        // (the hillTail sf3 lesson).
-        when(col("n0") > col("tx") && col("n0") > col("ty"),
-          round((col("nc") - col("nd")).cast("double") /
-            (sqrt((col("n0") - col("tx")).cast("double")) *
-              sqrt((col("n0") - col("ty")).cast("double"))), 6)).as("tau_b"))
   }
 
   /** Mann-Whitney U rank-sum test (Mann & Whitney 1947) between two
@@ -1432,5 +1457,108 @@ object Stats {
         edge(col("b50")).as("p50_lo_c"),
         edge(col("b90")).as("p90_lo_c"),
         edge(col("b99")).as("p99_lo_c"))
+  }
+
+  /** Ljung-Box portmanteau test (Ljung & Box 1978): Q = n(n+2)·Σₖ
+    * ρ̂ₖ²/(n−k) over lags 1..maxLag — the "is there ANY residual
+    * autocorrelation" screen that q_acf's per-lag view feeds in
+    * classical time-series diagnostics. Same exact-integer centering
+    * as [[autocorrelation]] (dᵢ = n·xᵢ − S, DECIMAL(38,0) products);
+    * the ρ̂ₖ ratios and the Q fold are one scalar double expression
+    * tree at the end, written identically in the oracle so the doubles
+    * agree bitwise.
+    */
+  def ljungBox(df: DataFrame, groupCol: String, orderCol: Column,
+               x: Column, tieCol: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 8, "maxLag in [1,8]")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("ord"), col("tie"))
+    val all = Window.partitionBy(col(groupCol))
+    val centered = df.select(col(groupCol), orderCol.as("ord"), tieCol.as("tie"), x.as("xv"))
+      .select(Seq(
+        col(groupCol),
+        (col("xv") * count(lit(1)).over(all) - sum(col("xv")).over(all)).as("d")) ++
+        (1 to maxLag).map(k =>
+          (lag(col("xv"), k).over(w) * count(lit(1)).over(all) - sum(col("xv")).over(all))
+            .as(s"dl$k")): _*)
+    val dd = centered.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      (dsum(col("d"), col("d")).as("den") +:
+        (1 to maxLag).map(k => dsum(col(s"dl$k"), col("d")).as(s"num$k"))): _*)
+    val nD = col("n").cast("double")
+    val q = (1 to maxLag).map { k =>
+      (col(s"num$k") / col("den")) * (col(s"num$k") / col("den")) / (nD - lit(k))
+    }.reduce(_ + _) * nD * (nD + lit(2))
+    dd.select(col(groupCol), col("n"), lit(maxLag).as("lags"),
+      when(col("den") > 0, q).as("q_lb"))
+  }
+
+  /** Theil's U forecast-quality ratio (Theil 1966, U₂ form) of the
+    * seasonal-naive forecast (value 7 days earlier) against the naive
+    * one (value 1 day earlier), per series: U = √(SSE₇/SSE₁). U < 1
+    * means weekly seasonality genuinely helps — the go/no-go gate on
+    * q_seasonal_baseline's model. Scored only on days where BOTH
+    * reference days exist, so the two SSEs cover the identical row
+    * set; squared errors accumulate in DECIMAL(38,0) (day-sums reach
+    * ~1e9 cents at the widest rung; the square crosses 2⁶³).
+    */
+  def theilU(df: DataFrame, groupCol: String, dayCol: Column, v: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), dayCol.as("day"), v.as("v"))
+    val lag1 = base.select(col("g"), (col("day") + 1).as("day"), col("v").as("v1"))
+    val lag7 = base.select(col("g"), (col("day") + 7).as("day"), col("v").as("v7"))
+    base.join(lag1, Seq("g", "day")).join(lag7, Seq("g", "day"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_days"),
+        dsum(col("v") - col("v1"), col("v") - col("v1")).as("sse_naive"),
+        dsum(col("v") - col("v7"), col("v") - col("v7")).as("sse_seasonal"))
+      .select(col("g").as(groupCol), col("n_days"),
+        col("sse_naive"), col("sse_seasonal"),
+        when(col("sse_naive") > 0,
+          sqrt(col("sse_seasonal") / col("sse_naive"))).as("theil_u"))
+  }
+
+  /** Herfindahl–Hirschman concentration (Herfindahl 1950; Hirschman
+    * 1945) of actor activity within each group: HHI = Σᵤ(cᵤ/T)² =
+    * Σcᵤ²/T², plus the effective actor count 1/HHI (the "how many
+    * equal participants would look like this" rendering). Integer-
+    * exact: per-actor counts are map-side-combinable longs, squares
+    * accumulate in DECIMAL(38,0), two scalar divisions at the end.
+    */
+  def hhi(df: DataFrame, groupCol: String, actorCol: String): DataFrame = {
+    val c = df.groupBy(col(groupCol).as("g"), col(actorCol).as("actor"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy("g")
+      .agg(count(lit(1)).as("n_actors"), sum("c").as("total"),
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)")).as("s2"))
+      .select(col("g").as(groupCol), col("n_actors"), col("total"),
+        (col("s2").cast("double") /
+          (col("total").cast("decimal(19,0)") * col("total").cast("decimal(19,0)"))
+            .cast("double")).as("hhi"),
+        ((col("total").cast("decimal(19,0)") * col("total").cast("decimal(19,0)"))
+          .cast("double") / col("s2").cast("double")).as("effective_n"))
+  }
+
+  /** Lorenz-curve deciles per group (Lorenz 1905): rank rows by value
+    * ascending, cut into 10 equal-population buckets, and report each
+    * bucket's share and the cumulative share at its upper edge — the
+    * curve q_gini integrates. Ranking goes through [[GlobalRank]]
+    * (range-partitioned two-pass row numbers + running sums), NOT an
+    * `ORDER BY` window: the few-huge-groups shape is exactly the
+    * single-task-sort pathology the repo retired in round 8.
+    */
+  def lorenzDeciles(df: DataFrame, groupCol: String, value: Column,
+                    tieCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), value.cast("long").as("v"), tieCol.as("tb"))
+    val ranked = GlobalRank.rowNumbers(base, Seq("g"), Seq(col("v"), col("tb")),
+      "rn", running = Seq(("v", "cum_v"))).df
+    val totals = base.groupBy("g").agg(count(lit(1)).as("n_g"), sum("v").as("tot_v"))
+    ranked.join(broadcast(totals), "g")
+      .select(col("g"), expr("((rn - 1) * 10) div n_g + 1").cast("int").as("decile"),
+        col("v"), col("cum_v"), col("tot_v"))
+      .groupBy("g", "decile")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("decile_v"),
+        max("cum_v").as("cum_v"), max("tot_v").as("tot_v"))
+      .select(col("g").as(groupCol), col("decile"), col("n_rows"),
+        col("decile_v"), col("cum_v"),
+        (col("cum_v").cast("double") / col("tot_v").cast("double")).as("cum_share"))
   }
 }

@@ -336,6 +336,30 @@ object StatsQueries {
     "q_kendall" -> { (s, dir) =>
       Stats.kendallTauB(Tables(s, dir).lineitem, "l_returnflag",
         col("l_quantity").cast("long"), round(col("l_discount") * 100).cast("long"))
+    },
+
+    // Somers' D with the binary deep-discount OUTCOME on the
+    // tie-excluded axis — the scoring-industry Gini (2·AUC−1) of
+    // quantity as a discount predictor, at joint-histogram grain like
+    // q_kendall.
+    "q_somers_d" -> { (s, dir) =>
+      Stats.somersD(Tables(s, dir).lineitem, "l_returnflag",
+        (round(col("l_discount") * 100) >= 5).cast("long"),
+        col("l_quantity").cast("long"))
+    },
+
+    // Herfindahl concentration of per-user activity within each event
+    // type: is any event stream dominated by few actors?
+    "q_hhi" -> { (s, dir) =>
+      Stats.hhi(Tables(s, dir).events, "event_type", "user_id")
+    },
+
+    // Lorenz curve of document length per source — the inequality
+    // curve q_gini summarizes, decile by decile, ranked by GlobalRank
+    // (no single-task sort).
+    "q_lorenz" -> { (s, dir) =>
+      Stats.lorenzDeciles(Tables(s, dir).documents, "source",
+        col("n_chars"), col("doc_id"))
     }
   )
 
@@ -977,6 +1001,51 @@ object StatsQueries {
         |    round((pr.nc - pr.nd)::DOUBLE /
         |          (sqrt((nn.n0 - tx.tx)::DOUBLE) * sqrt((nn.n0 - ty.ty)::DOUBLE)), 6) + 0.0
         |  END AS tau_b
-        |FROM nn JOIN tx ON tx.g = nn.g JOIN ty ON ty.g = nn.g JOIN pr ON pr.g = nn.g""".stripMargin
+        |FROM nn JOIN tx ON tx.g = nn.g JOIN ty ON ty.g = nn.g JOIN pr ON pr.g = nn.g""".stripMargin,
+
+    "q_somers_d" ->
+      """WITH t AS (SELECT l_returnflag AS g,
+        |             CAST(CASE WHEN round(l_discount * 100) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS vx,
+        |             CAST(l_quantity AS BIGINT) AS vy
+        |           FROM lineitem),
+        |cells AS (SELECT g, vx, vy, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2, 3),
+        |pr AS (SELECT a.g,
+        |         CAST(sum(CASE WHEN a.vy < b.vy THEN a.c * b.c ELSE 0 END) AS BIGINT) AS nc,
+        |         CAST(sum(CASE WHEN a.vy > b.vy THEN a.c * b.c ELSE 0 END) AS BIGINT) AS nd
+        |       FROM cells a JOIN cells b ON b.g = a.g AND a.vx < b.vx GROUP BY a.g),
+        |tx AS (SELECT g, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS tx FROM
+        |         (SELECT g, vx, sum(c) AS t FROM cells GROUP BY 1, 2) m GROUP BY g),
+        |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n, sum(c) * (sum(c) - 1) // 2 AS n0
+        |       FROM cells GROUP BY g)
+        |SELECT nn.g AS l_returnflag, nn.n, pr.nc, pr.nd,
+        |  CASE WHEN nn.n0 > tx.tx THEN
+        |    round((pr.nc - pr.nd)::DOUBLE / (nn.n0 - tx.tx)::DOUBLE, 6) + 0.0
+        |  END AS somers_d
+        |FROM nn JOIN tx ON tx.g = nn.g JOIN pr ON pr.g = nn.g""".stripMargin,
+
+    "q_hhi" ->
+      """WITH c AS (SELECT event_type AS g, user_id, CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n_actors, CAST(sum(c) AS BIGINT) AS total,
+        |        sum(CAST(c AS HUGEINT)*c) AS s2 FROM c GROUP BY g)
+        |SELECT g AS event_type, n_actors, total,
+        |  CAST(s2 AS DOUBLE) / CAST(CAST(total AS HUGEINT)*total AS DOUBLE) AS hhi,
+        |  CAST(CAST(total AS HUGEINT)*total AS DOUBLE) / CAST(s2 AS DOUBLE) AS effective_n
+        |FROM s""".stripMargin,
+
+    "q_lorenz" ->
+      """WITH r AS (SELECT source, n_chars AS v,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |        sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v,
+        |        count(*) OVER (PARTITION BY source) AS n_g,
+        |        sum(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source) AS tot_v
+        |      FROM documents)
+        |SELECT source, CAST((rn - 1) * 10 // n_g + 1 AS INT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(v) AS BIGINT) AS decile_v,
+        |  CAST(max(cum_v) AS BIGINT) AS cum_v,
+        |  CAST(max(cum_v) AS DOUBLE) / CAST(max(tot_v) AS DOUBLE) AS cum_share
+        |FROM r GROUP BY 1, 2""".stripMargin
   )
 }

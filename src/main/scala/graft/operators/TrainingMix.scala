@@ -252,6 +252,76 @@ object TrainingMix {
       .agg(first(col("n_s")).as("n_tokens"), round(sum(col("term")), 4).as("jsd_bits"))
   }
 
+  /** Per-source Hellinger distance and Bhattacharyya coefficient
+    * (Bhattacharyya 1943; Hellinger 1909) from the corpus unigram
+    * mixture: BC = Σ_w √(Pₛ(w)·Q(w)), H = √(1−BC) — the bounded
+    * [0,1] METRIC companion to the KL/JSD pair (H is a true distance;
+    * KL is not symmetric, JSD's √ is). Absent words contribute 0 to BC
+    * exactly (P=0), so only the source's own support joins — one
+    * corpus explode, vocab×sources-bounded downstream, same shape as
+    * [[sourceKlDivergence]]. BC ≤ 1 by Cauchy-Schwarz but float
+    * summation can land an ulp above, so 1−BC clamps at 0 before the
+    * root.
+    */
+  def sourceHellinger(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val sw = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(true)
+    val wTot = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+    val sTot = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+    val n = sw.agg(sum(col("c_sw")).as("n"))
+    sw.join(wTot, "w").join(sTot, "source").crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"),
+        sqrt((col("c_sw") / col("n_s")) * (col("c_w") / col("n"))).as("term"))
+      .groupBy("source")
+      .agg(first(col("n_s")).as("n_tokens"), sum(col("term")).as("bc"))
+      .select(col("source"), col("n_tokens"),
+        round(col("bc"), 4).as("bhattacharyya_coef"),
+        round(sqrt(greatest(lit(1.0) - col("bc"), lit(0.0))), 4).as("hellinger"))
+  }
+
+  /** Dunning log-likelihood keyness (Dunning 1993): for every term a
+    * source uses, the G² statistic of its 2×2 contingency table
+    * against the REST of the corpus — the corpus-linguistics standard
+    * for "which words characterize this source" (χ² misbehaves on the
+    * rare-word tail; G² does not). G² = 2·[a·ln(a/E₁) + b·ln(b/E₂)]
+    * with a = in-source count, b = rest count, expectations from the
+    * corpus marginal; `over` flags over- vs under-use by the EXACT
+    * integer cross product a·n vs c_w·n_s (no float tie).
+    *
+    * Scale: one corpus explode into (source, term) counts; the G²
+    * scoring row set is vocab×sources-bounded, and the corpus-
+    * frequency floor max(50, n/10000) is SELF-SCALING (the
+    * q_tfidf_pairs df-cap lesson) — output stays head-of-vocabulary
+    * sized at any corpus size.
+    */
+  def dunningKeyness(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val sw = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(true)
+    val wTot = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+    val sTot = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+    val n = sw.agg(sum(col("c_sw")).as("n"))
+    val scored = sw.join(wTot, "w").join(sTot, "source").crossJoin(broadcast(n))
+      .filter(col("c_w") >= greatest(lit(50L), expr("n div 10000")))
+    val a = col("c_sw").cast("double")
+    val b = (col("c_w") - col("c_sw")).cast("double")
+    val e1 = col("c_w").cast("double") * col("n_s").cast("double") / col("n").cast("double")
+    val e2 = col("c_w").cast("double") *
+      (col("n") - col("n_s")).cast("double") / col("n").cast("double")
+    val g2 = lit(2.0) * (a * log(a / e1) +
+      when(col("c_w") > col("c_sw"), b * log(b / e2)).otherwise(lit(0.0)))
+    scored.select(col("source"), col("w").as("term"),
+      col("c_sw").as("c_in_source"), col("c_w").as("c_corpus"),
+      round(g2, 4).as("g2"),
+      (col("c_sw").cast("decimal(19,0)") * col("n").cast("decimal(19,0)") >
+        col("c_w").cast("decimal(19,0)") * col("n_s").cast("decimal(19,0)")).as("over"))
+  }
+
   def electCanonical(components: DataFrame, docs: DataFrame,
                      idCol: String, scoreCol: Column): DataFrame = {
     // The score keeps its NATIVE numeric type: casting to long here

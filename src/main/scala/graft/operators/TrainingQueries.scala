@@ -33,6 +33,18 @@ object TrainingQueries {
       TrainingMix.sourceJsDivergence(Tables(s, dir).documents, "source", "text")
     },
 
+    // Hellinger distance / Bhattacharyya coefficient per source — the
+    // bounded METRIC member of the drift family (KL/JSD/PSI/EMD).
+    "q_hellinger" -> { (s, dir) =>
+      TrainingMix.sourceHellinger(Tables(s, dir).documents, "source", "text")
+    },
+
+    // Dunning G² keyness: which head-of-vocabulary terms characterize
+    // each source against the rest of the corpus.
+    "q_keyness" -> { (s, dir) =>
+      TrainingMix.dunningKeyness(Tables(s, dir).documents, "source", "text")
+    },
+
     // Per-language bottom-quartile quality cut: every doc tagged with
     // its stratum's exact p25 token-count floor.
     "q_quality_cut" -> { (s, dir) =>
@@ -195,6 +207,39 @@ object TrainingQueries {
         |    AS kl_bits
         |FROM c JOIN wt USING (w) JOIN st USING (source) CROSS JOIN n
         |GROUP BY c.source, st.n_s""".stripMargin,
+    "q_hellinger" ->
+      """WITH sw AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |c AS (SELECT source, w, count(*) AS c_sw FROM sw GROUP BY 1, 2),
+        |wt AS (SELECT w, sum(c_sw) AS c_w FROM c GROUP BY 1),
+        |st AS (SELECT source, sum(c_sw) AS n_s FROM c GROUP BY 1),
+        |n AS (SELECT sum(c_sw) AS n FROM c),
+        |b AS (SELECT c.source, CAST(max(st.n_s) AS BIGINT) AS n_tokens,
+        |        sum(sqrt((c.c_sw / CAST(st.n_s AS DOUBLE)) * (wt.c_w / CAST(n.n AS DOUBLE)))) AS bc
+        |      FROM c JOIN wt USING (w) JOIN st USING (source) CROSS JOIN n
+        |      GROUP BY c.source)
+        |SELECT source, n_tokens,
+        |  round(bc, 4) AS bhattacharyya_coef,
+        |  round(sqrt(greatest(1.0 - bc, 0.0)), 4) AS hellinger
+        |FROM b""".stripMargin,
+    "q_keyness" ->
+      """WITH sw AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw FROM sw GROUP BY 1, 2),
+        |wt AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM c GROUP BY 1),
+        |st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM c GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_sw) AS BIGINT) AS n FROM c),
+        |f AS (SELECT c.source, c.w, c.c_sw, wt.c_w, st.n_s, n.n
+        |      FROM c JOIN wt USING (w) JOIN st USING (source) CROSS JOIN n
+        |      WHERE wt.c_w >= greatest(50, n.n // 10000))
+        |SELECT source, w AS term, c_sw AS c_in_source, c_w AS c_corpus,
+        |  round(2.0 * (CAST(c_sw AS DOUBLE) *
+        |      ln(CAST(c_sw AS DOUBLE) /
+        |         (CAST(c_w AS DOUBLE) * CAST(n_s AS DOUBLE) / CAST(n AS DOUBLE))) +
+        |    CASE WHEN c_w > c_sw THEN CAST(c_w - c_sw AS DOUBLE) *
+        |      ln(CAST(c_w - c_sw AS DOUBLE) /
+        |         (CAST(c_w AS DOUBLE) * CAST(n - n_s AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    ELSE 0.0 END), 4) AS g2,
+        |  CAST(c_sw AS HUGEINT) * n > CAST(c_w AS HUGEINT) * n_s AS over
+        |FROM f""".stripMargin,
     "q_budget_cut" ->
       """WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS s,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tk FROM documents),

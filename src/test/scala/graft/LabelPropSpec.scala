@@ -108,4 +108,27 @@ class LabelPropSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(rp("p") == "p" && rp("q") == "p", s"pair did not converge: $rp")
   }
+
+  test("modularity: two disjoint cliques at the true partition score exactly 1/2") {
+    // K4 + K4, no bridges: L_c = m/2 and d_c = m each, so
+    // Q = 2*(1/2 - 1/4) = 1/2 as an exact integer ratio.
+    val cliques = (for {
+      base <- Seq(0L, 10L); a <- 0 to 3; b <- (a + 1) to 3
+    } yield (base + a, base + b)).toDF("id_a", "id_b")
+    val truth = Seq(0L, 1L, 2L, 3L).map(i => (i, 0L))
+      .union(Seq(10L, 11L, 12L, 13L).map(i => (i, 1L))).toDF("id", "label")
+    val q = Graph.modularity(cliques, "id_a", "id_b", truth).collect().head
+    assert(q.getAs[Long]("m") == 12L)
+    assert(q.getAs[Long]("sum_internal") == 12L)
+    assert(q.getAs[Double]("modularity") == 0.5)
+    // Degenerate one-community labeling scores exactly 0.
+    val one = (0 to 13).map(i => (i.toLong, 7L)).toDF("id", "label")
+    assert(Graph.modularity(cliques, "id_a", "id_b", one)
+      .collect().head.getAs[Double]("modularity") == 0.0)
+    // The label-prop partition on this graph recovers the truth, so
+    // the pipeline composition scores 1/2 too.
+    val lp = Graph.labelPropagation(cliques, "id_a", "id_b", iters = 3)
+    assert(Graph.modularity(cliques, "id_a", "id_b", lp)
+      .collect().head.getAs[Double]("modularity") == 0.5)
+  }
 }

@@ -217,4 +217,27 @@ class LayoutSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bal.map(r => r.getLong(0) -> r.getLong(1)).toMap == again)
   }
+
+  test("gridRadiusJoin equals the brute-force distance join, each pair once") {
+    import spark.implicits._
+    // Deterministic scatter incl. same-cell, cross-cell and boundary
+    // (dist == r exactly) pairs.
+    val pts = (1L to 300L).map(i => (i, (i * 7919) % 1000, (i * 104729) % 1000))
+      .toDF("id", "x", "y")
+    val r = 60L
+    val grid = Layout.gridRadiusJoin(pts, "id", "x", "y", r)
+      .collect().map(w => (w.getLong(0), w.getLong(1)) -> w.getLong(2)).toMap
+    val naive = pts.as("a").crossJoin(pts.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        ((col("a.x") - col("b.x")) * (col("a.x") - col("b.x")) +
+          (col("a.y") - col("b.y")) * (col("a.y") - col("b.y"))).as("d2"))
+      .filter(col("d2") <= r * r)
+      .collect().map(w => (w.getLong(0), w.getLong(1)) -> w.getLong(2)).toMap
+    assert(grid == naive, s"grid=${grid.size} naive=${naive.size}")
+    assert(naive.nonEmpty)
+    // No duplicate emission: the map sizes above already prove keys
+    // unique; also check the raw row count.
+    assert(Layout.gridRadiusJoin(pts, "id", "x", "y", r).count() == naive.size)
+  }
 }

@@ -486,4 +486,98 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_click") == 1L)
     assert(r.getAs[Long]("n_purchase") == 1L)
   }
+
+  test("somersD with a binary outcome equals 2*AUC - 1 (the scoring Gini)") {
+    // Deterministic score/label pairs with ties on both axes.
+    val rows = (1 to 200).map { i =>
+      ("g", (i % 17).toLong, if ((i * 7) % 10 < 4 == (i % 17 >= 9)) 1L else 0L)
+    }
+    val df = rows.toDF("g", "score", "y")
+    val d = Stats.somersD(df, "g", col("y"), col("score"))
+      .collect().head.getAs[Double]("somers_d")
+    val auc = Stats.aucRoc(df, col("y") === 1, col("score"))
+      .collect().head.getAs[Double]("auc")
+    assert(math.abs(d - (2 * auc - 1)) < 2e-6, s"somers_d=$d auc=$auc")
+    // Perfect separation -> D = 1 exactly.
+    val perfect = (1 to 50).map(i => ("g", i.toLong, if (i > 25) 1L else 0L))
+      .toDF("g", "score", "y")
+    assert(Stats.somersD(perfect, "g", col("y"), col("score"))
+      .collect().head.getAs[Double]("somers_d") == 1.0)
+  }
+
+  test("ljungBox: white-ish noise stays small, an AR(1) series explodes") {
+    // Genuine MINSTD (Lehmer) noise vs a strongly autocorrelated
+    // random walk of the same length. (A linear residue sequence
+    // i·c mod p is a SAWTOOTH — lag-correlated — not noise.)
+    var s0 = 12345L
+    val noise = (1 to 300).map { i =>
+      s0 = s0 * 48271L % 2147483647L; ("n", i.toLong, s0 % 1000L)
+    }
+    var s1 = 98765L
+    var acc = 0L
+    val walk = (1 to 300).map { i =>
+      s1 = s1 * 48271L % 2147483647L; acc += s1 % 21L - 10L; ("w", i.toLong, acc)
+    }
+    val df = (noise ++ walk).toDF("g", "t", "v")
+    val m = Stats.ljungBox(df, "g", col("t"), col("v"), col("v"), maxLag = 4)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("q_lb")).toMap
+    // chi2(4) 99th percentile is 13.28: noise must sit below any alarm
+    // threshold while the walk is unambiguous.
+    assert(m("n") < 13.0, s"noise Q=${m("n")}")
+    assert(m("w") > 100.0, s"walk Q=${m("w")}")
+  }
+
+  test("theilU: an exactly 7-periodic series scores U = 0") {
+    val df = (0 until 140).map(i => ("g", i.toLong, ((i % 7) * 100 + 50).toLong))
+      .toDF("g", "day", "v")
+    val r = Stats.theilU(df, "g", col("day"), col("v")).collect().head
+    assert(r.getAs[Double]("sse_seasonal") == 0.0)
+    assert(r.getAs[Double]("theil_u") == 0.0)
+    // Days where day-1 or day-7 is missing never score.
+    assert(r.getAs[Long]("n_days") == 133L)
+  }
+
+  test("hhi: monopoly scores 1, k equal actors score 1/k with effective_n = k") {
+    val df = (Seq.fill(40)(("mono", "only")) ++
+      (1 to 40).map(i => ("even", s"u${i % 8}"))).toDF("g", "actor")
+    val m = Stats.hhi(df, "g", "actor").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("mono").getAs[Double]("hhi") == 1.0)
+    assert(m("even").getAs[Double]("hhi") == 0.125)
+    assert(m("even").getAs[Double]("effective_n") == 8.0)
+  }
+
+  test("lorenzDeciles: equal values give the diagonal; decile 10 closes at share 1") {
+    val df = (1 to 100).map(i => ("g", 7L, i.toLong)).toDF("g", "v", "id")
+    val r = Stats.lorenzDeciles(df, "g", col("v"), col("id"))
+      .collect().map(x => x.getInt(1) -> x.getAs[Double]("cum_share")).toMap
+    (1 to 10).foreach(d => assert(r(d) == d / 10.0, s"decile $d -> ${r(d)}"))
+    // Skewed values: the curve must be convex (below the diagonal).
+    val skew = (1 to 100).map(i => ("g", (i.toLong * i * i), i.toLong)).toDF("g", "v", "id")
+    val s9 = Stats.lorenzDeciles(skew, "g", col("v"), col("id"))
+      .collect().map(x => x.getInt(1) -> x.getAs[Double]("cum_share")).toMap
+    assert(s9(9) < 0.9 && s9(10) == 1.0)
+  }
+
+  test("brierDecomposition: Murphy identity holds and a perfect forecaster scores 0") {
+    // Confidence equal to the bin's empirical rate -> REL 0 within
+    // binning error; identity rel - res + unc = brier_binned is exact.
+    val df = (1 to 400).map { i =>
+      val p = (i % 10) / 10.0 + 0.05
+      (p, (i * 13) % 100 < math.round(p * 100))
+    }.toDF("c", "y")
+    val r = DataOps.brierDecomposition(df, col("c"), col("y"), bins = 10)
+      .collect().head
+    val rel = r.getAs[Double]("rel"); val res = r.getAs[Double]("res")
+    val unc = r.getAs[Double]("unc"); val bb = r.getAs[Double]("brier_binned")
+    assert(math.abs(rel - res + unc - bb) < 1e-5)
+    assert(rel < 0.01, s"well-calibrated forecast scored rel=$rel")
+    // An always-right hard forecaster: brier 0, resolution = uncertainty.
+    val hard = (1 to 100).map(i => (if (i % 4 == 0) 0.999 else 0.001, i % 4 == 0))
+      .toDF("c", "y")
+    val h = DataOps.brierDecomposition(hard, col("c"), col("y"), bins = 10)
+      .collect().head
+    assert(h.getAs[Double]("brier") < 1e-5)
+    assert(math.abs(h.getAs[Double]("res") - h.getAs[Double]("unc")) < 1e-5)
+  }
 }

@@ -144,4 +144,42 @@ class TrainingMixSpec extends SparkSpec {
     assert(rows(("a", 0L)) == 0L && rows(("b", 0L)) == 1L)
     assert(rows(("a", 1L)) == 2L && rows(("b", 3L)) == 7L)
   }
+
+  test("sourceHellinger: a source matching the mixture scores 0, disjoint support near 1") {
+    import org.apache.spark.sql.functions.col
+    // Two identically-distributed sources: each source's P equals the
+    // corpus Q exactly -> BC = 1, H = 0.
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("source", "text")
+    val h0 = TrainingMix.sourceHellinger(same, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("hellinger")).toMap
+    assert(h0("a") == 0.0 && h0("b") == 0.0)
+    // Nearly-disjoint support: the mixture still CONTAINS the source
+    // (Q ≥ P/2 for two equal sources), so H is ceilinged at
+    // sqrt(1 - sqrt(1/2)) ≈ 0.541 — the score must press against it.
+    val skew = Seq(("a", (Seq.fill(100)("aa") :+ "sh").mkString(" ")),
+      ("b", (Seq.fill(100)("bb") :+ "sh").mkString(" "))).toDF("source", "text")
+    val h1 = TrainingMix.sourceHellinger(skew, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("hellinger")).toMap
+    assert(h1("a") > 0.5 && h1("a") < 0.5412 && h1("a") == h1("b"), h1.toString)
+  }
+
+  test("dunningKeyness: an exclusive term is flagged over with positive G2; a proportional one scores 0") {
+    import org.apache.spark.sql.functions.col
+    // 'loan' only in a; 'base' appears in exact proportion to source sizes.
+    val docs = Seq(
+      ("a", (Seq.fill(60)("loan") ++ Seq.fill(40)("base")).mkString(" ")),
+      ("b", Seq.fill(40)("base").mkString(" "))).toDF("source", "text")
+    // Corpus floor: max(50, n/10000) = 50, so both terms clear it.
+    val k = TrainingMix.dunningKeyness(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // Hand value: 2·60·ln(60/42.857) = 40.38 (b = 0 contributes 0).
+    val loan = k(("a", "loan"))
+    assert(loan.getAs[Boolean]("over") && math.abs(loan.getAs[Double]("g2") - 40.3767) < 1e-3)
+    // base: 40 of 100 in a, 40 of 40 in b -> NOT proportional; check the
+    // truly proportional case instead on equal-size sources.
+    val prop = Seq(("a", Seq.fill(50)("w").mkString(" ")),
+      ("b", Seq.fill(50)("w").mkString(" "))).toDF("source", "text")
+    TrainingMix.dunningKeyness(prop, "source", "text").collect()
+      .foreach(r => assert(r.getAs[Double]("g2") == 0.0, r.toString))
+  }
 }

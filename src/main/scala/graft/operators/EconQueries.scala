@@ -134,6 +134,25 @@ object EconQueries {
     "q_theil_u" -> { (s, dir) =>
       Stats.theilU(dailyCents(Tables(s, dir)), "g", col("day"), col("v"))
         .withColumnRenamed("g", "event_type")
+    },
+
+    // Binned Epanechnikov density profile of line price per return
+    // flag — the smooth complement of q_histo_quantiles over the SAME
+    // 256-bin histogram, evaluated at 22 grid points.
+    "q_kde" -> { (s, dir) =>
+      Stats.kdeProfile(Tables(s, dir).lineitem, "l_returnflag",
+        round(col("l_extendedprice") * 100).cast("long"),
+        lo = 0L, hi = 10500000L, bins = 256, bandwidth = 500000L, gridSteps = 21)
+    },
+
+    // Rich-club coefficient of the supplier-part graph at four degree
+    // thresholds: do high-degree parts/suppliers interconnect more
+    // than chance?
+    "q_rich_club" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem.select(
+        col("l_suppkey").cast("long").as("src"),
+        (col("l_partkey") + 1000000000L).as("dst"))
+      Graph.richClub(li, "src", "dst", ks = Seq(4L, 8L, 16L, 32L))
     })
 
   /** Shared oracle CTE: the day-grain cent series. */
@@ -364,6 +383,44 @@ object EconQueries {
          |SELECT g AS event_type, n_days, sse_naive, sse_seasonal,
          |  CASE WHEN sse_naive > 0 THEN sqrt(sse_seasonal / sse_naive) END AS theil_u
          |FROM s""".stripMargin,
+
+    "q_kde" ->
+      """WITH t AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),
+        |b AS (SELECT g, CAST(least(greatest(
+        |        floor(CAST(c - 0 AS DOUBLE) * 256.0 / 10500000.0), 0.0), 255.0) AS BIGINT) AS b
+        |      FROM t),
+        |hh AS (SELECT g, b, CAST(count(*) AS BIGINT) AS cnt,
+        |         0 + ((2*b + 1) * 10500000) // 512 AS cb
+        |       FROM b GROUP BY g, b),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY g),
+        |gr AS (SELECT (range * 10500000) // 21 + 0 AS grid_c FROM range(0, 22)),
+        |kk AS (SELECT g, grid_c,
+        |         sum(CAST(cnt AS HUGEINT) *
+        |             (CAST(500000 AS HUGEINT)*500000 - CAST(cb - grid_c AS HUGEINT)*(cb - grid_c))) AS ksum
+        |       FROM hh JOIN gr ON abs(cb - grid_c) < 500000 GROUP BY 1, 2)
+        |SELECT kk.g AS l_returnflag, grid_c,
+        |  0.75 * CAST(ksum AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * 500000.0 * 500000.0 * 500000.0) AS density
+        |FROM kk JOIN n ON n.g = kk.g""".stripMargin,
+
+    "q_rich_club" ->
+      """WITH e0 AS (SELECT least(CAST(l_suppkey AS BIGINT), CAST(l_partkey + 1000000000 AS BIGINT)) AS u,
+        |              greatest(CAST(l_suppkey AS BIGINT), CAST(l_partkey + 1000000000 AS BIGINT)) AS v
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT u, v FROM e0 WHERE u <> v),
+        |d AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+        |        (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id),
+        |ks AS (SELECT unnest(CAST([4, 8, 16, 32] AS BIGINT[])) AS k),
+        |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+        |       FROM d CROSS JOIN ks WHERE deg > k GROUP BY k),
+        |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges FROM e
+        |       JOIN d du ON du.id = e.u JOIN d dv ON dv.id = e.v CROSS JOIN ks
+        |       WHERE du.deg > k AND dv.deg > k GROUP BY k)
+        |SELECT nk.k, n_nodes, CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
+        |  CASE WHEN n_nodes > 1 THEN
+        |    CAST(coalesce(n_edges, 0) * 2 AS DOUBLE) / CAST(n_nodes * (n_nodes - 1) AS DOUBLE)
+        |  END AS phi
+        |FROM nk LEFT JOIN ek ON ek.k = nk.k""".stripMargin,
 
     "q_histo_quantiles" ->
       """WITH t AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),

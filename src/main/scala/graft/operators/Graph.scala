@@ -183,6 +183,40 @@ object Graph {
           .cast("double")).as("modularity"))
   }
 
+  /** Rich-club coefficient (Zhou & Mondragón 2004; Colizza et al.
+    * 2006, unnormalized form): for each degree threshold k, φ(k) =
+    * 2·E_k/(N_k(N_k−1)) where N_k nodes have degree > k and E_k edges
+    * run between two such nodes — "do the hubs preferentially link to
+    * each other". Exact integers throughout; one edge-table pass per
+    * threshold (the thresholds explode on the EDGE side only after
+    * both endpoint degrees are joined in, so the graph is read once).
+    */
+  def richClub(edges: DataFrame, src: String, dst: String, ks: Seq[Long]): DataFrame = {
+    val e = edges.select(
+        least(col(src).cast("long"), col(dst).cast("long")).as("u"),
+        greatest(col(src).cast("long"), col(dst).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("u").as("id")).unionByName(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val kLit = array(ks.map(lit): _*)
+    val nK = deg.select(col("deg"), explode(kLit).as("k"))
+      .filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val eK = e
+      .join(deg.withColumnsRenamed(Map("id" -> "u", "deg" -> "du")), "u")
+      .join(deg.withColumnsRenamed(Map("id" -> "v", "deg" -> "dv")), "v")
+      .select(explode(kLit).as("k"), col("du"), col("dv"))
+      .filter(col("du") > col("k") && col("dv") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    nK.join(eK, Seq("k"), "left")
+      .select(col("k"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        when(col("n_nodes") > 1,
+          (coalesce(col("n_edges"), lit(0L)) * 2).cast("double") /
+            (col("n_nodes") * (col("n_nodes") - 1)).cast("double")).as("phi"))
+  }
+
   /** DuckDB SQL computing the identical fixed-iteration label
     * propagation over `edgeCte` (a CTE named e with columns u, v,
     * directed, self-loop-free) — rounds unrolled from the same

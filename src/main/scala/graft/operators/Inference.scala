@@ -306,6 +306,57 @@ object Inference {
         round(col("hazard_var"), 6).as("cum_hazard_var"))
   }
 
+  /** Restricted mean survival time (Irwin 1949; Royston & Parmar
+    * 2013): the area under the [[kaplanMeier]] curve up to `tauDays`
+    * — "expected days survived out of the first τ", the
+    * model-free effect size survival analysts report when hazards
+    * aren't proportional. S is a step function dropping only at event
+    * days, so the area is an exact sum of step×width terms over the
+    * event-day table (day-grain, calendar-bounded like KM itself):
+    * RMST = min(e₁,τ) + Σᵢ Sᵢ·(min(eᵢ₊₁,τ) − min(eᵢ,τ)).
+    */
+  def rmst(df: DataFrame, subjectCol: String, ts: Column, isEvent: Column,
+           tauDays: Long): DataFrame = {
+    val t = df.select(col(subjectCol).as("s"), ts.as("ts"), isEvent.as("ev"))
+    val horizon = t.agg(max(unix_millis(col("ts"))).as("h_ms"))
+    val per = t.groupBy("s").agg(
+      min(unix_millis(col("ts"))).as("start_ms"),
+      min(when(col("ev"), unix_millis(col("ts")))).as("ev_ms"))
+    val durs = per.crossJoin(broadcast(horizon)).select(
+      ((coalesce(col("ev_ms"), col("h_ms")) - col("start_ms")) / lit(86400000L))
+        .cast("long").as("t_day"),
+      col("ev_ms").isNotNull.as("observed"))
+    val byDay = durs.groupBy("t_day").agg(
+      sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+      sum(when(!col("observed"), 1L).otherwise(0L)).as("c"))
+    val wCum = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = byDay.agg(sum(col("d") + col("c")).as("n_subj"))
+    val km = byDay.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("n_subj") - (sum(col("d") + col("c")).over(wCum) - col("d") - col("c")))
+      .withColumn("surv",
+        when(min(col("n_risk") - col("d")).over(wCum) === 0, lit(0.0)).otherwise(
+          exp(sum(log(when(col("n_risk") === col("d"), lit(1.0)).otherwise(
+            (col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double")))).over(wCum))))
+      .filter(col("d") > 0)
+      .select(col("t_day"), col("surv"), col("n_subj"))
+    // Steps clamped to tau: S_i applies on [e_i, min(e_{i+1}, tau));
+    // the pre-first-event stretch [0, min(e_1, tau)) survives at 1.
+    val wLead = Window.orderBy("t_day")
+    val segs = km
+      .withColumn("next_t", coalesce(lead(col("t_day"), 1).over(wLead), lit(tauDays)))
+      .withColumn("seg",
+        col("surv") * greatest(
+          least(col("next_t"), lit(tauDays)) - least(col("t_day"), lit(tauDays)),
+          lit(0L)).cast("double"))
+    segs.agg(
+      max(col("n_subj")).as("n_subj"),
+      min(col("t_day")).as("first_event_day"),
+      sum(col("seg")).as("area_after"))
+      .select(col("n_subj"), lit(tauDays).as("tau_days"),
+        round(least(col("first_event_day"), lit(tauDays)).cast("double") +
+          col("area_after"), 4).as("rmst_days"))
+  }
+
   /** Benjamini–Hochberg FDR gate (Benjamini & Hochberg 1995) over a
     * family of per-group goodness-of-fit tests: each group's 3-category
     * distribution is tested against the corpus-wide mixture (chi²,

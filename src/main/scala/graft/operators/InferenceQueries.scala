@@ -64,6 +64,14 @@ object InferenceQueries {
         col("event_type") === "error")
     },
 
+    // Restricted mean survival time to day 30 — the area under the
+    // q_kaplan_meier curve, the model-free "expected error-free days
+    // out of the first 30" effect size.
+    "q_rmst" -> { (s, dir) =>
+      Inference.rmst(Tables(s, dir).events, "user_id", col("ts"),
+        col("event_type") === "error", tauDays = 30L)
+    },
+
     // ECDF scoring of the odd-id half of the corpus against the
     // even-id REFERENCE half's token-count distribution, per language
     // — cross-population score normalization in integer ppm.
@@ -421,6 +429,36 @@ object InferenceQueries {
         |SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, d AS n_event, c AS n_censor,
         |  round(surv, 6) + 0.0 AS survival
         |FROM km WHERE d > 0""".stripMargin,
+    "q_rmst" ->
+      """WITH t AS (SELECT user_id AS s, epoch_ms(ts) AS ms,
+        |             event_type = 'error' AS ev FROM events),
+        |h AS (SELECT max(ms) AS h_ms FROM t),
+        |per AS (SELECT s, min(ms) AS start_ms,
+        |          min(CASE WHEN ev THEN ms END) AS ev_ms FROM t GROUP BY s),
+        |durs AS (SELECT (COALESCE(ev_ms, h_ms) - start_ms) // 86400000 AS t_day,
+        |           ev_ms IS NOT NULL AS observed FROM per, h),
+        |byday AS (SELECT t_day,
+        |            CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |            CAST(sum(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |          FROM durs GROUP BY t_day),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_subj FROM byday),
+        |r AS (SELECT t_day, d, c,
+        |        n_subj - (sum(d + c) OVER w - d - c) AS n_risk
+        |      FROM byday, tot WINDOW w AS (ORDER BY t_day)),
+        |km AS (SELECT t_day, d,
+        |         CASE WHEN min(n_risk - d) OVER w = 0 THEN 0.0
+        |              ELSE exp(sum(ln(CASE WHEN n_risk = d THEN 1.0
+        |                     ELSE (n_risk - d)::DOUBLE / n_risk::DOUBLE END)) OVER w)
+        |         END AS surv
+        |       FROM r WINDOW w AS (ORDER BY t_day)),
+        |ev AS (SELECT t_day, surv FROM km WHERE d > 0),
+        |sg AS (SELECT t_day, surv,
+        |         coalesce(lead(t_day) OVER (ORDER BY t_day), 30) AS next_t FROM ev)
+        |SELECT (SELECT n_subj FROM tot) AS n_subj, CAST(30 AS BIGINT) AS tau_days,
+        |  round(CAST(least((SELECT min(t_day) FROM ev), 30) AS DOUBLE) +
+        |    sum(surv * CAST(greatest(least(next_t, 30) - least(t_day, 30), 0) AS DOUBLE)), 4)
+        |    AS rmst_days
+        |FROM sg""".stripMargin,
     "q_ecdf_score" ->
       """WITH d AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
         |         (doc_id % 2 = 0) AS r FROM documents),

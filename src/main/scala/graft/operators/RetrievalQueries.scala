@@ -125,6 +125,14 @@ object RetrievalQueries {
         terms = Seq("spark", "window", "merge", "data"), k = 10, relMin = 2L)
     },
 
+    // Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001): the
+    // language-modeling ranker beside BM25, mu = 2000, top-10 per term.
+    "q_dirichlet_ql" -> { (s, dir) =>
+      TextRank.dirichletQl(Tables(s, dir).documents, "doc_id", "text",
+        terms = Seq("spark", "window", "merge", "data"), mu = 2000.0, k = 10)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // #93c MMR diversity re-ranking (Carbonell & Goldstein 1998):
     // greedy 5-of-20 selection, lambda = 0.7, over the vec_id-0 query.
     "q_mmr_select" -> { (s, dir) =>
@@ -363,6 +371,21 @@ object RetrievalQueries {
          |FROM al""".stripMargin,
     // Same single-term BM25 chain as q_bm25 (per-term partition),
     // binary tf>=2 qrels, closed-form DCG/IDCG via list arithmetic.
+    "q_dirichlet_ql" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM w),
+        |f AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, CAST(max(dl) AS BIGINT) AS dl
+        |      FROM base WHERE term IN ('spark', 'window', 'merge', 'data') GROUP BY 1, 2),
+        |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM f GROUP BY term),
+        |cl AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS clen FROM w),
+        |sc AS (SELECT term, doc_id, tf,
+        |         round(ln((CAST(tf AS DOUBLE) + 2000.0 * CAST(cf AS DOUBLE) / CAST(clen AS DOUBLE))
+        |                  / (CAST(dl AS DOUBLE) + 2000.0)), 4) AS score
+        |       FROM f JOIN cf USING (term) CROSS JOIN cl),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id)
+        |        AS BIGINT) AS doc_rank FROM sc)
+        |SELECT term, doc_id, tf, score, doc_rank FROM r WHERE doc_rank <= 10""".stripMargin,
+
     "q_retrieval_eval" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |st AS (SELECT count(*) AS n, avg(len(ws)) AS avglen FROM w),

@@ -1561,4 +1561,150 @@ object Stats {
         col("decile_v"), col("cum_v"),
         (col("cum_v").cast("double") / col("tot_v").cast("double")).as("cum_share"))
   }
+
+  /** Binned Epanechnikov kernel density profile (Epanechnikov 1969;
+    * Silverman 1986 §5 "binned KDE") per group at a fixed evaluation
+    * grid: f̂(g) = 0.75·Σ_b cnt_b·(h²−(c_b−g)²)/(n·h³) over the bins
+    * within one bandwidth. The 100 TB density shape: rows collapse to
+    * the (group, bin) histogram map-side (the histoQuantiles
+    * discipline), the grid is a broadcast literal, and every
+    * kernel weight is an EXACT integer product (bin centers, grid
+    * points, h are longs; the polynomial kernel never needs exp) —
+    * one double division per output row.
+    */
+  def kdeProfile(df: DataFrame, groupCol: String, v: Column,
+                 lo: Long, hi: Long, bins: Int, bandwidth: Long,
+                 gridSteps: Int): DataFrame = {
+    val spark = df.sparkSession
+    val bin = least(greatest(
+      floor((v - lit(lo)).cast("double") * lit(bins.toDouble) / lit((hi - lo).toDouble)),
+      lit(0.0)), lit((bins - 1).toDouble)).cast("long")
+    val h = df.select(col(groupCol).as("g"), bin.as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+      // integer bin center: lo + (2b+1)(hi-lo) div (2*bins) — `div`,
+      // not `/`: Column `/` is double division and DuckDB CAST rounds
+      // where Spark truncates, so only integer division is portable.
+      .withColumn("c", expr(s"${lo}L + ((b * 2 + 1) * ${hi - lo}L) div ${2L * bins}L"))
+    val n = df.select(col(groupCol).as("g")).groupBy("g").agg(count(lit(1)).as("n"))
+    val grid = spark.range(0, gridSteps + 1)
+      .select(expr(s"(id * ${hi - lo}L) div ${gridSteps.toLong}L + ${lo}L").as("grid_c"))
+    h.join(broadcast(grid),
+        abs(col("c") - col("grid_c")) < lit(bandwidth))
+      .groupBy("g", "grid_c")
+      .agg(sum(col("cnt").cast("decimal(19,0)") *
+        ((lit(bandwidth).cast("decimal(19,0)") * lit(bandwidth).cast("decimal(19,0)")) -
+          (col("c") - col("grid_c")).cast("decimal(19,0)") *
+            (col("c") - col("grid_c")).cast("decimal(19,0)"))).as("ksum"))
+      .join(broadcast(n), "g")
+      .select(col("g").as(groupCol), col("grid_c"),
+        (lit(0.75) * col("ksum").cast("double") /
+          (col("n").cast("double") * lit(bandwidth.toDouble) *
+            lit(bandwidth.toDouble) * lit(bandwidth.toDouble))).as("density"))
+  }
+
+  /** 2-D Mahalanobis outlier screen (Mahalanobis 1936): per group, the
+    * most atypical (x, y) point under the group's own covariance,
+    * d² = (B·dx² − 2C·dx·dy + A·dy²)/(AB − C²) with A = nΣx²−(Σx)²,
+    * B = nΣy²−(Σy)², C = nΣxy−ΣxΣy and dx = n·x−Σx — the scaled form
+    * whose every component is an exact integer (the 2×2 inverse is
+    * closed-form; no linear algebra library). The winner is elected by
+    * an equality join on the group max (map-side-combinable agg, no
+    * row-grain sort), min-id on exact double ties.
+    */
+  def mahalanobisScreen(df: DataFrame, groupCol: String, x: Column, y: Column,
+                        idCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), x.cast("long").as("xv"),
+      y.cast("long").as("yv"), idCol.as("id"))
+    val mom = base.groupBy("g").agg(
+      count(lit(1)).as("n"), sum("xv").as("sx"), sum("yv").as("sy"),
+      sum(col("xv").cast("decimal(19,0)") * col("xv").cast("decimal(19,0)")).as("sxx"),
+      sum(col("yv").cast("decimal(19,0)") * col("yv").cast("decimal(19,0)")).as("syy"),
+      sum(col("xv").cast("decimal(19,0)") * col("yv").cast("decimal(19,0)")).as("sxy"))
+    val nD = col("n").cast("double")
+    val aa = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val bb = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    val cc = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val withMom = base.join(broadcast(mom), "g")
+    val dxs = (col("n") * col("xv") - col("sx")).cast("double")
+    val dys = ((col("n").cast("decimal(19,0)") * col("yv").cast("decimal(19,0)")) -
+      col("sy").cast("decimal(19,0)")).cast("double")
+    val d2 = (bb * (dxs * dxs) - lit(2.0) * cc * (dxs * dys) + aa * (dys * dys)) /
+      (aa * bb - cc * cc)
+    val scored = withMom.select(col("g"), col("id"), d2.as("d2"))
+    val peak = scored.groupBy("g").agg(max("d2").as("max_d2"))
+    scored.join(broadcast(peak), "g")
+      .filter(col("d2") === col("max_d2"))
+      .groupBy("g")
+      .agg(min("id").as("outlier_id"), max("max_d2").as("max_d2"))
+      .join(broadcast(mom.select(col("g"), col("n"))), "g")
+      .select(col("g").as(groupCol), col("n"), col("outlier_id"), col("max_d2"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971): chance-corrected agreement of a
+    * FIXED panel of `nRaters` raters over many items — the multi-rater
+    * generalization of [[cohensKappa]]. From the (item, category)
+    * rating rows: P̄ = (ΣΣn_ij² − N·n)/(N·n·(n−1)), P_e = Σ_j(Σ_i
+    * n_ij)²/(N·n)², κ = (P̄−P_e)/(1−P_e) — integer sums end-to-end
+    * (squares in DECIMAL(38,0)), one scalar double tree. Items with a
+    * different rating count are EXCLUDED (the complete-blocks rule,
+    * like cronbachAlpha).
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String, categoryCol: String,
+                  nRaters: Int): DataFrame = {
+    val cnt = ratings.groupBy(col(itemCol).as("item"), col(categoryCol).as("cat"))
+      .agg(count(lit(1)).as("nij"))
+    val complete = cnt.groupBy("item").agg(sum("nij").as("tot"))
+      .filter(col("tot") === nRaters).select("item")
+    val kept = cnt.join(complete, "item")
+    val perItem = kept.agg(
+      countDistinct(col("item")).as("n_items"),
+      sum(col("nij").cast("decimal(19,0)") * col("nij").cast("decimal(19,0)")).as("s2"))
+    val perCat = kept.groupBy("cat").agg(sum("nij").as("mj"))
+      .agg(sum(col("mj").cast("decimal(19,0)") * col("mj").cast("decimal(19,0)")).as("m2"))
+    val nI = col("n_items").cast("double")
+    val nR = lit(nRaters.toDouble)
+    val pbar = (col("s2").cast("double") - nI * nR) / (nI * nR * (nR - lit(1.0)))
+    val pe = col("m2").cast("double") / (nI * nR * (nI * nR))
+    perItem.crossJoin(broadcast(perCat))
+      .select(col("n_items"), lit(nRaters).as("n_raters"),
+        round(pbar, 6).as("p_bar"), round(pe, 6).as("p_e"),
+        round((pbar - pe) / (lit(1.0) - pe), 6).as("fleiss_kappa"))
+  }
+
+  /** Atkinson inequality index at ε = 1 (Atkinson 1970): A = 1 −
+    * geomean/mean — the welfare-weighted member of the Gini/Lorenz
+    * family (1 % transfer at the bottom moves A more than at the top).
+    * Computed at DISTINCT-VALUE grain: the log sum runs over the value
+    * histogram (Σ c·ln v, cardinality-bounded) not over rows, the
+    * totals are exact integers, and the final form is one scalar
+    * expression. Non-positive values are excluded (ln undefined) and
+    * counted in the output.
+    */
+  def atkinson(df: DataFrame, groupCol: String, v: Column): DataFrame = {
+    val hist = df.select(col(groupCol).as("g"), v.cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    hist.groupBy("g").agg(
+      sum(when(col("v") > 0, col("c")).otherwise(0L)).as("n"),
+      sum(when(col("v") > 0, col("c") * col("v")).otherwise(0L)).as("sv"),
+      sum(when(col("v") > 0, col("c").cast("double") * log(col("v").cast("double")))
+        .otherwise(lit(0.0))).as("slog"),
+      sum(when(col("v") <= 0, col("c")).otherwise(0L)).as("n_excluded"))
+      .select(col("g").as(groupCol), col("n"), col("n_excluded"),
+        round(lit(1.0) - exp(col("slog") / col("n").cast("double")) /
+          (col("sv").cast("double") / col("n").cast("double")), 6).as("atkinson"))
+  }
+
+  /** l-diversity audit (Machanavalli et al. 2007) — [[kAnonymityAudit]]'s
+    * sibling on the SENSITIVE attribute: a quasi-identifier class is
+    * safe only if it contains at least `l` DISTINCT sensitive values
+    * (k-anonymity alone leaks when a whole class shares one diagnosis).
+    * Exact distinct counts per class; the audit emits every class with
+    * its size, diversity, and the suppression verdict.
+    */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[String], sensitive: Column,
+                      l: Long): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(sensitive).as("l_div"))
+      .withColumn("suppressed", col("l_div") < l)
 }

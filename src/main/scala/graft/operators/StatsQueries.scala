@@ -360,6 +360,31 @@ object StatsQueries {
     "q_lorenz" -> { (s, dir) =>
       Stats.lorenzDeciles(Tables(s, dir).documents, "source",
         col("n_chars"), col("doc_id"))
+    },
+
+    // 2-D Mahalanobis screen: the most atypical (quantity, price)
+    // line per return class under the class's own covariance.
+    "q_mahalanobis" -> { (s, dir) =>
+      Stats.mahalanobisScreen(Tables(s, dir).lineitem, "l_returnflag",
+        col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        (col("l_orderkey") * 100 + col("l_linenumber")).cast("long"))
+    },
+
+    // l-diversity audit on the same quasi-identifier classes as
+    // q_k_anonymity, with market segment as the sensitive attribute.
+    "q_l_diversity" -> { (s, dir) =>
+      val c = Tables(s, dir).customer.withColumn("bal_kbucket",
+        expr("(cast(round(c_acctbal * 100) as bigint) + 1000000) div 100000"))
+      Stats.lDiversityAudit(c, Seq("c_nationkey", "bal_kbucket"),
+        col("c_mktsegment"), l = 3L)
+    },
+
+    // Atkinson inequality (epsilon = 1) of document length per source
+    // — the welfare-weighted member of the gini/lorenz family, at
+    // value-histogram grain.
+    "q_atkinson" -> { (s, dir) =>
+      Stats.atkinson(Tables(s, dir).documents, "source", col("n_chars"))
     }
   )
 
@@ -1031,6 +1056,55 @@ object StatsQueries {
         |SELECT g AS event_type, n_actors, total,
         |  CAST(s2 AS DOUBLE) / CAST(CAST(total AS HUGEINT)*total AS DOUBLE) AS hhi,
         |  CAST(CAST(total AS HUGEINT)*total AS DOUBLE) / CAST(s2 AS DOUBLE) AS effective_n
+        |FROM s""".stripMargin,
+
+    "q_mahalanobis" ->
+      """WITH t AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS xv,
+        |             CAST(round(l_extendedprice*100) AS BIGINT) AS yv,
+        |             CAST(l_orderkey*100 + l_linenumber AS BIGINT) AS id FROM lineitem),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+        |        sum(CAST(xv AS HUGEINT)*xv) AS sxx,
+        |        sum(CAST(yv AS HUGEINT)*yv) AS syy,
+        |        sum(CAST(xv AS HUGEINT)*yv) AS sxy
+        |      FROM t GROUP BY g),
+        |s2 AS (SELECT t.g, t.id,
+        |         ((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))
+        |            * (CAST(n*xv - sx AS DOUBLE) * CAST(n*xv - sx AS DOUBLE))
+        |          - 2.0 * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |            * (CAST(n*xv - sx AS DOUBLE) * CAST(CAST(n AS HUGEINT)*yv - sy AS DOUBLE))
+        |          + (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |            * (CAST(CAST(n AS HUGEINT)*yv - sy AS DOUBLE) * CAST(CAST(n AS HUGEINT)*yv - sy AS DOUBLE)))
+        |         / ((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |            * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))
+        |            - (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |            * (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))) AS d2
+        |       FROM t JOIN m ON m.g = t.g),
+        |p AS (SELECT g, max(d2) AS max_d2 FROM s2 GROUP BY g),
+        |j AS (SELECT s2.g, s2.id, p.max_d2 FROM s2 JOIN p ON p.g = s2.g AND s2.d2 = p.max_d2)
+        |SELECT j.g AS l_returnflag, m.n, min(j.id) AS outlier_id, max(j.max_d2) AS max_d2
+        |FROM j JOIN m ON m.g = j.g GROUP BY j.g, m.n""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH t AS (SELECT c_nationkey,
+        |             (CAST(round(c_acctbal*100) AS BIGINT) + 1000000) // 100000 AS bal_kbucket,
+        |             c_mktsegment FROM customer)
+        |SELECT c_nationkey, bal_kbucket, CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
+        |  count(DISTINCT c_mktsegment) < 3 AS suppressed
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "q_atkinson" ->
+      """WITH h AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+        |             CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        |s AS (SELECT g, CAST(sum(CASE WHEN v > 0 THEN c ELSE 0 END) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN v > 0 THEN c*v ELSE 0 END) AS BIGINT) AS sv,
+        |        sum(CASE WHEN v > 0 THEN CAST(c AS DOUBLE) * ln(CAST(v AS DOUBLE)) ELSE 0.0 END) AS slog,
+        |        CAST(sum(CASE WHEN v <= 0 THEN c ELSE 0 END) AS BIGINT) AS n_excluded
+        |      FROM h GROUP BY g)
+        |SELECT g AS source, n, n_excluded,
+        |  round(1.0 - exp(slog / CAST(n AS DOUBLE)) /
+        |    (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS atkinson
         |FROM s""".stripMargin,
 
     "q_lorenz" ->

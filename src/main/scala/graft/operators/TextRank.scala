@@ -625,4 +625,37 @@ object TextRank {
           sequence(lit(1L), least(lit(k.toLong), col("n_rel"))),
           lit(0.0), (acc, i) => acc + logTerm(i)), 6).as("ndcg_at_k"))
   }
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Ponte & Croft
+    * 1998; Zhai & Lafferty 2001): score(w, d) = ln((tf + μ·cf_w/|C|)
+    * /(|d| + μ)) — the language-modeling scorer that complements BM25
+    * (they disagree most on long documents, which Dirichlet smoothing
+    * penalizes less). Candidates are posting-bounded (docs containing
+    * the term; the smoothing mass alone never promotes a non-matching
+    * doc into a single-term top-k since the score is monotone in tf),
+    * corpus stats are one broadcast row, ranking is the BM25 twin's
+    * 4-dp-rounded score with the doc-id tiebreak.
+    */
+  def dirichletQl(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], mu: Double, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docs.select(col(idCol).as("id"),
+      split(lower(col(textCol)), " ").as("toks"))
+    val base = perDoc.select(col("id"), size(col("toks")).cast("long").as("dl"),
+      explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(terms))
+    val tfs = base.groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val cfs = tfs.groupBy("term").agg(sum("tf").as("cf"))
+    val clen = perDoc.agg(sum(size(col("toks")).cast("long")).as("clen"))
+    val score = log(
+      (col("tf").cast("double") + lit(mu) * col("cf").cast("double") /
+        col("clen").cast("double")) /
+        (col("dl").cast("double") + lit(mu)))
+    val scored = tfs.join(broadcast(cfs), "term").crossJoin(broadcast(clen))
+      .select(col("term"), col("id"), col("tf"), round(score, 4).as("score"))
+    val wRank = Window.partitionBy("term").orderBy(col("score").desc, col("id"))
+    scored.withColumn("doc_rank", row_number().over(wRank).cast("long"))
+      .filter(col("doc_rank") <= k)
+  }
 }

@@ -421,6 +421,27 @@ class InferenceSpec extends SparkSpec {
     assert(m(2L) == 1.0)    // 0.5 + 1/2
   }
 
+  test("rmst: hand-integrated KM area, tau clamps late events away") {
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    // Same curve as the nelsonAalen fixture: S = 1 on [0,1), 1/2 on
+    // [1,2), then 0 (risk set exhausted at day 2: 2 at risk, 1 event,
+    // 1 censored AT the event day counts as at-risk there).
+    val rows = Seq(
+      (1L, ts(0), false), (2L, ts(0), false), (3L, ts(0), false), (4L, ts(0), false),
+      (1L, ts(1), true), (2L, ts(1), true), (3L, ts(2), true), (4L, ts(2), false))
+      .toDF("s", "ts", "ev")
+    // KM: day1 n=4 d=2 -> S=1/2; day2 n=2 d=1 c=1 -> S=1/4.
+    // RMST(10) = 1*1 + 0.5*(2-1) + 0.25*(10-2) = 3.5
+    val r10 = Inference.rmst(rows, "s", col("ts"), col("ev"), tauDays = 10L)
+      .collect().head
+    assert(r10.getAs[Double]("rmst_days") == 3.5, r10.toString)
+    assert(r10.getAs[Long]("n_subj") == 4L)
+    // tau = 2 cuts the tail: 1*1 + 0.5*1 = 1.5
+    assert(Inference.rmst(rows, "s", col("ts"), col("ev"), tauDays = 2L)
+      .collect().head.getAs[Double]("rmst_days") == 1.5)
+  }
+
   test("hits: integer walk counts on a tiny bipartite graph, normalized once") {
     // u1→{v1,v2}, u2→{v1}. Round 1: h=(2,1), a=(3,2).
     // Round 2: h(u1)=a(v1)+a(v2)=5, h(u2)=a(v1)=3; a(v1)=5+3=8, a(v2)=5.

@@ -320,6 +320,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_logrank" -> "distinct event-time table",
       "q_kaplan_meier" -> "distinct event-time table",
       "q_nelson_aalen" -> "distinct event-time table",
+      "q_rmst" -> "distinct event-time table (KM steps + lead)",
       "q_bh_fdr" -> "per-source p-value table (sources-bounded)",
       "q_rbo" -> "two depth-bounded head tables",
       "q_rrf_fusion" -> "two top-100 head tables",

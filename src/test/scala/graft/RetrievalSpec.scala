@@ -151,4 +151,34 @@ class RetrievalSpec extends SparkSpec {
     val byId = out.map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
     assert(byId(2L) == 1L && byId(4L) == 2L)
   }
+
+  test("dirichletQl: higher tf wins at equal length; smoothing penalizes long docs less than tf=0") {
+    import graft.operators.TextRank
+    val docs = Seq(
+      (1L, "spark spark spark pad pad pad"),   // tf 3, dl 6
+      (2L, "spark pad pad pad pad pad"),       // tf 1, dl 6
+      (3L, "spark spark pad pad pad pad"))     // tf 2, dl 6
+      .toDF("doc_id", "text")
+    val out = TextRank.dirichletQl(docs, "doc_id", "text",
+      terms = Seq("spark"), mu = 10.0, k = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("doc_rank")).toMap
+    assert(out(1L) == 1L && out(3L) == 2L && out(2L) == 3L)
+  }
+
+  test("richClub: the hub clique saturates phi = 1 once pendants fall below threshold") {
+    import graft.operators.Graph
+    // K4 core (ids 1-4, degree >= 5) + 3 pendants per core node
+    // (degree 1). At k = 2 only the core qualifies and it is complete.
+    val core = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val pendants = for { a <- 1L to 4L; p <- 0L until 3L } yield (a, 100L + a * 10 + p)
+    val e = (core ++ pendants).toDF("u", "v")
+    val m = Graph.richClub(e, "u", "v", ks = Seq(0L, 2L)).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(m(2L).getAs[Long]("n_nodes") == 4L)
+    assert(m(2L).getAs[Long]("n_edges") == 6L)
+    assert(m(2L).getAs[Double]("phi") == 1.0)
+    // k = 0 admits everything: 16 nodes, 18 edges, phi = 36/240
+    assert(m(0L).getAs[Long]("n_nodes") == 16L)
+    assert(m(0L).getAs[Double]("phi") == 36.0 / 240.0)
+  }
 }

@@ -559,6 +559,61 @@ class StatsSpec extends SparkSpec {
     assert(s9(9) < 0.9 && s9(10) == 1.0)
   }
 
+  test("fleissKappa: unanimous panels score 1; a constant rater against a 50/50 split lands near 0") {
+    // 3 raters, all agreeing on every item -> kappa = 1 exactly.
+    val perfect = (1 to 60).flatMap(i => Seq.fill(3)((i.toLong, if (i % 2 == 0) "a" else "b")))
+      .toDF("item", "cat")
+    assert(Stats.fleissKappa(perfect, "item", "cat", 3)
+      .collect().head.getAs[Double]("fleiss_kappa") == 1.0)
+    // Two raters split every item, third always says "a": heavy
+    // disagreement -> kappa well below chance-corrected agreement.
+    val noisy = (1 to 60).flatMap(i =>
+      Seq((i.toLong, "a"), (i.toLong, if (i % 2 == 0) "a" else "b"), (i.toLong, "b")))
+      .toDF("item", "cat")
+    val k = Stats.fleissKappa(noisy, "item", "cat", 3)
+      .collect().head.getAs[Double]("fleiss_kappa")
+    assert(k < 0.2, s"kappa=$k")
+    // Incomplete items (wrong rating count) are excluded.
+    val withPartial = perfect.union(Seq((999L, "a")).toDF("item", "cat"))
+    assert(Stats.fleissKappa(withPartial, "item", "cat", 3)
+      .collect().head.getAs[Long]("n_items") == 60L)
+  }
+
+  test("atkinson: equal values score 0, concentration scores high, zeros excluded") {
+    val eq = (1 to 50).map(_ => ("g", 100L)).toDF("g", "v")
+    assert(Stats.atkinson(eq, "g", col("v")).collect().head.getAs[Double]("atkinson") == 0.0)
+    val skew = ((1 to 49).map(_ => ("g", 1L)) :+ (("g", 100000L))).toDF("g", "v")
+    val r = Stats.atkinson(skew, "g", col("v")).collect().head
+    assert(r.getAs[Double]("atkinson") > 0.8)
+    val withZero = (eq.collect().map(x => (x.getString(0), x.getLong(1))).toSeq :+ (("g", 0L)))
+      .toDF("g", "v")
+    val z = Stats.atkinson(withZero, "g", col("v")).collect().head
+    assert(z.getAs[Long]("n") == 50L && z.getAs[Long]("n_excluded") == 1L)
+  }
+
+  test("kdeProfile: densities are non-negative and integrate to ~1 over the grid") {
+    val df = (1 to 2000).map(i => ("g", ((i * 7919) % 1000).toLong)).toDF("g", "v")
+    val prof = Stats.kdeProfile(df, "g", col("v"), lo = 0L, hi = 1000L,
+      bins = 64, bandwidth = 100L, gridSteps = 20).collect()
+    assert(prof.forall(_.getAs[Double]("density") >= 0.0))
+    // Riemann sum over the grid (step = 50) should approximate 1 —
+    // loose bound, KDE mass leaks at the boundaries.
+    val mass = prof.map(_.getAs[Double]("density")).sum * 50.0
+    assert(mass > 0.7 && mass < 1.2, s"mass=$mass")
+  }
+
+  test("mahalanobisScreen finds the planted covariance-breaking point") {
+    // Tight line y = 10x + noise-free, one point far OFF the line but
+    // inside both marginal ranges (a univariate z-score would miss it).
+    val rows = (1 to 100).map(i => ("g", i.toLong, 10L * i, i.toLong)) :+
+      (("g", 20L, 800L, 999L))
+    val df = rows.toDF("g", "x", "y", "id")
+    val r = Stats.mahalanobisScreen(df, "g", col("x"), col("y"), col("id"))
+      .collect().head
+    assert(r.getAs[Long]("outlier_id") == 999L)
+    assert(r.getAs[Long]("n") == 101L)
+  }
+
   test("brierDecomposition: Murphy identity holds and a perfect forecaster scores 0") {
     // Confidence equal to the bin's empirical rate -> REL 0 within
     // binning error; identity rel - res + unc = brier_binned is exact.

@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -62,9 +63,20 @@ class DocsSink extends TableProvider {
 object DocsSink {
   val ManifestName = "_manifest"
   val StagingName = "_staging"
+  val EpochsName = "_epochs"
 
   private[sources] def manifestPath(dir: String): Path = Paths.get(dir, ManifestName)
   private[sources] def stagingDir(dir: String): Path = Paths.get(dir, StagingName)
+  private[sources] def epochsPath(dir: String): Path = Paths.get(dir, EpochsName)
+
+  /** Epoch ids already committed to `dir` by the streaming write
+    * path, ledger order. */
+  def committedEpochs(dir: String): Seq[Long] = {
+    val f = epochsPath(dir)
+    if (!Files.exists(f)) Nil
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map(_.toLong)
+  }
 
   /** Committed (file, rows, partitionId, taskId) entries, manifest order. */
   def manifestEntries(dir: String): Seq[(String, Long, Int, Long)] = {
@@ -83,7 +95,8 @@ private[sources] class DocsSinkTable(path: String)
   override def name(): String = s"docs_sink($path)"
   override def schema(): StructType = SyntheticDocs.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val expect = SyntheticDocs.schema.map(f => (f.name, f.dataType))
@@ -107,17 +120,69 @@ private[sources] class DocsWrite(path: String) extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
   override def description(): String = s"DocsSink path=$path"
 
+  /** STREAMING rung of the same sink: identical staged-file protocol,
+    * plus the two things a streaming sink must add over a batch one —
+    * the EPOCH in every staged name (a recovered epoch's retry must
+    * not collide with its first attempt's leftovers) and an
+    * IDEMPOTENT per-epoch commit: after failure Spark replays the
+    * epoch and re-commits it, so a second commit of a ledgered epoch
+    * must publish nothing (exactly-once = replayable source offsets +
+    * idempotent sink commit, the Kafka-to-Delta contract in
+    * miniature). The epoch ledger `_epochs` is appended ATOMICALLY
+    * after the manifest move, so a crash between the two re-delivers
+    * (at-least-once inside the commit point) rather than losing data.
+    */
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(
+        info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+      Files.createDirectories(DocsSink.stagingDir(path))
+      // named top-level factory: an anonymous one closes over this
+      // (non-serializable) Write object and fails task serialization
+      new DocsStreamingWriterFactory(path)
+    }
+
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val entries = messages.map(_.asInstanceOf[DocsCommitMessage])
+      if (DocsSink.committedEpochs(path).contains(epochId)) {
+        // replayed epoch: drop the duplicate attempt's staged files,
+        // publish nothing
+        entries.foreach(m => Files.deleteIfExists(Paths.get(m.stagedPath)))
+      } else {
+        publish(entries)
+        val ep = DocsSink.epochsPath(path)
+        val prior = DocsSink.committedEpochs(path)
+        val tmp = Paths.get(path).resolve(DocsSink.EpochsName + ".tmp")
+        Files.write(tmp, (prior :+ epochId).mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, ep, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      messages.foreach {
+        case m: DocsCommitMessage => Files.deleteIfExists(Paths.get(m.stagedPath))
+        case _ => ()
+      }
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(DocsSink.stagingDir(path))
     new DocsWriterFactory(path)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    publish(messages.map(_.asInstanceOf[DocsCommitMessage]))
+    cleanupStaging()
+  }
+
+  /** Shared visibility point of the batch and streaming commits: move
+    * every staged file into the target dir, THEN atomically publish
+    * the appended manifest.
+    */
+  private def publish(entries: Array[DocsCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    val entries = messages.map(_.asInstanceOf[DocsCommitMessage])
-    // move every staged file into the target dir, THEN publish the
-    // manifest — the manifest write is the visibility point
     entries.foreach { m =>
       val staged = Paths.get(m.stagedPath)
       require(Files.exists(staged), s"staged file missing at job commit: $staged")
@@ -134,7 +199,6 @@ private[sources] class DocsWrite(path: String) extends Write with BatchWrite {
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, DocsSink.manifestPath(path), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    cleanupStaging()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -165,10 +229,24 @@ private[sources] class DocsWriterFactory(path: String) extends DataWriterFactory
     new DocsDataWriter(path, partitionId, taskId)
 }
 
-private[sources] class DocsDataWriter(path: String, partitionId: Int, taskId: Long)
+private[sources] class DocsStreamingWriterFactory(path: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new DocsDataWriter(path, partitionId, taskId, epochId)
+}
+
+/** epochId < 0 means a batch write; streaming writers carry the epoch
+  * in the staged filename so a replayed epoch's attempt never
+  * collides with leftovers from the one that crashed.
+  */
+private[sources] class DocsDataWriter(path: String, partitionId: Int, taskId: Long,
+                                      epochId: Long = -1L)
     extends DataWriter[InternalRow] {
   private val staged =
-    DocsSink.stagingDir(path).resolve(f"part-$partitionId%05d-t$taskId.tsv")
+    DocsSink.stagingDir(path).resolve(
+      if (epochId < 0) f"part-$partitionId%05d-t$taskId.tsv"
+      else f"part-$partitionId%05d-t$taskId-e$epochId.tsv")
   private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
   private var rows = 0L
 

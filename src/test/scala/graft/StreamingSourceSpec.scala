@@ -85,4 +85,47 @@ class StreamingSourceSpec extends SparkSpec {
     assert(SyntheticDocsStream.lastStreamReadSchema.fieldNames.toSeq ==
       Seq("doc_id", "source", "n_chars", "text"))
   }
+
+  test("STREAMING WRITE: per-epoch 2PC publish, idempotent replayed epochs, checkpoint append") {
+    import graft.sources.DocsSink
+    val ckpt = Files.createTempDirectory("sinkstream_ckpt").toString
+    val out = Files.createTempDirectory("sinkstream_out").toString
+    def run(rows: Int, checkpoint: String): Unit = {
+      val q = stream(rows, rowsPerBatch = 100)
+        .writeStream.format("graft.sources.DocsSink").option("path", out)
+        .option("checkpointLocation", checkpoint).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // 250 rows drain as epochs 0/1/2, each a manifest-gated publish.
+    run(250, ckpt)
+    assert(DocsSink.committedEpochs(out) == Seq(0L, 1L, 2L))
+    assert(DocsSink.manifestEntries(out).map(_._2).sum == 250L)
+    val read = spark.read.format("graft.sources.DocsSink").option("path", out).load()
+    assert(read.count() == 250L)
+    val ids = read.collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(ids.distinct.length == 250 && ids.last == 249L)
+
+    // A FRESH-checkpoint query replays epochs 0/1/2 into the same
+    // target: the epoch ledger makes every re-commit a no-op — the
+    // manifest must not grow (the exactly-once half the sink owns).
+    run(250, Files.createTempDirectory("sinkstream_ckpt2").toString)
+    assert(DocsSink.committedEpochs(out) == Seq(0L, 1L, 2L))
+    assert(DocsSink.manifestEntries(out).map(_._2).sum == 250L,
+      "replayed epochs were double-published")
+    // and replay attempts leave no staged leftovers behind
+    val staging = java.nio.file.Paths.get(out, DocsSink.StagingName)
+    assert(!Files.exists(staging) ||
+      Files.list(staging).iterator().asScala.isEmpty)
+
+    // Resuming the ORIGINAL checkpoint after the source grew publishes
+    // only the new interval, as new epochs.
+    run(400, ckpt)
+    assert(DocsSink.committedEpochs(out).take(3) == Seq(0L, 1L, 2L))
+    assert(DocsSink.committedEpochs(out).length >= 4)
+    assert(DocsSink.manifestEntries(out).map(_._2).sum == 400L)
+    val all = spark.read.format("graft.sources.DocsSink").option("path", out).load()
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(all.length == 400 && all.distinct.length == 400 && all.last == 399L)
+  }
 }

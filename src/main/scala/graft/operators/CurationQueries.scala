@@ -353,6 +353,16 @@ object CurationQueries {
         round(col("o_totalprice") * 100).cast("long").as("w_cents"))
       Sampling.ppsSample(t, "o_orderkey", col("w_cents"), k = 200L, seed = 7L)
         .select("o_orderkey", "w_cents", "pi_ppm")
+    },
+
+    // Priority sampling (Duffield et al. 2007): exact-k weighted
+    // sample whose max(w, tau) estimates make subset sums unbiased —
+    // the fixed-size companion of q_pps_sample's Poisson design.
+    "q_priority_sample" -> { (s, dir) =>
+      val t = Tables(s, dir).orders.select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("w_cents"))
+      Sampling.prioritySample(t, "o_orderkey", col("w_cents"), k = 64, seed = 7L)
+        .withColumnRenamed("id", "o_orderkey")
     }
   )
 
@@ -756,6 +766,22 @@ object CurationQueries {
         |SELECT doc_id, n_tokens, n_spans, n_masked,
         |       substring(corrupted, 1, 160) AS corrupted_head
         |FROM agg""".stripMargin,
+    "q_priority_sample" ->
+      """WITH t AS (SELECT o_orderkey AS id,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS w FROM orders),
+        |s AS (SELECT id, w,
+        |        CAST(w AS DOUBLE) * 4294967296.0 /
+        |          CAST(('0x' || substr(md5(id::VARCHAR || ':7'), 1, 8))::BIGINT + 1 AS DOUBLE)
+        |          AS pr
+        |      FROM t),
+        |hd AS (SELECT id, w, pr,
+        |         CAST(row_number() OVER (ORDER BY pr DESC, id) AS BIGINT) AS rn
+        |       FROM s QUALIFY rn <= 65),
+        |tau AS (SELECT max(CASE WHEN rn = 65 THEN pr END) AS tau FROM hd)
+        |SELECT hd.id AS o_orderkey, hd.w,
+        |  round(greatest(CAST(hd.w AS DOUBLE), coalesce(tau.tau, 0.0)), 4) AS w_hat
+        |FROM hd CROSS JOIN tau WHERE hd.rn <= 64""".stripMargin,
+
     "q_pps_sample" ->
       """WITH t AS (SELECT o_orderkey,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents FROM orders),

@@ -153,6 +153,21 @@ object EconQueries {
         col("l_suppkey").cast("long").as("src"),
         (col("l_partkey") + 1000000000L).as("dst"))
       Graph.richClub(li, "src", "dst", ks = Seq(4L, 8L, 16L, 32L))
+    },
+
+    // ICC(1,1): how much daily-cents variance is BETWEEN days versus
+    // within a day across the five event series (the reliability
+    // companion of q_cronbach).
+    "q_icc" -> { (s, dir) =>
+      Stats.iccOneWay(dailyCents(Tables(s, dir)), "day", col("v"))
+    },
+
+    // Page's L: do the five series trend in alphabetical order within
+    // each day block (the ordered-alternative sharpening of
+    // q_friedman)?
+    "q_page_trend" -> { (s, dir) =>
+      Stats.pageTrend(dailyCents(Tables(s, dir)), "g", "day", col("v"),
+        itemOrder = Seq("click", "error", "purchase", "signup", "view"))
     })
 
   /** Shared oracle CTE: the day-grain cent series. */
@@ -383,6 +398,60 @@ object EconQueries {
          |SELECT g AS event_type, n_days, sse_naive, sse_seasonal,
          |  CASE WHEN sse_naive > 0 THEN sqrt(sse_seasonal / sse_naive) END AS theil_u
          |FROM s""".stripMargin,
+
+    "q_icc" ->
+      s"""WITH $ddCte,
+         |per AS (SELECT day AS s, CAST(count(*) AS BIGINT) AS k, CAST(sum(v) AS BIGINT) AS r
+         |        FROM dd GROUP BY day),
+         |km AS (SELECT max(k) AS k FROM per),
+         |comp AS (SELECT per.s, per.k, per.r FROM per JOIN km ON km.k = per.k),
+         |kept AS (SELECT dd.day AS s, dd.v FROM dd JOIN comp ON comp.s = dd.day),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS nk, CAST(sum(v) AS BIGINT) AS gt,
+         |        sum(CAST(v AS HUGEINT)*v) AS svv, CAST(max(1) AS BIGINT) AS one FROM kept),
+         |rr AS (SELECT CAST(count(*) AS BIGINT) AS n_subj,
+         |         sum(CAST(r AS HUGEINT)*r) AS srr, max(k) AS k FROM comp)
+         |SELECT n_subj, k,
+         |  round((CAST(srr AS DOUBLE) / CAST(k AS DOUBLE)
+         |          - CAST(gt AS DOUBLE) * CAST(gt AS DOUBLE) /
+         |            (CAST(n_subj AS DOUBLE) * CAST(k AS DOUBLE)))
+         |        / (CAST(n_subj AS DOUBLE) - 1.0), 6) AS msb,
+         |  round((CAST(svv AS DOUBLE) - CAST(srr AS DOUBLE) / CAST(k AS DOUBLE))
+         |        / (CAST(n_subj AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)), 6) AS msw,
+         |  round(((CAST(srr AS DOUBLE) / CAST(k AS DOUBLE)
+         |          - CAST(gt AS DOUBLE) * CAST(gt AS DOUBLE) /
+         |            (CAST(n_subj AS DOUBLE) * CAST(k AS DOUBLE)))
+         |        / (CAST(n_subj AS DOUBLE) - 1.0)
+         |        - (CAST(svv AS DOUBLE) - CAST(srr AS DOUBLE) / CAST(k AS DOUBLE))
+        |          / (CAST(n_subj AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)))
+         |       / ((CAST(srr AS DOUBLE) / CAST(k AS DOUBLE)
+         |          - CAST(gt AS DOUBLE) * CAST(gt AS DOUBLE) /
+         |            (CAST(n_subj AS DOUBLE) * CAST(k AS DOUBLE)))
+         |        / (CAST(n_subj AS DOUBLE) - 1.0)
+         |        + (CAST(k AS DOUBLE) - 1.0) *
+         |          (CAST(svv AS DOUBLE) - CAST(srr AS DOUBLE) / CAST(k AS DOUBLE))
+         |          / (CAST(n_subj AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))), 6) AS icc
+         |FROM g, rr""".stripMargin,
+
+    "q_page_trend" ->
+      s"""WITH $completeCte,
+         |rk AS (SELECT g, day,
+         |         CAST(rank() OVER (PARTITION BY day ORDER BY v) AS BIGINT) * 2 +
+         |           count(*) OVER (PARTITION BY day, v) - 1 AS r2
+         |       FROM cp),
+         |it AS (SELECT g, CAST(sum(r2) AS BIGINT) AS r2sum, CAST(count(*) AS BIGINT) AS nb
+         |       FROM rk GROUP BY g),
+         |wtd AS (SELECT g, r2sum, nb,
+         |          CASE g WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'purchase' THEN 3
+         |                 WHEN 'signup' THEN 4 WHEN 'view' THEN 5 ELSE 0 END AS wj
+         |        FROM it),
+         |ag AS (SELECT CAST(sum(wj * r2sum) AS BIGINT) AS l2, max(nb) AS n_blocks FROM wtd)
+         |SELECT n_blocks, CAST(5 AS INT) AS k,
+         |  CAST(l2 AS DOUBLE) / 2.0 AS l_stat,
+         |  (CAST(l2 AS DOUBLE) / 2.0
+         |    - CAST(n_blocks AS DOUBLE) * 5.0 * (5.0 + 1) * (5.0 + 1) / 4.0)
+         |  / sqrt(CAST(n_blocks AS DOUBLE) * 5.0 * 5.0 * (5.0 + 1) * (5.0 * 5.0 - 1) / 144.0)
+         |    AS z_l
+         |FROM ag""".stripMargin,
 
     "q_kde" ->
       """WITH t AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),

@@ -190,6 +190,27 @@ object LlmQueries {
       Stats.fleissKappa(ratings, "doc_id", "cat", nRaters = 3)
     },
 
+    // Bland-Altman agreement of the two token counters (whitespace vs
+    // the BPE-ish length estimate): bias + 95% limits of agreement —
+    // the method-comparison readout on q_token_count's two columns.
+    "q_bland_altman" -> { (s, dir) =>
+      Stats.blandAltman(Tables(s, dir).documents,
+        TextAnalysis.tokenCount(col("text")),
+        TextAnalysis.bpeTokenEstimate(col("text")))
+    },
+
+    // Isotonic (PAVA) calibration of the lang-ID confidence via the
+    // minimax identity at bin grain — the monotone repair of
+    // q_calibration's reliability curve.
+    "q_isotonic" -> { (s, dir) =>
+      val hits = Seq("en", "de", "es", "fr")
+        .map(l => TextAnalysis.stopwordHits(col("text"), TextAnalysis.langProfiles(l)))
+      val conf = (hits.head + lit(0.5)) / (hits.reduce(_ + _) + lit(1.0))
+      Stats.isotonicCalibration(
+        Tables(s, dir).documents.select(conf.as("c"), (col("lang") === "en").as("y")),
+        col("c"), col("y"), bins = 10)
+    },
+
     // Reliability diagram + ECE for the lang-ID heuristic read as an
     // "is-English" classifier: confidence = Laplace-smoothed share of
     // English stopword hits among all profile hits, outcome = the
@@ -1026,6 +1047,59 @@ object LlmQueries {
          |  round(pe_num::DOUBLE / (nt * nt)::DOUBLE, 6) + 0.0 AS pe,
          |  round((n_agree * nt - pe_num)::DOUBLE / (nt * nt - pe_num)::DOUBLE, 6) + 0.0 AS kappa
          |FROM ag, tot, pe""".stripMargin,
+    "q_bland_altman" ->
+      s"""WITH $wsCte,
+         |d AS (SELECT CAST(len(ws) AS BIGINT) -
+         |        CAST(list_sum(list_transform(ws, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)
+         |        AS d FROM w),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS sd1,
+         |        sum(CAST(d AS HUGEINT)*d) AS sd2 FROM d)
+         |SELECT n,
+         |  CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_diff,
+         |  sqrt((CAST(sd2 AS DOUBLE) - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE))
+         |       / (CAST(n AS DOUBLE) - 1.0)) AS sd_diff,
+         |  CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE) - 1.96 *
+         |    sqrt((CAST(sd2 AS DOUBLE) - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE))
+         |         / (CAST(n AS DOUBLE) - 1.0)) AS loa_lo,
+         |  CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE) + 1.96 *
+         |    sqrt((CAST(sd2 AS DOUBLE) - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / CAST(n AS DOUBLE))
+         |         / (CAST(n AS DOUBLE) - 1.0)) AS loa_hi
+         |FROM s""".stripMargin,
+
+    "q_isotonic" ->
+      s"""WITH $wsCte,
+         |h AS (SELECT doc_id,
+         |        CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS en,
+         |        CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS BIGINT) AS de,
+         |        CAST(len(list_filter(ws, w -> w IN ('el','la','de','los','las','y','es','en','un','una'))) AS BIGINT) AS es,
+         |        CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','des','est','un','une','dans','pour'))) AS BIGINT) AS fr
+         |      FROM w),
+         |sc AS (SELECT d.doc_id,
+         |        (h.en + 0.5) / (h.en + h.de + h.es + h.fr + 1.0) AS c,
+         |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |      FROM h JOIN documents d USING (doc_id)),
+         |pb AS (SELECT least(CAST(floor(c * 10) AS INT), 9) AS bin,
+         |         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+         |       FROM sc GROUP BY 1),
+         |pre AS (SELECT bin, n, sy,
+         |          CAST(sum(n) OVER w AS BIGINT) AS cn, CAST(sum(sy) OVER w AS BIGINT) AS cy
+         |        FROM pb WINDOW w AS (ORDER BY bin
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |iv AS (SELECT lo.l, hi.j,
+         |         CAST(hi.jy - lo.py AS DOUBLE) / CAST(hi.jn - lo.pn AS DOUBLE) AS rate
+         |       FROM (SELECT bin AS l, cn - n AS pn, cy - sy AS py FROM pre) lo
+         |       CROSS JOIN (SELECT bin AS j, cn AS jn, cy AS jy FROM pre) hi
+         |       WHERE lo.l <= hi.j),
+         |mm AS (SELECT m.i, iv.j, max(iv.rate) AS mx, max(m.n) AS n, max(m.sy) AS sy
+         |       FROM (SELECT bin AS i, n, sy FROM pre) m
+         |       JOIN iv ON iv.l <= m.i AND m.i <= iv.j
+         |       GROUP BY m.i, iv.j),
+         |iso AS (SELECT i, min(mx) AS iso_rate, max(n) AS n, max(sy) AS sy
+         |        FROM mm GROUP BY i)
+         |SELECT i AS bin, n,
+         |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate, iso_rate
+         |FROM iso""".stripMargin,
+
     "q_fleiss_kappa" ->
       s"""WITH $wsCte,
          |h AS (SELECT doc_id,

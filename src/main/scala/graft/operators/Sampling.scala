@@ -216,4 +216,41 @@ object Sampling {
       .withColumn("pi_ppm", expr(s"least(($k * __w_l * 1000000) div __W, 1000000)"))
       .drop("__w_l", "__W")
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup 2007): EXACT-k
+    * weighted sampling whose per-item weight estimates ŵ = max(w, τ)
+    * give UNBIASED subset sums — the one-pass replacement for
+    * "sample by weight then guess the inflation". Priority qᵢ =
+    * wᵢ/uᵢ with uᵢ the item's md5 uniform (deterministic/AQE-stable
+    * like every hash sampler here); keep the k largest priorities, τ
+    * = the (k+1)-th. Selection runs through the bounded-heap TopK
+    * operator — the corpus is never sorted; the only ordered pass is
+    * the (k+1)-row head table.
+    */
+  def prioritySample(df: DataFrame, idCol: String,
+                     weight: org.apache.spark.sql.Column, k: Int,
+                     seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(concat(col("id").cast("string"), lit(":" + seed))),
+      1, 8), 16, 10).cast("long") + 1L
+    val scored = df.select(col(idCol).as("id"), weight.cast("long").as("w"))
+      .withColumn("pr",
+        col("w").cast("double") * lit(4294967296.0) / u.cast("double"))
+      // TopKPerKey requires a clustering key; the global head uses a
+      // constant one (one final heap, partial heaps map-side).
+      .withColumn("__g", lit(1))
+    val head = TopK.perKey(scored, Seq("__g"),
+      struct((-col("pr")).as("np"), col("id").as("tid")), k + 1).drop("__g")
+    val wOrd = Window.orderBy(col("pr").desc, col("id"))
+    val ranked = head.withColumn("rn", row_number().over(wOrd))
+    val tau = ranked.filter(col("rn") === k + 1)
+      .agg(max("pr").as("tau"))
+    ranked.filter(col("rn") <= k)
+      .crossJoin(broadcast(tau))
+      // tau NULL (corpus ≤ k: everything kept, estimate = own weight)
+      // is coalesced explicitly — engines disagree on NULL in greatest
+      .select(col("id"), col("w"),
+        round(greatest(col("w").cast("double"), coalesce(col("tau"), lit(0.0))), 4)
+          .as("w_hat"))
+  }
 }

@@ -1694,6 +1694,222 @@ object Stats {
           (col("sv").cast("double") / col("n").cast("double")), 6).as("atkinson"))
   }
 
+  /** Standardized mean difference covariate-balance check per stratum
+    * (Austin 2009; Rosenbaum & Rubin 1983's balance diagnostic):
+    * SMD = (x̄ₜ−x̄꜀)/√((s²ₜ+s²꜀)/2) — the causal-inference gate that a
+    * stratification/matching actually balanced the covariate (|SMD| <
+    * 0.1 is the usual bar). Exact integer moments per (stratum, arm),
+    * one scalar double tree; NULL when both variances vanish.
+    */
+  def smdBalance(df: DataFrame, stratumCol: String, isTreated: Column,
+                 x: Column): DataFrame = {
+    val m = df.select(col(stratumCol).as("s"), isTreated.as("t"), x.cast("long").as("x"))
+      .groupBy("s", "t")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)")).as("sxx"))
+    def arm(flag: Boolean, suffix: String) =
+      m.filter(col("t") === flag)
+        .select(col("s"), col("n").as(s"n$suffix"), col("sx").as(s"sx$suffix"),
+          col("sxx").as(s"sxx$suffix"))
+    def mean(sfx: String) = col(s"sx$sfx").cast("double") / col(s"n$sfx").cast("double")
+    def variance(sfx: String) =
+      (col(s"sxx$sfx").cast("double") -
+        col(s"sx$sfx").cast("double") * col(s"sx$sfx").cast("double") /
+          col(s"n$sfx").cast("double")) / (col(s"n$sfx") - 1).cast("double")
+    arm(true, "_t").join(arm(false, "_c"), "s")
+      .select(col("s").as(stratumCol), col("n_t"), col("n_c"),
+        when(variance("_t") + variance("_c") > 0,
+          (mean("_t") - mean("_c")) /
+            sqrt((variance("_t") + variance("_c")) / lit(2.0))).as("smd"))
+  }
+
+  /** Youden's J optimal threshold (Youden 1950): over the DISTINCT-
+    * score histogram, the cut t maximizing J = TPR−FPR for the rule
+    * "positive iff score ≥ t". The argmax is decided by the EXACT
+    * integer cross product TP·N₋ − FP·N₊ (no float tie), elected via
+    * a one-row max join; ties break to the smallest threshold.
+    * Score-histogram grain like [[aucRoc]] — never a row sort.
+    */
+  def youdenJ(df: DataFrame, isPos: Column, score: Column): DataFrame = {
+    val hist = df.select(score.cast("long").as("v"), isPos.as("grp"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("c"), sum(when(col("grp"), 1L).otherwise(0L)).as("c1"))
+    val w = Window.orderBy(col("v"))
+    val tot = hist.agg(sum("c1").as("p"), sum(col("c") - col("c1")).as("nn"))
+    val cands = hist
+      .withColumn("cumPos", sum("c1").over(w) - col("c1"))
+      .withColumn("cumNeg", sum(col("c") - col("c1")).over(w) - (col("c") - col("c1")))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("p"), col("nn"),
+        (col("p") - col("cumPos")).as("tp"),
+        (col("nn") - col("cumNeg")).as("fp"))
+      .withColumn("jnum",
+        col("tp").cast("decimal(19,0)") * col("nn").cast("decimal(19,0)") -
+          col("fp").cast("decimal(19,0)") * col("p").cast("decimal(19,0)"))
+    val best = cands.agg(max("jnum").as("best_j"))
+    cands.join(broadcast(best), col("jnum") === col("best_j"))
+      .groupBy("jnum")
+      .agg(min("v").as("threshold"), max("p").as("n_pos"), max("nn").as("n_neg"))
+      .join(cands.select(col("v").as("threshold"), col("tp"), col("fp")), Seq("threshold"))
+      .select(col("threshold"), col("n_pos"), col("n_neg"), col("tp"), col("fp"),
+        (col("jnum").cast("double") /
+          (col("n_pos").cast("decimal(19,0)") * col("n_neg").cast("decimal(19,0)"))
+            .cast("double")).as("youden_j"))
+  }
+
+  /** Bland-Altman agreement of two paired measurements (Bland & Altman
+    * 1986): mean difference (bias) and the 95% limits of agreement
+    * mean ± 1.96·sd over the paired diffs — the method-comparison
+    * standard. Diffs are exact integers; one scalar tree at the end.
+    */
+  def blandAltman(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val d = df.select((a.cast("long") - b.cast("long")).as("d"))
+    val nD = col("n").cast("double")
+    val mean = col("sd1").cast("double") / nD
+    val sd = sqrt((col("sd2").cast("double") -
+      col("sd1").cast("double") * col("sd1").cast("double") / nD) / (nD - lit(1.0)))
+    d.agg(count(lit(1)).as("n"), sum("d").as("sd1"),
+        sum(col("d").cast("decimal(19,0)") * col("d").cast("decimal(19,0)")).as("sd2"))
+      .select(col("n"), mean.as("mean_diff"), sd.as("sd_diff"),
+        (mean - lit(1.96) * sd).as("loa_lo"),
+        (mean + lit(1.96) * sd).as("loa_hi"))
+  }
+
+  /** One-way intraclass correlation ICC(1,1) (Shrout & Fleiss 1979)
+    * over complete blocks: subjects × k measurements, ICC =
+    * (MSB−MSW)/(MSB+(k−1)·MSW) from the one-way ANOVA identities —
+    * "how much of the variance is BETWEEN subjects". Complete blocks
+    * only (the cronbachAlpha rule); exact integer sums throughout.
+    */
+  def iccOneWay(df: DataFrame, subjectCol: String, v: Column): DataFrame = {
+    val base = df.select(col(subjectCol).as("s"), v.cast("long").as("v"))
+    val per = base.groupBy("s").agg(count(lit(1)).as("k"), sum("v").as("r"))
+    val kMax = per.agg(max("k").as("k"))
+    val complete = per.join(broadcast(kMax), "k").select(col("s"), col("k"), col("r"))
+    val kept = base.join(complete.select("s", "k"), "s")
+    val g = kept.agg(count(lit(1)).as("nk"), sum("v").as("gt"),
+      sum(col("v").cast("decimal(19,0)") * col("v").cast("decimal(19,0)")).as("svv"),
+      max("k").as("k"))
+    val rr = complete.agg(count(lit(1)).as("n_subj"),
+      sum(col("r").cast("decimal(19,0)") * col("r").cast("decimal(19,0)")).as("srr"))
+    val nD = col("n_subj").cast("double")
+    val kD = col("k").cast("double")
+    val msb = (col("srr").cast("double") / kD -
+      col("gt").cast("double") * col("gt").cast("double") / (nD * kD)) / (nD - lit(1.0))
+    val msw = (col("svv").cast("double") - col("srr").cast("double") / kD) /
+      (nD * (kD - lit(1.0)))
+    g.crossJoin(broadcast(rr))
+      .select(col("n_subj"), col("k"),
+        round(msb, 6).as("msb"), round(msw, 6).as("msw"),
+        round((msb - msw) / (msb + (kD - lit(1.0)) * msw), 6).as("icc"))
+  }
+
+  /** Cochran's Q test (Cochran 1950) for k related binary treatments
+    * over n blocks: Q = (k−1)·[k·ΣCⱼ² − (ΣCⱼ)²]/(k·ΣRᵢ − ΣRᵢ²) — the
+    * binary Friedman / multi-treatment McNemar. All-integer sums
+    * (DECIMAL squares); blocks with every or no treatment positive
+    * contribute zero variance but stay in, per the classic form.
+    */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+               hit: Column): DataFrame = {
+    // The grid must be EXPLICIT: a block with no row for a treatment
+    // is an x = 0 cell, not a missing one (blocks × k rows, k tiny).
+    val tDim = df.select(col(treatmentCol).as("t")).distinct()
+    val blocks = df.select(col(blockCol).as("b")).distinct()
+    val pos = df.filter(hit)
+      .select(col(blockCol).as("b"), col(treatmentCol).as("t")).distinct()
+      .withColumn("hitx", lit(1L))
+    val x = blocks.crossJoin(broadcast(tDim))
+      .join(pos, Seq("b", "t"), "left")
+      .select(col("b"), col("t"), coalesce(col("hitx"), lit(0L)).as("x"))
+    val rows = x.groupBy("b").agg(sum("x").as("r"), count(lit(1)).as("k"))
+    val cols_ = x.groupBy("t").agg(sum("x").as("c"))
+    val rAgg = rows.agg(count(lit(1)).as("n_blocks"), max("k").as("k"),
+      sum("r").as("sr"),
+      sum(col("r").cast("decimal(19,0)") * col("r").cast("decimal(19,0)")).as("srr"))
+    val cAgg = cols_.agg(
+      sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)")).as("scc"))
+    val kD = col("k").cast("double")
+    rAgg.crossJoin(broadcast(cAgg))
+      .select(col("n_blocks"), col("k"),
+        when(kD * col("sr").cast("double") - col("srr").cast("double") > 0,
+          (kD - lit(1.0)) *
+            (kD * col("scc").cast("double") -
+              col("sr").cast("double") * col("sr").cast("double")) /
+            (kD * col("sr").cast("double") - col("srr").cast("double")))
+          .as("q_cochran"))
+  }
+
+  /** Page's trend test for ordered alternatives (Page 1963): L =
+    * Σⱼ j·Rⱼ over Friedman ranks with the FIXED hypothesized item
+    * order, z = (L−μ)/σ with μ = N·k(k+1)²/4 and σ² =
+    * N·k²(k+1)(k²−1)/144 — "do the treatments trend in THIS order",
+    * strictly sharper than Friedman's any-difference alternative.
+    * Same complete-block half-rank machinery (exact integers; ranks
+    * in half-units so L is exact in halves).
+    */
+  def pageTrend(df: DataFrame, itemCol: String, blockCol: String, v: Column,
+                itemOrder: Seq[String]): DataFrame = {
+    val base = df.select(col(itemCol).as("item"), col(blockCol).as("blk"), v.as("v"))
+    val k = itemOrder.size
+    val sz = base.groupBy("blk").agg(count(lit(1)).as("ci"))
+    val cp = base.join(sz.filter(col("ci") === k).select("blk"), "blk")
+    val wb = Window.partitionBy("blk").orderBy("v")
+    val tie = Window.partitionBy("blk", "v")
+    val ranked = cp.select(col("item"), col("blk"),
+      (rank().over(wb) * 2 + count(lit(1)).over(tie) - 1).as("r2"))
+    val weightExpr = itemOrder.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (it, idx)) => when(col("item") === it, lit((idx + 1).toLong)).otherwise(acc)
+    }
+    val items = ranked.groupBy("item")
+      .agg(sum("r2").as("r2sum"), count(lit(1)).as("nb"))
+      .select(col("item"), col("r2sum"), col("nb"), weightExpr.as("wj"))
+    val agg = items.agg(sum(col("wj") * col("r2sum")).as("l2"), max("nb").as("n_blocks"))
+    val nD = col("n_blocks").cast("double")
+    val kD = lit(k.toDouble)
+    val lStat = col("l2").cast("double") / lit(2.0)
+    val mu = nD * kD * (kD + 1) * (kD + 1) / lit(4.0)
+    val sigma = sqrt(nD * kD * kD * (kD + 1) * (kD * kD - 1) / lit(144.0))
+    agg.select(col("n_blocks"), lit(k).as("k"),
+      lStat.as("l_stat"), ((lStat - mu) / sigma).as("z_l"))
+  }
+
+  /** Isotonic (monotone non-decreasing) calibration of binned rates
+    * via the MINIMAX identity (Ayer et al. 1955; Barlow et al. 1972):
+    * ŷᵢ = min_{j≥i} max_{l≤i} rate(l..j) — the closed form of PAVA,
+    * relational-friendly at bin grain: prefix sums over ≤bins rows,
+    * then a bins³-bounded interval lattice (broadcast) instead of the
+    * sequential pooling loop. Interval rates are single divisions of
+    * exact integer sums, so the min/max lattice is engine-exact.
+    */
+  def isotonicCalibration(df: DataFrame, conf: Column, label: Column,
+                          bins: Int): DataFrame = {
+    val per = df
+      .select(least(floor(conf * bins), lit(bins - 1)).cast("int").as("bin"),
+        label.cast("long").as("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("sy"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = per.select(col("bin"), col("n"), col("sy"),
+      sum("n").over(w).as("cn"), sum("sy").over(w).as("cy"))
+    val lo = pre.select(col("bin").as("l"), (col("cn") - col("n")).as("pn"),
+      (col("cy") - col("sy")).as("py"))
+    val hi = pre.select(col("bin").as("j"), col("cn").as("jn"), col("cy").as("jy"))
+    val intervals = broadcast(lo).crossJoin(broadcast(hi)).filter(col("l") <= col("j"))
+      .select(col("l"), col("j"),
+        ((col("jy") - col("py")).cast("double") /
+          (col("jn") - col("pn")).cast("double")).as("rate"))
+    val mids = pre.select(col("bin").as("i"), col("n"), col("sy"))
+    val iso = broadcast(mids).join(broadcast(intervals),
+        col("l") <= col("i") && col("i") <= col("j"))
+      .groupBy("i", "j").agg(max("rate").as("mx"),
+        max("n").as("n"), max("sy").as("sy"))
+      .groupBy("i").agg(min("mx").as("iso_rate"),
+        max("n").as("n"), max("sy").as("sy"))
+    iso.select(col("i").as("bin"), col("n"),
+      (col("sy").cast("double") / col("n").cast("double")).as("raw_rate"),
+      col("iso_rate"))
+  }
+
   /** l-diversity audit (Machanavalli et al. 2007) — [[kAnonymityAudit]]'s
     * sibling on the SENSITIVE attribute: a quasi-identifier class is
     * safe only if it contains at least `l` DISTINCT sensitive values

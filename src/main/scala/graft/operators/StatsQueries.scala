@@ -385,6 +385,29 @@ object StatsQueries {
     // value-histogram grain.
     "q_atkinson" -> { (s, dir) =>
       Stats.atkinson(Tables(s, dir).documents, "source", col("n_chars"))
+    },
+
+    // Covariate-balance SMD per priority stratum: did stratifying on
+    // order priority balance order value across the F/other arms?
+    "q_smd_balance" -> { (s, dir) =>
+      Stats.smdBalance(Tables(s, dir).orders,
+        "o_orderpriority", col("o_orderstatus") === "F",
+        round(col("o_totalprice") * 100).cast("long"))
+        .withColumnRenamed("o_orderpriority", "stratum")
+    },
+
+    // Youden's J optimal spend threshold for "is this a purchase" —
+    // integer-exact argmax over the distinct-cents histogram.
+    "q_youden" -> { (s, dir) =>
+      Stats.youdenJ(Tables(s, dir).events,
+        col("event_type") === "purchase", centsValue)
+    },
+
+    // Cochran's Q: do the five event types differ in their >=5.00
+    // conversion rate across users (binary Friedman)?
+    "q_cochran_q" -> { (s, dir) =>
+      Stats.cochranQ(Tables(s, dir).events, "user_id", "event_type",
+        centsValue >= 500L)
     }
   )
 
@@ -1057,6 +1080,71 @@ object StatsQueries {
         |  CAST(s2 AS DOUBLE) / CAST(CAST(total AS HUGEINT)*total AS DOUBLE) AS hhi,
         |  CAST(CAST(total AS HUGEINT)*total AS DOUBLE) / CAST(s2 AS DOUBLE) AS effective_n
         |FROM s""".stripMargin,
+
+    "q_smd_balance" ->
+      """WITH t AS (SELECT o_orderpriority AS s, o_orderstatus = 'F' AS t,
+        |             CAST(round(o_totalprice*100) AS BIGINT) AS x FROM orders),
+        |m AS (SELECT s, t, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |        sum(CAST(x AS HUGEINT)*x) AS sxx FROM t GROUP BY 1, 2),
+        |j AS (SELECT a.s, a.n AS n_t, a.sx AS sx_t, a.sxx AS sxx_t,
+        |        b.n AS n_c, b.sx AS sx_c, b.sxx AS sxx_c
+        |      FROM m a JOIN m b ON b.s = a.s AND a.t AND NOT b.t),
+        |v AS (SELECT s, n_t, n_c,
+        |        CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mt,
+        |        CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mc,
+        |        (CAST(sxx_t AS DOUBLE) - CAST(sx_t AS DOUBLE)*CAST(sx_t AS DOUBLE)/CAST(n_t AS DOUBLE))
+        |          / CAST(n_t - 1 AS DOUBLE) AS vt,
+        |        (CAST(sxx_c AS DOUBLE) - CAST(sx_c AS DOUBLE)*CAST(sx_c AS DOUBLE)/CAST(n_c AS DOUBLE))
+        |          / CAST(n_c - 1 AS DOUBLE) AS vc
+        |      FROM j)
+        |SELECT s AS stratum, n_t, n_c,
+        |  CASE WHEN vt + vc > 0 THEN (mt - mc) / sqrt((vt + vc) / 2.0) END AS smd
+        |FROM v""".stripMargin,
+
+    "q_youden" ->
+      """WITH t AS (SELECT CAST(round(value*100) AS BIGINT) AS v,
+        |             event_type = 'purchase' AS grp FROM events),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |      FROM t GROUP BY v),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS p,
+        |          CAST(sum(c - c1) AS BIGINT) AS nn FROM h),
+        |cand AS (SELECT v, p, nn,
+        |           p - (sum(c1) OVER w - c1) AS tp,
+        |           nn - (sum(c - c1) OVER w - (c - c1)) AS fp
+        |         FROM h, tot WINDOW w AS (ORDER BY v)),
+        |jn AS (SELECT v, p, nn, tp, fp,
+        |         CAST(tp AS HUGEINT) * nn - CAST(fp AS HUGEINT) * p AS jnum FROM cand),
+        |best AS (SELECT max(jnum) AS best_j FROM jn),
+        |pick AS (SELECT jnum, min(v) AS threshold, max(p) AS n_pos, max(nn) AS n_neg
+        |         FROM jn JOIN best ON jn.jnum = best.best_j GROUP BY jnum)
+        |SELECT pick.threshold, pick.n_pos, pick.n_neg, jn.tp, jn.fp,
+        |  CAST(pick.jnum AS DOUBLE) /
+        |    CAST(CAST(pick.n_pos AS HUGEINT) * pick.n_neg AS DOUBLE) AS youden_j
+        |FROM pick JOIN jn ON jn.v = pick.threshold""".stripMargin,
+
+    "q_cochran_q" ->
+      """WITH td AS (SELECT DISTINCT event_type AS t FROM events),
+        |bl AS (SELECT DISTINCT user_id AS b FROM events),
+        |pos AS (SELECT DISTINCT user_id AS b, event_type AS t FROM events
+        |        WHERE CAST(round(value*100) AS BIGINT) >= 500),
+        |x AS (SELECT bl.b, td.t,
+        |        CASE WHEN pos.b IS NULL THEN 0 ELSE 1 END AS x
+        |      FROM bl CROSS JOIN td
+        |      LEFT JOIN pos ON pos.b = bl.b AND pos.t = td.t),
+        |r AS (SELECT b, CAST(sum(x) AS BIGINT) AS r, CAST(count(*) AS BIGINT) AS k
+        |      FROM x GROUP BY b),
+        |cc AS (SELECT t, CAST(sum(x) AS BIGINT) AS c FROM x GROUP BY t),
+        |ra AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks, max(k) AS k,
+        |         CAST(sum(r) AS BIGINT) AS sr, sum(CAST(r AS HUGEINT)*r) AS srr FROM r),
+        |ca AS (SELECT sum(CAST(c AS HUGEINT)*c) AS scc FROM cc)
+        |SELECT n_blocks, k,
+        |  CASE WHEN CAST(k AS DOUBLE) * CAST(sr AS DOUBLE) - CAST(srr AS DOUBLE) > 0 THEN
+        |    (CAST(k AS DOUBLE) - 1.0) *
+        |      (CAST(k AS DOUBLE) * CAST(scc AS DOUBLE) - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) /
+        |      (CAST(k AS DOUBLE) * CAST(sr AS DOUBLE) - CAST(srr AS DOUBLE))
+        |  END AS q_cochran
+        |FROM ra, ca""".stripMargin,
 
     "q_mahalanobis" ->
       """WITH t AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS xv,

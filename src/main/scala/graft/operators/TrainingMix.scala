@@ -322,6 +322,49 @@ object TrainingMix {
         col("c_w").cast("decimal(19,0)") * col("n_s").cast("decimal(19,0)")).as("over"))
   }
 
+  /** Burrows' Delta stylometric distance between sources (Burrows
+    * 2002; Argamon 2008's z-score reading): over the corpus top-K
+    * terms, z-score each source's relative frequency against the
+    * across-source mean/sd, Delta(a,b) = mean |z_a − z_b| — the
+    * authorship-attribution standard repurposed as a "which sources
+    * write alike" corpus diagnostic. Top-K by the bounded-heap TopK
+    * operator (never a vocab sort); the z/Delta lattice is
+    * K×sources-bounded; terms a source never uses enter at f = 0
+    * exactly (that absence IS stylometric signal).
+    */
+  def burrowsDelta(docs: DataFrame, sourceCol: String, textCol: String,
+                   topK: Int): DataFrame = {
+    val sw = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(lower(col(textCol)), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(true)
+    val wTot = sw.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+      .withColumn("__g", lit(1))
+    val top = TopK.perKey(wTot, Seq("__g"),
+      struct((-col("c_w")).as("nc"), col("w").as("wt")), topK).select("w")
+    val sTot = sw.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+    val grid = broadcast(top).crossJoin(broadcast(sTot))
+      .join(sw, Seq("source", "w"), "left")
+      .select(col("w"), col("source"),
+        (coalesce(col("c_sw"), lit(0L)).cast("double") /
+          col("n_s").cast("double")).as("f"))
+    val stats = grid.groupBy("w").agg(
+      count(lit(1)).as("ns"), sum("f").as("sf"), sum(col("f") * col("f")).as("sff"))
+    val mu = col("sf") / col("ns").cast("double")
+    val sigma = sqrt((col("sff") - col("sf") * col("sf") / col("ns").cast("double")) /
+      (col("ns") - 1).cast("double"))
+    val zs = grid.join(broadcast(stats), "w")
+      .select(col("w"), col("source"),
+        when(sigma > 0, (col("f") - mu) / sigma).otherwise(lit(0.0)).as("z"))
+    zs.as("a").join(zs.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(abs(col("a.z") - col("b.z"))) / count(lit(1)).cast("double"), 6)
+          .as("delta"))
+  }
+
   def electCanonical(components: DataFrame, docs: DataFrame,
                      idCol: String, scoreCol: Column): DataFrame = {
     // The score keeps its NATIVE numeric type: casting to long here

@@ -45,6 +45,13 @@ object TrainingQueries {
       TrainingMix.dunningKeyness(Tables(s, dir).documents, "source", "text")
     },
 
+    // Burrows' Delta stylometric distance between every source pair
+    // over the corpus top-30 terms — which sources write alike.
+    "q_burrows_delta" -> { (s, dir) =>
+      TrainingMix.burrowsDelta(Tables(s, dir).documents, "source", "text",
+        topK = 30)
+    },
+
     // Per-language bottom-quartile quality cut: every doc tagged with
     // its stratum's exact p25 token-count floor.
     "q_quality_cut" -> { (s, dir) =>
@@ -240,6 +247,29 @@ object TrainingQueries {
         |    ELSE 0.0 END), 4) AS g2,
         |  CAST(c_sw AS HUGEINT) * n > CAST(c_w AS HUGEINT) * n_s AS over
         |FROM f""".stripMargin,
+    "q_burrows_delta" ->
+      """WITH sw AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw FROM sw GROUP BY 1, 2),
+        |wt AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM c GROUP BY 1),
+        |top AS (SELECT w FROM wt ORDER BY c_w DESC, w LIMIT 30),
+        |st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM c GROUP BY 1),
+        |grid AS (SELECT top.w, st.source,
+        |           CAST(coalesce(c.c_sw, 0) AS DOUBLE) / CAST(st.n_s AS DOUBLE) AS f
+        |         FROM top CROSS JOIN st
+        |         LEFT JOIN c ON c.w = top.w AND c.source = st.source),
+        |stat AS (SELECT w, CAST(count(*) AS BIGINT) AS ns, sum(f) AS sf, sum(f*f) AS sff
+        |         FROM grid GROUP BY w),
+        |z AS (SELECT grid.w, grid.source,
+        |        CASE WHEN sqrt((sff - sf*sf/CAST(ns AS DOUBLE)) / CAST(ns - 1 AS DOUBLE)) > 0
+        |             THEN (f - sf/CAST(ns AS DOUBLE)) /
+        |                  sqrt((sff - sf*sf/CAST(ns AS DOUBLE)) / CAST(ns - 1 AS DOUBLE))
+        |             ELSE 0.0 END AS z
+        |      FROM grid JOIN stat ON stat.w = grid.w)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(sum(abs(a.z - b.z)) / CAST(count(*) AS DOUBLE), 6) AS delta
+        |FROM z a JOIN z b ON b.w = a.w AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
     "q_budget_cut" ->
       """WITH d AS (SELECT source, CAST(length(text) AS BIGINT) AS s,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tk FROM documents),

@@ -321,6 +321,9 @@ class PlanAuditSpec extends SparkSpec {
       "q_kaplan_meier" -> "distinct event-time table",
       "q_nelson_aalen" -> "distinct event-time table",
       "q_rmst" -> "distinct event-time table (KM steps + lead)",
+      "q_youden" -> "distinct-score histogram (cumulative TP/FP)",
+      "q_isotonic" -> "k-row bin table (prefix sums)",
+      "q_priority_sample" -> "(k+1)-row head table (rank + tau)",
       "q_bh_fdr" -> "per-source p-value table (sources-bounded)",
       "q_rbo" -> "two depth-bounded head tables",
       "q_rrf_fusion" -> "two top-100 head tables",

@@ -125,4 +125,25 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("id")).toSet
     assert(again == out.keySet)
   }
+
+  test("prioritySample: exact k kept, estimates floor at tau, k >= n degenerates to identity") {
+    import spark.implicits._
+    val t = (1L to 500L).map(i => (i, (i % 97) + 1)).toDF("id", "w")
+    val out = Sampling.prioritySample(t, "id", col("w"), k = 64, seed = 7L).collect()
+    assert(out.length == 64)
+    // every estimate >= its own weight (w_hat = max(w, tau))
+    assert(out.forall(r => r.getAs[Double]("w_hat") >= r.getAs[Long]("w").toDouble))
+    // the floor tau is shared: the minimum w_hat repeats across small-w keeps
+    val tau = out.map(_.getAs[Double]("w_hat")).min
+    assert(out.count(_.getAs[Double]("w_hat") == tau) > 1)
+    // deterministic under re-run
+    val again = Sampling.prioritySample(t, "id", col("w"), k = 64, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("w_hat")).toMap
+    assert(out.map(r => r.getLong(0) -> r.getAs[Double]("w_hat")).toMap == again)
+    // k >= n keeps everything at its own weight (tau undefined -> 0)
+    val tiny = (1L to 10L).map(i => (i, i * 3)).toDF("id", "w")
+    val all = Sampling.prioritySample(tiny, "id", col("w"), k = 64, seed = 7L).collect()
+    assert(all.length == 10)
+    assert(all.forall(r => r.getAs[Double]("w_hat") == r.getAs[Long]("w").toDouble))
+  }
 }

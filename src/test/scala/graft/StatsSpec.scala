@@ -614,6 +614,82 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 101L)
   }
 
+  test("youdenJ: perfect separation finds the boundary threshold with J = 1") {
+    val df = (1 to 100).map(i => (i.toLong, i > 60)).toDF("v", "y")
+    val r = Stats.youdenJ(df, col("y"), col("v")).collect().head
+    assert(r.getAs[Long]("threshold") == 61L)
+    assert(r.getAs[Double]("youden_j") == 1.0)
+    assert(r.getAs[Long]("tp") == 40L && r.getAs[Long]("fp") == 0L)
+  }
+
+  test("isotonicCalibration: output is monotone and pools the planted violator pair") {
+    // Bin rates 0.1, 0.5, 0.3, 0.9 (bins 0..3 via conf midpoints):
+    // PAVA pools bins 1-2 to (5+3)/(10+10) = 0.4.
+    def bin(b: Int, pos: Int, n: Int) =
+      (1 to n).map(i => (b * 0.1 + 0.05, i <= pos))
+    val df = (bin(0, 1, 10) ++ bin(1, 5, 10) ++ bin(2, 3, 10) ++ bin(3, 9, 10))
+      .toDF("c", "y")
+    val iso = Stats.isotonicCalibration(df, col("c"), col("y"), bins = 10)
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("iso_rate")).toMap
+    val ordered = iso.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered == ordered.sorted, s"not monotone: $ordered")
+    assert(iso.values.toSeq.count(_ == 0.4) == 2, iso.toString)
+    assert(ordered.head == 0.1 && ordered.last == 0.9)
+  }
+
+  test("cochranQ: identical treatments score 0; one dominant treatment scores high") {
+    val same = (1 to 40).flatMap(u => Seq("a", "b", "c").map(t => (u.toLong, t, u % 2 == 0)))
+      .toDF("u", "t", "hit")
+    assert(Stats.cochranQ(same, "u", "t", col("hit"))
+      .collect().head.getAs[Double]("q_cochran") == 0.0)
+    val skew = (1 to 40).flatMap(u => Seq(("a", true), ("b", false), ("c", false))
+      .map { case (t, h) => (u.toLong, t, h) }).toDF("u", "t", "hit")
+    val q = Stats.cochranQ(skew, "u", "t", col("hit"))
+      .collect().head.getAs[Double]("q_cochran")
+    assert(q == 80.0, s"q=$q") // k=3: Q = 2*(3*1600-1600)/(3*40-40) = 80
+  }
+
+  test("smdBalance: a shifted treated arm scores the hand-computed SMD") {
+    // control x = 0/2 alternating (var 40/39... sample var), treated = control + 10
+    val ctrl = (1 to 40).map(i => ("s", false, (i % 2) * 2L))
+    val trt = (1 to 40).map(i => ("s", true, (i % 2) * 2L + 10L))
+    val r = Stats.smdBalance((ctrl ++ trt).toDF("s", "t", "x"), "s", col("t"), col("x"))
+      .collect().head
+    // identical variances v = (40*1 - 40*40/40... Sxx=20*4=80; sx=40
+    // v = (80 - 40*40/40)/39 = 40/39; smd = 10/sqrt(40/39)
+    assert(math.abs(r.getAs[Double]("smd") - 10.0 / math.sqrt(40.0 / 39.0)) < 1e-12)
+  }
+
+  test("iccOneWay: between-subject-only variance gives ICC 1; complete blocks enforced") {
+    // each subject repeats its own constant k=3 times -> MSW = 0, ICC = 1
+    val df = (1 to 30).flatMap(s => Seq.fill(3)((s.toLong, s.toLong * 10)))
+      .union(Seq((999L, 5L))) // incomplete subject: dropped
+      .toDF("s", "v")
+    val r = Stats.iccOneWay(df, "s", col("v")).collect().head
+    assert(r.getAs[Long]("n_subj") == 30L)
+    assert(r.getAs[Double]("msw") == 0.0 && r.getAs[Double]("icc") == 1.0)
+  }
+
+  test("pageTrend: blocks ranked exactly in the hypothesized order maximize L") {
+    // v strictly increasing in the item order within every block.
+    val items = Seq("a", "b", "c", "d")
+    val df = (1 to 25).flatMap(b => items.zipWithIndex.map { case (it, j) =>
+      (it, b.toLong, (j + 1).toLong * 100 + b) })
+      .toDF("item", "blk", "v")
+    val r = Stats.pageTrend(df, "item", "blk", col("v"), items).collect().head
+    // max L = N * sum j*j = 25 * (1+4+9+16) = 750
+    assert(r.getAs[Double]("l_stat") == 750.0)
+    assert(r.getAs[Double]("z_l") > 8.0)
+  }
+
+  test("blandAltman: a constant offset is pure bias with zero-width limits") {
+    val df = (1 to 50).map(i => (i.toLong + 7, i.toLong)).toDF("a", "b")
+    val r = Stats.blandAltman(df, col("a"), col("b")).collect().head
+    assert(r.getAs[Double]("mean_diff") == 7.0)
+    assert(r.getAs[Double]("sd_diff") == 0.0)
+    assert(r.getAs[Double]("loa_lo") == 7.0 && r.getAs[Double]("loa_hi") == 7.0)
+  }
+
   test("brierDecomposition: Murphy identity holds and a perfect forecaster scores 0") {
     // Confidence equal to the bin's empirical rate -> REL 0 within
     // binning error; identity rel - res + unc = brier_binned is exact.

@@ -182,4 +182,16 @@ class TrainingMixSpec extends SparkSpec {
     TrainingMix.dunningKeyness(prop, "source", "text").collect()
       .foreach(r => assert(r.getAs[Double]("g2") == 0.0, r.toString))
   }
+
+  test("burrowsDelta: stylistic twins score (near) zero, the odd source out scores higher") {
+    // a and b share a distribution; c leans on different function words.
+    val mk = (w1: Int, w2: Int, w3: Int) =>
+      (Seq.fill(w1)("alpha") ++ Seq.fill(w2)("beta") ++ Seq.fill(w3)("gamma")).mkString(" ")
+    val docs = Seq(("a", mk(30, 20, 10)), ("b", mk(30, 20, 10)), ("c", mk(5, 10, 45)))
+      .toDF("source", "text")
+    val d = TrainingMix.burrowsDelta(docs, "source", "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("delta")).toMap
+    assert(d(("a", "b")) == 0.0)
+    assert(d(("a", "c")) > 1.0 && d(("a", "c")) == d(("b", "c")))
+  }
 }

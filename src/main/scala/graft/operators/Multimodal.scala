@@ -202,6 +202,49 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL-decoded per-image gray-value histogram: (media_id, v, cnt)
+    * rows with v the 8-bit blue-channel value — ≤256 narrow rows per
+    * image leave the codec boundary, never pixels. The entropy /
+    * contrast / exposure analytics over it are plain declarative
+    * aggregation (q_image_entropy), keeping the imperative surface to
+    * the decode loop alone. Same poisoned-blob contract as
+    * [[decodeImages]] (undecodable content yields no rows).
+    */
+  def pixelHistogram(media: DataFrame): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("v", IntegerType, nullable = false),
+      StructField("cnt", LongType, nullable = false)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("content")
+        val img =
+          if (bytes == null) null
+          else
+            try {
+              val i = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (i != null && (i.getWidth <= 0 || i.getHeight <= 0 ||
+                  i.getWidth.toLong * i.getHeight > 64L * 1024 * 1024)) null
+              else i
+            } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Iterator.empty
+        else {
+          val h = new Array[Long](256)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { h(img.getRGB(x, y) & 0xff) += 1L; x += 1 }
+            y += 1
+          }
+          val id = r.getAs[Long]("media_id")
+          (0 until 256).iterator.filter(h(_) > 0).map(v => Row(id, v, h(v)))
+        }
+      }
+    }(enc)
+  }
+
   /** ViT-style patch grid over REAL-decoded images: the g×g patch
     * partition (patch of pixel (x, y) is (y·g div h, x·g div w) —
     * integer arithmetic, portable) with per-patch pixel count, exact

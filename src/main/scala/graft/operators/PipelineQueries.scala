@@ -124,6 +124,24 @@ object PipelineQueries {
         .select("media_id", "decode_ok", "width", "height", "pixel_sum")
     },
 
+    // Shannon entropy of each REAL-decoded image's gray histogram —
+    // the exposure/contrast quality gate of a vision-data pipeline:
+    // H = log2(n) − Σc·log2(c)/n over exact integer counts, only
+    // (value, count) rows ever leave the codec boundary.
+    "q_image_entropy" -> { (s, dir) =>
+      val d = Tables(s, dir).documents.select(
+        col("doc_id"),
+        (col("doc_id") % 13 + 4).as("w"),
+        (col("doc_id") % 11 + 4).as("h"))
+      val hist = Multimodal.pixelHistogram(Multimodal.synthGrayPng(d, "doc_id", "w", "h"))
+      hist.groupBy("media_id")
+        .agg(sum("cnt").as("n_pixels"), count(lit(1)).as("n_distinct"),
+          sum(col("cnt").cast("double") * log2(col("cnt").cast("double"))).as("clc"))
+        .select(col("media_id"), col("n_pixels"), col("n_distinct"),
+          round(log2(col("n_pixels").cast("double")) -
+            col("clc") / col("n_pixels").cast("double"), 4).as("entropy_bits"))
+    },
+
     // #42v2 ViT patch grid over REAL-decoded PNGs: 2×2 partition,
     // exact per-patch luminance sums, mean formed in the SQL layer.
     "q_image_patches" -> { (s, dir) =>
@@ -374,6 +392,23 @@ object PipelineQueries {
         |FROM d, range(0, 16) x(k), range(0, 14) y(k)
         |WHERE x.k < d.w AND y.k < d.h
         |GROUP BY d.doc_id, d.w, d.h""".stripMargin,
+    // Pixel values recomputed from the synth formula, histogrammed,
+    // and folded into H = log2(n) - sum c*log2(c)/n per image.
+    "q_image_entropy" ->
+      """WITH d AS (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h FROM documents),
+        |px AS (SELECT d.doc_id AS media_id,
+        |         (d.doc_id * 31 + x.k * 7 + y.k * 13) % 256 AS v
+        |       FROM d, range(0, 16) x(k), range(0, 14) y(k)
+        |       WHERE x.k < d.w AND y.k < d.h),
+        |hh AS (SELECT media_id, v, CAST(count(*) AS BIGINT) AS cnt FROM px GROUP BY 1, 2),
+        |ag AS (SELECT media_id, CAST(sum(cnt) AS BIGINT) AS n_pixels,
+        |         CAST(count(*) AS BIGINT) AS n_distinct,
+        |         sum(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))) AS clc
+        |       FROM hh GROUP BY media_id)
+        |SELECT media_id, n_pixels, n_distinct,
+        |  round(log2(CAST(n_pixels AS DOUBLE)) - clc / CAST(n_pixels AS DOUBLE), 4)
+        |    AS entropy_bits
+        |FROM ag""".stripMargin,
     // Every probed field recomputed from the synth formulas: PNG dims
     // from the w/h expressions (ImageIO writes 8-bit channels), WAV
     // constants from the hand-rolled 44-byte header, junk text blobs

@@ -77,6 +77,13 @@ object ScaleQueries {
         col("vec_id") % 2 === 0)
     },
 
+    // Linear CKA between the two 32-dim halves of the embedding —
+    // representation similarity: do the halves encode the same
+    // structure (Kornblith et al. 2019)?
+    "q_cka" -> { (s, dir) =>
+      VectorOps.linearCka(Tables(s, dir).embeddings, "embedding", splitAt = 32)
+    },
+
     // 2-D point-in-box spatial join via z-cell cover: eight
     // deterministic overlapping boxes over the (l_partkey, l_suppkey)
     // plane, matched by a broadcast HASH join on the grid cell + exact
@@ -210,6 +217,31 @@ object ScaleQueries {
          |SELECT shard, docs, tokens, sources,
          |       round(tokens::DOUBLE * 32 / tt::DOUBLE, 4) + 0.0 AS even_share
          |FROM p CROSS JOIN t""".stripMargin,
+
+    // Feature-space CKA re-derived as pure SQL: the d² gram cells from
+    // positional list indexing, centered, Frobenius-folded per block.
+    "q_cka" ->
+      """WITH e AS (SELECT embedding AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |g AS (SELECT ij.i, ij.j,
+        |        sum(CAST(v[ij.i + 1] AS DOUBLE) * CAST(v[ij.j + 1] AS DOUBLE)) AS s
+        |      FROM e CROSS JOIN (SELECT a.range AS i, b.range AS j
+        |                         FROM range(0, 64) a, range(0, 64) b) ij
+        |      GROUP BY 1, 2),
+        |m AS (SELECT i.range AS i, sum(CAST(v[i.range + 1] AS DOUBLE)) AS m,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM e CROSS JOIN range(0, 64) i GROUP BY 1),
+        |c AS (SELECT g.i, g.j, g.s - mi.m * mj.m / CAST(mi.n AS DOUBLE) AS c, mi.n
+        |      FROM g JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j),
+        |b AS (SELECT CASE WHEN i < 32 AND j < 32 THEN 'xx'
+        |               WHEN i >= 32 AND j >= 32 THEN 'yy'
+        |               WHEN i < 32 AND j >= 32 THEN 'xy' ELSE 'yx' END AS b,
+        |        c * c AS c2, n FROM c),
+        |f AS (SELECT b, sum(c2) AS f2, max(n) AS n FROM b WHERE b <> 'yx' GROUP BY b)
+        |SELECT max(n) AS n, CAST(32 AS INT) AS d_split,
+        |  round(sum(CASE WHEN b = 'xy' THEN f2 END) /
+        |        (sqrt(sum(CASE WHEN b = 'xx' THEN f2 END)) *
+        |         sqrt(sum(CASE WHEN b = 'yy' THEN f2 END))), 4) AS cka
+        |FROM f""".stripMargin,
 
     // Brute-force O(n²) reference for the grid-stencil radius join:
     // membership is decided by EXACT integer arithmetic on both

@@ -408,6 +408,23 @@ object StatsQueries {
     "q_cochran_q" -> { (s, dir) =>
       Stats.cochranQ(Tables(s, dir).events, "user_id", "event_type",
         centsValue >= 500L)
+    },
+
+    // Simpson's-paradox screen (Simpson 1951): per-group quantity →
+    // discount slopes against the pooled slope, flagging sign flips —
+    // the aggregation-bias sanity check before any pooled regression
+    // is trusted.
+    "q_simpson_flip" -> { (s, dir) =>
+      val t = Tables(s, dir).lineitem
+      val x = col("l_quantity").cast("long")
+      val y = round(col("l_discount") * 100).cast("long")
+      val per = Stats.olsFit(t, "l_returnflag", x, y)
+        .select(col("l_returnflag"), col("n"), col("slope"))
+      val pooled = Stats.olsFit(t.withColumn("__all", lit("all")), "__all", x, y)
+        .select(col("slope").as("pooled_slope"))
+      per.crossJoin(broadcast(pooled))
+        .select(col("l_returnflag"), col("n"), col("slope"), col("pooled_slope"),
+          ((col("slope") > 0) =!= (col("pooled_slope") > 0)).as("flipped"))
     }
   )
 
@@ -1080,6 +1097,28 @@ object StatsQueries {
         |  CAST(s2 AS DOUBLE) / CAST(CAST(total AS HUGEINT)*total AS DOUBLE) AS hhi,
         |  CAST(CAST(total AS HUGEINT)*total AS DOUBLE) / CAST(s2 AS DOUBLE) AS effective_n
         |FROM s""".stripMargin,
+
+    "q_simpson_flip" ->
+      """WITH t AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |             CAST(round(l_discount * 100) AS BIGINT) AS y FROM lineitem),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |        sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+        |        sum(CAST(x AS HUGEINT)*x)::DOUBLE AS sxx,
+        |        sum(CAST(x AS HUGEINT)*y)::DOUBLE AS sxy
+        |      FROM t GROUP BY g),
+        |per AS (SELECT g, n,
+        |          round((sxy * n - sx * sy) / (sxx * n - sx * sx), 6) + 0.0 AS slope
+        |        FROM s),
+        |sp AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |         sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+        |         sum(CAST(x AS HUGEINT)*x)::DOUBLE AS sxx,
+        |         sum(CAST(x AS HUGEINT)*y)::DOUBLE AS sxy
+        |       FROM t),
+        |pl AS (SELECT round((sxy * n - sx * sy) / (sxx * n - sx * sx), 6) + 0.0
+        |         AS pooled_slope FROM sp)
+        |SELECT per.g AS l_returnflag, per.n, per.slope, pl.pooled_slope,
+        |  (per.slope > 0) <> (pl.pooled_slope > 0) AS flipped
+        |FROM per CROSS JOIN pl""".stripMargin,
 
     "q_smd_balance" ->
       """WITH t AS (SELECT o_orderpriority AS s, o_orderstatus = 'F' AS t,

@@ -566,4 +566,50 @@ object VectorOps {
       .map { case ((id, r, m), i) => (i + 1L, id, r6(r), r6(m)) }
       .toDF("sel_rank", "id", "relevance", "mmr_score")
   }
+
+  /** Linear Centered Kernel Alignment (Kornblith et al. 2019,
+    * arXiv:1905.00414) between the two halves of an embedding column:
+    * CKA = ‖Cxy‖²_F / (‖Cxx‖_F·‖Cyy‖_F) over CENTERED cross-
+    * covariances — the representation-similarity standard ("do these
+    * two feature views encode the same structure"), feature-space
+    * form so nothing is ever n×n.
+    *
+    * Shape: ONE corpus pass explodes each vector into its d² dim-pair
+    * products (d = vector length, 64 here — d²·n rows, map-side-
+    * combined into the d² gram cells; the corpus never re-reads and
+    * no matrix library appears); means join in as a broadcast, the
+    * three Frobenius norms fold d²-bounded frames. Every cell is
+    * Σxy − n·μν with exact float→double widening; only the final
+    * norms/ratio are rounded.
+    */
+  def linearCka(emb: DataFrame, vecCol: String, splitAt: Int): DataFrame = {
+    val v = emb.select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val pairs = v
+      .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+    val gram = pairs.groupBy("i", "j").agg(sum(col("xi") * col("xj")).as("s"))
+    val means = v.select(posexplode(col("v")).as(Seq("i", "xi")))
+      .groupBy("i").agg(sum("xi").as("m"), count(lit(1)).as("n"))
+    val cells = gram
+      .join(broadcast(means.select(col("i"), col("m").as("mi"), col("n"))), "i")
+      .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
+      .select(col("i"), col("j"),
+        (col("s") - col("mi") * col("mj") / col("n").cast("double")).as("c"),
+        col("n"))
+    val block = when(col("i") < splitAt && col("j") < splitAt, "xx")
+      .when(col("i") >= splitAt && col("j") >= splitAt, "yy")
+      .when(col("i") < splitAt && col("j") >= splitAt, "xy")
+      .otherwise("yx")
+    cells.select(block.as("b"), (col("c") * col("c")).as("c2"), col("n"))
+      .filter(col("b") =!= "yx")
+      .groupBy("b").agg(sum("c2").as("f2"), max("n").as("n"))
+      .groupBy()
+      .agg(max("n").as("n"),
+        sum(when(col("b") === "xy", col("f2"))).as("fxy"),
+        sum(when(col("b") === "xx", col("f2"))).as("fxx"),
+        sum(when(col("b") === "yy", col("f2"))).as("fyy"))
+      .select(col("n"), lit(splitAt).as("d_split"),
+        round(col("fxy") / (sqrt(col("fxx")) * sqrt(col("fyy"))), 4).as("cka"))
+  }
 }

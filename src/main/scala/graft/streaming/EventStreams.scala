@@ -214,4 +214,39 @@ object EventStreams {
       .drop("session_id")
       .as[SessionSummary]
   }
+
+  final case class CdcRow(key: Long, seq: Long, op: String, payload: Double)
+  final case class CdcState(seq: Long, op: String, payload: Double, n: Long)
+  final case class CdcCurrent(key: Long, seq: Long, payload: Double, n_changes: Long)
+
+  /** Streaming CDC apply — the continuous twin of
+    * TimeSeries.cdcApply's batch changelog compaction: state is the
+    * LATEST (by sequence) change per key, and every micro-batch emits
+    * the key's current materialized row (or a tombstone emission skip
+    * when the latest op is a delete). mapGroupsWithState in Update
+    * mode: per key ONE small state record regardless of change volume
+    * — the state store shards by key at cluster scale, exactly the
+    * MERGE-target shape Debezium feeds. Out-of-order changes within
+    * and across batches resolve by sequence (a stale arrival never
+    * regresses the materialized row); deletes keep the seq so a
+    * late pre-delete update stays dead.
+    */
+  def cdcApplyStream(changes: Dataset[CdcRow]): Dataset[CdcCurrent] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .mapGroupsWithState[CdcState, Option[(Long, CdcState)]](
+        GroupStateTimeout.NoTimeout()
+      ) { (key: Long, rows: Iterator[CdcRow], state: GroupState[CdcState]) =>
+        var st = state.getOption.orNull
+        for (r <- rows) {
+          val n = if (st == null) 1L else st.n + 1
+          st = if (st == null || r.seq > st.seq) CdcState(r.seq, r.op, r.payload, n)
+               else st.copy(n = n)
+        }
+        state.update(st)
+        if (st.op == "D") None else Some((key, st))
+      }
+      .flatMap(_.toSeq)
+      .map { case (k, st) => CdcCurrent(k, st.seq, st.payload, st.n) }
+  }
 }

@@ -297,4 +297,44 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "event_id").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 3L), (2L, 5L))) // min (ts, event_id) wins
   }
+
+  test("cdcApplyStream: per-key latest-by-seq materialization, stale rows ignored, deletes stay dead") {
+    import graft.streaming.EventStreams.{CdcCurrent, CdcRow}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcRow]
+    val q = EventStreams.cdcApplyStream(input.toDS())
+      .writeStream.format("memory").queryName("cdc_cur").outputMode("update").start()
+    try {
+      input.addData(
+        CdcRow(1L, 1L, "I", 10.0), CdcRow(2L, 1L, "I", 20.0), CdcRow(1L, 2L, "U", 11.0))
+      q.processAllAvailable()
+      val b1 = spark.table("cdc_cur").as[CdcCurrent].collect().map(c => c.key -> c).toMap
+      assert(b1(1L).payload == 11.0 && b1(1L).seq == 2L && b1(1L).n_changes == 2L)
+      assert(b1(2L).payload == 20.0)
+
+      // batch 2: key 2 deleted (no emission), key 1 gets a STALE
+      // out-of-order row (seq 0 — must not regress), key 3 appears
+      input.addData(
+        CdcRow(2L, 2L, "D", 0.0), CdcRow(1L, 0L, "U", 99.0), CdcRow(3L, 1L, "I", 30.0))
+      q.processAllAvailable()
+      val all = spark.table("cdc_cur").as[CdcCurrent].collect()
+      val latest = all.groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(_.n_changes) }
+      // stale row counted but payload/seq unchanged
+      assert(latest(1L).payload == 11.0 && latest(1L).seq == 2L && latest(1L).n_changes == 3L)
+      assert(latest(3L).payload == 30.0)
+      // the delete emitted nothing: key 2's only sink row is batch 1's
+      assert(all.count(_.key == 2L) == 1)
+
+      // final stream state equals the batch changelog compaction on
+      // the same six rows (key 2 tombstoned out)
+      val log = Seq((1L, 1L, "I", 10.0), (2L, 1L, "I", 20.0), (1L, 2L, "U", 11.0),
+        (2L, 2L, "D", 0.0), (1L, 0L, "U", 99.0), (3L, 1L, "I", 30.0))
+        .toDF("key", "seq", "op", "payload")
+      val batch = graft.operators.TimeSeries.cdcApply(log, "key",
+        Seq(col("seq")), col("op") === "D")
+        .select("key", "payload").as[(Long, Double)].collect().toMap
+      assert(batch == Map(1L -> 11.0, 3L -> 30.0))
+      assert(batch == Map(1L -> latest(1L).payload, 3L -> latest(3L).payload))
+    } finally q.stop()
+  }
 }

@@ -663,6 +663,40 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("component"), col("split"))
     },
 
+    // Post-split leakage AUDIT: count verified near-dup pairs that
+    // straddle split boundaries under the naive per-doc hash split vs
+    // the cluster-level split — the measurement that justifies
+    // q_cluster_split's existence (cluster split must score 0 cross
+    // pairs by construction; the naive split leaks).
+    "q_split_leakage" -> { (s, dir) =>
+      val docs = planted(Tables(s, dir))
+      val pairs = TextDedup.minhashNearDupsPortable(docs, "doc_id", "text", h = 8, bands = 4)
+        .localCheckpoint(true)
+      val cc = Graph.connectedComponentsAll(pairs, "id_a", "id_b", docs, "doc_id")
+      val cluster = Sampling.assignSplit(cc, "component", splitFractions, seed = 11L)
+        .select(col("id"), col("split"))
+      val naive = Sampling.assignSplit(docs.select(col("doc_id").as("id")),
+        "id", splitFractions, seed = 11L).select(col("id"), col("split"))
+      def audit(assign: DataFrame, strategy: String) =
+        pairs
+          .join(assign.withColumnsRenamed(Map("id" -> "id_a", "split" -> "sa")), "id_a")
+          .join(assign.withColumnsRenamed(Map("id" -> "id_b", "split" -> "sb")), "id_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_cross"))
+          .select(lit(strategy).as("strategy"), col("n_pairs"), col("n_cross"),
+            expr("(1000000 * n_cross) div n_pairs").as("cross_ppm"))
+      audit(cluster, "cluster").unionByName(audit(naive, "naive"))
+    },
+
+    // Keyword-in-context concordance: the first 8 occurrences of each
+    // query term with 3 tokens of context either side — the corpus
+    // auditor's "how is this word actually used" view.
+    "q_kwic" -> { (s, dir) =>
+      TextRank.kwic(Tables(s, dir).documents, "doc_id", "text",
+        terms = Seq("spark", "window", "merge", "data"), ctx = 3, kPerTerm = 8)
+        .withColumnRenamed("id", "doc_id")
+    },
+
     // #42bi per-doc OOV rate vs the corpus's own top-500 vocabulary —
     // the tokenizer-planning / source-health signal (high OOV docs
     // fragment into subwords or unks).
@@ -1351,6 +1385,50 @@ object LlmQueries {
          |       ELSE '${splitFractions.last._1}' END AS split
          |FROM cc""".stripMargin
     },
+    "q_split_leakage" -> {
+      val whens = Sampling.cumulativeThresholds(splitFractions).map { case (name, t) =>
+        s"WHEN substr(md5(CAST(component AS VARCHAR) || ':11'), 1, 8) < '$t' THEN '$name'"
+      }.mkString("\n       ")
+      val whensNaive = Sampling.cumulativeThresholds(splitFractions).map { case (name, t) =>
+        s"WHEN substr(md5(CAST(id AS VARCHAR) || ':11'), 1, 8) < '$t' THEN '$name'"
+      }.mkString("\n       ")
+      s"""WITH RECURSIVE $minhashMd5Cte,
+         |e AS (SELECT id_a AS src, id_b AS dst FROM j WHERE jaccard >= 0.5
+         |      UNION ALL
+         |      SELECT id_b AS src, id_a AS dst FROM j WHERE jaccard >= 0.5),
+         |r AS (SELECT doc_id AS id, doc_id AS comp FROM pl
+         |      UNION
+         |      SELECT e.dst AS id, r.comp FROM r JOIN e ON e.src = r.id),
+         |cc AS (SELECT id, min(comp) AS component FROM r GROUP BY id),
+         |ca AS (SELECT id, CASE $whens
+         |         ELSE '${splitFractions.last._1}' END AS split FROM cc),
+         |na AS (SELECT doc_id AS id, CASE $whensNaive
+         |         ELSE '${splitFractions.last._1}' END AS split
+         |       FROM (SELECT doc_id FROM pl) t),
+         |pc AS (SELECT 'cluster' AS strategy,
+         |         CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+         |       FROM j JOIN ca a ON a.id = j.id_a JOIN ca b ON b.id = j.id_b
+         |       WHERE j.jaccard >= 0.5),
+         |pn AS (SELECT 'naive' AS strategy,
+         |         CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+         |       FROM j JOIN na a ON a.id = j.id_a JOIN na b ON b.id = j.id_b
+         |       WHERE j.jaccard >= 0.5)
+         |SELECT strategy, n_pairs, n_cross, (1000000 * n_cross) // n_pairs AS cross_ppm
+         |FROM (SELECT * FROM pc UNION ALL SELECT * FROM pn)""".stripMargin
+    },
+    "q_kwic" ->
+      s"""WITH $wsCte,
+         |p0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM w),
+         |p AS (SELECT doc_id, ws, pos FROM p0
+         |      WHERE ws[pos] IN ('spark', 'window', 'merge', 'data')),
+         |c AS (SELECT ws[pos] AS term, doc_id, CAST(pos AS BIGINT) AS pos,
+         |        coalesce(array_to_string(ws[greatest(pos - 3, 1):pos - 1], ' '), '') AS left_ctx,
+         |        coalesce(array_to_string(ws[pos + 1:pos + 3], ' '), '') AS right_ctx,
+         |        row_number() OVER (PARTITION BY ws[pos] ORDER BY doc_id, pos) AS rn
+         |      FROM p)
+         |SELECT term, doc_id, pos, left_ctx, right_ctx FROM c WHERE rn <= 8""".stripMargin,
     // Chunked path and full path computed independently; equality is
     // the mergeability theorem, checked per doc.
     "q_minhash_merge" ->

@@ -133,6 +133,30 @@ object RetrievalQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // Ranking-fairness exposure (Singh & Joachims 2018): per query
+    // term, each SOURCE's share of the position-discounted attention
+    // 1/log2(rank+1) in the tf-ranked top-10 — does one source soak
+    // up the ranking's exposure?
+    "q_rank_exposure" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val tfs = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term").isInCollection(Seq("spark", "window", "merge", "data")))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      val head = TopK.perKey(tfs, Seq("term"),
+        struct((-col("tf")).as("nt"), col("doc_id").as("d")), 10)
+      val w = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+      val exposed = head.withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("exposure", lit(1.0) / log2(col("rank").cast("double") + 1.0))
+      val tot = exposed.groupBy("term").agg(sum("exposure").as("tot_exp"))
+      exposed.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("term", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("exposure").as("exp"))
+        .join(broadcast(tot), "term")
+        .select(col("term"), col("source"), col("n_docs"),
+          round(col("exp") / col("tot_exp"), 6).as("exposure_share"))
+    },
+
     // #93c MMR diversity re-ranking (Carbonell & Goldstein 1998):
     // greedy 5-of-20 selection, lambda = 0.7, over the vec_id-0 query.
     "q_mmr_select" -> { (s, dir) =>
@@ -371,6 +395,23 @@ object RetrievalQueries {
          |FROM al""".stripMargin,
     // Same single-term BM25 chain as q_bm25 (per-term partition),
     // binary tf>=2 qrels, closed-form DCG/IDCG via list arithmetic.
+    "q_rank_exposure" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |f AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t
+        |      WHERE term IN ('spark', 'window', 'merge', 'data') GROUP BY 1, 2),
+        |r AS (SELECT term, doc_id, tf,
+        |        CAST(row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS BIGINT)
+        |          AS rank
+        |      FROM f QUALIFY rank <= 10),
+        |x AS (SELECT term, doc_id, 1.0 / log2(CAST(rank AS DOUBLE) + 1.0) AS exposure FROM r),
+        |tt AS (SELECT term, sum(exposure) AS tot_exp FROM x GROUP BY term),
+        |g AS (SELECT x.term, d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        sum(x.exposure) AS exp
+        |      FROM x JOIN documents d USING (doc_id) GROUP BY 1, 2)
+        |SELECT g.term, g.source, g.n_docs,
+        |  round(g.exp / tt.tot_exp, 6) AS exposure_share
+        |FROM g JOIN tt ON tt.term = g.term""".stripMargin,
+
     "q_dirichlet_ql" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term FROM w),

@@ -1757,6 +1757,47 @@ object Stats {
             .cast("double")).as("youden_j"))
   }
 
+  /** Gini-impurity decision stump (Breiman et al. 1984 CART, one
+    * node): the single threshold t on x minimizing the weighted child
+    * impurity of the rule "left iff x < t" against a binary label —
+    * the first split of every tree ensemble, as one relational pass.
+    * Child impurity W = (nL²−posL²−negL²)/nL + (nR²−posR²−negR²)/nR
+    * from exact DECIMAL squares over the distinct-value histogram;
+    * the argmin is an equality join on the (engine-identical) double,
+    * ties to the smallest threshold; gain = G_parent − W/n.
+    */
+  def giniStump(df: DataFrame, isPos: Column, x: Column): DataFrame = {
+    val hist = df.select(x.cast("long").as("v"), isPos.as("grp"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("c"), sum(when(col("grp"), 1L).otherwise(0L)).as("c1"))
+    val w = Window.orderBy(col("v"))
+    val tot = hist.agg(sum("c").as("n"), sum("c1").as("p"))
+    def sq(c: Column) = c.cast("decimal(19,0)") * c.cast("decimal(19,0)")
+    val cands = hist
+      .withColumn("nl", sum("c").over(w) - col("c"))
+      .withColumn("pl", sum("c1").over(w) - col("c1"))
+      .crossJoin(broadcast(tot))
+      .filter(col("nl") > 0 && col("nl") < col("n"))
+      .select(col("v"), col("n"), col("p"), col("nl"), col("pl"),
+        ((sq(col("nl")) - sq(col("pl")) - sq(col("nl") - col("pl"))).cast("double") /
+          col("nl").cast("double") +
+          (sq(col("n") - col("nl")) - sq(col("p") - col("pl")) -
+            sq(col("n") - col("nl") - (col("p") - col("pl")))).cast("double") /
+            (col("n") - col("nl")).cast("double")).as("wimp"))
+    val best = cands.agg(min("wimp").as("best_w"))
+    val gp = (lit(1.0) - (sq(col("n_pos")) + sq(col("n") - col("n_pos"))).cast("double") /
+      sq(col("n")).cast("double"))
+    cands.join(broadcast(best), col("wimp") === col("best_w"))
+      .groupBy("wimp")
+      .agg(min("v").as("threshold"), max("n").as("n"), max("p").as("n_pos"))
+      .join(cands.select(col("v").as("threshold"), col("nl"), col("pl")), Seq("threshold"))
+      .select(col("threshold"), col("n"), col("nl").as("n_left"),
+        (col("n") - col("nl")).as("n_right"),
+        round(gp, 6).as("gini_parent"),
+        round(col("wimp") / col("n").cast("double"), 6).as("child_impurity"),
+        round(gp - col("wimp") / col("n").cast("double"), 6).as("gain"))
+  }
+
   /** Bland-Altman agreement of two paired measurements (Bland & Altman
     * 1986): mean difference (bias) and the 95% limits of agreement
     * mean ± 1.96·sd over the paired diffs — the method-comparison

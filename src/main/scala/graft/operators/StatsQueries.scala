@@ -410,6 +410,13 @@ object StatsQueries {
         centsValue >= 500L)
     },
 
+    // Decision-stump split: the spend threshold best separating
+    // purchases by Gini impurity — CART's first node as one pass.
+    "q_stump_split" -> { (s, dir) =>
+      Stats.giniStump(Tables(s, dir).events,
+        col("event_type") === "purchase", centsValue)
+    },
+
     // Simpson's-paradox screen (Simpson 1951): per-group quantity →
     // discount slopes against the pooled slope, flagging sign flips —
     // the aggregation-bias sanity check before any pooled regression
@@ -1097,6 +1104,37 @@ object StatsQueries {
         |  CAST(s2 AS DOUBLE) / CAST(CAST(total AS HUGEINT)*total AS DOUBLE) AS hhi,
         |  CAST(CAST(total AS HUGEINT)*total AS DOUBLE) / CAST(s2 AS DOUBLE) AS effective_n
         |FROM s""".stripMargin,
+
+    "q_stump_split" ->
+      """WITH t AS (SELECT CAST(round(value*100) AS BIGINT) AS v,
+        |             event_type = 'purchase' AS grp FROM events),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |      FROM t GROUP BY v),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(c1) AS BIGINT) AS p FROM h),
+        |cand AS (SELECT v, n, p,
+        |           sum(c) OVER w - c AS nl, sum(c1) OVER w - c1 AS pl
+        |         FROM h, tot WINDOW w AS (ORDER BY v)),
+        |wi AS (SELECT v, n, p, nl, pl,
+        |         CAST(CAST(nl AS HUGEINT)*nl - CAST(pl AS HUGEINT)*pl
+        |              - CAST(nl - pl AS HUGEINT)*(nl - pl) AS DOUBLE) / CAST(nl AS DOUBLE)
+        |         + CAST(CAST(n - nl AS HUGEINT)*(n - nl) - CAST(p - pl AS HUGEINT)*(p - pl)
+        |              - CAST(n - nl - (p - pl) AS HUGEINT)*(n - nl - (p - pl)) AS DOUBLE)
+        |           / CAST(n - nl AS DOUBLE) AS wimp
+        |       FROM cand WHERE nl > 0 AND nl < n),
+        |best AS (SELECT min(wimp) AS best_w FROM wi),
+        |pick AS (SELECT wimp, min(v) AS threshold, max(n) AS n, max(p) AS n_pos
+        |         FROM wi JOIN best ON wi.wimp = best.best_w GROUP BY wimp)
+        |SELECT pick.threshold, pick.n, wi.nl AS n_left, pick.n - wi.nl AS n_right,
+        |  round(1.0 - CAST(CAST(pick.n_pos AS HUGEINT)*pick.n_pos
+        |        + CAST(pick.n - pick.n_pos AS HUGEINT)*(pick.n - pick.n_pos) AS DOUBLE)
+        |      / CAST(CAST(pick.n AS HUGEINT)*pick.n AS DOUBLE), 6) AS gini_parent,
+        |  round(pick.wimp / CAST(pick.n AS DOUBLE), 6) AS child_impurity,
+        |  round((1.0 - CAST(CAST(pick.n_pos AS HUGEINT)*pick.n_pos
+        |        + CAST(pick.n - pick.n_pos AS HUGEINT)*(pick.n - pick.n_pos) AS DOUBLE)
+        |      / CAST(CAST(pick.n AS HUGEINT)*pick.n AS DOUBLE))
+        |    - pick.wimp / CAST(pick.n AS DOUBLE), 6) AS gain
+        |FROM pick JOIN wi ON wi.v = pick.threshold""".stripMargin,
 
     "q_simpson_flip" ->
       """WITH t AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,

@@ -658,4 +658,27 @@ object TextRank {
     scored.withColumn("doc_rank", row_number().over(wRank).cast("long"))
       .filter(col("doc_rank") <= k)
   }
+
+  /** Keyword-in-context concordance (the corpus-linguistics KWIC
+    * view): for each query term, the first `kPerTerm` occurrences in
+    * (doc, position) order with `ctx` tokens of left/right context —
+    * the "show me how this word is actually used" tool every corpus
+    * audit reaches for. One token explode; context windows are
+    * per-row array slices (no self-join); head selection through the
+    * bounded-heap TopK, so occurrence-rich terms never sort.
+    */
+  def kwic(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], ctx: Int, kPerTerm: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+        split(lower(col(textCol)), " ").as("ws"))
+      .select(col("id"), col("ws"), posexplode(col("ws")).as(Seq("p0", "term")))
+      .filter(col("term").isInCollection(terms))
+      .select(col("term"), col("id"), (col("p0") + 1).cast("long").as("pos"),
+        array_join(slice(col("ws"),
+          greatest(col("p0") + 1 - ctx, lit(1)), least(lit(ctx), col("p0"))), " ")
+          .as("left_ctx"),
+        array_join(slice(col("ws"), col("p0") + 2, lit(ctx)), " ").as("right_ctx"))
+    TopK.perKey(base, Seq("term"),
+      struct(col("id").as("a"), col("pos").as("b")), kPerTerm)
+  }
 }

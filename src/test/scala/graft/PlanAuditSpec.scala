@@ -322,6 +322,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_nelson_aalen" -> "distinct event-time table",
       "q_rmst" -> "distinct event-time table (KM steps + lead)",
       "q_youden" -> "distinct-score histogram (cumulative TP/FP)",
+      "q_stump_split" -> "distinct-value histogram (cumulative class counts)",
       "q_isotonic" -> "k-row bin table (prefix sums)",
       "q_priority_sample" -> "(k+1)-row head table (rank + tau)",
       "q_bh_fdr" -> "per-source p-value table (sources-bounded)",

@@ -690,6 +690,15 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("loa_lo") == 7.0 && r.getAs[Double]("loa_hi") == 7.0)
   }
 
+  test("giniStump: a perfectly separable feature splits pure with gain = parent impurity") {
+    val df = (1 to 100).map(i => (i.toLong, i >= 50)).toDF("v", "y")
+    val r = Stats.giniStump(df, col("y"), col("v")).collect().head
+    assert(r.getAs[Long]("threshold") == 50L)
+    assert(r.getAs[Double]("child_impurity") == 0.0)
+    assert(r.getAs[Double]("gain") == r.getAs[Double]("gini_parent"))
+    assert(r.getAs[Long]("n_left") == 49L && r.getAs[Long]("n_right") == 51L)
+  }
+
   test("brierDecomposition: Murphy identity holds and a perfect forecaster scores 0") {
     // Confidence equal to the bin's empirical rate -> REL 0 within
     // binning error; identity rel - res + unc = brier_binned is exact.

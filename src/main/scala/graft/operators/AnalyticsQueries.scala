@@ -461,6 +461,32 @@ object AnalyticsQueries {
         Seq(col("ts"), col("event_id")), "event_type")
     },
 
+    // Entropy rate of the user-journey Markov chain (Shannon 1948):
+    // H = -Σ (c_ij/N)·log2(c_ij/c_i·) over the exact transition
+    // counts, with the log2(k) ceiling and the efficiency ratio —
+    // how predictable is the next step of a session.
+    "q_entropy_rate" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables(s, dir).events
+        .withColumn("__prev", lag(col("event_type"), 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .groupBy(col("__prev").as("f"), col("event_type").as("t"))
+        .agg(count(lit(1)).as("c"))
+      val fromTot = pairs.groupBy("f").agg(sum("c").as("cf"))
+      val tot = pairs.agg(sum("c").as("nn"), countDistinct("f").as("k"))
+      pairs.join(fromTot, "f").crossJoin(broadcast(tot))
+        .select(col("nn"), col("k"),
+          (col("c").cast("double") / col("nn").cast("double") *
+            log2(col("c").cast("double") / col("cf").cast("double"))).as("term"))
+        .groupBy("nn", "k")
+        .agg((-sum(col("term"))).as("h"))
+        .select(col("nn").as("n_transitions"), col("k").as("n_states"),
+          round(col("h"), 4).as("entropy_rate_bits"),
+          round(log2(col("k").cast("double")), 4).as("max_bits"),
+          round(col("h") / log2(col("k").cast("double")), 4).as("efficiency"))
+    },
+
     // Triangle count of the word co-occurrence graph — counts are
     // label-invariant, so the query runs on xxhash64 ids while the
     // oracle enumerates the same unordered word-pair edge set.
@@ -936,6 +962,23 @@ object AnalyticsQueries {
         |t AS (SELECT from_type, sum(n) AS nf FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, c.n, round(c.n / CAST(t.nf AS DOUBLE), 4) AS p
         |FROM c JOIN t USING (from_type)""".stripMargin,
+    "q_entropy_rate" ->
+      """WITH p AS (SELECT user_id, event_type AS t,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f
+        |      FROM events),
+        |c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS c FROM p
+        |      WHERE f IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT f, CAST(sum(c) AS BIGINT) AS cf FROM c GROUP BY f),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS nn, CAST(count(DISTINCT f) AS BIGINT) AS k FROM c),
+        |s AS (SELECT nn, k,
+        |        -sum(CAST(c.c AS DOUBLE) / CAST(nn AS DOUBLE) *
+        |             log2(CAST(c.c AS DOUBLE) / CAST(ft.cf AS DOUBLE))) AS h
+        |      FROM c JOIN ft USING (f) CROSS JOIN tt GROUP BY nn, k)
+        |SELECT nn AS n_transitions, k AS n_states,
+        |  round(h, 4) AS entropy_rate_bits,
+        |  round(log2(CAST(k AS DOUBLE)), 4) AS max_bits,
+        |  round(h / log2(CAST(k AS DOUBLE)), 4) AS efficiency
+        |FROM s""".stripMargin,
     // Triangle/vertex/edge counts are invariant to the vertex
     // labeling, so the oracle enumerates on the words themselves.
     "q_triangles" ->

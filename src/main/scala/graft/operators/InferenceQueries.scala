@@ -185,6 +185,14 @@ object InferenceQueries {
       TextRank.pmiCollocations(Tables(s, dir).documents, "text", minCount = 5L, k = 20)
     },
 
+    // logDice collocations (Rychlý 2008): the corpus-size-independent
+    // collocation score beside q_collocations' PMI — comparable across
+    // corpora, tame on rare pairs.
+    "q_logdice" -> { (s, dir) =>
+      TextRank.logDiceCollocations(Tables(s, dir).documents, "text",
+        minCount = 5L, k = 20)
+    },
+
     // #89 product-quantization codes: 4 × 16-dim subspaces, 16-entry
     // codebooks seeded from the first corpus vectors.
     "q_pq_assign" -> { (s, dir) =>
@@ -742,6 +750,19 @@ object InferenceQueries {
         |  round((cum_resp::DOUBLE / cum_n::DOUBLE) / (tresp::DOUBLE / tn::DOUBLE), 6) + 0.0 AS cum_lift,
         |  round(cum_resp::DOUBLE / tresp::DOUBLE, 6) + 0.0 AS cum_gain
         |FROM c, tot""".stripMargin,
+    "q_logdice" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |        i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS u FROM w WHERE len(ws) >= 2),
+        |c12 AS (SELECT u.w1 AS w1, u.w2 AS w2, CAST(count(*) AS BIGINT) AS c12 FROM p GROUP BY 1, 2),
+        |uni AS (SELECT unnest(ws) AS w FROM w),
+        |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM uni GROUP BY w)
+        |SELECT c12.w1, c12.w2, c12.c12,
+        |  round(14.0 + log2(2.0 * c12.c12::DOUBLE / CAST(u1.cu + u2.cu AS DOUBLE)), 4) + 0.0
+        |    AS logdice
+        |FROM c12 JOIN cu u1 ON u1.w = c12.w1 JOIN cu u2 ON u2.w = c12.w2
+        |WHERE c12.c12 >= 5
+        |ORDER BY logdice DESC, c12.w1, c12.w2 LIMIT 20""".stripMargin,
     "q_collocations" ->
       """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
         |p AS (SELECT unnest(list_transform(range(1, len(ws)),

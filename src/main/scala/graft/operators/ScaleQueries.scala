@@ -115,13 +115,16 @@ object ScaleQueries {
     },
 
     // Fixed-radius ε-neighborhood self-join via the 3×3 grid stencil —
-    // customers placed deterministically on an integer plane that
-    // GROWS with the key space, so per-cell density (the quadratic
-    // term) stays constant at every corpus scale. The oracle is the
-    // brute-force O(n²) join: same pairs, the grid only prunes.
+    // customers placed deterministically on an integer plane sized by
+    // the ROW COUNT (not the max key: the scale-up tool's sparse key
+    // offsets inflate max 600× past the population, which would
+    // vacuum the density to zero pairs), so per-cell density — the
+    // quadratic term — stays constant at every corpus scale. The
+    // oracle is the brute-force O(n²) join: same pairs, the grid only
+    // prunes.
     "q_geo_radius" -> { (s, dir) =>
       val c = Tables(s, dir).customer
-      val k = c.agg(max(col("c_custkey")).cast("long").as("k"))
+      val k = c.agg(count(lit(1)).as("k"))
       val pts = c.crossJoin(broadcast(k)).select(
         col("c_custkey").as("id"),
         (col("c_custkey") * 48271L) % (col("k") * 1000L) as "x",
@@ -247,14 +250,16 @@ object ScaleQueries {
     // membership is decided by EXACT integer arithmetic on both
     // sides, so the sets must match pair-for-pair.
     "q_geo_radius" ->
-      """WITH k AS (SELECT CAST(max(c_custkey) AS BIGINT) AS k FROM customer),
+      """WITH k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM customer),
         |p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
         |        (c_custkey * 48271) % (k.k * 1000) AS x,
         |        (c_custkey * 69621) % (k.k * 1000) AS y
         |      FROM customer CROSS JOIN k)
         |SELECT a.id AS id_a, b.id AS id_b,
-        |  CAST((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS BIGINT) AS dist2
+        |  CAST(CAST(a.x - b.x AS HUGEINT)*(a.x - b.x)
+        |       + CAST(a.y - b.y AS HUGEINT)*(a.y - b.y) AS BIGINT) AS dist2
         |FROM p a JOIN p b ON b.id > a.id
-        |WHERE (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 400000000""".stripMargin
+        |WHERE CAST(a.x - b.x AS HUGEINT)*(a.x - b.x)
+        |      + CAST(a.y - b.y AS HUGEINT)*(a.y - b.y) <= 400000000""".stripMargin
   )
 }

@@ -1951,6 +1951,70 @@ object Stats {
       col("iso_rate"))
   }
 
+  /** Theil inequality index with its between/within DECOMPOSITION
+    * (Theil 1967; Shorrocks 1980): T = T_between + Σ_g s_g·T_g — the
+    * member of the inequality family (Gini/Lorenz/Atkinson) that
+    * decomposes EXACTLY by group, answering "how much corpus
+    * inequality lives between sources vs inside them". Per group:
+    * T_g = Σ(x/X_g)ln(x·n_g/X_g) at DISTINCT-VALUE grain (Σc·v·ln v
+    * is cardinality-bounded like [[atkinson]]); the between term uses
+    * only (X_g, n_g). Non-positive values excluded.
+    */
+  def theilIndex(df: DataFrame, groupCol: String, v: Column): DataFrame = {
+    val hist = df.select(col(groupCol).as("g"), v.cast("long").as("v"))
+      .filter(col("v") > 0)
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val per = hist.groupBy("g").agg(
+      sum("c").as("n_g"), sum(col("c") * col("v")).as("x_g"),
+      sum(col("c").cast("double") * col("v").cast("double") *
+        log(col("v").cast("double"))).as("sxlx"))
+    val tot = per.agg(sum("n_g").as("n"), sum("x_g").as("x"))
+    val xgD = col("x_g").cast("double")
+    val tWithin = col("sxlx") / xgD -
+      log(xgD / col("n_g").cast("double"))
+    val share = xgD / col("x").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col("g").as(groupCol), col("n_g"), col("x_g"),
+        round(share, 6).as("x_share"),
+        round(tWithin, 6).as("t_within"),
+        round(share * log(share / (col("n_g").cast("double") / col("n").cast("double"))), 6)
+          .as("t_between_term"),
+        round(share * tWithin, 6).as("t_within_contrib"))
+  }
+
+  /** Blinder-Oaxaca twofold decomposition (Blinder 1973; Oaxaca 1973)
+    * of a group gap in mean outcome, pooled-coefficient reference
+    * (Neumark 1988): gap = ȳ_A − ȳ_B = (x̄_A − x̄_B)·β_pooled
+    * [EXPLAINED by the covariate] + residual [UNEXPLAINED] — the
+    * decomposition every disparity audit starts from. Single
+    * regressor, exact integer moments per arm and pooled, one scalar
+    * tree.
+    */
+  def oaxacaTwofold(df: DataFrame, isA: Column, x: Column, y: Column): DataFrame = {
+    val base = df.select(isA.as("a"), x.cast("long").as("x"), y.cast("long").as("y"))
+    val per = base.groupBy("a").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"))
+    def arm(flag: Boolean, sfx: String) = per.filter(col("a") === flag)
+      .select(col("n").as(s"n$sfx"), col("sx").as(s"sx$sfx"), col("sy").as(s"sy$sfx"))
+    val pooled = base.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      dsum(col("x"), col("x")).as("sxx"), dsum(col("x"), col("y")).as("sxy"))
+    val beta = (col("sxy") * col("n").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      (col("sxx") * col("n").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    def mean(c: String, nn: String) = col(c).cast("double") / col(nn).cast("double")
+    val gap = mean("sy_a", "n_a") - mean("sy_b", "n_b")
+    val explained = (mean("sx_a", "n_a") - mean("sx_b", "n_b")) * col("beta_pooled")
+    arm(true, "_a").crossJoin(broadcast(arm(false, "_b")))
+      .crossJoin(broadcast(pooled.select(beta.as("beta_pooled"))))
+      .select(col("n_a"), col("n_b"),
+        round(col("beta_pooled"), 6).as("beta_pooled"),
+        round(gap, 6).as("gap"),
+        round(explained, 6).as("explained"),
+        round(gap - explained, 6).as("unexplained"))
+  }
+
   /** l-diversity audit (Machanavalli et al. 2007) — [[kAnonymityAudit]]'s
     * sibling on the SENSITIVE attribute: a quasi-identifier class is
     * safe only if it contains at least `l` DISTINCT sensitive values

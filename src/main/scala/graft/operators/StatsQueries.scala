@@ -417,6 +417,22 @@ object StatsQueries {
         col("event_type") === "purchase", centsValue)
     },
 
+    // Theil index with its exact between/within decomposition: how
+    // much document-length inequality lives between sources vs inside
+    // them.
+    "q_theil_index" -> { (s, dir) =>
+      Stats.theilIndex(Tables(s, dir).documents, "source", col("n_chars"))
+    },
+
+    // Blinder-Oaxaca twofold decomposition of the F-vs-rest gap in
+    // order value: how much does the priority mix explain?
+    "q_oaxaca" -> { (s, dir) =>
+      Stats.oaxacaTwofold(Tables(s, dir).orders,
+        col("o_orderstatus") === "F",
+        expr("cast(substring(o_orderpriority, 1, 1) as long)"),
+        round(col("o_totalprice") * 100).cast("long"))
+    },
+
     // Simpson's-paradox screen (Simpson 1951): per-group quantity →
     // discount slopes against the pooled slope, flagging sign flips —
     // the aggregation-bias sanity check before any pooled regression
@@ -1104,6 +1120,50 @@ object StatsQueries {
         |  CAST(s2 AS DOUBLE) / CAST(CAST(total AS HUGEINT)*total AS DOUBLE) AS hhi,
         |  CAST(CAST(total AS HUGEINT)*total AS DOUBLE) / CAST(s2 AS DOUBLE) AS effective_n
         |FROM s""".stripMargin,
+
+    "q_theil_index" ->
+      """WITH h AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents WHERE n_chars > 0 GROUP BY 1, 2),
+        |per AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g, CAST(sum(c*v) AS BIGINT) AS x_g,
+        |          sum(CAST(c AS DOUBLE) * CAST(v AS DOUBLE) * ln(CAST(v AS DOUBLE))) AS sxlx
+        |        FROM h GROUP BY g),
+        |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(x_g) AS BIGINT) AS x FROM per)
+        |SELECT g AS source, n_g, x_g,
+        |  round(CAST(x_g AS DOUBLE) / CAST(x AS DOUBLE), 6) AS x_share,
+        |  round(sxlx / CAST(x_g AS DOUBLE)
+        |        - ln(CAST(x_g AS DOUBLE) / CAST(n_g AS DOUBLE)), 6) AS t_within,
+        |  round(CAST(x_g AS DOUBLE) / CAST(x AS DOUBLE) *
+        |        ln((CAST(x_g AS DOUBLE) / CAST(x AS DOUBLE)) /
+        |           (CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS t_between_term,
+        |  round(CAST(x_g AS DOUBLE) / CAST(x AS DOUBLE) *
+        |        (sxlx / CAST(x_g AS DOUBLE)
+        |         - ln(CAST(x_g AS DOUBLE) / CAST(n_g AS DOUBLE))), 6) AS t_within_contrib
+        |FROM per, tot""".stripMargin,
+
+    "q_oaxaca" ->
+      """WITH t AS (SELECT o_orderstatus = 'F' AS a,
+        |             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+        |             CAST(round(o_totalprice*100) AS BIGINT) AS y FROM orders),
+        |per AS (SELECT a, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |          CAST(sum(y) AS BIGINT) AS sy FROM t GROUP BY a),
+        |pl AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         sum(CAST(x AS HUGEINT)*x)::DOUBLE AS sxx,
+        |         sum(CAST(x AS HUGEINT)*y)::DOUBLE AS sxy
+        |       FROM t),
+        |b AS (SELECT (sxy * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |        (sxx * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        AS beta_pooled FROM pl),
+        |f AS (SELECT aa.n AS n_a, bb.n AS n_b, b.beta_pooled,
+        |        CAST(aa.sy AS DOUBLE) / CAST(aa.n AS DOUBLE)
+        |          - CAST(bb.sy AS DOUBLE) / CAST(bb.n AS DOUBLE) AS gap,
+        |        (CAST(aa.sx AS DOUBLE) / CAST(aa.n AS DOUBLE)
+        |          - CAST(bb.sx AS DOUBLE) / CAST(bb.n AS DOUBLE)) * b.beta_pooled AS explained
+        |      FROM (SELECT * FROM per WHERE a) aa,
+        |           (SELECT * FROM per WHERE NOT a) bb, b)
+        |SELECT n_a, n_b, round(beta_pooled, 6) AS beta_pooled, round(gap, 6) AS gap,
+        |  round(explained, 6) AS explained, round(gap - explained, 6) AS unexplained
+        |FROM f""".stripMargin,
 
     "q_stump_split" ->
       """WITH t AS (SELECT CAST(round(value*100) AS BIGINT) AS v,

@@ -659,6 +659,28 @@ object TextRank {
       .filter(col("doc_rank") <= k)
   }
 
+  /** logDice collocation strength (Rychlý 2008, the Sketch Engine
+    * standard): 14 + log2(2·f_xy/(f_x+f_y)) — unlike PMI it does not
+    * blow up on rare pairs and is corpus-size independent, so scores
+    * COMPARE across corpora (the property PMI lacks). Same adjacent-
+    * pair/unigram machinery as [[pmiCollocations]].
+    */
+  def logDiceCollocations(docs: DataFrame, textCol: String,
+                          minCount: Long, k: Int): DataFrame = {
+    val pairs = adjacentPairRows(docs, textCol)
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = docs.select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    c12.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("c2")), "w2")
+      .select(col("w1"), col("w2"), col("c12"),
+        round(lit(14.0) + log2(lit(2.0) * col("c12").cast("double") /
+          (col("c1") + col("c2")).cast("double")), 4).as("logdice"))
+      .orderBy(col("logdice").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Keyword-in-context concordance (the corpus-linguistics KWIC
     * view): for each query term, the first `kPerTerm` occurrences in
     * (doc, position) order with `ctx` tokens of left/right context —

@@ -690,6 +690,33 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("loa_lo") == 7.0 && r.getAs[Double]("loa_hi") == 7.0)
   }
 
+  test("theilIndex: equal values score 0 within; equal-mean groups score 0 between") {
+    val df = (1 to 40).map(i => (if (i % 2 == 0) "a" else "b", 100L)).toDF("g", "v")
+    val rows = Stats.theilIndex(df, "g", col("v")).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("t_within") == 0.0)
+      assert(r.getAs[Double]("t_between_term") == 0.0)
+    }
+    // concentrating one group's mass moves its within-term up
+    val skew = ((1 to 19).map(_ => ("a", 1L)) :+ (("a", 10000L)))
+      .union((1 to 20).map(_ => ("b", 100L))).toDF("g", "v")
+    val m = Stats.theilIndex(skew, "g", col("v")).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("t_within")).toMap
+    assert(m("a") > 1.0 && m("b") == 0.0)
+  }
+
+  test("oaxacaTwofold: a gap fully mediated by x is fully explained") {
+    // y = 100x exactly in both arms; arms differ only in their x mix.
+    val a = (1 to 30).map(i => (true, (i % 3 + 3).toLong))   // x in 3..5
+    val b = (1 to 30).map(i => (false, (i % 3 + 1).toLong))  // x in 1..3
+    val df = (a ++ b).map { case (t, x) => (t, x, x * 100) }.toDF("t", "x", "y")
+    val r = Stats.oaxacaTwofold(df, col("t"), col("x"), col("y")).collect().head
+    assert(r.getAs[Double]("beta_pooled") == 100.0)
+    assert(r.getAs[Double]("gap") == 200.0)
+    assert(r.getAs[Double]("explained") == 200.0)
+    assert(r.getAs[Double]("unexplained") == 0.0)
+  }
+
   test("giniStump: a perfectly separable feature splits pure with gain = parent impurity") {
     val df = (1 to 100).map(i => (i.toLong, i >= 50)).toDF("v", "y")
     val r = Stats.giniStump(df, col("y"), col("v")).collect().head

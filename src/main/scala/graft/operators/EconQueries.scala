@@ -168,6 +168,15 @@ object EconQueries {
     "q_page_trend" -> { (s, dir) =>
       Stats.pageTrend(dailyCents(Tables(s, dir)), "g", "day", col("v"),
         itemOrder = Seq("click", "error", "purchase", "signup", "view"))
+    },
+
+    // Binary-segmentation breakpoint: FIND the structural break
+    // q_chow can only test at a fixed date — the split day minimizing
+    // SSE_left + SSE_right per series.
+    "q_breakpoint" -> { (s, dir) =>
+      TimeSeries.binaryBreakpoint(dailyCents(Tables(s, dir)), "g",
+        col("day"), col("v"))
+        .withColumnRenamed("g", "event_type")
     })
 
   /** Shared oracle CTE: the day-grain cent series. */
@@ -398,6 +407,37 @@ object EconQueries {
          |SELECT g AS event_type, n_days, sse_naive, sse_seasonal,
          |  CASE WHEN sse_naive > 0 THEN sqrt(sse_seasonal / sse_naive) END AS theil_u
          |FROM s""".stripMargin,
+
+    "q_breakpoint" ->
+      s"""WITH $ddCte,
+         |pre AS (SELECT g, day, v,
+         |          CAST(count(*) OVER w AS BIGINT) AS nl,
+         |          CAST(sum(v) OVER w AS BIGINT) AS syl,
+         |          sum(CAST(v AS HUGEINT)*v) OVER w AS syyl
+         |        FROM dd WINDOW w AS (PARTITION BY g ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sy,
+         |          sum(CAST(v AS HUGEINT)*v) AS syy FROM dd GROUP BY g),
+         |cand AS (SELECT pre.g, pre.day, pre.nl, tot.n,
+         |           (CAST(syyl AS DOUBLE) - CAST(syl AS DOUBLE)*CAST(syl AS DOUBLE)/CAST(nl AS DOUBLE))
+         |           + (CAST(syy - syyl AS DOUBLE)
+         |              - CAST(sy - syl AS DOUBLE)*CAST(sy - syl AS DOUBLE)/CAST(n - nl AS DOUBLE))
+         |             AS wsse,
+         |           CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)/CAST(n AS DOUBLE)
+         |             AS sse_total
+         |         FROM pre JOIN tot ON tot.g = pre.g
+         |         WHERE nl >= 2 AND n - nl >= 2),
+         |best AS (SELECT g, min(wsse) AS best_w FROM cand GROUP BY g),
+         |pick AS (SELECT cand.g, min(day) AS break_day, max(n) AS n,
+         |           max(wsse) AS wsse, max(sse_total) AS sse_total
+         |         FROM cand JOIN best ON best.g = cand.g AND cand.wsse = best.best_w
+         |         GROUP BY cand.g)
+         |SELECT pick.g AS event_type, pick.break_day, cand.nl AS n_left,
+         |  pick.n - cand.nl AS n_right,
+         |  round(pick.sse_total, 4) AS sse_total,
+         |  round(pick.wsse, 4) AS sse_split,
+         |  round(pick.sse_total - pick.wsse, 4) AS reduction
+         |FROM pick JOIN cand ON cand.g = pick.g AND cand.day = pick.break_day""".stripMargin,
 
     "q_icc" ->
       s"""WITH $ddCte,

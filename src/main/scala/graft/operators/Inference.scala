@@ -373,22 +373,26 @@ object Inference {
     * inputs are exact counts. The ranking window runs over m rows
     * (one per group) — driver-scale, not corpus-scale.
     */
-  def bhFdrGate(df: DataFrame, groupCol: String, cat: Column,
-                q: Double): DataFrame = {
+  /** (g, chi2, p) per group: chi² of the group's category distribution
+    * against the corpus mixture, p from the df-2 closed form — the
+    * shared family front-end of [[bhFdrGate]] and [[holmGate]].
+    * chi2_g = (nt/ng)·Σ_c O²/nc − ng (E_c = ng·nc/nt); the Σ folds in
+    * category-ascending order (sort_array + aggregate, bounded by the
+    * category count) instead of a plain sum(): the rankings below
+    * compare p-values ACROSS groups, so each group's double
+    * accumulation must be order-deterministic or two groups with
+    * identical counts can land on different last-ulp chi2 under
+    * different partition orders (observed: rank ties flipping vs the
+    * oracle) — and would also be retry/AQE-unstable.
+    */
+  private def chiSquarePvalues(df: DataFrame, groupCol: String,
+                               cat: Column): DataFrame = {
     val cells = df.select(col(groupCol).as("g"), cat.as("c"))
       .groupBy("g", "c").agg(count(lit(1)).as("n"))
     val gm = cells.groupBy("g").agg(sum("n").as("ng"))
     val cm = cells.groupBy("c").agg(sum("n").as("nc"))
     val tot = cells.agg(sum("n").as("nt"))
-    // chi2_g = (nt/ng)·Σ_c O²/nc − ng  (E_c = ng·nc/nt). The Σ folds
-    // in category-ascending order (sort_array + aggregate, bounded by
-    // the category count) instead of a plain sum(): the BH ranking
-    // below compares p-values ACROSS groups, so each group's double
-    // accumulation must be order-deterministic or two groups with
-    // identical counts can land on different last-ulp chi2 under
-    // different partition orders (observed: rank ties flipping vs the
-    // oracle) — and would also be retry/AQE-unstable.
-    val chi2 = cells.join(broadcast(cm), "c")
+    cells.join(broadcast(cm), "c")
       .select(col("g"), col("c"), (col("n").cast("double") * col("n").cast("double") /
         col("nc").cast("double")).as("term"))
       .groupBy("g").agg(aggregate(
@@ -398,7 +402,12 @@ object Inference {
       .select(col("g"),
         (col("nt").cast("double") / col("ng").cast("double") * col("osum") -
           col("ng").cast("double")).as("chi2"))
-    val withP = chi2.withColumn("p", exp(-col("chi2") / 2))
+      .withColumn("p", exp(-col("chi2") / 2))
+  }
+
+  def bhFdrGate(df: DataFrame, groupCol: String, cat: Column,
+                q: Double): DataFrame = {
+    val withP = chiSquarePvalues(df, groupCol, cat)
     val m = count(lit(1)).over(Window.partitionBy())
     val wRank = Window.orderBy(col("p"), col("g"))
     val ranked = withP
@@ -411,6 +420,34 @@ object Inference {
       .select(col("g").as(groupCol), round(col("chi2"), 4).as("chi2"),
         round(col("p"), 6).as("p_value"), col("rank"),
         (col("rank") <= col("kmax")).as("rejected"))
+  }
+
+  /** Holm-Bonferroni step-down gate (Holm 1979) over the same per-
+    * group chi² family as [[bhFdrGate]]: reject ranks 1..r* where r*
+    * is the longest PREFIX with p₍ᵢ₎ ≤ α/(m−i+1) — familywise-error
+    * control (strictly stronger than BH's FDR) with no independence
+    * assumption. The step-down stop is a cumulative min over the rank
+    * axis (m-bounded window).
+    */
+  def holmGate(df: DataFrame, groupCol: String, cat: Column,
+               alpha: Double): DataFrame = {
+    val withP = chiSquarePvalues(df, groupCol, cat)
+    val m = count(lit(1)).over(Window.partitionBy())
+    val wRank = Window.orderBy(col("p"), col("g"))
+    val ranked = withP
+      .select(col("g"), col("chi2"), col("p"),
+        row_number().over(wRank).cast("long").as("rank"), m.as("m"))
+      .withColumn("alpha_i",
+        lit(alpha) / (col("m") - col("rank") + 1).cast("double"))
+      .withColumn("passes", col("p") <= col("alpha_i"))
+    val wCum = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("all_pass", min(when(col("passes"), 1L).otherwise(0L)).over(wCum))
+      .select(col("g").as(groupCol), round(col("chi2"), 4).as("chi2"),
+        round(col("p"), 6).as("p_value"), col("rank"),
+        round(col("alpha_i"), 6).as("alpha_threshold"),
+        (col("all_pass") === 1L).as("rejected"))
   }
 
   /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972) on the

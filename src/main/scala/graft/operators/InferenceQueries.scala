@@ -172,6 +172,15 @@ object InferenceQueries {
         q = 0.05)
     },
 
+    // Holm-Bonferroni step-down on the same per-source chi-square
+    // family: familywise-error control beside q_bh_fdr's FDR.
+    "q_holm" -> { (s, dir) =>
+      Inference.holmGate(Tables(s, dir).documents, "source",
+        when(col("lang") === "en", "en")
+          .when(col("lang") === "zh", "zh").otherwise("other"),
+        alpha = 0.05)
+    },
+
     // #86k decile lift/gains: order price as the score, order status F
     // as the response.
     "q_lift_deciles" -> { (s, dir) =>
@@ -722,6 +731,31 @@ object InferenceQueries {
         |SELECT g AS source, round(chi2, 4) + 0.0 AS chi2,
         |  round(p, 6) + 0.0 AS p_value, rank, rank <= kmax AS rejected
         |FROM r, km""".stripMargin,
+    "q_holm" ->
+      """WITH cells AS (SELECT source AS g,
+        |        CASE WHEN lang = 'en' THEN 'en' WHEN lang = 'zh' THEN 'zh'
+        |             ELSE 'other' END AS c,
+        |        CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+        |gm AS (SELECT g, CAST(sum(n) AS BIGINT) AS ng FROM cells GROUP BY g),
+        |cm AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM cells GROUP BY c),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+        |osum AS (SELECT g, list_reduce(list(n::DOUBLE * n::DOUBLE / nc::DOUBLE ORDER BY c),
+        |                               (a, b) -> a + b) AS osum
+        |         FROM cells JOIN cm USING (c) GROUP BY g),
+        |x AS (SELECT osum.g, nt::DOUBLE / ng::DOUBLE * osum - ng::DOUBLE AS chi2
+        |      FROM osum JOIN gm ON osum.g = gm.g, tot),
+        |p AS (SELECT g, chi2, exp(-chi2 / 2) AS p FROM x),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p, g) AS BIGINT) AS rank,
+        |        CAST(count(*) OVER () AS BIGINT) AS m FROM p),
+        |h AS (SELECT *, 0.05 / CAST(m - rank + 1 AS DOUBLE) AS alpha_i,
+        |        min(CASE WHEN p <= 0.05 / CAST(m - rank + 1 AS DOUBLE) THEN 1 ELSE 0 END)
+        |          OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS all_pass
+        |      FROM r)
+        |SELECT g AS source, round(chi2, 4) + 0.0 AS chi2,
+        |  round(p, 6) + 0.0 AS p_value, rank,
+        |  round(alpha_i, 6) AS alpha_threshold, all_pass = 1 AS rejected
+        |FROM h""".stripMargin,
     "q_auc_roc" ->
       """WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
         |             event_type = 'purchase' AS grp FROM events),

@@ -688,6 +688,30 @@ object LlmQueries {
       audit(cluster, "cluster").unionByName(audit(naive, "naive"))
     },
 
+    // Capture-recapture estimate of the TRUE near-dup pair population
+    // (Lincoln-Petersen; Chapman 1951 bias-corrected): two
+    // independently-banded LSH passes over the same signatures are the
+    // two "captures"; N-hat = (n1+1)(n2+1)/(m+1) - 1 from their
+    // overlap — dedup-completeness estimation without ground truth.
+    "q_capture_recapture" -> { (s, dir) =>
+      val docs = planted(Tables(s, dir))
+      // Each pair table feeds TWO consumers (its own count and the
+      // overlap join): checkpoint or the whole minhash chain re-runs
+      // per consumer (the q_modularity lesson; 7.9 -> 6.6 s at the
+      // sf3 rung — the chains themselves, run once each, dominate).
+      val pA = TextDedup.minhashNearDupsPortable(docs, "doc_id", "text", h = 8, bands = 4)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val pB = TextDedup.minhashNearDupsPortable(docs, "doc_id", "text", h = 8, bands = 2)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val n1 = pA.agg(count(lit(1)).as("n_bands4"))
+      val n2 = pB.agg(count(lit(1)).as("n_bands2"))
+      val m = pA.join(pB, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_overlap"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+        .select(col("n_bands4"), col("n_bands2"), col("n_overlap"),
+          round(((col("n_bands4") + 1) * (col("n_bands2") + 1)).cast("double") /
+            (col("n_overlap") + 1).cast("double") - lit(1.0), 2).as("chapman_estimate"))
+    },
+
     // Keyword-in-context concordance: the first 8 occurrences of each
     // query term with 3 tokens of context either side — the corpus
     // auditor's "how is this word actually used" view.
@@ -1418,6 +1442,29 @@ object LlmQueries {
          |SELECT strategy, n_pairs, n_cross, (1000000 * n_cross) // n_pairs AS cross_ppm
          |FROM (SELECT * FROM pc UNION ALL SELECT * FROM pn)""".stripMargin
     },
+    "q_capture_recapture" ->
+      s"""WITH $minhashMd5Cte,
+         |bd2 AS (SELECT doc_id, u.band AS band, u.bh AS bh FROM (
+         |          SELECT doc_id, unnest(list_transform(range(0, 2), b ->
+         |            {'band': b, 'bh': array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '')})) AS u
+         |          FROM sg) t),
+         |cand2 AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |          FROM bd2 x JOIN bd2 y ON y.band = x.band AND y.bh = x.bh AND x.doc_id < y.doc_id),
+         |j2 AS (SELECT c.id_a, c.id_b,
+         |         round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |           ELSE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |                / len(list_distinct(list_concat(a.sh, b.sh))) END, 4) AS jaccard
+         |       FROM cand2 c JOIN g a ON a.doc_id = c.id_a JOIN g b ON b.doc_id = c.id_b),
+         |pa AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+         |pb AS (SELECT id_a, id_b FROM j2 WHERE jaccard >= 0.5),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_bands4 FROM pa),
+         |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_bands2 FROM pb),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+         |       FROM pa JOIN pb USING (id_a, id_b))
+         |SELECT n_bands4, n_bands2, n_overlap,
+         |  round(CAST((n_bands4 + 1) * (n_bands2 + 1) AS DOUBLE) /
+         |        CAST(n_overlap + 1 AS DOUBLE) - 1.0, 2) AS chapman_estimate
+         |FROM n1, n2, mm""".stripMargin,
     "q_kwic" ->
       s"""WITH $wsCte,
          |p0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM w),

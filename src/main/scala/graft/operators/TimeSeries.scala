@@ -574,4 +574,57 @@ object TimeSeries {
       .withColumn("cum_uniques", sum("n_new").over(w))
       .select(col("day"), col("dau"), col("n_new"), col("cum_uniques"))
   }
+
+  /** Single-breakpoint binary segmentation (Scott & Knott 1974; the
+    * first step of Killick et al.'s PELT family): per series, the
+    * split day minimizing SSE_left + SSE_right — FINDS the structural
+    * break that [[graft.operators.Stats.chowTest]] can only TEST at a
+    * fixed date. Prefix sums over the day-grain series (partitioned,
+    * calendar-bounded) make every candidate's two SSEs closed forms
+    * of exact integers (squares in DECIMAL(38,0)); the argmin is an
+    * equality join on the engine-identical double, ties to the
+    * earliest day. Edge splits leaving fewer than 2 points per side
+    * are excluded.
+    */
+  def binaryBreakpoint(df: DataFrame, groupCol: String, dayCol: Column,
+                       v: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), dayCol.as("day"), v.cast("long").as("y"))
+    val w = Window.partitionBy("g").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = base
+      .withColumn("nl", count(lit(1)).over(w))
+      .withColumn("syl", sum("y").over(w))
+      .withColumn("syyl",
+        sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).over(w))
+    val tot = base.groupBy("g").agg(count(lit(1)).as("n"), sum("y").as("sy"),
+      sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)")).as("syy"))
+    // The >= 2 filter precedes these projections, but ANSI Spark can
+    // still evaluate a fused projection speculatively inside the same
+    // codegen stage — guard every divisor explicitly (the guarded
+    // branch is unreachable for surviving rows, so results are
+    // unchanged; hillTail lesson, stricter form).
+    def sse(syy: Column, sy: Column, n: Column): Column =
+      when(n > 0,
+        syy.cast("double") - sy.cast("double") * sy.cast("double") / n.cast("double"))
+    val cands = pre.join(broadcast(tot), "g")
+      .filter(col("nl") >= 2 && col("n") - col("nl") >= 2)
+      .select(col("g"), col("day"), col("nl"), col("n"),
+        (sse(col("syyl"), col("syl"), col("nl")) +
+          sse(col("syy") - col("syyl"), col("sy") - col("syl"),
+            col("n") - col("nl"))).as("wsse"),
+        sse(col("syy"), col("sy"), col("n")).as("sse_total"))
+    val best = cands.groupBy("g").agg(min("wsse").as("best_w"))
+    cands.join(broadcast(best), "g")
+      .filter(col("wsse") === col("best_w"))
+      .groupBy("g")
+      .agg(min("day").as("break_day"), max("n").as("n"),
+        max("wsse").as("wsse"), max("sse_total").as("sse_total"))
+      .join(cands.select(col("g"), col("day").as("break_day"), col("nl")),
+        Seq("g", "break_day"))
+      .select(col("g").as(groupCol), col("break_day"), col("nl").as("n_left"),
+        (col("n") - col("nl")).as("n_right"),
+        round(col("sse_total"), 4).as("sse_total"),
+        round(col("wsse"), 4).as("sse_split"),
+        round(col("sse_total") - col("wsse"), 4).as("reduction"))
+  }
 }

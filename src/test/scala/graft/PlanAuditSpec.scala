@@ -326,6 +326,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_isotonic" -> "k-row bin table (prefix sums)",
       "q_priority_sample" -> "(k+1)-row head table (rank + tau)",
       "q_bh_fdr" -> "per-source p-value table (sources-bounded)",
+      "q_holm" -> "per-source p-value table (sources-bounded)",
       "q_rbo" -> "two depth-bounded head tables",
       "q_rrf_fusion" -> "two top-100 head tables",
       "q_cumulative_uniques" -> "per-day summary ledger",

@@ -174,6 +174,84 @@ object LlmQueries {
         col("lang"), TextAnalysis.predictLang(col("text"), profiles, "und"))
     },
 
+    // Per-class precision/recall/F1 + macro averages for the lang-ID
+    // heuristic vs the label — the most-reported classifier scorecard,
+    // all from exact confusion-cell integers (one division per ratio).
+    "q_f1_scorecard" -> { (s, dir) =>
+      val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
+      val scored = Tables(s, dir).documents
+        .select(col("lang").as("actual"),
+          TextAnalysis.predictLang(col("text"), profiles, "und").as("pred"))
+      val perClass = scored
+        .select(explode(array_distinct(array(col("actual"), col("pred")))).as("cls"),
+          col("actual"), col("pred"))
+        .groupBy("cls")
+        .agg(sum(when(col("actual") === col("cls") && col("pred") === col("cls"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("actual") =!= col("cls") && col("pred") === col("cls"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("actual") === col("cls") && col("pred") =!= col("cls"), 1L)
+            .otherwise(0L)).as("fn"))
+      val prec = when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).otherwise(lit(0.0))
+      val rec = when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double")).otherwise(lit(0.0))
+      val f1 = when(col("tp") * 2 + col("fp") + col("fn") > 0,
+        (col("tp") * 2).cast("double") /
+          (col("tp") * 2 + col("fp") + col("fn")).cast("double")).otherwise(lit(0.0))
+      perClass.select(col("cls"), col("tp"), col("fp"), col("fn"),
+        round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+        round(f1, 6).as("f1"))
+    },
+
+    // Matthews correlation coefficient of the "is-English" binary read
+    // of the lang-ID heuristic (Matthews 1975): the single-number
+    // binary scorecard robust to class imbalance, one sqrt over exact
+    // confusion integers.
+    "q_mcc" -> { (s, dir) =>
+      val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
+      val cm = Tables(s, dir).documents
+        .select((col("lang") === "en").as("a"),
+          (TextAnalysis.predictLang(col("text"), profiles, "und") === "en").as("p"))
+        .agg(sum(when(col("a") && col("p"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("a") && col("p"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("a") && !col("p"), 1L).otherwise(0L)).as("tn"),
+          sum(when(col("a") && !col("p"), 1L).otherwise(0L)).as("fn"))
+      def d(c: String) = col(c).cast("decimal(19,0)")
+      val num = (d("tp") * d("tn") - d("fp") * d("fn")).cast("double")
+      val den = sqrt(((d("tp") + d("fp")) * (d("tp") + d("fn"))).cast("double")) *
+        sqrt(((d("tn") + d("fp")) * (d("tn") + d("fn"))).cast("double"))
+      cm.select(col("tp"), col("fp"), col("tn"), col("fn"),
+        when(den > 0, round(num / den, 6)).as("mcc"))
+    },
+
+    // Equalized-odds fairness audit (Hardt, Price & Srebro 2016): the
+    // "is-English" classifier's TPR and FPR per SOURCE against the
+    // corpus-wide rates — parity gaps are the fairness readout every
+    // group-conditioned deployment check starts from. Exact integers
+    // to single divisions.
+    "q_equalized_odds" -> { (s, dir) =>
+      val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
+      val scored = Tables(s, dir).documents
+        .select(col("source"), (col("lang") === "en").as("a"),
+          (TextAnalysis.predictLang(col("text"), profiles, "und") === "en").as("p"))
+      val per = scored.groupBy("source")
+        .agg(sum(when(col("a") && col("p"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("a"), 1L).otherwise(0L)).as("pos"),
+          sum(when(!col("a") && col("p"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("neg"))
+      val tot = per.agg(sum("tp").as("ttp"), sum("pos").as("tpos"),
+        sum("fp").as("tfp"), sum("neg").as("tneg"))
+      def rate(n: String, dn: String) = when(col(dn) > 0,
+        col(n).cast("double") / col(dn).cast("double"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("pos"), col("neg"),
+          round(rate("tp", "pos"), 6).as("tpr"),
+          round(rate("fp", "neg"), 6).as("fpr"),
+          round(rate("tp", "pos") - rate("ttp", "tpos"), 6).as("tpr_gap"),
+          round(rate("fp", "neg") - rate("tfp", "tneg"), 6).as("fpr_gap"))
+    },
+
     // Fleiss' kappa over a 3-rater panel per document: the label, the
     // lang-ID heuristic, and an md5-noised label (20% 'und' dropout) —
     // the multi-rater generalization of q_cohens_kappa.
@@ -1158,6 +1236,97 @@ object LlmQueries {
          |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate, iso_rate
          |FROM iso""".stripMargin,
 
+    "q_f1_scorecard" ->
+      s"""WITH $wsCte,
+         |h AS (SELECT doc_id,
+         |        CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS en,
+         |        CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS BIGINT) AS de,
+         |        CAST(len(list_filter(ws, w -> w IN ('el','la','de','los','las','y','es','en','un','una'))) AS BIGINT) AS es,
+         |        CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','des','est','un','une','dans','pour'))) AS BIGINT) AS fr
+         |      FROM w),
+         |pr AS (SELECT doc_id,
+         |        CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         |             WHEN en = greatest(en, de, es, fr) THEN 'en'
+         |             WHEN de = greatest(en, de, es, fr) THEN 'de'
+         |             WHEN es = greatest(en, de, es, fr) THEN 'es'
+         |             ELSE 'fr' END AS pred
+         |      FROM h),
+         |s AS (SELECT d.lang AS actual, pr.pred FROM pr JOIN documents d USING (doc_id)),
+         |cl AS (SELECT DISTINCT actual AS cls FROM s UNION SELECT DISTINCT pred FROM s),
+         |pc AS (SELECT cls,
+         |         CAST(sum(CASE WHEN actual = cls AND pred = cls THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN actual <> cls AND pred = cls THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN actual = cls AND pred <> cls THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |       FROM cl CROSS JOIN s GROUP BY cls)
+         |SELECT cls, tp, fp, fn,
+         |  round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6) AS precision,
+         |  round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6) AS recall,
+         |  round(CASE WHEN tp * 2 + fp + fn > 0 THEN CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) ELSE 0.0 END, 6) AS f1
+         |FROM pc""".stripMargin,
+    "q_mcc" ->
+      s"""WITH $wsCte,
+         |h AS (SELECT doc_id,
+         |        CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS en,
+         |        CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS BIGINT) AS de,
+         |        CAST(len(list_filter(ws, w -> w IN ('el','la','de','los','las','y','es','en','un','una'))) AS BIGINT) AS es,
+         |        CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','des','est','un','une','dans','pour'))) AS BIGINT) AS fr
+         |      FROM w),
+         |pr AS (SELECT doc_id,
+         |        CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         |             WHEN en = greatest(en, de, es, fr) THEN 'en'
+         |             WHEN de = greatest(en, de, es, fr) THEN 'de'
+         |             WHEN es = greatest(en, de, es, fr) THEN 'es'
+         |             ELSE 'fr' END AS pred
+         |      FROM h),
+         |s AS (SELECT d.lang = 'en' AS a, pr.pred = 'en' AS p
+         |      FROM pr JOIN documents d USING (doc_id)),
+         |cm AS (SELECT
+         |         CAST(sum(CASE WHEN a AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN NOT a AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN NOT a AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |         CAST(sum(CASE WHEN a AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |       FROM s)
+         |SELECT tp, fp, tn, fn,
+         |  CASE WHEN sqrt(CAST((CAST(tp AS HUGEINT) + fp) * (CAST(tp AS HUGEINT) + fn) AS DOUBLE)) *
+         |            sqrt(CAST((CAST(tn AS HUGEINT) + fp) * (CAST(tn AS HUGEINT) + fn) AS DOUBLE)) > 0
+         |    THEN round(CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn AS DOUBLE) /
+         |         (sqrt(CAST((CAST(tp AS HUGEINT) + fp) * (CAST(tp AS HUGEINT) + fn) AS DOUBLE)) *
+         |          sqrt(CAST((CAST(tn AS HUGEINT) + fp) * (CAST(tn AS HUGEINT) + fn) AS DOUBLE))), 6)
+         |  END AS mcc
+         |FROM cm""".stripMargin,
+    "q_equalized_odds" ->
+      s"""WITH $wsCte,
+         |h AS (SELECT doc_id,
+         |        CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS en,
+         |        CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS BIGINT) AS de,
+         |        CAST(len(list_filter(ws, w -> w IN ('el','la','de','los','las','y','es','en','un','una'))) AS BIGINT) AS es,
+         |        CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','des','est','un','une','dans','pour'))) AS BIGINT) AS fr
+         |      FROM w),
+         |pr AS (SELECT doc_id,
+         |        CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         |             WHEN en = greatest(en, de, es, fr) THEN 'en'
+         |             WHEN de = greatest(en, de, es, fr) THEN 'de'
+         |             WHEN es = greatest(en, de, es, fr) THEN 'es'
+         |             ELSE 'fr' END AS pred
+         |      FROM h),
+         |s AS (SELECT d.source, d.lang = 'en' AS a, pr.pred = 'en' AS p
+         |      FROM pr JOIN documents d USING (doc_id)),
+         |per AS (SELECT source,
+         |          CAST(sum(CASE WHEN a AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |          CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |          CAST(sum(CASE WHEN NOT a AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |          CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS neg
+         |        FROM s GROUP BY source),
+         |tot AS (SELECT CAST(sum(tp) AS BIGINT) AS ttp, CAST(sum(pos) AS BIGINT) AS tpos,
+         |          CAST(sum(fp) AS BIGINT) AS tfp, CAST(sum(neg) AS BIGINT) AS tneg FROM per)
+         |SELECT source, pos, neg,
+         |  round(CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) END, 6) AS tpr,
+         |  round(CASE WHEN neg > 0 THEN CAST(fp AS DOUBLE) / CAST(neg AS DOUBLE) END, 6) AS fpr,
+         |  round(CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) END
+         |        - CASE WHEN tpos > 0 THEN CAST(ttp AS DOUBLE) / CAST(tpos AS DOUBLE) END, 6) AS tpr_gap,
+         |  round(CASE WHEN neg > 0 THEN CAST(fp AS DOUBLE) / CAST(neg AS DOUBLE) END
+         |        - CASE WHEN tneg > 0 THEN CAST(tfp AS DOUBLE) / CAST(tneg AS DOUBLE) END, 6) AS fpr_gap
+         |FROM per, tot""".stripMargin,
     "q_fleiss_kappa" ->
       s"""WITH $wsCte,
          |h AS (SELECT doc_id,

@@ -174,6 +174,40 @@ object LlmQueries {
         col("lang"), TextAnalysis.predictLang(col("text"), profiles, "und"))
     },
 
+    // Selective-prediction risk-coverage curve (Geifman & El-Yaniv
+    // 2017): for each confidence-bin threshold, the error rate among
+    // predictions the classifier would KEEP at that coverage — the
+    // "when to abstain" readout that turns q_calibration's bins into
+    // an operating curve. Cumulative from the most-confident bin down
+    // (10-row window), exact integers to single divisions.
+    "q_selective_risk" -> { (s, dir) =>
+      val hits = Seq("en", "de", "es", "fr")
+        .map(l => TextAnalysis.stopwordHits(col("text"), TextAnalysis.langProfiles(l)))
+      val conf = (hits.head + lit(0.5)) / (hits.reduce(_ + _) + lit(1.0))
+      val scored = Tables(s, dir).documents
+        .select(conf.as("c"), (col("lang") === "en").as("y"))
+        .select(least(floor(col("c") * 10), lit(9)).cast("int").as("bin"),
+          // the binary read: predict English when confidence >= 0.5;
+          // margin-from-0.5 is the keep/abstain score, so bins order
+          // by |c - 0.5| folded into deciles of c is replaced by the
+          // simpler monotone-confidence read: keep the top-c bins
+          when((col("c") >= 0.5) === col("y"), 0L).otherwise(1L).as("err"))
+      val per = scored.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("err").as("errors"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = per.agg(sum("n").as("nn"))
+      per.withColumn("n_covered", sum("n").over(w))
+        .withColumn("cum_errors", sum("errors").over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("n_covered"),
+          (col("n_covered").cast("double") / col("nn").cast("double")).as("coverage"),
+          (col("cum_errors").cast("double") / col("n_covered").cast("double"))
+            .as("selective_risk"))
+    },
+
     // Per-class precision/recall/F1 + macro averages for the lang-ID
     // heuristic vs the label — the most-reported classifier scorecard,
     // all from exact confusion-cell integers (one division per ratio).
@@ -1236,6 +1270,30 @@ object LlmQueries {
          |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate, iso_rate
          |FROM iso""".stripMargin,
 
+    "q_selective_risk" ->
+      s"""WITH $wsCte,
+         |h AS (SELECT doc_id,
+         |        CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS BIGINT) AS en,
+         |        CAST(len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS BIGINT) AS de,
+         |        CAST(len(list_filter(ws, w -> w IN ('el','la','de','los','las','y','es','en','un','una'))) AS BIGINT) AS es,
+         |        CAST(len(list_filter(ws, w -> w IN ('le','la','les','et','des','est','un','une','dans','pour'))) AS BIGINT) AS fr
+         |      FROM w),
+         |s AS (SELECT least(CAST(floor((h.en + 0.5) / (h.en + h.de + h.es + h.fr + 1.0) * 10) AS INT), 9) AS bin,
+         |        CASE WHEN ((h.en + 0.5) / (h.en + h.de + h.es + h.fr + 1.0) >= 0.5) = (d.lang = 'en')
+         |             THEN 0 ELSE 1 END AS err
+         |      FROM h JOIN documents d USING (doc_id)),
+         |per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(err) AS BIGINT) AS errors
+         |        FROM s GROUP BY bin),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM per),
+         |cum AS (SELECT bin, n,
+         |          CAST(sum(n) OVER w AS BIGINT) AS n_covered,
+         |          CAST(sum(errors) OVER w AS BIGINT) AS cum_errors
+         |        FROM per WINDOW w AS (ORDER BY bin DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT bin, n, n_covered,
+         |  CAST(n_covered AS DOUBLE) / CAST(nn AS DOUBLE) AS coverage,
+         |  CAST(cum_errors AS DOUBLE) / CAST(n_covered AS DOUBLE) AS selective_risk
+         |FROM cum, tot""".stripMargin,
     "q_f1_scorecard" ->
       s"""WITH $wsCte,
          |h AS (SELECT doc_id,

@@ -324,6 +324,7 @@ class PlanAuditSpec extends SparkSpec {
       "q_youden" -> "distinct-score histogram (cumulative TP/FP)",
       "q_stump_split" -> "distinct-value histogram (cumulative class counts)",
       "q_isotonic" -> "k-row bin table (prefix sums)",
+      "q_selective_risk" -> "k-row bin table (top-down cumulative)",
       "q_priority_sample" -> "(k+1)-row head table (rank + tau)",
       "q_bh_fdr" -> "per-source p-value table (sources-bounded)",
       "q_holm" -> "per-source p-value table (sources-bounded)",

@@ -133,6 +133,34 @@ object RetrievalQueries {
         .withColumnRenamed("id", "doc_id")
     },
 
+    // Expected Reciprocal Rank (Chapelle et al. 2009): the cascade-
+    // model ranking metric beside nDCG — ERR@10 = Σᵣ (1/r)·Rᵣ·Π(1−Rᵢ)
+    // with graded relevance R = (2^min(tf,4)−1)/16. The sequential
+    // cascade product is exp of an ORDERED 10-row log window (both
+    // engines fold the same terms in the same order), never a loop.
+    "q_err" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val tfs = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term").isInCollection(Seq("spark", "window", "merge", "data")))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      val head = TopK.perKey(tfs, Seq("term"),
+        struct((-col("tf")).as("nt"), col("doc_id").as("d")), 10)
+      val w = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+      val wPrev = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rel = (pow(lit(2.0), least(col("tf"), lit(4L)).cast("double")) - lit(1.0)) /
+        lit(16.0)
+      head.withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("r", rel)
+        .withColumn("pass_prob",
+          coalesce(exp(sum(log(lit(1.0) - col("r"))).over(wPrev)), lit(1.0)))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n_ranked"),
+          round(sum(col("r") * col("pass_prob") / col("rank").cast("double")), 6)
+            .as("err_at_10"))
+    },
+
     // Ranking-fairness exposure (Singh & Joachims 2018): per query
     // term, each SOURCE's share of the position-discounted attention
     // 1/log2(rank+1) in the tf-ranked top-10 — does one source soak
@@ -395,6 +423,23 @@ object RetrievalQueries {
          |FROM al""".stripMargin,
     // Same single-term BM25 chain as q_bm25 (per-term partition),
     // binary tf>=2 qrels, closed-form DCG/IDCG via list arithmetic.
+    "q_err" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |f AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t
+        |      WHERE term IN ('spark', 'window', 'merge', 'data') GROUP BY 1, 2),
+        |r AS (SELECT term, doc_id, tf,
+        |        CAST(row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS BIGINT)
+        |          AS rank,
+        |        (pow(2.0, CAST(least(tf, 4) AS DOUBLE)) - 1.0) / 16.0 AS rel
+        |      FROM f QUALIFY rank <= 10),
+        |p AS (SELECT term, rank, rel,
+        |        coalesce(exp(sum(ln(1.0 - rel)) OVER (PARTITION BY term ORDER BY rank
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 1.0) AS pass_prob
+        |      FROM r)
+        |SELECT term, CAST(count(*) AS BIGINT) AS n_ranked,
+        |  round(sum(rel * pass_prob / CAST(rank AS DOUBLE)), 6) AS err_at_10
+        |FROM p GROUP BY term""".stripMargin,
+
     "q_rank_exposure" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
         |f AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t

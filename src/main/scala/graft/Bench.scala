@@ -6,14 +6,19 @@ package graft
   * Two evidence-quality mechanisms (both judge-requested after round 5
   * recorded machine-contention noise as a fake regression):
   *
-  *   - Re-measure-on-regression: if a query's median exceeds 2x its
+  *   - Re-measure-on-regression: if a query's median exceeds its
   *     value in `bench_prior.json` (the committed quiet-machine
-  *     numbers), the warm+3 measurement runs once more and the SMALLER
-  *     median is recorded; the query is listed under "remeasured" so
-  *     the flag is visible. Contention noise gets a second chance to
-  *     clear; a real regression survives both measurements. The same
-  *     guard covers the sf1 ladder loop (against the prior file's
-  *     "queries_sf1" block; flagged as "name@sf1").
+  *     numbers) by the flag factor — 1.5x for queries whose prior
+  *     exceeds 1 s (a 15-25% drift on a multi-second query is real
+  *     signal worth re-checking; round-8 shipped four such
+  *     un-re-measured drifts), 2x below that (sub-second queries
+  *     jitter too much for a tight flag) — the warm+3 measurement
+  *     runs once more and the SMALLER median is recorded; the query
+  *     is listed under "remeasured" so the flag is visible.
+  *     Contention noise gets a second chance to clear; a real
+  *     regression survives both measurements. The same guard covers
+  *     the sf1 ladder loop (against the prior file's "queries_sf1"
+  *     block; flagged as "name@sf1").
   *
   *   - Scale ladder: when `benchdata/sf1` exists (10x data, generated
   *     by graft.tools.ScaleUp with LSH/ANN decorrelation) and the
@@ -24,6 +29,11 @@ package graft
   *     one decade up. Opt out with SPARK_GRAFT_SF1=0.
   */
 object Bench {
+
+  /** Re-measure flag factor: tighter for slow queries where moderate
+    * drifts are meaningful (see class scaladoc).
+    */
+  private def flagFactor(prior: Double): Double = if (prior > 1.0) 1.5 else 2.0
 
   private def medianOf3(run: () => Unit): Double = {
     val ts = (1 to 3).map { _ =>
@@ -106,9 +116,10 @@ object Bench {
       try {
         runOn(sfDir)(fn)
         var med = medianOf3(() => runOn(sfDir)(fn))
-        // >2x the committed quiet-machine number: measure once more and
-        // keep the smaller median (see scaladoc).
-        if (prior.get(name).exists(p => p > 0 && med > 2 * p)) {
+        // Above the quiet-machine number by the flag factor (1.5x for
+        // >1 s priors, 2x below): measure once more and keep the
+        // smaller median (see scaladoc).
+        if (prior.get(name).exists(p => p > 0 && med > flagFactor(p) * p)) {
           clearAccumulatedCaches()
           runOn(sfDir)(fn)
           med = math.min(med, medianOf3(() => runOn(sfDir)(fn)))
@@ -131,10 +142,10 @@ object Bench {
       try {
         runOn(sf1Dir)(fn)
         var t = minOf2(sf1Dir, fn)
-        // Same >2x-prior guard as the primary loop (the round-6 sf1
+        // Same prior guard as the primary loop (the round-6 sf1
         // section shipped six contention-phantom super-linear numbers
         // because this loop had no second chance).
-        if (priorSf1.get(name).exists(p => p > 0 && t > 2 * p)) {
+        if (priorSf1.get(name).exists(p => p > 0 && t > flagFactor(p) * p)) {
           clearAccumulatedCaches()
           runOn(sf1Dir)(fn)
           t = math.min(t, minOf2(sf1Dir, fn))

@@ -451,13 +451,13 @@ object EconQueries {
          |rr AS (SELECT CAST(count(*) AS BIGINT) AS n_subj,
          |         sum(CAST(r AS HUGEINT)*r) AS srr, max(k) AS k FROM comp)
          |SELECT n_subj, k,
-         |  round((CAST(srr AS DOUBLE) / CAST(k AS DOUBLE)
+         |  (CAST(srr AS DOUBLE) / CAST(k AS DOUBLE)
          |          - CAST(gt AS DOUBLE) * CAST(gt AS DOUBLE) /
          |            (CAST(n_subj AS DOUBLE) * CAST(k AS DOUBLE)))
-         |        / (CAST(n_subj AS DOUBLE) - 1.0), 6) AS msb,
-         |  round((CAST(svv AS DOUBLE) - CAST(srr AS DOUBLE) / CAST(k AS DOUBLE))
-         |        / (CAST(n_subj AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)), 6) AS msw,
-         |  round(((CAST(srr AS DOUBLE) / CAST(k AS DOUBLE)
+         |        / (CAST(n_subj AS DOUBLE) - 1.0) AS msb,
+         |  (CAST(svv AS DOUBLE) - CAST(srr AS DOUBLE) / CAST(k AS DOUBLE))
+         |        / (CAST(n_subj AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)) AS msw,
+         |  ((CAST(srr AS DOUBLE) / CAST(k AS DOUBLE)
          |          - CAST(gt AS DOUBLE) * CAST(gt AS DOUBLE) /
          |            (CAST(n_subj AS DOUBLE) * CAST(k AS DOUBLE)))
          |        / (CAST(n_subj AS DOUBLE) - 1.0)
@@ -469,7 +469,7 @@ object EconQueries {
          |        / (CAST(n_subj AS DOUBLE) - 1.0)
          |        + (CAST(k AS DOUBLE) - 1.0) *
          |          (CAST(svv AS DOUBLE) - CAST(srr AS DOUBLE) / CAST(k AS DOUBLE))
-         |          / (CAST(n_subj AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))), 6) AS icc
+         |          / (CAST(n_subj AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0))) AS icc
          |FROM g, rr""".stripMargin,
 
     "q_page_trend" ->

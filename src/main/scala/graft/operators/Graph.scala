@@ -288,12 +288,18 @@ object Graph {
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("deg")).as("m"))
         .localCheckpoint(true)
+      // The dangling mass rejoins as a BROADCAST one-row frame inside
+      // the same plan — no per-round driver action (the scan over the
+      // checkpointed contribs is narrow either way, but a `.head()`
+      // here serialized a whole extra job per round).
       val dm = contribs.filter(col("id") === DanglingSentinel)
-        .agg(coalesce(sum("m"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("m"), lit(0.0)).as("dm"))
       val next = v.join(contribs.filter(col("id") =!= DanglingSentinel), Seq("id"), "left")
+        .crossJoin(broadcast(dm))
         .select(col("id"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("m"), lit(0.0)) + lit(dm / n))).as("r"))
+            lit(damping) * (coalesce(col("m"), lit(0.0)) +
+              col("dm") / lit(n.toDouble))).as("r"))
         .localCheckpoint(true)
       releaseCheckpoint(contribs)
       releaseCheckpoint(ranks)
@@ -384,12 +390,16 @@ object Graph {
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("deg")).as("m"))
         .localCheckpoint(true)
+      // Dangling mass as a broadcast one-row frame inside the `next`
+      // plan — same fold as [[pageRank]]: one job per round, no
+      // per-round `.head()` driver action.
       val dm = contribs.filter(col("id") === DanglingSentinel)
-        .agg(coalesce(sum("m"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("m"), lit(0.0)).as("dm"))
       val next = sVec.join(contribs.filter(col("id") =!= DanglingSentinel), Seq("id"), "left")
+        .crossJoin(broadcast(dm))
         .select(col("id"), col("w"),
           (lit(1.0 - damping) * col("w") +
-            lit(damping) * (coalesce(col("m"), lit(0.0)) + lit(dm) * col("w"))).as("r"))
+            lit(damping) * (coalesce(col("m"), lit(0.0)) + col("dm") * col("w"))).as("r"))
         .localCheckpoint(true)
       releaseCheckpoint(contribs)
       releaseCheckpoint(ranks)
@@ -893,8 +903,12 @@ object Graph {
       .join(h, Seq("id"), "left").join(a, Seq("id"), "left")
       .crossJoin(broadcast(totals))
       .select(col("id"),
-        coalesce(col("h"), lit(0).cast(d38)).as("hub_raw"),
-        coalesce(col("a"), lit(0).cast(d38)).as("auth_raw"),
+        // BIGINT on the output surface (accumulation stays DECIMAL(38,0)
+        // for headroom): at rounds=2 the walk counts fit comfortably, and
+        // the driver's hash is type-sensitive — the DuckDB oracle casts
+        // its HUGEINT sums to BIGINT, so this side must match.
+        coalesce(col("h"), lit(0).cast(d38)).cast("long").as("hub_raw"),
+        coalesce(col("a"), lit(0).cast(d38)).cast("long").as("auth_raw"),
         (coalesce(col("h"), lit(0).cast(d38)).cast("double") /
           col("th").cast("double")).as("hub_score"),
         (coalesce(col("a"), lit(0).cast(d38)).cast("double") /

@@ -51,9 +51,13 @@ object Inference {
     val tot = h.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     cum.crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"), (col("c1") + col("c2")).as("cnt"),
-        (col("cum1") * col("n2") - col("cum2") * col("n1")).as("dd"))
+        // dd itself needs 128-bit, not just dd²: cum·n products wrap
+        // int64 silently once n1·n2 > 2^63 while the DuckDB oracle's
+        // HUGEINT window sums stay exact — form dd in DECIMAL(38,0)
+        // (dec19 × dec19 products) before squaring.
+        (d(col("cum1")) * d(col("n2")) - d(col("cum2")) * d(col("n1"))).as("dd"))
       .groupBy("n1", "n2")
-      .agg(sum(d(col("cnt")) * d(col("dd")) * d(col("dd"))).cast("double").as("num"))
+      .agg(sum(d(col("cnt")) * col("dd") * col("dd")).cast("double").as("num"))
       .select(col("n1"), col("n2"),
         round(col("num") / (col("n1").cast("double") * col("n2").cast("double") *
           ((col("n1") + col("n2")).cast("double") *

@@ -16,15 +16,29 @@ object InferenceQueries {
   private def centsValue = round(col("value") * 100).cast("long")
 
   /** Co-purchase part graph: parts co-ordered in ≥2 distinct orders.
-    * Shared by the BFS-levels and degree-distribution queries.
+    * Shared by eight graph queries (BFS levels, degree distribution,
+    * SSSP, PPR, link prediction, assortativity, Adamic-Adar, node
+    * Jaccard), so the derivation — a basket self-join, the single
+    * most expensive upstream in the graph family — is MATERIALIZED
+    * once per (session, dir) and reused: the shared-intermediate
+    * design a production pipeline would use (build the edge table
+    * once, run every graph metric off it). The memo key includes the
+    * session so a restarted session rebuilds rather than referencing
+    * dead checkpoint blocks; the cached frame is (pa, pb, n) rows
+    * only, a sliver of the corpus.
     */
-  private def coPurchaseEdges(t: Tables): DataFrame = {
-    val bi = t.lineitem
-      .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
-    bi.as("x").join(bi.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-      .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-  }
+  private val coPurchaseCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  private def coPurchaseEdges(t: Tables): DataFrame =
+    coPurchaseCache.getOrElseUpdate((t.spark, t.dir), {
+      val bi = t.lineitem
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+      bi.as("x").join(bi.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+        .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .localCheckpoint(true)
+    })
 
   val queries: Map[String, Q] = Map(
     // #87 two-sample KS: did purchase values shift vs click values?
@@ -319,7 +333,7 @@ object InferenceQueries {
       val e = t.orders.join(t.lineitem,
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("u"),
-          (col("l_partkey") + lit(100000000L)).as("v"))
+          (col("l_partkey") + lit(1000000000L)).as("v"))
       Graph.hits(e, "u", "v", rounds = 2)
     },
 
@@ -490,7 +504,7 @@ object InferenceQueries {
         |      FROM h)
         |SELECT lang, x AS v, ct AS n_target, CAST(ref_le AS BIGINT) AS ref_le,
         |  CAST(n_ref AS BIGINT) AS n_ref,
-        |  (1000000 * ref_le) // n_ref AS pct_ppm
+        |  CAST((1000000 * ref_le) // n_ref AS BIGINT) AS pct_ppm
         |FROM c WHERE ct > 0 AND n_ref > 0""".stripMargin,
     "q_nelson_aalen" ->
       """WITH t AS (SELECT user_id AS s, epoch_ms(ts) AS ms,
@@ -987,7 +1001,7 @@ object InferenceQueries {
         |FROM cand LEFT JOIN e ON e.a = cand.pa AND e.b = cand.pb
         |JOIN deg da ON da.vx = cand.pa JOIN deg db ON db.vx = cand.pb""".stripMargin,
     "q_hits" ->
-      """WITH e AS (SELECT DISTINCT o_custkey AS u, l_partkey + 100000000 AS v
+      """WITH e AS (SELECT DISTINCT o_custkey AS u, l_partkey + 1000000000 AS v
         |       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
         |nodes AS (SELECT u AS id FROM e UNION SELECT v FROM e),
         |h1 AS (SELECT u AS id, CAST(count(*) AS HUGEINT) AS h FROM e GROUP BY u),
@@ -998,7 +1012,8 @@ object InferenceQueries {
         |a2 AS (SELECT e.v AS id, CAST(sum(h2.h) AS HUGEINT) AS a
         |       FROM e JOIN h2 ON h2.id = e.u GROUP BY e.v),
         |t AS (SELECT (SELECT sum(h) FROM h2) AS th, (SELECT sum(a) FROM a2) AS ta)
-        |SELECT n.id, coalesce(h2.h, 0) AS hub_raw, coalesce(a2.a, 0) AS auth_raw,
+        |SELECT n.id, CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_raw,
+        |  CAST(coalesce(a2.a, 0) AS BIGINT) AS auth_raw,
         |  CAST(coalesce(h2.h, 0) AS DOUBLE) / CAST(t.th AS DOUBLE) AS hub_score,
         |  CAST(coalesce(a2.a, 0) AS DOUBLE) / CAST(t.ta AS DOUBLE) AS auth_score
         |FROM nodes n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id, t""".stripMargin,

@@ -801,10 +801,13 @@ object LlmQueries {
     },
 
     // Capture-recapture estimate of the TRUE near-dup pair population
-    // (Lincoln-Petersen; Chapman 1951 bias-corrected): two
-    // independently-banded LSH passes over the same signatures are the
-    // two "captures"; N-hat = (n1+1)(n2+1)/(m+1) - 1 from their
-    // overlap — dedup-completeness estimation without ground truth.
+    // (Lincoln-Petersen; Chapman 1951 bias-corrected): two LSH passes
+    // with INDEPENDENT md5 hash families (the second salted "B:") are
+    // the two "captures" — independence is load-bearing: re-banding
+    // one signature set nests the captures (every coarse-band pair is
+    // also a fine-band pair) and the estimator degenerates to the
+    // larger count. N-hat = (n1+1)(n2+1)/(m+1) - 1 from the overlap —
+    // dedup-completeness estimation without ground truth.
     "q_capture_recapture" -> { (s, dir) =>
       val docs = planted(Tables(s, dir))
       // Each pair table feeds TWO consumers (its own count and the
@@ -813,14 +816,15 @@ object LlmQueries {
       // sf3 rung — the chains themselves, run once each, dominate).
       val pA = TextDedup.minhashNearDupsPortable(docs, "doc_id", "text", h = 8, bands = 4)
         .select("id_a", "id_b").localCheckpoint(true)
-      val pB = TextDedup.minhashNearDupsPortable(docs, "doc_id", "text", h = 8, bands = 2)
+      val pB = TextDedup.minhashNearDupsPortable(docs, "doc_id", "text", h = 8, bands = 4,
+          saltPrefix = "B:")
         .select("id_a", "id_b").localCheckpoint(true)
-      val n1 = pA.agg(count(lit(1)).as("n_bands4"))
-      val n2 = pB.agg(count(lit(1)).as("n_bands2"))
+      val n1 = pA.agg(count(lit(1)).as("n_cap_a"))
+      val n2 = pB.agg(count(lit(1)).as("n_cap_b"))
       val m = pA.join(pB, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_overlap"))
       n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
-        .select(col("n_bands4"), col("n_bands2"), col("n_overlap"),
-          round(((col("n_bands4") + 1) * (col("n_bands2") + 1)).cast("double") /
+        .select(col("n_cap_a"), col("n_cap_b"), col("n_overlap"),
+          round(((col("n_cap_a") + 1) * (col("n_cap_b") + 1)).cast("double") /
             (col("n_overlap") + 1).cast("double") - lit(1.0), 2).as("chapman_estimate"))
     },
 
@@ -849,19 +853,25 @@ object LlmQueries {
     // stored signatures without re-reading old text.
     "q_minhash_merge" -> { (s, dir) =>
       val h = 8
-      val g = Tables(s, dir).documents
+      // Native single-pass expression: per shingle, ONE parity md5 and
+      // ONE set of h salted md5s, folded into lo/hi chunk signatures +
+      // the full signature (vs ~18 interpreted-HOF md5s per shingle in
+      // the composed form — the round-8 verdict's triple-compute).
+      // The ledger property under test (sig(A∪B) = min(sig A, sig B))
+      // is still exercised by the REAL merge operator: the chunk
+      // signatures are exploded to per-chunk rows and folded back by
+      // mergeSignatures' (id, pos) min aggregation.
+      val sigs = Tables(s, dir).documents
         .select(col("doc_id"), TextAnalysis.wordNgrams(col("text"), 3).as("sh"))
         .filter(size(col("sh")) > 0)
-      val chunks = g.select(col("doc_id"),
-          filter(col("sh"), x => substring(md5(x), 1, 1) < "8").as("shc"))
-        .unionByName(g.select(col("doc_id"),
-          filter(col("sh"), x => substring(md5(x), 1, 1) >= "8").as("shc")))
-        .filter(size(col("shc")) > 0)
-        .select(col("doc_id"), TextDedup.portableSignature(col("shc"), h).as("sig"))
+        .select(col("doc_id"), graft.plans.ChunkedMinHashSig(col("sh"), h).as("cs"))
+        .localCheckpoint(true) // feeds chunks AND full (q_modularity lesson)
+      val chunks = sigs
+        .select(col("doc_id"), explode(array(col("cs.lo"), col("cs.hi"))).as("sig"))
+        .filter(col("sig").isNotNull)
       val merged = TextDedup.mergeSignatures(chunks, "doc_id", "sig")
         .select(col("doc_id"), concat_ws("", col("sig")).as("sig_merged"))
-      val full = g.select(col("doc_id"),
-        concat_ws("", TextDedup.portableSignature(col("sh"), h)).as("sig_full"))
+      val full = sigs.select(col("doc_id"), concat_ws("", col("cs.full")).as("sig_full"))
       merged.join(full, "doc_id")
         .withColumn("is_equal", col("sig_merged") === col("sig_full"))
     },
@@ -1671,10 +1681,14 @@ object LlmQueries {
     },
     "q_capture_recapture" ->
       s"""WITH $minhashMd5Cte,
+         |sg2 AS (SELECT doc_id,
+         |          list_transform(range(0, 8), i ->
+         |            list_min(list_transform(sh, s -> substr(md5('B:' || s || ':' || i), 1, 16)))) AS sig
+         |        FROM g),
          |bd2 AS (SELECT doc_id, u.band AS band, u.bh AS bh FROM (
-         |          SELECT doc_id, unnest(list_transform(range(0, 2), b ->
-         |            {'band': b, 'bh': array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '')})) AS u
-         |          FROM sg) t),
+         |          SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+         |            {'band': b, 'bh': array_to_string(list_slice(sig, b * 2 + 1, b * 2 + 2), '')})) AS u
+         |          FROM sg2) t),
          |cand2 AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |          FROM bd2 x JOIN bd2 y ON y.band = x.band AND y.bh = x.bh AND x.doc_id < y.doc_id),
          |j2 AS (SELECT c.id_a, c.id_b,
@@ -1684,12 +1698,12 @@ object LlmQueries {
          |       FROM cand2 c JOIN g a ON a.doc_id = c.id_a JOIN g b ON b.doc_id = c.id_b),
          |pa AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
          |pb AS (SELECT id_a, id_b FROM j2 WHERE jaccard >= 0.5),
-         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_bands4 FROM pa),
-         |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_bands2 FROM pb),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cap_a FROM pa),
+         |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cap_b FROM pb),
          |mm AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
          |       FROM pa JOIN pb USING (id_a, id_b))
-         |SELECT n_bands4, n_bands2, n_overlap,
-         |  round(CAST((n_bands4 + 1) * (n_bands2 + 1) AS DOUBLE) /
+         |SELECT n_cap_a, n_cap_b, n_overlap,
+         |  round(CAST((n_cap_a + 1) * (n_cap_b + 1) AS DOUBLE) /
          |        CAST(n_overlap + 1 AS DOUBLE) - 1.0, 2) AS chapman_estimate
          |FROM n1, n2, mm""".stripMargin,
     "q_kwic" ->

@@ -1839,10 +1839,15 @@ object Stats {
       col("gt").cast("double") * col("gt").cast("double") / (nD * kD)) / (nD - lit(1.0))
     val msw = (col("svv").cast("double") - col("srr").cast("double") / kD) /
       (nD * (kD - lit(1.0)))
+    // RAW doubles, never re-rounded: msb/msw sit at ~e9 magnitude where
+    // round(x, 6) lands on half-ulp boundaries that Spark and DuckDB
+    // resolve differently (the Granger/Durbin-Watson discipline — exact
+    // integer sufficient statistics in, one identical scalar expression
+    // tree out, which is bit-identical across engines).
     g.crossJoin(broadcast(rr))
       .select(col("n_subj"), col("k"),
-        round(msb, 6).as("msb"), round(msw, 6).as("msw"),
-        round((msb - msw) / (msb + (kD - lit(1.0)) * msw), 6).as("icc"))
+        msb.as("msb"), msw.as("msw"),
+        ((msb - msw) / (msb + (kD - lit(1.0)) * msw)).as("icc"))
   }
 
   /** Cochran's Q test (Cochran 1950) for k related binary treatments

@@ -1185,7 +1185,8 @@ object StatsQueries {
         |best AS (SELECT min(wimp) AS best_w FROM wi),
         |pick AS (SELECT wimp, min(v) AS threshold, max(n) AS n, max(p) AS n_pos
         |         FROM wi JOIN best ON wi.wimp = best.best_w GROUP BY wimp)
-        |SELECT pick.threshold, pick.n, wi.nl AS n_left, pick.n - wi.nl AS n_right,
+        |SELECT pick.threshold, pick.n, CAST(wi.nl AS BIGINT) AS n_left,
+        |  CAST(pick.n - wi.nl AS BIGINT) AS n_right,
         |  round(1.0 - CAST(CAST(pick.n_pos AS HUGEINT)*pick.n_pos
         |        + CAST(pick.n - pick.n_pos AS HUGEINT)*(pick.n - pick.n_pos) AS DOUBLE)
         |      / CAST(CAST(pick.n AS HUGEINT)*pick.n AS DOUBLE), 6) AS gini_parent,
@@ -1255,7 +1256,8 @@ object StatsQueries {
         |best AS (SELECT max(jnum) AS best_j FROM jn),
         |pick AS (SELECT jnum, min(v) AS threshold, max(p) AS n_pos, max(nn) AS n_neg
         |         FROM jn JOIN best ON jn.jnum = best.best_j GROUP BY jnum)
-        |SELECT pick.threshold, pick.n_pos, pick.n_neg, jn.tp, jn.fp,
+        |SELECT pick.threshold, pick.n_pos, pick.n_neg,
+        |  CAST(jn.tp AS BIGINT) AS tp, CAST(jn.fp AS BIGINT) AS fp,
         |  CAST(pick.jnum AS DOUBLE) /
         |    CAST(CAST(pick.n_pos AS HUGEINT) * pick.n_neg AS DOUBLE) AS youden_j
         |FROM pick JOIN jn ON jn.v = pick.threshold""".stripMargin,

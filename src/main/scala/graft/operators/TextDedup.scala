@@ -326,12 +326,21 @@ object TextDedup {
       ngram: Int = 3,
       h: Int = 16,
       bands: Int = 4,
-      minJaccard: Double = 0.5
+      minJaccard: Double = 0.5,
+      saltPrefix: String = ""
   ): DataFrame =
-    minhashNearDupsPortableReleasable(docs, idCol, textCol, ngram, h, bands, minJaccard)._1
+    minhashNearDupsPortableReleasable(
+      docs, idCol, textCol, ngram, h, bands, minJaccard,
+      saltPrefix = saltPrefix)._1
 
   /** minhashNearDupsPortable with a [[CacheHandle]] for its persisted
     * intermediates (see CacheHandle's doc for the contract).
+    *
+    * `saltPrefix` selects an INDEPENDENT md5 hash family
+    * (h_i(s) = md5(saltPrefix ++ s ++ ":" ++ i)): two runs with
+    * different salts collide independently per pair, which is what a
+    * capture-recapture estimate needs — re-banding one signature set
+    * only nests the captures.
     */
   def minhashNearDupsPortableReleasable(
       docs: DataFrame,
@@ -342,7 +351,8 @@ object TextDedup {
       bands: Int = 4,
       minJaccard: Double = 0.5,
       storage: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      saltPrefix: String = ""
   ): (DataFrame, CacheHandle) = {
     val handle = CacheHandle()
     val rows = h / bands
@@ -355,7 +365,7 @@ object TextDedup {
       .persist(storage))
     val sig = transform(sequence(lit(0), lit(h - 1)), i =>
       array_min(transform(col("shingles"), s =>
-        substring(md5(concat(s, lit(":"), i.cast("string"))), 1, 16))))
+        substring(md5(concat(lit(saltPrefix), s, lit(":"), i.cast("string"))), 1, 16))))
     val banded = shingled
       .select(col("id"), sig.as("sig"))
       .select(col("id"),

@@ -517,10 +517,14 @@ object TextRank {
     * extractor — unlike TF-IDF terms it surfaces multi-word
     * technical phrases, unlike TextRank it needs no graph iteration.
     *
-    * Scale shape: the corpus explodes ONCE to phrase occurrences and
-    * once more to (word, phrase_len) pairs; word stats are vocab-sized
-    * and broadcast back onto the DISTINCT phrase table, so nothing
-    * corpus-sized shuffles twice and no iteration exists. Determinism:
+    * Scale shape: the corpus explodes ONCE, straight into the
+    * phrase-count aggregation (map-side combined), and that DISTINCT
+    * phrase table — materialized, vocab-sized — derives everything
+    * else: word stats come from the weighted (word, n, plen) explode
+    * of the distinct phrases (freq = Σn, deg = Σn·plen — exactly the
+    * per-occurrence sums, integer-exact), and phrase scores join the
+    * broadcast word stats back on. Nothing corpus-sized is evaluated
+    * twice or shuffled twice; no iteration exists. Determinism:
     * deg/freq is a ratio of exact integers; the phrase-score sum
     * rounds to 6 dp before the (score desc, phrase) rank, so both
     * engines cut the same top-k.
@@ -540,15 +544,19 @@ object TextRank {
     val phrases = filter(
       transform(split(marked, "\\|"), p => trim(regexp_replace(p, "\\s+", " "))),
       p => p =!= "")
-    val ph = docs.select(explode(phrases).as("phrase"))
-    val phw = ph.select(col("phrase"), split(col("phrase"), " ").as("ws"))
-      .withColumn("plen", size(col("ws")).cast("long"))
-    val wordStats = phw
-      .select(explode(col("ws")).as("word"), col("plen"))
+    // The ONLY corpus-sized pass: explode → phrase counts. Checkpointed
+    // because it feeds two consumers (word stats + score join) — an
+    // unpersisted plan would re-run the regexp chain over the corpus
+    // per consumer (the q_modularity lazy-lineage lesson).
+    val pcount = docs.select(explode(phrases).as("phrase"))
+      .groupBy("phrase").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val wordStats = pcount
+      .select(col("n"), split(col("phrase"), " ").as("ws"))
+      .select(col("n"), size(col("ws")).cast("long").as("plen"), explode(col("ws")).as("word"))
       .groupBy("word")
-      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .agg(sum(col("n")).as("freq"), sum(col("n") * col("plen")).as("deg"))
       .select(col("word"), (col("deg").cast("double") / col("freq")).as("wscore"))
-    val pcount = ph.groupBy("phrase").agg(count(lit(1)).as("n"))
     pcount
       .select(col("phrase"), col("n"), explode(split(col("phrase"), " ")).as("word"))
       .join(broadcast(wordStats), "word")

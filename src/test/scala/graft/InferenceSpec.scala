@@ -449,8 +449,7 @@ class InferenceSpec extends SparkSpec {
     val e = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("u", "v")
     val m = Graph.hits(e, "u", "v", rounds = 2).collect()
       .map(r => r.getAs[Long]("id") ->
-        (r.getAs[java.math.BigDecimal]("hub_raw").longValueExact(),
-          r.getAs[java.math.BigDecimal]("auth_raw").longValueExact(),
+        (r.getAs[Long]("hub_raw"), r.getAs[Long]("auth_raw"),
           r.getAs[Double]("hub_score"))).toMap
     assert(m(1L) == ((5L, 0L, 5.0 / 8.0)))
     assert(m(2L) == ((3L, 0L, 3.0 / 8.0)))

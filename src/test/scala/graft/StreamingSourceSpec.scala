@@ -128,4 +128,59 @@ class StreamingSourceSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).sorted
     assert(all.length == 400 && all.distinct.length == 400 && all.last == 399L)
   }
+
+  test("STREAMING WRITE crash recovery: a crash between manifest move and epoch-ledger append RE-DELIVERS, never loses") {
+    // The sink's declared re-delivery window (DocsSink.toStreaming
+    // scaladoc): the commit publishes the manifest FIRST, appends the
+    // epoch ledger SECOND, so a crash between the two leaves
+    // {files moved, manifest appended, _epochs missing the epoch}.
+    // This spec constructs exactly that on-disk state and proves the
+    // recovery semantics: the replayed epoch publishes AGAIN
+    // (at-least-once inside the commit point — duplicates, which a
+    // downstream exact dedup can repair) rather than losing the rows
+    // (which nothing could repair), and once the ledger entry lands
+    // the sink is idempotent again.
+    import graft.sources.DocsSink
+    val out = Files.createTempDirectory("sinkcrash_out").toString
+    def run(): Unit = {
+      val q = stream(rows = 250, rowsPerBatch = 100)
+        .writeStream.format("graft.sources.DocsSink").option("path", out)
+        .option("checkpointLocation",
+          Files.createTempDirectory("sinkcrash_ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // epochs 0/1/2 = rows [0,100) [100,200) [200,250)
+    assert(DocsSink.committedEpochs(out) == Seq(0L, 1L, 2L))
+    assert(DocsSink.manifestEntries(out).map(_._2).sum == 250L)
+
+    // Simulate the crash: epoch 2's manifest move completed but the
+    // ledger append did not (the exact state an interruption between
+    // publish() and the _epochs move leaves behind).
+    Files.write(java.nio.file.Paths.get(out, DocsSink.EpochsName),
+      "0\n1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // Recovery: Spark replays the epochs (fresh checkpoint = the full
+    // replay). Epochs 0/1 are ledgered -> no-op; epoch 2 is NOT -> it
+    // publishes a second time.
+    run()
+    assert(DocsSink.committedEpochs(out) == Seq(0L, 1L, 2L),
+      "recovery must re-ledger the interrupted epoch")
+    assert(DocsSink.manifestEntries(out).map(_._2).sum == 300L,
+      "the interrupted epoch must be re-delivered (250 + 50 dup rows)")
+    val byId = spark.read.format("graft.sources.DocsSink").option("path", out)
+      .load().collect().map(_.getAs[Long]("doc_id"))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    // nothing lost: every id present; re-delivery is EXACTLY the
+    // interrupted epoch's interval, duplicated once
+    assert((0L until 250L).forall(byId.contains), "rows lost in recovery")
+    assert((0L until 200L).forall(byId(_) == 1), "pre-crash epochs double-published")
+    assert((200L until 250L).forall(byId(_) == 2), "interrupted epoch not re-delivered")
+
+    // And the ledger entry restores idempotence: one more full replay
+    // publishes nothing.
+    run()
+    assert(DocsSink.manifestEntries(out).map(_._2).sum == 300L,
+      "ledgered epochs must be no-ops after recovery")
+  }
 }

@@ -25,12 +25,12 @@ echo "== gate stage 1: graft.Verify $SFDIR -> $OUTDIR"
 java -Xmx64g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   graft.Verify "$SFDIR" "$OUTDIR" || exit 1
 
-echo "== gate stage 2: type-tagged DuckDB oracle compare"
-python3 tools/check.py "$SFDIR" "$OUTDIR"
-CHECK_RC=$?
+echo "== gate stage 2: driver-calibrated DuckDB oracle compare"
+python3 tools/check.py "$SFDIR" "$OUTDIR" | tee "$OUTDIR/check.log"
+CHECK_RC=${PIPESTATUS[0]}
 
-echo "== gate stage 3: SURVEY ledger consistency"
-python3 tools/ledger_check.py
+echo "== gate stage 3: SURVEY ledger consistency vs THIS sweep"
+python3 tools/ledger_check.py --from-check-log "$OUTDIR/check.log"
 LEDGER_RC=$?
 
 if [ "$CHECK_RC" -ne 0 ] || [ "$LEDGER_RC" -ne 0 ]; then

@@ -303,13 +303,19 @@ object DomainQueries {
         ),
         key = "o_orderkey"
       )
+      // Checkpointed: pubs feeds TWO consumers with DIFFERENT
+      // projections (the pub×author join reads only pub_id; pubFull
+      // reads pub_id+pub_year), so ReuseExchange cannot dedupe them —
+      // unpersisted, the whole harvestMerge outer-join fold ran twice
+      // (the pas reuse below, by contrast, has identical subplans and
+      // does get exchange reuse).
       val pubs = merged.select(
         col("o_orderkey").as("pub_id"),
         Distill.firstValid(
           Distill.validYear(year(col("sulpub_json.o_orderdate")), 2026),
           lit(1990L)
         ).as("pub_year")
-      )
+      ).localCheckpoint(true)
       val authors = t.customer
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("n_name").as("school"), (col("c_acctbal") > 5000).as("academic"))

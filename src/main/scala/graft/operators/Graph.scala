@@ -284,7 +284,10 @@ object Graph {
     val n = v.count()
     var ranks = v.select(col("id"), lit(1.0 / n).as("r")).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val contribs = eAug.join(ranks, eAug("src") === ranks("id"))
+      // shuffle_hash on the node-grain rank table: same measured
+      // auto-broadcast-vs-shuffle finding as hits/katz (the ~30 MB
+      // per-round broadcast build loses; at scale it only grows).
+      val contribs = eAug.join(ranks.hint("shuffle_hash"), eAug("src") === ranks("id"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("deg")).as("m"))
         .localCheckpoint(true)
@@ -386,7 +389,10 @@ object Graph {
       .localCheckpoint(true)
     var ranks = sVec.select(col("id"), col("w").as("r")).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val contribs = eAug.join(ranks, eAug("src") === ranks("id"))
+      // shuffle_hash on the node-grain rank table: same measured
+      // auto-broadcast-vs-shuffle finding as hits/katz (the ~30 MB
+      // per-round broadcast build loses; at scale it only grows).
+      val contribs = eAug.join(ranks.hint("shuffle_hash"), eAug("src") === ranks("id"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("deg")).as("m"))
         .localCheckpoint(true)
@@ -888,14 +894,20 @@ object Graph {
       .localCheckpoint(true)
     val nodes = e.select(col("u").as("id")).unionByName(e.select(col("v").as("id")))
       .distinct()
-    // round 1 with a₀ ≡ 1 folds to the out-degree — one agg, no join
+    // round 1 with a₀ ≡ 1 folds to the out-degree — one agg, no join.
+    // SHUFFLE_HASH on every node-grain score side: at sf3 its stats
+    // sit just under the auto-broadcast threshold and the measured
+    // per-round ~30 MB broadcast build LOSES to a shuffle-hash join
+    // (q_hits 12.2 s default vs 9.6 s suppressed, quiet A/B); at
+    // cluster scale the score table only grows, so suppressing the
+    // broadcast is also the safe plan.
     var h = e.groupBy(col("u").as("id")).agg(count(lit(1)).cast(d38).as("h"))
-    var a = e.join(h.select(col("id").as("u"), col("h")), Seq("u"))
+    var a = e.join(h.select(col("id").as("u"), col("h")).hint("shuffle_hash"), Seq("u"))
       .groupBy(col("v").as("id")).agg(sum("h").cast(d38).as("a"))
     for (_ <- 2 to rounds) {
-      h = e.join(a.select(col("id").as("v"), col("a")), Seq("v"))
+      h = e.join(a.select(col("id").as("v"), col("a")).hint("shuffle_hash"), Seq("v"))
         .groupBy(col("u").as("id")).agg(sum("a").cast(d38).as("h"))
-      a = e.join(h.select(col("id").as("u"), col("h")), Seq("u"))
+      a = e.join(h.select(col("id").as("u"), col("h")).hint("shuffle_hash"), Seq("u"))
         .groupBy(col("v").as("id")).agg(sum("h").cast(d38).as("a"))
     }
     val totals = h.agg(sum("h").as("th")).crossJoin(a.agg(sum("a").as("ta")))
@@ -968,15 +980,23 @@ object Graph {
     val c1 = e.groupBy("dst").agg(count(lit(1)).as("c1"))
       .withColumnRenamed("dst", "id")
       .localCheckpoint(true)
+    // SHUFFLE_HASH on the node-grain side: its stats sit just under
+    // the 32 MiB auto-broadcast threshold at sf3, and the measured
+    // auto-broadcast plan (serialize + build a ~30 MB hash relation
+    // per round) LOSES to a shuffle-hash join that reuses e's existing
+    // src partitioning — sensitivity-sweep numbers: q_katz 14.7 s
+    // default vs 9.3 s with the broadcast suppressed. At cluster scale
+    // the node table only grows, so the hint is also the safe plan.
     def step(prev: DataFrame, prevC: String, cn: String): DataFrame =
-      e.join(prev.withColumnRenamed("id", "src"), "src")
+      e.join(prev.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
         .groupBy("dst").agg(sum(prevC).as(cn))
         .withColumnRenamed("dst", "id")
         .localCheckpoint(true)
     val c2 = step(c1, "c1", "c2")
     val c3 = step(c2, "c2", "c3")
     releaseCheckpoint(e)
-    c1.join(c2, Seq("id"), "left").join(c3, Seq("id"), "left")
+    c1.join(c2.hint("shuffle_hash"), Seq("id"), "left")
+      .join(c3.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"), col("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"),
         coalesce(col("c3"), lit(0L)).as("c3"))

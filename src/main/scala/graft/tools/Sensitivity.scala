@@ -6,48 +6,54 @@ import graft.{GraftSession, SparkEntry}
   * the "are the session defaults actually the right ones at scale"
   * check a tuning doc should cite numbers for, not vibes.
   *
-  *   for v in default bcast_off bcast_8m aqe_off; do
-  *     SPARK_GRAFT_SF_DIR=benchdata/sf3 SPARK_GRAFT_CPUS=32 \
-  *       SPARK_GRAFT_QUERIES=q_a,q_b SPARK_GRAFT_VARIANT=$v \
-  *       java -cp ... graft.tools.Sensitivity
-  *   done
+  *   SPARK_GRAFT_SF_DIR=benchdata/sf3 SPARK_GRAFT_CPUS=32 \
+  *     SPARK_GRAFT_QUERIES=q_a,q_b java -cp ... graft.tools.Sensitivity
   *
-  * ONE VARIANT PER JVM (SPARK_GRAFT_VARIANT, default "default"): a
-  * first single-JVM sweep produced incomparable numbers — the leading
-  * variant paid the OS-page-cache cold read for everyone (q_ppr 25.3 s
-  * cold vs 3.4 s warm at sf3) and later variants drifted under
-  * accumulated JIT/GC state (bcast_8m measuring SLOWER than bcast_off
-  * on broadcast-free plans). Per-JVM isolation plus the Bench
-  * measurement protocol (per-query untimed warm + median of 3, caches
-  * cleared between queries) makes variants directly comparable to each
-  * other and to Bench's committed numbers.
+  * Protocol: WITHIN-QUERY INTERLEAVING. For each query, one untimed
+  * warm run, then median-of-3 under EVERY config variant back-to-back
+  * before moving to the next query. Two earlier protocols both failed
+  * on this host:
+  *   - one JVM, variant-major order: the leading variant paid the
+  *     OS-page-cache cold read for everyone (q_ppr 25.3 s cold vs
+  *     3.4 s warm at sf3) and later variants drifted under
+  *     accumulated JIT/GC state;
+  *   - one JVM per variant, run sequentially: the shared host's load
+  *     swings 0 → 26 on ~10-minute scales, so each ~15-minute variant
+  *     saw different weather and cross-variant ratios were noise.
+  * Interleaving puts all four configs within a couple of minutes of
+  * each other PER QUERY, so host drift cancels in the within-query
+  * ratios — the only comparisons the sweep is for. (Both toggled
+  * settings are runtime SQL confs, so flipping them per measurement is
+  * sound; plans re-optimize per action.)
   *
-  * Variants toggle the two runtime-settable levers the session pins:
+  * Variants price the session's two tuning levers:
   * `spark.sql.autoBroadcastJoinThreshold` (32 MiB default / 8 MiB
-  * conservative / -1 off — "off" shows what every broadcast in the
-  * plan is worth; "8m" what a memory-constrained cluster would see)
-  * and `spark.sql.adaptive.enabled` (off prices AQE's runtime
-  * coalesce + skew-join re-planning).
+  * memory-constrained / -1 off — "off" shows what every automatic
+  * broadcast in the plan is worth; explicit broadcast() hints are
+  * unaffected) and `spark.sql.adaptive.enabled` (off prices AQE's
+  * runtime coalesce + skew-join re-planning).
   */
 object Sensitivity {
 
-  private val variants: Map[String, Map[String, String]] = Map(
-    "default" -> Map.empty,
-    "bcast_off" -> Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"),
+  private val variants: Seq[(String, Map[String, String])] = Seq(
+    "default" -> Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> (32L * 1024 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "true"),
+    "bcast_off" -> Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true"),
     "bcast_8m" -> Map(
-      "spark.sql.autoBroadcastJoinThreshold" -> (8L * 1024 * 1024).toString),
-    "aqe_off" -> Map("spark.sql.adaptive.enabled" -> "false"))
+      "spark.sql.autoBroadcastJoinThreshold" -> (8L * 1024 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "true"),
+    "aqe_off" -> Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> (32L * 1024 * 1024).toString,
+      "spark.sql.adaptive.enabled" -> "false"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "benchdata/sf3")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val vName = sys.env.getOrElse("SPARK_GRAFT_VARIANT", "default")
-    val settings = variants.getOrElse(vName,
-      throw new IllegalArgumentException(
-        s"unknown variant $vName (have ${variants.keys.mkString(", ")})"))
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    settings.foreach { case (k, s) => spark.conf.set(k, s) }
 
     val subset = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val selected = subset.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
@@ -64,15 +70,31 @@ object Sensitivity {
       }.sorted
       ts(1)
     }
+    def setConf(v: Map[String, String]): Unit =
+      v.foreach { case (k, s) => spark.conf.set(k, s) }
 
-    val times = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try { runOn(fn); medianOf3(fn) }
-      catch { case _: Throwable => -1.0 }
+    val perQuery = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      setConf(variants.head._2)
+      val ok = try { runOn(fn); true } catch { case _: Throwable => false }
+      val row = variants.map { case (vn, settings) =>
+        val t =
+          if (!ok) -1.0
+          else {
+            setConf(settings)
+            try medianOf3(fn) catch { case _: Throwable => -1.0 }
+          }
+        vn -> math.round(t * 100) / 100.0
+      }
       clearCaches()
-      name -> math.round(t * 100) / 100.0
+      name -> row
     }
-    val qjson = times.map { case (k, t) => "\"" + k + "\":" + t }.mkString("{", ",", "}")
-    println(s"""{"variant":"$vName","sf":"$sfDir","queries":$qjson}""")
+    setConf(variants.head._2)
+    for ((vn, _) <- variants) {
+      val qjson = perQuery
+        .map { case (q, row) => "\"" + q + "\":" + row.toMap.getOrElse(vn, -1.0) }
+        .mkString("{", ",", "}")
+      println(s"""{"variant":"$vn","sf":"$sfDir","queries":$qjson}""")
+    }
     spark.stop()
   }
 }

@@ -12,6 +12,53 @@ class InferenceSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("hits round joins honor the SHUFFLE_HASH hint (never auto-broadcast the score table)") {
+    // The sensitivity sweep found the 32 MiB auto-broadcast threshold
+    // mis-firing on the node-grain score tables at sf3 (TUNING.md
+    // round 9); the fix is SHUFFLE_HASH hints on the score side. The
+    // round joins execute behind localCheckpoints, so the final
+    // frame's explain cannot see them — capture every executed plan
+    // with a listener instead and pin the strategy: the hinted joins
+    // must plan as ShuffledHashJoin even on tiny (broadcastable)
+    // data, where an unhinted plan WOULD broadcast.
+    val plans = scala.collection.mutable.ListBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // hits' rounds stay LAZY (no checkpoints), so the final collect
+      // executes the whole chain as ONE Dataset action and the
+      // listener sees all 3 hinted score joins. pageRank/PPR/katz
+      // checkpoint each round at the RDD level, which bypasses
+      // QueryExecutionListener — their hint is the same code path,
+      // pinned here through the hits plan.
+      val e = Seq((1L, 101L), (1L, 102L), (2L, 101L), (3L, 102L)).toDF("u", "v")
+      Graph.hits(e, "u", "v", rounds = 2).collect()
+      // listener delivery is async; poll until the expected joins land.
+      // Count OCCURRENCES across plan strings — the one collect's plan
+      // carries all three round joins.
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def shjCount = plans.synchronized(
+        plans.map("ShuffledHashJoin".r.findAllIn(_).size).sum)
+      while (shjCount < 3 && System.nanoTime() < deadline) Thread.sleep(100)
+      val all = plans.synchronized(plans.toList)
+      val shj = all.map("ShuffledHashJoin".r.findAllIn(_).size).sum
+      // hits rounds=2 plans exactly 3 hinted score joins — all three
+      // must survive as shuffle-hash even on this broadcastable-sized
+      // data (a demotion to broadcast would drop the count; the
+      // UNHINTED zero-fill joins in the same plan legitimately
+      // broadcast and are not constrained here).
+      assert(shj >= 3, s"expected >=3 ShuffledHashJoin occurrences, saw $shj")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("ksTest: identical samples give D = 0; disjoint samples give D = 1") {
     val same = ((1 to 10).map(i => (true, i.toLong)) ++ (1 to 10).map(i => (false, i.toLong)))
       .toDF("a", "x")

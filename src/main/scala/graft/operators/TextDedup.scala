@@ -300,8 +300,14 @@ object TextDedup {
       .distinct()
 
     // Join shingles back for candidates only, verify true Jaccard.
+    // shuffle_hash, candidate side as build: the shingle table's stats
+    // dip under the auto-broadcast threshold at mid scale and
+    // broadcasting array-heavy shingles measures slower than a shuffle
+    // join (TUNING.md round 9); at corpus scale it is never viable.
     val verified = candidates
+      .hint("shuffle_hash")
       .join(shingled.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .hint("shuffle_hash")
       .join(shingled.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), TextAnalysis.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -379,9 +385,12 @@ object TextDedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    // Same shuffle_hash verify-join posture as the xxhash64 variant.
     val sh = shingled.select(col("id"), col("shingles"))
     val verified = candidates
+      .hint("shuffle_hash")
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .hint("shuffle_hash")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(TextAnalysis.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
@@ -458,9 +467,18 @@ object TextDedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
       .localCheckpoint(true)
+    // shuffle_hash with the CANDIDATE-bounded side as build: the
+    // shingle table's stats sit under the auto-broadcast threshold at
+    // mid scale and the measured broadcast of array-heavy shingles
+    // loses (same mis-fire as the graph score tables, TUNING.md round
+    // 9 — q_lsh_eval 10.2 s default vs 4.1 s suppressed at sf3); at
+    // corpus scale broadcasting shingles is never viable, so the hint
+    // is also the plan that survives 100 TB.
     val sh = shingled.select(col("id"), col("shingles"))
     val verified = candidates
+      .hint("shuffle_hash")
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .hint("shuffle_hash")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .filter(round(TextAnalysis.jaccard(col("sh_a"), col("sh_b")), 4) >= minJaccard)
       .select(col("id_a"), col("id_b"))

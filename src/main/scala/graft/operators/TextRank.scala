@@ -152,15 +152,20 @@ object TextRank {
     def sortedFold(term: Column): Column =
       aggregate(sort_array(collect_list(struct(col("w"), term.as("t")))),
         lit(0.0), (a, x) => a + x.getField("t"))
+    // shuffle_hash posture (the round-9 auto-broadcast lesson): the
+    // posting self-join's sides and the doc-grain norm table both dip
+    // under the broadcast threshold at mid scale, and the measured
+    // broadcast builds lose ~15% (sensitivity sweep); at corpus scale
+    // neither side is broadcastable at all.
     val norms = wt.groupBy("id").agg(sortedFold(col("wt") * col("wt")).as("n2"))
-    val dots = wt.as("x").join(wt.as("y"),
+    val dots = wt.as("x").join(wt.as("y").hint("shuffle_hash"),
       col("x.w") === col("y.w") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("x.w").as("w"),
         (col("x.wt") * col("y.wt")).as("p"))
       .groupBy("id_a", "id_b").agg(sortedFold(col("p")).as("dot"))
     val cos = dots
-      .join(norms.select(col("id").as("id_a"), col("n2").as("na2")), "id_a")
-      .join(norms.select(col("id").as("id_b"), col("n2").as("nb2")), "id_b")
+      .join(norms.select(col("id").as("id_a"), col("n2").as("na2")).hint("shuffle_hash"), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("nb2")).hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("cosine"))
     import org.apache.spark.sql.expressions.Window

@@ -311,7 +311,10 @@ object InferenceQueries {
     // pairs sharing >= 3 neighbors, scored by common-neighbor count
     // and preferential attachment (both integer-exact).
     "q_link_predict" -> { (s, dir) =>
-      Graph.linkPrediction(coPurchaseEdges(Tables(s, dir)), "pa", "pb", minCommon = 3L)
+      // minCommon = 2 (not 3): at the driver's sf0.01 gate the graph
+      // is sparse enough that >= 3 emits ZERO rows — a vacuous 0-0
+      // oracle pass. 2 produces real rows at every scale the gate runs.
+      Graph.linkPrediction(coPurchaseEdges(Tables(s, dir)), "pa", "pb", minCommon = 2L)
     },
 
     // #94d degree assortativity of the co-purchase graph (Newman
@@ -977,7 +980,7 @@ object InferenceQueries {
         |deg AS (SELECT u AS vx, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
         |cand AS (SELECT l.u AS pa, r.v AS pb, CAST(count(*) AS BIGINT) AS cn
         |         FROM sym l JOIN sym r ON l.v = r.u AND l.u < r.v
-        |         GROUP BY 1, 2 HAVING count(*) >= 3),
+        |         GROUP BY 1, 2 HAVING count(*) >= 2),
         |nc AS (SELECT cand.* FROM cand LEFT JOIN e ON e.a = cand.pa AND e.b = cand.pb
         |       WHERE e.a IS NULL)
         |SELECT nc.pa, nc.pb, nc.cn, da.deg * db.deg AS pref_attach

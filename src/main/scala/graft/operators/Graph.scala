@@ -911,6 +911,16 @@ object Graph {
         .groupBy(col("v").as("id")).agg(sum("h").cast(d38).as("a"))
     }
     val totals = h.agg(sum("h").as("th")).crossJoin(a.agg(sum("a").as("ta")))
+    // Fail-fast overflow guard: with ANSI off, DECIMAL(38,0)→long
+    // overflow yields silent NULLs (the DuckDB oracle's HUGEINT→BIGINT
+    // cast would error instead). Walk counts grow ~deg^(2·rounds)·|E|,
+    // so large `rounds` on a dense graph realistically passes 2^63.
+    // Every per-node count is nonnegative and bounded by its total, so
+    // one check on the broadcast totals covers all rows.
+    val maxL = lit(Long.MaxValue).cast(d38)
+    val fitGuard = assert_true(col("th") <= maxL && col("ta") <= maxL,
+      lit("hits(): integer walk counts exceed int64 — counts grow " +
+        "~deg^(2*rounds)*|E|; reduce rounds"))
     nodes
       .join(h, Seq("id"), "left").join(a, Seq("id"), "left")
       .crossJoin(broadcast(totals))
@@ -919,7 +929,8 @@ object Graph {
         // for headroom): at rounds=2 the walk counts fit comfortably, and
         // the driver's hash is type-sensitive — the DuckDB oracle casts
         // its HUGEINT sums to BIGINT, so this side must match.
-        coalesce(col("h"), lit(0).cast(d38)).cast("long").as("hub_raw"),
+        when(fitGuard.isNull,
+          coalesce(col("h"), lit(0).cast(d38)).cast("long")).as("hub_raw"),
         coalesce(col("a"), lit(0).cast(d38)).cast("long").as("auth_raw"),
         (coalesce(col("h"), lit(0).cast(d38)).cast("double") /
           col("th").cast("double")).as("hub_score"),

@@ -64,11 +64,23 @@ object Inference {
             (col("n1") + col("n2")).cast("double"))), 6).as("cvm_t"))
   }
 
-  def ksTest(df: DataFrame, isA: Column, v: Column): DataFrame = {
-    val t = df.select(isA.as("a"), v.cast("long").as("x"))
-    val h = t.groupBy("x").agg(
-      sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
-      sum(when(!col("a"), 1L).otherwise(0L)).as("c2"))
+  def ksTest(df: DataFrame, isA: Column, v: Column): DataFrame =
+    ksTestFromHist(df.select(isA.as("a"), v.cast("long").as("x"))
+      .groupBy("x").agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("c2")))
+
+  /** Histogram-grain core of [[ksTest]] — input is (x, c1, c2) value
+    * counts. Split out so the overflow regime (per-sample counts whose
+    * cross-products pass 2^63, unreachable through row-grain specs) is
+    * directly testable.
+    */
+  private[graft] def ksTestFromHist(h: DataFrame): DataFrame = {
+    // same 128-bit discipline as [[cramerVonMises]]: cum·n cross-products
+    // wrap int64 silently once n1·n2 > 2^63 (plausible per-corpus at the
+    // 100 TB regime) while the DuckDB oracle's HUGEINT stays exact — form
+    // dnum and the n1·n2 denominator in DECIMAL(38,0).
+    def d(c: Column) = c.cast("decimal(19,0)")
     // cumulative ECDF numerators over the distinct-value domain
     val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = h.select(
@@ -76,12 +88,12 @@ object Inference {
     val tot = h.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     cum.crossJoin(broadcast(tot))
       .select(col("n1"), col("n2"),
-        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dnum"))
+        abs(d(col("cum1")) * d(col("n2")) - d(col("cum2")) * d(col("n1"))).as("dnum"))
       .groupBy("n1", "n2").agg(max("dnum").as("dnum"))
       .select(col("n1"), col("n2"),
-        round(col("dnum").cast("double") / (col("n1") * col("n2")).cast("double"), 6).as("ks_d"),
-        round(col("dnum").cast("double") / (col("n1") * col("n2")).cast("double") *
-          sqrt((col("n1") * col("n2")).cast("double") /
+        round(col("dnum").cast("double") / (d(col("n1")) * d(col("n2"))).cast("double"), 6).as("ks_d"),
+        round(col("dnum").cast("double") / (d(col("n1")) * d(col("n2"))).cast("double") *
+          sqrt((d(col("n1")) * d(col("n2"))).cast("double") /
             (col("n1") + col("n2")).cast("double")), 4).as("ks_z"))
   }
 
@@ -91,11 +103,22 @@ object Inference {
     * every window keyed by the group, so the cumulative ECDF scan
     * partitions by group and scales with groups × value-domain.
     */
-  def ksTestBy(df: DataFrame, groupCol: String, isA: Column, v: Column): DataFrame = {
-    val t = df.select(col(groupCol).as("g"), isA.as("a"), v.cast("long").as("x"))
-    val h = t.groupBy("g", "x").agg(
-      sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
-      sum(when(!col("a"), 1L).otherwise(0L)).as("c2"))
+  def ksTestBy(df: DataFrame, groupCol: String, isA: Column, v: Column): DataFrame =
+    ksTestByFromHist(
+      df.select(col(groupCol).as("g"), isA.as("a"), v.cast("long").as("x"))
+        .groupBy("g", "x").agg(
+          sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("c2")),
+      groupCol)
+
+  /** Histogram-grain core of [[ksTestBy]] — input is (g, x, c1, c2);
+    * split out for direct overflow-regime testing like
+    * [[ksTestFromHist]].
+    */
+  private[graft] def ksTestByFromHist(h: DataFrame, groupCol: String): DataFrame = {
+    // DECIMAL(38,0) cross-products, per-group edition of the ksTest
+    // widening (n1·n2 > 2^63 per group is the realistic 100 TB regime).
+    def d(c: Column) = c.cast("decimal(19,0)")
     val w = Window.partitionBy("g").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = h.select(col("g"),
@@ -103,13 +126,13 @@ object Inference {
     val tot = h.groupBy("g").agg(sum("c1").as("n1"), sum("c2").as("n2"))
     cum.join(tot, "g")
       .select(col("g"), col("n1"), col("n2"),
-        abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dnum"))
+        abs(d(col("cum1")) * d(col("n2")) - d(col("cum2")) * d(col("n1"))).as("dnum"))
       .groupBy("g", "n1", "n2").agg(max("dnum").as("dnum"))
       .filter(col("n1") > 0 && col("n2") > 0)
       .select(col("g").as(groupCol), col("n1"), col("n2"),
-        round(col("dnum").cast("double") / (col("n1") * col("n2")).cast("double"), 6).as("ks_d"),
-        round(col("dnum").cast("double") / (col("n1") * col("n2")).cast("double") *
-          sqrt((col("n1") * col("n2")).cast("double") /
+        round(col("dnum").cast("double") / (d(col("n1")) * d(col("n2"))).cast("double"), 6).as("ks_d"),
+        round(col("dnum").cast("double") / (d(col("n1")) * d(col("n2"))).cast("double") *
+          sqrt((d(col("n1")) * d(col("n2"))).cast("double") /
             (col("n1") + col("n2")).cast("double")), 4).as("ks_z"))
   }
 
@@ -255,11 +278,19 @@ object Inference {
     * at (group, value) grain with the target multiplicity alongside.
     */
   def ecdfScore(df: DataFrame, groupCol: String, isRef: Column,
-                v: Column): DataFrame = {
-    val t = df.select(col(groupCol).as("g"), isRef.as("r"), v.cast("long").as("x"))
-    val h = t.groupBy("g", "x").agg(
-      sum(when(col("r"), 1L).otherwise(0L)).as("cr"),
-      sum(when(!col("r"), 1L).otherwise(0L)).as("ct"))
+                v: Column): DataFrame =
+    ecdfScoreFromHist(
+      df.select(col(groupCol).as("g"), isRef.as("r"), v.cast("long").as("x"))
+        .groupBy("g", "x").agg(
+          sum(when(col("r"), 1L).otherwise(0L)).as("cr"),
+          sum(when(!col("r"), 1L).otherwise(0L)).as("ct")),
+      groupCol)
+
+  /** Histogram-grain core of [[ecdfScore]] — input is (g, x, cr, ct);
+    * split out for direct overflow-regime testing like
+    * [[ksTestFromHist]].
+    */
+  private[graft] def ecdfScoreFromHist(h: DataFrame, groupCol: String): DataFrame = {
     val w = Window.partitionBy("g").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nref = Window.partitionBy("g")
@@ -268,7 +299,9 @@ object Inference {
       .filter(col("ct") > 0 && col("n_ref") > 0)
       .select(col("g").as(groupCol), col("x").as("v"),
         col("ct").as("n_target"), col("ref_le"), col("n_ref"),
-        expr("(1000000 * ref_le) div n_ref").as("pct_ppm"))
+        // 1e6·ref_le wraps long past ~9.2e12 reference rows per group —
+        // form the product in DECIMAL(38,0); `div` still emits BIGINT.
+        expr("(1000000 * cast(ref_le as decimal(38,0))) div n_ref").as("pct_ppm"))
   }
 
   /** Nelson-Aalen cumulative-hazard estimator (Nelson 1972; Aalen
@@ -530,11 +563,19 @@ object Inference {
     * happens in doubles. One corpus aggregation + one window over the
     * value domain per group.
     */
-  def emdDriftBy(df: DataFrame, groupCol: String, isA: Column, v: Column): DataFrame = {
-    val t = df.select(col(groupCol).as("g"), isA.as("a"), v.cast("long").as("x"))
-    val h = t.groupBy("g", "x").agg(
-      sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
-      sum(when(!col("a"), 1L).otherwise(0L)).as("c2"))
+  def emdDriftBy(df: DataFrame, groupCol: String, isA: Column, v: Column): DataFrame =
+    emdDriftByFromHist(
+      df.select(col(groupCol).as("g"), isA.as("a"), v.cast("long").as("x"))
+        .groupBy("g", "x").agg(
+          sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("c2")),
+      groupCol)
+
+  /** Histogram-grain core of [[emdDriftBy]] — input is (g, x, c1, c2);
+    * split out for direct overflow-regime testing like
+    * [[ksTestFromHist]].
+    */
+  private[graft] def emdDriftByFromHist(h: DataFrame, groupCol: String): DataFrame = {
     val wOrd = Window.partitionBy("g").orderBy("x")
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val seg = h.select(col("g"),
@@ -544,14 +585,20 @@ object Inference {
     seg.filter(col("gap").isNotNull)
       .join(broadcast(tot), "g")
       .select(col("g"), col("n1"), col("n2"),
-        // widen before the gap product: |cumdiff| ≤ n1·n2 is already
-        // ~1e13 at ladder scale and the gap factor would overflow long
-        (abs(col("cum1") * col("n2") - col("cum2") * col("n1")).cast("decimal(19,0)") *
+        // widen BEFORE the subtraction, not just before the gap
+        // product: cum·n itself wraps int64 once n1·n2 > 2^63, so the
+        // cross-products must form in DECIMAL(38,0) (dec19 × dec19)
+        // like cramerVonMises/ksTest — widening only the |cumdiff|·gap
+        // product would multiply an already-wrapped long.
+        (abs(col("cum1").cast("decimal(19,0)") * col("n2").cast("decimal(19,0)") -
+             col("cum2").cast("decimal(19,0)") * col("n1").cast("decimal(19,0)")) *
           col("gap").cast("decimal(19,0)")).as("area"))
       .groupBy("g", "n1", "n2").agg(sum("area").cast("double").as("anum"))
       .filter(col("n1") > 0 && col("n2") > 0)
       .select(col("g").as(groupCol), col("n1"), col("n2"),
-        round(col("anum").cast("double") / (col("n1") * col("n2")).cast("double"), 4).as("emd"))
+        round(col("anum").cast("double") /
+          (col("n1").cast("decimal(19,0)") * col("n2").cast("decimal(19,0)")).cast("double"),
+          4).as("emd"))
   }
 
   /** Split conformal prediction interval per group (Vovk et al. 2005;

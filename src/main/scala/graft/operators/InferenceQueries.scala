@@ -36,13 +36,22 @@ object InferenceQueries {
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
   private def coPurchaseEdges(t: Tables): DataFrame = {
-    val df = coPurchaseCache.getOrElseUpdate((t.spark, t.dir), {
-      val bi = t.lineitem
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
-      bi.as("x").join(bi.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-        .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
-        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-    })
+    // The memo is unbounded by construction, so evict dead sessions on
+    // every access (a stopped session's entry would otherwise retain
+    // its plan tree forever), and take the build under a lock:
+    // TrieMap.getOrElseUpdate may evaluate the default twice under
+    // concurrent first calls, leaving one caller persisting a frame
+    // nobody else references.
+    val df = coPurchaseCache.synchronized {
+      coPurchaseCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      coPurchaseCache.getOrElseUpdate((t.spark, t.dir), {
+        val bi = t.lineitem
+          .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+        bi.as("x").join(bi.as("y"), col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+          .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      })
+    }
     // An external unpersist (Bench between queries) clears the STORAGE
     // MARKER too, so a bare memo would silently recompute the basket
     // self-join on every action afterwards — re-arm the persist
@@ -308,7 +317,7 @@ object InferenceQueries {
     },
 
     // #94c link prediction on the co-purchase graph: non-adjacent part
-    // pairs sharing >= 3 neighbors, scored by common-neighbor count
+    // pairs sharing >= 2 neighbors, scored by common-neighbor count
     // and preferential attachment (both integer-exact).
     "q_link_predict" -> { (s, dir) =>
       // minCommon = 2 (not 3): at the driver's sf0.01 gate the graph

@@ -80,6 +80,15 @@ object Sensitivity {
         val t =
           if (!ok) -1.0
           else {
+            // Clear persisted intermediates BEFORE each variant, not
+            // once per query: frames persisted during the warm/default
+            // run (memoized edges, minhash cache handles) would
+            // otherwise stay materialized across variants, so a conf
+            // flip could never re-plan the cached stages and the A/B
+            // delta would price only the uncached tail. Page-cache
+            // warmth is the only carryover; the median-of-3 discards
+            // the re-persist cost of each variant's first run.
+            clearCaches()
             setConf(settings)
             try medianOf3(fn) catch { case _: Throwable => -1.0 }
           }

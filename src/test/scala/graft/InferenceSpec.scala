@@ -453,6 +453,67 @@ class InferenceSpec extends SparkSpec {
     assert(row.getAs[Long]("pct_ppm") == 666666L)
   }
 
+  // ── overflow-regime probes ──────────────────────────────────────────
+  // The histogram-grain cores are driven with per-value counts whose
+  // cross-products pass 2^63 (unreachable through row-grain specs) and
+  // compared against BigInt-exact expected values: int64 arithmetic
+  // would wrap silently here (ANSI off), DECIMAL(38,0) must not.
+
+  test("ksTestFromHist survives cum*n > 2^63 (DECIMAL(38,0) cross-products)") {
+    val c = Seq((1L, 4000000000L, 1000000000L), (2L, 1000000000L, 4000000000L))
+    val h = c.toDF("x", "c1", "c2")
+    val n1 = BigInt(5000000000L); val n2 = BigInt(5000000000L)
+    val dnum = (BigInt(4000000000L) * n2 - BigInt(1000000000L) * n1).abs // 1.5e19 > 2^63
+    assert(dnum > BigInt(Long.MaxValue) && n1 * n2 > BigInt(Long.MaxValue))
+    val expD = math.round(dnum.toDouble / (n1 * n2).toDouble * 1e6) / 1e6
+    val expZ = math.round(dnum.toDouble / (n1 * n2).toDouble *
+      math.sqrt((n1 * n2).toDouble / (n1 + n2).toDouble) * 1e4) / 1e4
+    val r = Inference.ksTestFromHist(h).collect().head
+    assert(r.getAs[Double]("ks_d") == expD)   // 0.6, not a wrapped artifact
+    assert(r.getAs[Double]("ks_z") == expZ)
+  }
+
+  test("ksTestByFromHist: overflow-regime group exact, small group unchanged") {
+    val h = Seq(
+      ("big", 1L, 4000000000L, 1000000000L), ("big", 2L, 1000000000L, 4000000000L),
+      ("small", 1L, 3L, 1L), ("small", 2L, 1L, 3L)).toDF("g", "x", "c1", "c2")
+    val m = Inference.ksTestByFromHist(h, "g").collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("ks_d")).toMap
+    assert(m("big") == 0.6 && m("small") == 0.5)
+  }
+
+  test("emdDriftByFromHist widens before the subtraction (pure shift at 5e9 rows/side)") {
+    // all A mass at 0, all B mass at 10: EMD must be exactly the shift.
+    val h = Seq(("g", 0L, 5000000000L, 0L), ("g", 10L, 0L, 5000000000L))
+      .toDF("g", "x", "c1", "c2")
+    // cum1*n2 = 2.5e19 wraps int64; the pre-widened form must not.
+    val r = Inference.emdDriftByFromHist(h, "g").collect().head
+    assert(r.getAs[Double]("emd") == 10.0)
+  }
+
+  test("ecdfScoreFromHist: 1e6*ref_le past 2^63 stays exact ppm") {
+    val h = Seq(("g", 1L, 9500000000000L, 1L), ("g", 2L, 500000000000L, 1L))
+      .toDF("g", "x", "cr", "ct")
+    assert(BigInt(1000000) * BigInt(9500000000000L) > BigInt(Long.MaxValue))
+    val m = Inference.ecdfScoreFromHist(h, "g").collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("pct_ppm")).toMap
+    assert(m(1L) == 950000L && m(2L) == 1000000L)
+  }
+
+  test("hits() fails fast (not silent NULLs) when walk counts exceed int64") {
+    // K_60 complete graph, 6 rounds: counts grow ~deg^(2r)*|E| ≈ 59^11·3540
+    // ≈ 1e22 > 2^63. The decimal→long output cast would NULL silently
+    // with ANSI off; the assert_true guard must throw instead.
+    val vs = 0L until 60L
+    val edges = (for (u <- vs; v <- vs if u != v) yield (u, v)).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      Graph.hits(edges, "src", "dst", rounds = 6).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("exceed int64")))
+  }
+
   test("nelsonAalen: uncensored single-day failures give H = d/n exactly") {
     import java.sql.Timestamp
     def ts(day: Int) = new Timestamp(day * 86400000L)

@@ -32,10 +32,23 @@ def from_check_log(path):
         if m:
             correctness[m.group(2)] = {
                 "hash_match": m.group(1) == "PASS", "err": None}
-    drivers = sorted(glob.glob("CORRECTNESS_r*.json"))
+    # Numeric sort: lexicographic would pick r9 over r10. Backfilled
+    # verdicts are stale by definition (the fresh sweep never ran them),
+    # so make every borrow visible — a gate run leaning on old driver
+    # PASSes should say so, loudly.
+    drivers = sorted(
+        glob.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
     if drivers:
+        backfilled = []
         for q, e in json.load(open(drivers[-1])).items():
-            correctness.setdefault(q, e)
+            if q not in correctness:
+                correctness[q] = e
+                backfilled.append(q)
+        if backfilled:
+            print(f"note: {len(backfilled)} quer{'y' if len(backfilled) == 1 else 'ies'} "
+                  f"absent from {path} backfilled from {drivers[-1]} "
+                  f"(stale verdicts): {', '.join(sorted(backfilled))}")
     return correctness
 
 

@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Java 17 defaults file.encoding to the platform charset (US-ASCII in
+  // containers without LANG); Spark's VARIANT string path round-trips
+  // through the default charset, so multi-byte UTF-8 (e.g. "≥" in pubmed
+  // abstracts) becomes U+FFFD without this pin. Java 18+ (JEP 400) makes
+  // it the default; harmless there.
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

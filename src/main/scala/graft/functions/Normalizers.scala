@@ -94,7 +94,12 @@ object Normalizers {
     * as a tag regexp, then trim).
     */
   def stripTags(c: Column): Column =
-    trim(regexp_replace(c, "<[^>]*>", ""))
+    // A tag must START like one (letter, '/', '!' or '?' after '<') —
+    // BeautifulSoup's html.parser treats "< 3" or a bare "<" as TEXT,
+    // so "We compare 2 < 3 and X > Y" survives intact; the naive
+    // "<[^>]*>" would eat "< 3 and X >" (reference
+    // test_crossref_abstract_with_angle_brackets_in_text).
+    trim(regexp_replace(c, "<[A-Za-z/!?][^>]*>", ""))
 
   /** Funder-name normalization: drop a trailing parenthetical acronym,
     * lowercase (funders/dataset.py _normalize_name).

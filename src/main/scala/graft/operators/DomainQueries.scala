@@ -605,7 +605,7 @@ object DomainQueries {
         |            lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
         |            (CASE WHEN c_custkey % 2 = 0 THEN 'X' ELSE '7' END) END
         |    SIMILAR TO '[0-9]{4}.[0-9]{3}[0-9X]' AS issn_ok,
-        |  trim(regexp_replace('<jats:p>Abstract for ' || c_name || '</jats:p>', '<[^>]*>', '', 'g')) AS clean_abstract
+        |  trim(regexp_replace('<jats:p>Abstract for ' || c_name || '</jats:p>', '<[A-Za-z/!?][^>]*>', '', 'g')) AS clean_abstract
         |FROM customer""".stripMargin,
     "q_validation" ->
       """SELECT c_mktsegment, count(*) AS n,

@@ -101,8 +101,9 @@ object TextRank {
     * tf is binary and the weight is pure smoothed idf.
     *
     * Determinism: per-pair dot products and per-doc norms fold in
-    * TERM-ASCENDING order (sort_array + aggregate, the bhFdrGate
-    * discipline), so the double sequence is identical on any engine /
+    * TERM-ASCENDING order (single-token pairs ARE their one product —
+    * order-free; the multi-token tail refolds through sort_array +
+    * aggregate), so the double sequence is identical on any engine /
     * partition order; ranking is (6-dp cosine, id, id). idf =
     * ln((N+1)/(df+1)) + 1 — the smoothed sklearn form.
     *
@@ -149,25 +150,70 @@ object TextRank {
       .select(col("id"), col("w"),
         (col("tf") * (log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))).as("wt"))
       .localCheckpoint(true)
-    def sortedFold(term: Column): Column =
-      aggregate(sort_array(collect_list(struct(col("w"), term.as("t")))),
-        lit(0.0), (a, x) => a + x.getField("t"))
+    // SINGLE/MULTI verification split: in a df-capped trigram space the
+    // measured pair population is ~94% pairs sharing exactly ONE token
+    // (sf1: 5.41M of 5.76M), and a one-product dot needs NO fold
+    // ordering — it is order-exact by construction. So the pair
+    // aggregation is NARROW (count + min(struct(w,p)) + norms, all
+    // map-side combinable, no per-pair array build), and only the ~6%
+    // multi-token tail pays the ordered refold (ascending-w
+    // sort_array+aggregate — the identical IEEE sequence the old
+    // all-pairs collect_list produced, so hashes are unchanged; for
+    // k=1 the old fold was 0.0+p = p, also bit-identical). Norms ride
+    // the posting rows (doc-grain join BEFORE the self-join), so no
+    // pair-grain norm joins exist at all.
+    //
     // shuffle_hash posture (the round-9 auto-broadcast lesson): the
     // posting self-join's sides and the doc-grain norm table both dip
     // under the broadcast threshold at mid scale, and the measured
     // broadcast builds lose ~15% (sensitivity sweep); at corpus scale
-    // neither side is broadcastable at all.
-    val norms = wt.groupBy("id").agg(sortedFold(col("wt") * col("wt")).as("n2"))
-    val dots = wt.as("x").join(wt.as("y").hint("shuffle_hash"),
-      col("x.w") === col("y.w") && col("x.id") < col("y.id"))
+    // neither side is broadcastable at all. The multi-tail semi-join is
+    // UNHINTED: AQE broadcasts the small pair-id list at ladder scale
+    // and falls back to a shuffle join if the tail ever grows.
+    def sortedFold(term: Column): Column =
+      aggregate(sort_array(collect_list(struct(col("w"), term.as("t")))),
+        lit(0.0), (a, x) => a + x.getField("t"))
+    // norm² through the native [[graft.plans.SortedKeyDot]] self-merge:
+    // Σ t·t over the w-sorted array is the identical IEEE sequence the
+    // interpreted sortedFold(wt²) HOF produced, at ~1/5 the cost
+    // (codegen'd two-pointer loop vs per-element lambda interpretation).
+    val norms = wt.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("w"), col("wt").as("t")))).as("arr"))
+      .select(col("id"), graft.plans.SortedKeyDot(col("arr"), col("arr")).as("n2"))
+    val post = wt.join(norms.hint("shuffle_hash"), "id")
+    val pp = post.as("x").join(post.as("y").hint("shuffle_hash"),
+        col("x.w") === col("y.w") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("x.w").as("w"),
-        (col("x.wt") * col("y.wt")).as("p"))
-      .groupBy("id_a", "id_b").agg(sortedFold(col("p")).as("dot"))
-    val cos = dots
-      .join(norms.select(col("id").as("id_a"), col("n2").as("na2")).hint("shuffle_hash"), "id_a")
-      .join(norms.select(col("id").as("id_b"), col("n2").as("nb2")).hint("shuffle_hash"), "id_b")
+        (col("x.wt") * col("y.wt")).as("p"),
+        col("x.n2").as("na2"), col("y.n2").as("nb2"))
+      .localCheckpoint(true)
+    // The pair aggregation shuffles WITHOUT the token string: a k=1
+    // pair's dot IS its one product (min(p) recovers it exactly), and a
+    // k=2 pair's dot is p1+p2 in EITHER order — IEEE addition is
+    // commutative (only associativity fails), so plain sum(p) is
+    // bit-identical to the w-ascending fold. Only the k>=3 tail (~1%
+    // of pairs) pays the ordered refold. pairAgg feeds all branches —
+    // checkpoint so the groupBy runs once.
+    val pairAgg = pp.select("id_a", "id_b", "p", "na2", "nb2")
+      .groupBy("id_a", "id_b").agg(
+        count(lit(1)).as("k"), min("p").as("p1"), sum("p").as("sp"),
+        min("na2").as("na2"), min("nb2").as("nb2"))
+      // the k<=2 cosine folds into the aggregation output so the
+      // checkpoint (and the final top-k scan) carries 4 narrow columns,
+      // not dots and norms (the k>=3 value here is garbage — the tail
+      // branch replaces it)
+      .select(col("id_a"), col("id_b"), col("k"),
+        round(when(col("k") === 1, col("p1")).otherwise(col("sp")) /
+          (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("cosine"))
+      .localCheckpoint(true)
+    val smallK = pairAgg.filter(col("k") <= 2).select("id_a", "id_b", "cosine")
+    val tailIds = pairAgg.filter(col("k") >= 3).select(col("id_a"), col("id_b"))
+    val tail = pp.join(tailIds.hint("shuffle_hash"), Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b")
+      .agg(sortedFold(col("p")).as("dot"), min("na2").as("na2"), min("nb2").as("nb2"))
       .select(col("id_a"), col("id_b"),
         round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("cosine"))
+    val cos = smallK.unionByName(tail)
     import org.apache.spark.sql.expressions.Window
     cos.orderBy(col("cosine").desc, col("id_a"), col("id_b")).limit(topK)
       .withColumn("rank", row_number().over(

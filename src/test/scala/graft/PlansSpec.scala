@@ -69,6 +69,45 @@ class PlansSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("SortedKeyDot equals the posting-grain sorted fold bit-for-bit (and codegen == interpreted)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
+    val wt = docs
+      .select(col("doc_id").as("id"), explode(TextAnalysis.wordNgrams(col("text"), 3)).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).cast("double").as("wt"))
+    val vecs = wt.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("w"), col("wt").as("t")))).as("arr"))
+    val pairs = vecs.select(col("id").as("a"), col("arr").as("va"))
+      .crossJoin(vecs.select(col("id").as("b"), col("arr").as("vb"))).limit(400)
+    // reference: the old posting-join formulation — shared-key products
+    // folded in ascending-key order through sort_array + aggregate
+    def ref(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val m = map_from_entries(transform(b, x => struct(x.getField("w"), x.getField("t"))))
+      aggregate(
+        filter(a, x => map_contains_key(m, x.getField("w"))),
+        lit(0.0), (acc, x) => acc + x.getField("t") * element_at(m, x.getField("w")))
+    }
+    val diff = pairs.select(
+      graft.plans.SortedKeyDot(col("va"), col("vb")).as("fast"),
+      ref(col("va"), col("vb")).as("slow")
+    ).filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0)
+    // self-dot = squared norm, same fold order as the per-doc aggregate
+    val selfDiff = vecs.select(
+      graft.plans.SortedKeyDot(col("arr"), col("arr")).as("fast"),
+      aggregate(col("arr"), lit(0.0), (acc, x) => acc + x.getField("t") * x.getField("t")).as("slow")
+    ).filter(col("fast") =!= col("slow")).count()
+    assert(selfDiff == 0)
+    // interpreted eval (local relation, no codegen) agrees
+    import spark.implicits._
+    val local = Seq(
+      (Seq(("a", 1.5), ("c", 2.0), ("d", -1.0)), Seq(("a", 2.0), ("b", 9.0), ("d", 4.0)))
+    ).toDF("x", "y").select(
+      graft.plans.SortedKeyDot(
+        transform(col("x"), e => struct(e.getField("_1").as("w"), e.getField("_2").as("t"))),
+        transform(col("y"), e => struct(e.getField("_1").as("w"), e.getField("_2").as("t")))).as("d"))
+    assert(local.collect()(0).getDouble(0) == 1.5 * 2.0 + (-1.0) * 4.0)
+  }
+
   test("SimHashBits equals the HOF simhash bits bit-for-bit") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val toks = docs.select(TextAnalysis.tokenize(col("text")).as("t"))

@@ -106,10 +106,9 @@ object EconQueries {
     // Katz centrality as exact attenuated path counts over the
     // symmetrized supplier↔part graph (α = 1/8, 3 terms, ×512).
     "q_katz" -> { (s, dir) =>
-      val li = Tables(s, dir).lineitem.select(
-        col("l_suppkey").cast("long").as("src"),
-        (col("l_partkey") + 1000000000L).as("dst"))
-      Graph.katzPaths(li, "src", "dst")
+      // shared memoized symmetric edge asset (GraphAssets)
+      Graph.katzPaths(GraphAssets.supplierPartSym(Tables(s, dir)), "src", "dst",
+        prepared = true)
     },
 
     // Single-pass fixed-bound histogram quantiles per return flag —
@@ -149,10 +148,10 @@ object EconQueries {
     // thresholds: do high-degree parts/suppliers interconnect more
     // than chance?
     "q_rich_club" -> { (s, dir) =>
-      val li = Tables(s, dir).lineitem.select(
-        col("l_suppkey").cast("long").as("src"),
-        (col("l_partkey") + 1000000000L).as("dst"))
-      Graph.richClub(li, "src", "dst", ks = Seq(4L, 8L, 16L, 32L))
+      // shared memoized edge asset; the bipartite id offset makes the
+      // directed-distinct form the least/greatest canonical form too
+      Graph.richClub(GraphAssets.supplierPart(Tables(s, dir)), "src", "dst",
+        ks = Seq(4L, 8L, 16L, 32L), prepared = true)
     },
 
     // ICC(1,1): how much daily-cents variance is BETWEEN days versus

@@ -191,12 +191,19 @@ object Graph {
     * threshold (the thresholds explode on the EDGE side only after
     * both endpoint degrees are joined in, so the graph is read once).
     */
-  def richClub(edges: DataFrame, src: String, dst: String, ks: Seq[Long]): DataFrame = {
-    val e = edges.select(
-        least(col(src).cast("long"), col(dst).cast("long")).as("u"),
-        greatest(col(src).cast("long"), col(dst).cast("long")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+  def richClub(edges: DataFrame, src: String, dst: String, ks: Seq[Long],
+               prepared: Boolean = false): DataFrame = {
+    // prepared = true: the caller guarantees the edges are already in
+    // least/greatest canonical form, distinct and loop-free (true for
+    // any bipartite asset whose dst id-space sits above src, e.g.
+    // [[GraphAssets.supplierPart]]).
+    val e =
+      if (prepared) edges.select(col(src).as("u"), col(dst).as("v"))
+      else edges.select(
+          least(col(src).cast("long"), col(dst).cast("long")).as("u"),
+          greatest(col(src).cast("long"), col(dst).cast("long")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
     val deg = e.select(col("u").as("id")).unionByName(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val kLit = array(ks.map(lit): _*)
@@ -260,27 +267,53 @@ object Graph {
     * per iteration) and the previous round's blocks are released.
     */
   def pageRank(edges: DataFrame, src: String, dst: String,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val e = edges
-      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
+               iters: Int = 3, damping: Double = 0.85,
+               prepared: Boolean = false): DataFrame = {
+    // prepared = true: the caller passes an already-distinct,
+    // self-loop-free, src-partitioned long-typed edge asset (e.g. a
+    // [[GraphAssets]] memo) — skip the per-query dedup shuffle and
+    // checkpoint and read from the shared cache instead.
+    val e =
+      if (prepared) edges.select(col(src).as("src"), col(dst).as("dst"))
+      else edges
+        .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .repartition(col("src"))
+        .localCheckpoint(true)
+    val v = pageRankNodes(e).localCheckpoint(true)
+    val eAug = pageRankAugment(e, v).localCheckpoint(true)
+    pageRankIterate(eAug, v, iters, damping)
+  }
+
+  /** Distinct vertex set of a (src, dst) edge frame. */
+  def pageRankNodes(e: DataFrame): DataFrame =
+    e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
       .distinct()
-      .repartition(col("src"))
-      .localCheckpoint(true)
-    val v = e.select(col("src").as("id")).unionByName(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
-    // (src, dst, deg): out-degree joined in once, not per round.
-    // Vertices with no out-edges leak their rank each round; each
-    // becomes ONE synthetic edge to a sentinel vertex, so the
-    // dangling mass comes out of the SAME aggregation as the
-    // contributions — one job per round, not a separate dangling
-    // probe (the mass is read back from the checkpointed contribs, a
-    // narrow local filter over materialized blocks).
+
+  /** (src, dst, deg) with out-degree joined in once (not per round)
+    * plus one synthetic edge per DANGLING vertex to the sentinel, so
+    * the leaked mass comes out of the same per-round aggregation as
+    * the contributions — one job per round, not a separate dangling
+    * probe. Public so a shared-asset layer ([[GraphAssets]]) can
+    * memoize the augmented table across queries and bench runs.
+    */
+  def pageRankAugment(e: DataFrame, v: DataFrame): DataFrame = {
     val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
     val dangling = v.join(e.select(col("src").as("id")), Seq("id"), "left_anti")
-    val eAug = eDeg.unionByName(
+    eDeg.unionByName(
         dangling.select(col("id").as("src"), lit(DanglingSentinel).as("dst"), lit(1L).as("deg")))
-      .repartition(col("src")).localCheckpoint(true)
+      .repartition(col("src"))
+  }
+
+  /** The power-iteration core over a PREPARED augmented edge table
+    * ([[pageRankAugment]] output, materialized — checkpointed or
+    * persisted) and its vertex set. Numerically identical to
+    * [[pageRank]]; split out so shared assets feed the rounds
+    * directly.
+    */
+  def pageRankIterate(eAug: DataFrame, v: DataFrame,
+                      iters: Int, damping: Double): DataFrame = {
     val n = v.count()
     var ranks = v.select(col("id"), lit(1.0 / n).as("r")).localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -885,13 +918,22 @@ object Graph {
     * stay sparse (only nodes reachable at that depth carry rows) and
     * the output rejoins the node set with zero-fill.
     */
-  def hits(edges: DataFrame, src: String, dst: String, rounds: Int): DataFrame = {
+  def hits(edges: DataFrame, src: String, dst: String, rounds: Int,
+           prepared: Boolean = false): DataFrame = {
     val d38 = "decimal(38,0)"
-    val e = edges
-      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
-      .filter(col("u").isNotNull && col("v").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
+    // prepared = true: already-distinct null-free long-typed edges
+    // from a shared asset (e.g. [[GraphAssets.custPart]]).
+    // one unkeyed checkpoint: per-key pre-partitioned copies were
+    // measured WORSE (18.1 s vs 10.4 s at sf3 — localCheckpoint does
+    // not preserve hash partitioning for the round joins, so the two
+    // extra materializations bought nothing)
+    val e =
+      if (prepared) edges.select(col(src).as("u"), col(dst).as("v"))
+      else edges
+        .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull)
+        .distinct()
+        .localCheckpoint(true)
     val nodes = e.select(col("u").as("id")).unionByName(e.select(col("v").as("id")))
       .distinct()
     // round 1 with a₀ ≡ 1 folds to the out-degree — one agg, no join.
@@ -910,17 +952,25 @@ object Graph {
       a = e.join(h.select(col("id").as("u"), col("h")).hint("shuffle_hash"), Seq("u"))
         .groupBy(col("v").as("id")).agg(sum("h").cast(d38).as("a"))
     }
-    val totals = h.agg(sum("h").as("th")).crossJoin(a.agg(sum("a").as("ta")))
     // Fail-fast overflow guard: with ANSI off, DECIMAL(38,0)→long
     // overflow yields silent NULLs (the DuckDB oracle's HUGEINT→BIGINT
     // cast would error instead). Walk counts grow ~deg^(2·rounds)·|E|,
     // so large `rounds` on a dense graph realistically passes 2^63.
     // Every per-node count is nonnegative and bounded by its total, so
-    // one check on the broadcast totals covers all rows.
+    // ONE check inside the one-row broadcast totals frame covers all
+    // rows — evaluated once at broadcast build, zero per-row cost.
     val maxL = lit(Long.MaxValue).cast(d38)
-    val fitGuard = assert_true(col("th") <= maxL && col("ta") <= maxL,
-      lit("hits(): integer walk counts exceed int64 — counts grow " +
-        "~deg^(2*rounds)*|E|; reduce rounds"))
+    val totals = h.agg(sum("h").as("th")).crossJoin(a.agg(sum("a").as("ta")))
+      .select(col("th"), col("ta"),
+        assert_true(col("th") <= maxL && col("ta") <= maxL,
+          lit("hits(): integer walk counts exceed int64 — counts grow " +
+            "~deg^(2*rounds)*|E|; reduce rounds")).as("__fit"))
+      // the filter is what keeps the assert alive through column
+      // pruning (an unused projection is optimized away); it references
+      // only build-side columns, so it is pushed to the ONE-ROW totals
+      // frame and never costs per output row
+      .filter(col("__fit").isNull)
+      .drop("__fit")
     nodes
       .join(h, Seq("id"), "left").join(a, Seq("id"), "left")
       .crossJoin(broadcast(totals))
@@ -929,8 +979,7 @@ object Graph {
         // for headroom): at rounds=2 the walk counts fit comfortably, and
         // the driver's hash is type-sensitive — the DuckDB oracle casts
         // its HUGEINT sums to BIGINT, so this side must match.
-        when(fitGuard.isNull,
-          coalesce(col("h"), lit(0).cast(d38)).cast("long")).as("hub_raw"),
+        coalesce(col("h"), lit(0).cast(d38)).cast("long").as("hub_raw"),
         coalesce(col("a"), lit(0).cast(d38)).cast("long").as("auth_raw"),
         (coalesce(col("h"), lit(0).cast(d38)).cast("double") /
           col("th").cast("double")).as("hub_score"),
@@ -975,19 +1024,24 @@ object Graph {
     * table; each of the two propagation rounds is one join + one
     * node-grain aggregate (counts move, never neighbor lists).
     */
-  def katzPaths(edges: DataFrame, src: String, dst: String): DataFrame = {
+  def katzPaths(edges: DataFrame, src: String, dst: String,
+                prepared: Boolean = false): DataFrame = {
     // Materialize the deduped symmetric edge set ONCE (it feeds c1 and
     // both propagation joins — left lazy, the whole union+distinct
     // lineage re-executes per consumer and the sf3 ladder measured the
     // recomputation as a 6.9x step), partitioned on src so both
     // propagation joins reuse the same exchange. The cₖ frames are
     // node-grain; checkpointing them keeps each round's DAG one join
-    // deep, the pageRank discipline.
-    val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .union(edges.select(col(dst).cast("long").as("src"), col(src).cast("long").as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .localCheckpoint(true)
+    // deep, the pageRank discipline. prepared = true: the caller
+    // passes an already-SYMMETRIZED distinct src-partitioned asset
+    // (e.g. [[GraphAssets.supplierPartSym]]) — skip the build.
+    val e =
+      if (prepared) edges.select(col(src).as("src"), col(dst).as("dst"))
+      else edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+        .union(edges.select(col(dst).cast("long").as("src"), col(src).cast("long").as("dst")))
+        .distinct()
+        .repartition(col("src"))
+        .localCheckpoint(true)
     val c1 = e.groupBy("dst").agg(count(lit(1)).as("c1"))
       .withColumnRenamed("dst", "id")
       .localCheckpoint(true)

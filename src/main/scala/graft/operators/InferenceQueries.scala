@@ -354,6 +354,11 @@ object InferenceQueries {
     // spaces cannot collide): 2 mutual-reinforcement rounds kept as
     // exact integer walk counts, normalized once at the end.
     "q_hits" -> { (s, dir) =>
+      // NOT on a shared GraphAssets memo: hits is the only consumer of
+      // the customer→part edge list, and the measured per-round scans
+      // of a persisted columnar asset (12.5 s at sf3) LOSE to the
+      // in-query build + row-format checkpoint (8.6 s) — the cache
+      // only pays where queries actually share the asset.
       val t = Tables(s, dir)
       val e = t.orders.join(t.lineitem,
           col("o_orderkey") === col("l_orderkey"))

@@ -65,6 +65,19 @@ object DocsSink {
   val StagingName = "_staging"
   val EpochsName = "_epochs"
 
+  /** Attempt-unique token baked into every staged (and therefore
+    * published) filename. Without it, a job/epoch RETRY in a fresh
+    * application re-derives the same (partitionId, taskId) pair as
+    * the crashed attempt — Spark restarts task ids at 0 per app — and
+    * the driver commit's strict ATOMIC_MOVE (deliberately not
+    * REPLACE_EXISTING) would collide with the crashed attempt's
+    * already-moved orphans and crash-loop the retry forever. One
+    * token per writer factory = one per commit attempt; (pid, tid)
+    * stays the discriminator within an attempt.
+    */
+  private[sources] def newAttemptId(): String =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
+
   private[sources] def manifestPath(dir: String): Path = Paths.get(dir, ManifestName)
   private[sources] def stagingDir(dir: String): Path = Paths.get(dir, StagingName)
   private[sources] def epochsPath(dir: String): Path = Paths.get(dir, EpochsName)
@@ -138,7 +151,7 @@ private[sources] class DocsWrite(path: String) extends Write with BatchWrite {
       Files.createDirectories(DocsSink.stagingDir(path))
       // named top-level factory: an anonymous one closes over this
       // (non-serializable) Write object and fails task serialization
-      new DocsStreamingWriterFactory(path)
+      new DocsStreamingWriterFactory(path, DocsSink.newAttemptId())
     }
 
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -168,7 +181,7 @@ private[sources] class DocsWrite(path: String) extends Write with BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(DocsSink.stagingDir(path))
-    new DocsWriterFactory(path)
+    new DocsWriterFactory(path, DocsSink.newAttemptId())
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -224,29 +237,33 @@ private[sources] case class DocsCommitMessage(stagedPath: String, partitionId: I
                                               taskId: Long, rows: Long)
     extends WriterCommitMessage
 
-private[sources] class DocsWriterFactory(path: String) extends DataWriterFactory {
+private[sources] class DocsWriterFactory(path: String, attemptId: String)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DocsDataWriter(path, partitionId, taskId)
+    new DocsDataWriter(path, partitionId, taskId, attemptId)
 }
 
-private[sources] class DocsStreamingWriterFactory(path: String)
+private[sources] class DocsStreamingWriterFactory(path: String, attemptId: String)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new DocsDataWriter(path, partitionId, taskId, epochId)
+    new DocsDataWriter(path, partitionId, taskId, attemptId, epochId)
 }
 
 /** epochId < 0 means a batch write; streaming writers carry the epoch
-  * in the staged filename so a replayed epoch's attempt never
-  * collides with leftovers from the one that crashed.
+  * in the staged filename, and every writer carries the factory's
+  * attempt token (see [[DocsSink.newAttemptId]]), so neither a
+  * replayed epoch nor a retried job — even from a restarted
+  * application whose task ids begin again at 0 — can collide with
+  * leftovers from the attempt that crashed.
   */
 private[sources] class DocsDataWriter(path: String, partitionId: Int, taskId: Long,
-                                      epochId: Long = -1L)
+                                      attemptId: String, epochId: Long = -1L)
     extends DataWriter[InternalRow] {
   private val staged =
     DocsSink.stagingDir(path).resolve(
-      if (epochId < 0) f"part-$partitionId%05d-t$taskId.tsv"
-      else f"part-$partitionId%05d-t$taskId-e$epochId.tsv")
+      if (epochId < 0) f"part-$partitionId%05d-t$taskId-$attemptId.tsv"
+      else f"part-$partitionId%05d-t$taskId-e$epochId-$attemptId.tsv")
   private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
   private var rows = 0L
 

@@ -505,4 +505,83 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.format("graft.sources.DocsSink").option("path", dir).load()
       .count() == 0L)
   }
+
+  test("DocsSink BATCH crash windows: pre-manifest crash reads EMPTY, post-manifest is COMPLETE, a retry never collides with orphans") {
+    // The batch twin of StreamingSourceSpec's epoch-ledger crash test.
+    // The batch commit's declared windows (DocsWrite.publish scaladoc):
+    // staged files move into the target FIRST, the `_manifest` is
+    // atomically published SECOND — so the manifest is the commit
+    // point. A crash in the window between them must leave readers on
+    // the pre-job state (empty here), never a partial table; a crash
+    // after the manifest move is a complete, committed table.
+    import graft.sources.DocsSink
+    val dir = Files.createTempDirectory("docs_sink_crash").toString
+    val df = spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", 1000).option("partitions", 7).load()
+    val nParts = df.rdd.getNumPartitions
+    def write(): Unit =
+      df.write.format("graft.sources.DocsSink").option("path", dir)
+        .mode("append").save()
+    def tsvNames: Set[String] = {
+      val s = Files.list(java.nio.file.Paths.get(dir))
+      try {
+        val it = s.iterator()
+        Iterator.continually(it).takeWhile(_.hasNext)
+          .map(_.next().getFileName.toString).filter(_.endsWith(".tsv")).toSet
+      } finally s.close()
+    }
+    def readCount: Long =
+      spark.read.format("graft.sources.DocsSink").option("path", dir).load().count()
+
+    // Window A — crash BETWEEN the staged-file moves and the manifest
+    // publish. Simulate the exact on-disk state the interruption
+    // leaves: run a full write, then un-publish the manifest back to
+    // its pre-move `.tmp` name (part files moved, `_manifest.tmp`
+    // written, `_manifest` absent).
+    write()
+    assert(readCount == 1000L)
+    val firstAttempt = tsvNames
+    val mf = java.nio.file.Paths.get(dir, DocsSink.ManifestName)
+    Files.move(mf, java.nio.file.Paths.get(dir, DocsSink.ManifestName + ".tmp"))
+    assert(DocsSink.manifestEntries(dir).isEmpty)
+    assert(tsvNames == firstAttempt, "crash simulation must keep the moved part files")
+    assert(readCount == 0L,
+      "pre-manifest crash must read as the pre-job state, not a partial table")
+
+    // Retry after the crash: a fresh job against the same target. Its
+    // commit publishes ONLY its own files — the crashed attempt's
+    // orphans stay on disk but stay invisible — and the attempt token
+    // in every filename is what guarantees the retry's ATOMIC_MOVEs
+    // cannot collide with those orphans even when a restarted
+    // application re-derives the same (partitionId, taskId) pairs.
+    write()
+    assert(readCount == 1000L, "retry must restore exactly the job's rows")
+    val entries = DocsSink.manifestEntries(dir)
+    assert(entries.length == nParts && entries.map(_._2).sum == 1000L)
+    val retryNames = entries.map(_._1).toSet
+    assert(retryNames.intersect(firstAttempt).isEmpty,
+      "retry filenames must be disjoint from the crashed attempt's orphans")
+    assert(tsvNames == firstAttempt ++ retryNames, "orphans remain on disk, unlisted")
+    def attemptTokens(names: Set[String]): Set[String] =
+      names.map(n => n.stripSuffix(".tsv").split("-").last)
+    assert(attemptTokens(firstAttempt).size == 1 &&
+      attemptTokens(retryNames).size == 1 &&
+      attemptTokens(firstAttempt) != attemptTokens(retryNames),
+      "each commit attempt carries its own filename token")
+
+    // Window B — crash AFTER the manifest move but BEFORE the staging
+    // cleanup: a stray staged leftover must not perturb readers (the
+    // table is already committed and complete), and the next write
+    // sweeps it.
+    val staging = java.nio.file.Paths.get(dir, DocsSink.StagingName)
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("part-00000-t0-deadbeef.tsv"), "9\tzz\t1\tzz\n".getBytes)
+    assert(readCount == 1000L, "post-manifest crash is a complete committed table")
+    write()
+    assert(readCount == 2000L)
+    assert(!Files.exists(staging) || {
+      val s = Files.list(staging)
+      try !s.iterator().hasNext finally s.close()
+    })
+  }
 }

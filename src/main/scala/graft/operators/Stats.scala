@@ -642,28 +642,70 @@ object Stats {
     * the deviation n·prefix_i − i·S is an integer multiple (n·) of the
     * usual CUSUM statistic, so the argmax — THE change point — is
     * integer-exact; only the reported magnitude divides back to value
-    * units. One window pass per series, one row per series out.
+    * units. `x` must be a non-null integral column (cents-style).
+    *
+    * Scale shape: the natural `row_number()/sum() OVER (PARTITION BY
+    * series)` formulation caps parallelism at the SERIES COUNT — five
+    * event types means five tasks each sorting n/5 rows, whatever the
+    * cluster size; at the 100 TB regime one task would sort a
+    * billion-row series. Instead the per-series prefix sums are
+    * BUCKETED: each row windows only within its (series, time-bucket)
+    * cell, the per-cell subtotal table (G × buckets rows — tiny, and
+    * data-independent in size) prefix-sums per series in bucket order,
+    * and the cell offsets ride back as a broadcast join — the
+    * distributed prefix-sum, declaratively, with every operator
+    * codegen'd and parallelism = series × buckets, not series.
+    * (A [[GlobalRank]] formulation was measured and rejected: its
+    * Row-boxed two-pass RDD machinery cost ~5× the window plan at sf1
+    * while this bucketed plan matches it and keeps the same scale
+    * posture.) Bucket width `bucketSeconds` defaults to hourly.
     */
   def cusumChangePoint(df: DataFrame, groupCol: String, orderCol: Column,
-                       x: Column, tieCol: Column): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("ord"), col("tie"))
-    val all = Window.partitionBy(col(groupCol))
-    val scored = df.select(
-      col(groupCol), orderCol.as("ord"), tieCol.as("tie"), x.as("xv"))
+                       x: Column, tieCol: Column,
+                       bucketSeconds: Long = 3600L): DataFrame = {
+    val base = df.select(col(groupCol), orderCol.as("ord"), tieCol.as("tie"), x.as("xv"))
+      .withColumn("bkt", floor(unix_micros(col("ord")) / lit(bucketSeconds * 1000000L)))
+    // local rank + inclusive running sum within the (series, bucket) cell
+    val wCell = Window.partitionBy(col(groupCol), col("bkt"))
+      .orderBy(col("ord"), col("tie"))
+    val local = base.select(col(groupCol), col("bkt"), col("ord"),
+      row_number().over(wCell).as("li"),
+      sum(col("xv")).over(wCell).as("lprefix"))
+    // per-cell subtotals, prefix-summed per series in bucket order
+    // (EXCLUSIVE of the own bucket) — G × buckets rows, window over a
+    // frame whose size does not grow with the data
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = base.groupBy(col(groupCol), col("bkt"))
+      .agg(count(lit(1)).as("bc"), sum(col("xv")).as("bs"))
+      .select(col(groupCol), col("bkt"),
+        coalesce(sum(col("bc")).over(wOff), lit(0L)).as("offc"),
+        coalesce(sum(col("bs")).over(wOff), lit(0L)).as("offs"))
+    val ranked = local.join(broadcast(cells), Seq(groupCol, "bkt"))
+      .select(col(groupCol), col("ord"),
+        (col("offc") + col("li")).as("i"),
+        (col("offs") + col("lprefix")).as("prefix"))
+    val tot = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("xv")).as("s"))
+    // same long arithmetic as the window formulation (and the oracle):
+    // dev = prefix_i·n − i·S
+    val dev = col("prefix") * col("n") - col("i") * col("s")
+    // argmax via max_by keyed on the LONGS-ONLY struct (adev, −i):
+    // unique per group (i is a row number), so no-tie deterministic;
+    // a plain max(struct(… ord …)) instead falls off hash aggregation
+    // into SortAggregate + a full pre-agg Sort (measured 7 s vs 1 s on
+    // 1M rows at 32 threads).
+    ranked.join(broadcast(tot), Seq(groupCol))
+      .select(col(groupCol), col("n"),
+        abs(dev).as("adev"), (-col("i")).as("negi"), col("i"), col("ord"))
+      .groupBy(col(groupCol))
+      .agg(max_by(struct(col("adev"), col("i"), col("ord"), col("n")),
+        struct(col("adev"), col("negi"))).as("m"))
       .select(
-        col(groupCol), col("ord"),
-        row_number().over(w).as("i"),
-        (sum(col("xv")).over(w) * count(lit(1)).over(all) -
-          row_number().over(w) * sum(col("xv")).over(all)).as("dev"),
-        count(lit(1)).over(all).as("n"))
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(groupCol)).orderBy(abs(col("dev")).desc, col("i"))))
-      .filter(col("rn") === 1)
-      .select(
-        col(groupCol), col("n"), col("i").as("cp_index"),
-        col("ord").as("cp_at"),
-        round(abs(col("dev")).cast("double") / col("n").cast("double"), 4).as("cusum_stat"))
+        col(groupCol), col("m.n").as("n"),
+        col("m.i").cast("int").as("cp_index"),
+        col("m.ord").as("cp_at"),
+        round(col("m.adev").cast("double") / col("m.n").cast("double"), 4).as("cusum_stat"))
   }
 
   /** Per-series lag-k autocorrelation for k = 1..maxLag.

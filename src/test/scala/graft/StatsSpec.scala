@@ -129,6 +129,52 @@ class StatsSpec extends SparkSpec {
     assert(m(1) < -0.9 && m(2) > 0.9, s"acf $m")
   }
 
+  test("autocorrelation (bucketed form) is row-identical to the window formulation across sparse cell boundaries") {
+    // The scale rebuild (per-cell lag windows + carried tail arrays)
+    // must reproduce the global-window lag EXACTLY, including lags
+    // that reach across bucket boundaries and across MULTIPLE sparse
+    // buckets. Groups engineered for the stitch paths:
+    //   - "dense": 5000 rows at 1 s spacing -> ~2 hourly cells, every
+    //     boundary row's lag crosses one cell;
+    //   - "sparse": one row per 50 minutes -> with 60 s buckets every
+    //     cell holds ONE row, so a lag-3 reads three cells back;
+    //   - "start": 2 rows only, lags mostly null at series start.
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(ms: Long) = new java.sql.Timestamp(ts0.getTime + ms)
+    val rows =
+      (1 to 5000).map(i => ("dense", t(i * 1000L), i.toLong, (i * 2654435761L % 991L) - 495L)) ++
+        (1 to 40).map(i => ("sparse", t(i * 50L * 60L * 1000L), i.toLong, (i * 7919L % 101L) - 50L)) ++
+        (1 to 2).map(i => ("start", t(i * 1000L), i.toLong, i.toLong))
+    val df = rows.toDF("g", "ts", "id", "x")
+    val maxLag = 3
+
+    // independent window formulation (the pre-rebuild plan, inline)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g")).orderBy(col("ts"), col("id"))
+    val all = Window.partitionBy(col("g"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+    val centered = df.select(Seq(
+      col("g"),
+      (col("x") * count(lit(1)).over(all) - sum(col("x")).over(all)).as("d")) ++
+      (1 to maxLag).map(k =>
+        (lag(col("x"), k).over(w) * count(lit(1)).over(all) - sum(col("x")).over(all))
+          .as(s"dl$k")): _*)
+    val dd = centered.groupBy(col("g")).agg(
+      sum(dec(col("d")) * dec(col("d"))).cast("double").as("den"),
+      (1 to maxLag).map(k =>
+        sum(dec(col(s"dl$k")) * dec(col("d"))).cast("double").as(s"num$k")): _*)
+    val expected = (1 to maxLag).map { k =>
+      dd.select(col("g"), lit(k).as("lag"), round(col(s"num$k") / col("den"), 4).as("acf"))
+    }.reduce(_ unionByName _)
+
+    for (bs <- Seq(3600L, 60L)) {
+      val got = Stats.autocorrelation(df, "g", col("ts"), col("x"), col("id"),
+        maxLag, bucketSeconds = bs)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"bucketSeconds=$bs: got=${got.collect().toSeq} expected=${expected.collect().toSeq}")
+    }
+  }
+
   test("gini: equal values -> 0; extreme concentration -> near 1") {
     val eq = (1 to 50).map(i => ("eq", 100L, i.toLong))
     val conc = (1 to 49).map(i => ("conc", 0L, i.toLong)) :+ (("conc", 10000L, 50L))

@@ -411,7 +411,12 @@ object DataOps {
     // same multi-consumer materialization as sourceOverlap's fps
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
       .localCheckpoint(true)
-    val pairs = bi.as("x").join(bi.as("y"),
+    // SHUFFLE_HASH, not the auto-broadcast the planner picks at mid
+    // scale: the build side is the corpus-scaled basket-item table
+    // itself, whose stats sit just under the 32 MB threshold at sf1 —
+    // the single-threaded broadcast build loses (5.0 s vs 2.7 s quiet
+    // interleaved A/B) and only gets worse as data grows.
+    val pairs = bi.as("x").join(bi.as("y").hint("shuffle_hash"),
         col("x.b") === col("y.b") && col("x.i") < col("y.i"))
       .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
       .agg(count(lit(1)).as("n"))

@@ -1007,7 +1007,14 @@ object Graph {
       .filter(col("__fit").isNull)
       .drop("__fit")
     nodes
-      .join(h, Seq("id"), "left").join(a, Seq("id"), "left")
+      // SHUFFLE_HASH on the assembly too: h and a are node-grain,
+      // data-scaled score tables whose RUNTIME stats sit under the
+      // auto-broadcast threshold at mid scale, so AQE flips these
+      // sort-merge joins into two ~30 MB broadcast builds (measured
+      // 10.1 s vs 4.4 s with the flip suppressed, quiet interleaved
+      // A/B at sf1) — the same pathology the round joins already pin.
+      .join(h.hint("shuffle_hash"), Seq("id"), "left")
+      .join(a.hint("shuffle_hash"), Seq("id"), "left")
       .crossJoin(broadcast(totals))
       .select(col("id"),
         // BIGINT on the output surface (accumulation stays DECIMAL(38,0)

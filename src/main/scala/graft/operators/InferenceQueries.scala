@@ -360,7 +360,12 @@ object InferenceQueries {
       // in-query build + row-format checkpoint (8.6 s) — the cache
       // only pays where queries actually share the asset.
       val t = Tables(s, dir)
-      val e = t.orders.join(t.lineitem,
+      // SHUFFLE_HASH on the edge build too: orders' projected two
+      // columns sit under the auto-broadcast threshold at mid scale,
+      // and the broadcast build of a corpus-scaled fact is the wrong
+      // plan at every size (10.2 s default vs 4.8 s suppressed, quiet
+      // interleaved A/B at sf1 — the round joins were already pinned).
+      val e = t.orders.hint("shuffle_hash").join(t.lineitem,
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("u"),
           (col("l_partkey") + lit(1000000000L)).as("v"))

@@ -920,8 +920,17 @@ object TextDedup {
   /** Exact verify: join the sorted key arrays back by id, intersect,
     * keep the pairs whose 6dp-rounded Jaccard clears τ.
     */
-  private def verifyPairs(cand: DataFrame, setsA: DataFrame, setsB: DataFrame, tau: Double): DataFrame =
+  private def verifyPairs(cand: DataFrame, setsA: DataFrame, setsB: DataFrame, tau: Double): DataFrame = {
+    // Pin the verify parallelism: the candidate table is two longs per
+    // row, so AQE coalesces its shuffle output by BYTES to a handful
+    // of partitions — and the per-pair array_intersect (the CPU of the
+    // whole join) then runs on that handful of tasks whatever the
+    // cluster width (measured 4.3-4.6 s vs 1.8 s AQE-off at sf1). The
+    // explicit numPartitions repartition is exempt from AQE coalescing
+    // and scales with the session's shuffle-partition setting.
+    val p = cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     cand
+      .repartition(p, col("id_a"))
       .join(setsA.select(col("id").as("id_a"), col("ks").as("ks_a"), col("n").as("n_a")), "id_a")
       .join(setsB.select(col("id").as("id_b"), col("ks").as("ks_b"), col("n").as("n_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("ks_a"), col("ks_b"))))
@@ -929,6 +938,7 @@ object TextDedup {
         round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS algorithm): hash every `ngram`-word

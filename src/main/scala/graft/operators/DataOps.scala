@@ -411,12 +411,18 @@ object DataOps {
     // same multi-consumer materialization as sourceOverlap's fps
     val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
       .localCheckpoint(true)
-    // SHUFFLE_HASH, not the auto-broadcast the planner picks at mid
-    // scale: the build side is the corpus-scaled basket-item table
-    // itself, whose stats sit just under the 32 MB threshold at sf1 —
-    // the single-threaded broadcast build loses (5.0 s vs 2.7 s quiet
-    // interleaved A/B) and only gets worse as data grows.
-    val pairs = bi.as("x").join(bi.as("y").hint("shuffle_hash"),
+    // NO join hint, by measurement (round 10): the sf1 sensitivity
+    // sweep flagged the planner's mid-scale auto-broadcast of the
+    // corpus-scaled build side (5.0 s vs 2.7-2.9 s suppressed), but
+    // both pin attempts REGRESSED the wide rung where the plan
+    // actually matters — SHUFFLE_HASH 10.1+ s and MERGE 28-40 s vs
+    // the unhinted 14-15 s at sf3 under identical interleaved weather
+    // (the hint node breaks the self-join's exchange/sort reuse, so
+    // the checkpointed table sorts TWICE). The planner's own
+    // stats-based flip already picks the scale-correct sort-merge
+    // join once the table outgrows the threshold; the sf1 broadcast
+    // is a bounded mid-scale cost, not a 100 TB defect.
+    val pairs = bi.as("x").join(bi.as("y"),
         col("x.b") === col("y.b") && col("x.i") < col("y.i"))
       .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
       .agg(count(lit(1)).as("n"))

@@ -730,11 +730,20 @@ object Stats {
     * to the global window, parallelism = series × buckets.
     * ([[ljungBox]] keeps the plain window form: it runs on day-grain
     * pre-aggregates whose per-series row count is calendar-bounded.)
+    *
+    * `orderCol` must be a TimestampType column: the bucket id is
+    * `unix_micros(orderCol) / bucketSeconds`, which fails analysis on
+    * long/date order columns (cast such columns to timestamp first).
+    * `bucketSeconds` must be positive — 0 would divide to null
+    * buckets (one cell per series, the very parallelism cap this
+    * rewrite exists to kill) and a negative value would invert bucket
+    * order and mis-stitch the cross-cell lag carry.
     */
   def autocorrelation(df: DataFrame, groupCol: String, orderCol: Column,
                       x: Column, tieCol: Column, maxLag: Int,
                       bucketSeconds: Long = 3600L): DataFrame = {
     require(maxLag >= 1 && maxLag <= 8, "maxLag in [1,8]")
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
     val base = df.select(col(groupCol), orderCol.as("ord"), tieCol.as("tie"), x.as("xv"))
       .withColumn("bkt", floor(unix_micros(col("ord")) / lit(bucketSeconds * 1000000L)))
     val wCell = Window.partitionBy(col(groupCol), col("bkt"))
@@ -745,16 +754,23 @@ object Stats {
       (1 to maxLag).map(k => lag(col("xv"), k).over(wCell).as(s"cl$k")): _*)
     // per-cell tail = the cell's last (up to) maxLag values in order;
     // carry = concat of the previous maxLag cells' tails (non-empty
-    // cells only exist here, so that is always enough history)
+    // cells only exist here, so that is always enough history).
+    // The tail rows are pre-filtered by a REVERSE row_number over the
+    // same (series, bucket) cell so the collect_list aggregates at
+    // most maxLag (≤8) elements per cell — an unbounded per-cell
+    // collect_list would hold a hot series' whole bucket in one
+    // aggregation buffer, a skew/OOM hazard the spill-capable window
+    // sort does not have.
     val wSeq = Window.partitionBy(col(groupCol)).orderBy(col("bkt"))
-    val tails = base.groupBy(col(groupCol), col("bkt"))
-      .agg(count(lit(1)).as("cnt"),
-        array_sort(collect_list(struct(col("ord"), col("tie"), col("xv")))).as("vals"))
+    val wCellDesc = Window.partitionBy(col(groupCol), col("bkt"))
+      .orderBy(col("ord").desc, col("tie").desc)
+    val tails = base
+      .withColumn("rd", row_number().over(wCellDesc))
+      .filter(col("rd") <= maxLag)
+      .groupBy(col(groupCol), col("bkt"))
+      .agg(array_sort(collect_list(struct(col("ord"), col("tie"), col("xv")))).as("vals"))
       .select(col(groupCol), col("bkt"),
-        transform(
-          slice(col("vals"),
-            greatest(col("cnt") - (maxLag - 1), lit(1)).cast("int"), lit(maxLag)),
-          s => s.getField("xv")).as("tail"))
+        transform(col("vals"), s => s.getField("xv")).as("tail"))
     val carries = tails.select(col(groupCol), col("bkt"),
       concat((maxLag to 1 by -1).map(j =>
         coalesce(lag(col("tail"), j).over(wSeq), array())): _*).as("carry"))

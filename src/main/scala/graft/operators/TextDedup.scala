@@ -929,9 +929,16 @@ object TextDedup {
     // explicit numPartitions repartition is exempt from AQE coalescing
     // and scales with the session's shuffle-partition setting.
     val p = cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // Second pin on id_b: the id_b join shuffles the (now ks_a-fat)
+    // left side anyway, so the explicit form adds NO exchange — it
+    // only exempts that shuffle from AQE byte-coalescing too, and it
+    // spreads a skewed id_a (one document in many candidate pairs,
+    // which the id_a pin alone would concentrate on one task) across
+    // tasks before the array_intersect, the CPU of the whole verify.
     cand
       .repartition(p, col("id_a"))
       .join(setsA.select(col("id").as("id_a"), col("ks").as("ks_a"), col("n").as("n_a")), "id_a")
+      .repartition(p, col("id_b"))
       .join(setsB.select(col("id").as("id_b"), col("ks").as("ks_b"), col("n").as("n_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("ks_a"), col("ks_b"))))
       .withColumn("jaccard",

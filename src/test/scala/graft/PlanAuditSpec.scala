@@ -39,6 +39,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("PartialTopK") && s.contains("FinalTopK"), s)
   }
 
+  test("q_setsim_join pins BOTH verify-join exchanges against AQE byte-coalescing") {
+    // verifyPairs repartitions candidates on id_a (reused by the ks_a
+    // attach join) and the ks_a-fat rows on id_b (the shuffle feeding
+    // the array_intersect CPU). Both must surface as REPARTITION_BY_NUM
+    // — the origin AQE exempts from byte-based coalescing; a plain
+    // ENSURE_REQUIREMENTS exchange there re-opens the measured
+    // 4.3-vs-1.8 s verify-parallelism collapse.
+    val s = formatted("q_setsim_join")
+    val pins = "REPARTITION_BY_NUM".r.findAllIn(s).size
+    assert(pins == 2, s"expected the id_a and id_b pins, got $pins: $s")
+    assert(s.contains("id_a") && s.contains("id_b"), s)
+  }
+
   test("distill field/abstract chains are single-stage projections (zero shuffles)") {
     for (name <- Seq("q_distill_fields", "q_distill_abstract")) {
       val s = formatted(name)

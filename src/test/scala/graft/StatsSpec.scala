@@ -117,6 +117,19 @@ class StatsSpec extends SparkSpec {
       "bucketSeconds must not change the result")
   }
 
+  test("autocorrelation rejects a non-positive bucketSeconds") {
+    // 0 would floor-divide to null buckets (one cell per series — the
+    // parallelism cap the bucketed rewrite exists to kill); negative
+    // would invert bucket order and mis-stitch the lag carry.
+    val df = Seq(("s", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1L))
+      .toDF("g", "ts", "id", "x")
+    for (bad <- Seq(0L, -3600L))
+      intercept[IllegalArgumentException] {
+        Stats.autocorrelation(df, "g", col("ts"), col("x"), col("id"),
+          maxLag = 2, bucketSeconds = bad)
+      }
+  }
+
   test("autocorrelation of an alternating series is -1 at lag 1, +1 at lag 2") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val rows = (1 to 40).map { i =>

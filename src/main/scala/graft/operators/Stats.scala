@@ -409,10 +409,16 @@ object Stats {
   def targetEncodeLoo(df: DataFrame, catCol: String, y: Column): DataFrame = {
     val t = df.withColumn("__y", y.cast("long"))
     val stats = t.groupBy(col(catCol)).agg(count(lit(1)).as("__n"), sum("__y").as("__s"))
+    // RAW double, no round(): the operands are exact longs, so the one
+    // IEEE division is bit-identical across engines — round(x, 4) sat
+    // exactly on a half-way point at sf1 (25053571.84585: Spark's
+    // shortest-decimal HALF_UP → .8459, DuckDB's binary round → .8458;
+    // the TUNING.md round-8 portability rule, caught by the round-11
+    // sf1 re-proof).
     t.join(broadcast(stats), catCol)
       .withColumn("loo_enc",
         when(col("__n") > 1,
-          round((col("__s") - col("__y")).cast("double") / (col("__n") - 1).cast("double"), 4)))
+          (col("__s") - col("__y")).cast("double") / (col("__n") - 1).cast("double")))
       .drop("__y", "__n", "__s")
   }
 

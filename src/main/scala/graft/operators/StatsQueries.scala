@@ -773,7 +773,7 @@ object StatsQueries {
         |s AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |        CAST(sum(y) AS BIGINT) AS sy FROM t GROUP BY 1)
         |SELECT o_orderkey, t.o_orderpriority,
-        |  CASE WHEN n > 1 THEN round((sy - y)::DOUBLE / (n - 1)::DOUBLE, 4) + 0.0 END AS loo_enc
+        |  CASE WHEN n > 1 THEN (sy - y)::DOUBLE / (n - 1)::DOUBLE END AS loo_enc
         |FROM t JOIN s USING (o_orderpriority)""".stripMargin,
     "q_kruskal" ->
       """WITH t AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v FROM events),

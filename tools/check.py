@@ -58,8 +58,12 @@ def main(sfdir, outdir):
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
         else:
             print(f"FAIL {name}: {len(g)} vs {len(w)} rows")
-            diff = [x for x in g if x not in set(w)][:3]
-            diff2 = [x for x in w if x not in set(g)][:3]
+            # hoisted: set(w) inside the comprehension condition was
+            # rebuilt per element — O(n^2), effectively hanging on a
+            # 1.5M-row mismatch (round-11 q_target_encode)
+            sw, sg = set(w), set(g)
+            diff = [x for x in g if x not in sw][:3]
+            diff2 = [x for x in w if x not in sg][:3]
             print(f"   got-only: {diff}\n   want-only: {diff2}")
             n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")

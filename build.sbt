@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes straight to this process's stdout
+// instead of sbt's logger: the default LoggedOutput strategy prefixes
+// every line with "[info] ", which is exactly what kept the driver's
+// bench-artifact scraper from parsing graft.Bench's final JSON line
+// (BENCH_r10/r11 landed parsed:null with the line present but
+// prefixed in the captured tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -82,6 +82,22 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The handful of k-bounded post-limit global windows (Dsir
+    // gumbel-top-k, priority sampling, RRF heads — each verified
+    // bounded at their call sites) emit a WindowExec "No Partition
+    // Defined" WARN per plan; over 370 queries that wall of repeats
+    // buried the final JSON line outside the driver's ~2 KB stdout
+    // tail (BENCH_r10/r11 landed parsed:null). The warning carries no
+    // signal here, so the bench main silences that one logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    // Same reasoning for CacheManager's "already cached" WARN: the
+    // warm+3 protocol re-runs plans that persist() intermediates, so
+    // the repeat-cache warning fires hundreds of times by design.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager",
+      org.apache.logging.log4j.Level.ERROR)
     // noop sink: fully materializes every output row/column (a bare
     // count() lets Spark prune the projection and under-measures).
     def runOn(dir: String)(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
@@ -182,7 +198,8 @@ object Bench {
       "q_report_publications", "q_pipeline_full", "q_dedupe_null_doi",
       "q_dedup_exact", "q_dedup_minhash_md5", "q_fuzzy_dedup",
       "q_setsim_join", "q_lsh_eval", "q_ann_bruteforce",
-      "q_ann_ivf_recall", "q_semantic_dedup", "q_tfidf_pairs",
+      "q_ann_ivf_recall", "q_semantic_dedup", "q_dedup_embedding",
+      "q_dedup_embedding_scaled", "q_tfidf_pairs",
       "q_collocations", "q_textrank_keywords", "q_pagerank", "q_hits",
       "q_katz", "q_ppr", "q_kcore", "q_triangles", "q_components",
       "q_item_pairs", "q_interval_merge", "q_interpolate", "q_acf",
@@ -191,7 +208,11 @@ object Bench {
       "q_ngram_jaccard", "q_ols_multi")
     val hq = results.filter { case (name, _) => headline(name) }
     val shortSf1 = if (sf1Results.isEmpty) "" else s""","total_sf1":$totalSf1,"sf1":"$sf1Dir""""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(hq)},"n_queries":${results.size},"remeasured_n":${remeasured.size},"errors":$errs,"sf":"$sfDir"$shortSf1,"full":"bench_result.json"}""")
+    // Errors are truncated to 5 on stdout (full list in
+    // bench_result.json): an unbounded error array could push this
+    // line past the ~2 KB tail window it is sized for.
+    val errsShort = errors.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(hq)},"n_queries":${results.size},"remeasured_n":${remeasured.size},"errors_n":${errors.size},"errors":$errsShort,"sf":"$sfDir"$shortSf1,"full":"bench_result.json"}""")
     spark.stop()
   }
 }

@@ -720,6 +720,25 @@ object AnalyticsQueries {
         .select((col("id") + 1000000).as("id"), transform(col("vec"), x => x * 1.5f).as("vec"))
       VectorOps.nearDupPairs(e.unionByName(variants), threshold = 0.99, planes = 8, dim = 64)
         .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+    },
+
+    // The PRODUCTION shape of the same near-dup: planes scaled with
+    // the corpus count (planesFor ≈ log2(n/16)) so in-bucket candidate
+    // pairs stay ~linear in n instead of the fixed-planes ~n²/256 —
+    // the config a 100× scale-up actually runs. Still oracle-exact:
+    // hyperplanes are prefix-stable, so the oracle inlines 16 planes
+    // and masks to the same count(*)-derived planes (integer rule on
+    // both sides — no floating log2). The corpus count() the planes
+    // choice needs is parquet-metadata cheap and is exactly what a
+    // production planner would read.
+    "q_dedup_embedding_scaled" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val variants = e.filter(col("id") % 10 === 0)
+        .select((col("id") + 1000000).as("id"), transform(col("vec"), x => x * 1.5f).as("vec"))
+      val corpus = e.unionByName(variants)
+      val planes = VectorOps.planesFor(corpus.count())
+      VectorOps.nearDupPairs(corpus, threshold = 0.99, planes = planes, dim = 64)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
     }
   )
 
@@ -1175,6 +1194,26 @@ object AnalyticsQueries {
          |       FROM e0 WHERE id % 10 = 0),
          |b AS (SELECT id, v, ${VectorOps.bucketSqlDuck("v", 8, 64)} AS bucket,
          |        sqrt(list_dot_product(v, v)) AS nrm FROM ev)
+         |SELECT x.id AS id_a, y.id AS id_b,
+         |       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) + 0.0 AS sim
+         |FROM b x JOIN b y ON y.bucket = x.bucket AND x.id < y.id
+         |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.99""".stripMargin,
+    // Count-scaled twin: planes = smallest p in [8,16] with 16·2^p ≥ n
+    // (VectorOps.planesFor's integer rule verbatim), bucket = the
+    // 16-plane bucket masked to the low p bits via the per-plane
+    // j < p gates baked into bucketSqlDuckScaled.
+    "q_dedup_embedding_scaled" ->
+      s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ev AS (SELECT id, v FROM e0
+         |       UNION ALL
+         |       SELECT id + 1000000 AS id,
+         |              list_transform(v, x -> CAST(CAST(x * 1.5 AS REAL) AS DOUBLE)) AS v
+         |       FROM e0 WHERE id % 10 = 0),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+         |pl AS (SELECT coalesce(min(CASE WHEN (CAST(16 AS BIGINT) << p) >= n THEN p END), 16) AS p
+         |       FROM (SELECT CAST(range AS INT) AS p FROM range(8, 17)) CROSS JOIN nn),
+         |b AS (SELECT id, v, ${VectorOps.bucketSqlDuckScaled("v", 16, 64, "pl.p")} AS bucket,
+         |        sqrt(list_dot_product(v, v)) AS nrm FROM ev CROSS JOIN pl)
          |SELECT x.id AS id_a, y.id AS id_b,
          |       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) + 0.0 AS sim
          |FROM b x JOIN b y ON y.bucket = x.bucket AND x.id < y.id

@@ -521,9 +521,10 @@ object EconQueries {
         |ks AS (SELECT unnest(CAST([4, 8, 16, 32] AS BIGINT[])) AS k),
         |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
         |       FROM d CROSS JOIN ks WHERE deg > k GROUP BY k),
-        |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges FROM e
-        |       JOIN d du ON du.id = e.u JOIN d dv ON dv.id = e.v CROSS JOIN ks
-        |       WHERE du.deg > k AND dv.deg > k GROUP BY k)
+        |em AS (SELECT least(du.deg, dv.deg) AS md
+        |       FROM e JOIN d du ON du.id = e.u JOIN d dv ON dv.id = e.v),
+        |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+        |       FROM em CROSS JOIN ks WHERE md > k GROUP BY k)
         |SELECT nk.k, n_nodes, CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
         |  CASE WHEN n_nodes > 1 THEN
         |    CAST(coalesce(n_edges, 0) * 2 AS DOUBLE) / CAST(n_nodes * (n_nodes - 1) AS DOUBLE)

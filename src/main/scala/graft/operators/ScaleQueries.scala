@@ -116,19 +116,23 @@ object ScaleQueries {
 
     // Fixed-radius ε-neighborhood self-join via the 3×3 grid stencil —
     // customers placed deterministically on an integer plane sized by
-    // the ROW COUNT (not the max key: the scale-up tool's sparse key
-    // offsets inflate max 600× past the population, which would
-    // vacuum the density to zero pairs), so per-cell density — the
-    // quadratic term — stays constant at every corpus scale. The
-    // oracle is the brute-force O(n²) join: same pairs, the grid only
-    // prunes.
+    // the ROW COUNT, with positions from the engine-portable md5-hex
+    // hash (not a `key·multiplier mod W` lattice: round 12 found the
+    // lattice leaves ZERO qualifying pairs at sf1 — the scale-up
+    // tool's sparse custkey differences never satisfy both coordinate
+    // congruences at W = 1.5e8 — which made any sf1 check vacuous).
+    // Hash positions are uniform at every scale, so the ~600-pair
+    // density and the per-cell stencil workload are truly
+    // scale-invariant. The oracle is the brute-force O(n²) join:
+    // same pairs, the grid only prunes.
     "q_geo_radius" -> { (s, dir) =>
       val c = Tables(s, dir).customer
       val k = c.agg(count(lit(1)).as("k"))
+      def pos(salt: String) =
+        conv(substring(md5(concat(col("c_custkey").cast("string"), lit(salt))), 1, 8), 16, 10)
+          .cast("long") % (col("k") * 1000L)
       val pts = c.crossJoin(broadcast(k)).select(
-        col("c_custkey").as("id"),
-        (col("c_custkey") * 48271L) % (col("k") * 1000L) as "x",
-        (col("c_custkey") * 69621L) % (col("k") * 1000L) as "y")
+        col("c_custkey").as("id"), pos(":x").as("x"), pos(":y").as("y"))
       Layout.gridRadiusJoin(pts, "id", "x", "y", radius = 20000L)
     }
   )
@@ -252,8 +256,8 @@ object ScaleQueries {
     "q_geo_radius" ->
       """WITH k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM customer),
         |p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
-        |        (c_custkey * 48271) % (k.k * 1000) AS x,
-        |        (c_custkey * 69621) % (k.k * 1000) AS y
+        |        ('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 8))::BIGINT % (k.k * 1000) AS x,
+        |        ('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 8))::BIGINT % (k.k * 1000) AS y
         |      FROM customer CROSS JOIN k)
         |SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(CAST(a.x - b.x AS HUGEINT)*(a.x - b.x)

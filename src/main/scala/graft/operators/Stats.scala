@@ -768,8 +768,14 @@ object Stats {
     // aggregation buffer, a skew/OOM hazard the spill-capable window
     // sort does not have.
     val wSeq = Window.partitionBy(col(groupCol)).orderBy(col("bkt"))
+    // xv.desc as the final tiebreak: with duplicate (ord, tie) keys
+    // the selected tail must match what the pre-filter-era
+    // array_sort-the-whole-cell + slice form chose (structs sort by
+    // (ord, tie, xv), so the tail kept the xv-largest duplicates) —
+    // without it the cross-cell carry would be nondeterministic under
+    // key ties.
     val wCellDesc = Window.partitionBy(col(groupCol), col("bkt"))
-      .orderBy(col("ord").desc, col("tie").desc)
+      .orderBy(col("ord").desc, col("tie").desc, col("xv").desc)
     val tails = base
       .withColumn("rd", row_number().over(wCellDesc))
       .filter(col("rd") <= maxLag)

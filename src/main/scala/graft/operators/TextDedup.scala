@@ -929,8 +929,11 @@ object TextDedup {
     // explicit numPartitions repartition is exempt from AQE coalescing
     // and scales with the session's shuffle-partition setting.
     val p = cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // Second pin on id_b: the id_b join shuffles the (now ks_a-fat)
-    // left side anyway, so the explicit form adds NO exchange — it
+    // Second pin on id_b: WHILE the setsB join stays a shuffle join
+    // (it does at every benched scale; PlanAuditSpec pins the
+    // exchange count and will flag a shape change), the id_b join
+    // shuffles the (now ks_a-fat) left side anyway, so the explicit
+    // form adds no exchange — it
     // only exempts that shuffle from AQE byte-coalescing too, and it
     // spreads a skewed id_a (one document in many candidate pairs,
     // which the id_a pin alone would concentrate on one task) across

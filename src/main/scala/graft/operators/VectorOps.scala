@@ -103,12 +103,47 @@ object VectorOps {
     TopK.perKey(scored, Seq("probe_id"), struct(-col("sim"), col("neighbor_id")), k)
   }
 
-  /** Deterministic ±1 random hyperplanes (no RNG at plan time). */
+  /** Deterministic ±1 random hyperplanes (no RNG at plan time).
+    * Plane j's entries depend only on (j, d), so `hyperplanes(p, d)`
+    * is a PREFIX of `hyperplanes(q, d)` for p < q — which is what
+    * lets a count-scaled planes choice stay oracle-exact: the oracle
+    * inlines the maximum plane set once and masks to the low
+    * `planesFor(n)` bits (see [[bucketSqlDuckScaled]]).
+    */
   def hyperplanes(planes: Int, dim: Int): Seq[Seq[Double]] =
     Seq.tabulate(planes, dim) { (j, d) =>
       val x = (j * 1315423911L + d * 2654435761L) ^ (j * 97531L + d)
       if (((x >>> 13) & 1L) == 0L) 1.0 else -1.0
     }
+
+  /** How many sign planes a corpus of `n` vectors needs: the smallest
+    * planes count whose 2^planes buckets hold expected occupancy at or
+    * under `targetOccupancy`, clamped to [minPlanes, maxPlanes].
+    *
+    * This is THE scale knob of the sign-bucket family: a fixed planes
+    * count makes the in-bucket candidate set — hence
+    * [[nearDupPairs]]'s self-join work — grow ~n²/2^planes, which is
+    * exactly the term a 100× scale-up would die on. Scaling planes
+    * with log2(n) holds expected occupancy (so candidate pairs stay
+    * ~n·occupancy/2, linear in n) at the price of single-band sign-LSH
+    * recall on NON-identical-direction near-dups (P[collide] =
+    * (1−θ/π)^planes; exact-direction duplicates collide at any
+    * planes). Callers who need recall at high planes add banding or
+    * multi-probe on top — see [[lshTopK]].
+    *
+    * Integer-exact on purpose (no floating log2): a double log2 can
+    * land a hair above an integer and push ceil() one plane too far
+    * on one engine but not the other. `(targetOccupancy << p) >= n`
+    * is the same test in exact arithmetic, and the DuckDB oracle
+    * replicates it verbatim — see the q_dedup_embedding_scaled
+    * oracle's `pl` CTE.
+    */
+  def planesFor(n: Long, minPlanes: Int = 8, maxPlanes: Int = 16,
+                targetOccupancy: Long = 16L): Int = {
+    require(minPlanes >= 1 && maxPlanes >= minPlanes && maxPlanes <= 62 &&
+      targetOccupancy >= 1, "planesFor: invalid bounds")
+    (minPlanes to maxPlanes).find(p => (targetOccupancy << p) >= n).getOrElse(maxPlanes)
+  }
 
   /** Sign-bit bucket id for a vector under the given hyperplanes. */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
@@ -120,13 +155,50 @@ object VectorOps {
     * exact cosine threshold. Positive scaling preserves sign buckets,
     * so scaled/renormalized duplicates always collide. Shuffles
     * (bucket, id, vec) once; pairs form within buckets only.
+    *
+    * Two scale controls on the in-bucket candidate set (the term a
+    * fixed-planes config grows ~n²/2^planes):
+    *
+    *   - planes should come from [[planesFor]] so EXPECTED occupancy
+    *     stays constant as the corpus grows;
+    *   - within a bucket, candidates are additionally pruned by a
+    *     projection-slab grid: for unit vectors, cos(a,b) ≥ τ implies
+    *     |u·â − u·b̂| ≤ |u|·sqrt(2−2τ) for ANY direction u (the chord
+    *     bound), so members are sliced into slabs of exactly that
+    *     width along two deterministic directions and a pair is only
+    *     scored when it sits within one slab cell in BOTH (a 3×3
+    *     stencil join, same shape as Layout.gridRadiusJoin). This is
+    *     what bounds the DENSE-DIRECTIONAL-CLUSTER case that more
+    *     planes cannot split (a cluster with angular spread ~0.3 rad
+    *     loses only ~10% of its internal pairs per extra plane, but
+    *     slices into spread/sqrt(2−2τ) slabs per direction here).
+    *
+    * Both controls are pure candidate pruning with an explicit margin
+    * on the bound, so the RESULT SET — all same-bucket pairs with
+    * cosine ≥ τ — is unchanged (spec-pinned against the unpruned
+    * join), and the DuckDB oracles stay the plain bucket join.
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double, planes: Int, dim: Int): DataFrame = {
-    val hp = hyperplanes(planes, dim)
+    val hp = hyperplanes(planes + 2, dim)
+    val (u1, u2) = (hp(planes), hp(planes + 1))
+    // Slab width: |u| = sqrt(dim) for ±1 planes; the 1e-9 relative
+    // margin absorbs double-arithmetic noise (~1e-11 absolute here)
+    // so a boundary pair can never straddle two non-adjacent cells.
+    val w = math.sqrt(dim) * math.sqrt(2.0 - 2.0 * threshold) * (1.0 + 1e-9)
     val b = corpus.select(
       col("id"), col("vec"),
-      lshBucket(col("vec"), hp).as("bucket"), l2norm(col("vec")).as("nrm"))
-    b.as("x").join(b.as("y"), Seq("bucket"))
+      lshBucket(col("vec"), hp.take(planes)).as("bucket"), l2norm(col("vec")).as("nrm"),
+      floor(dot(col("vec"), typedlit(u1)) / (col("nrm") * lit(w))).cast("long").as("c1"),
+      floor(dot(col("vec"), typedlit(u2)) / (col("nrm") * lit(w))).cast("long").as("c2"))
+    // Left side explodes to the 3×3 neighbor stencil; the mirror
+    // match (y exploded onto x) fails the id ordering filter, so each
+    // qualifying pair survives exactly once.
+    val xs = b
+      .withColumn("d1", explode(typedlit(Seq(-1, 0, 1))))
+      .withColumn("d2", explode(typedlit(Seq(-1, 0, 1))))
+      .select(col("id"), col("vec"), col("nrm"), col("bucket"),
+        (col("c1") + col("d1")).as("c1"), (col("c2") + col("d2")).as("c2"))
+    xs.as("x").join(b.as("y"), Seq("bucket", "c1", "c2"))
       .filter(col("x.id") < col("y.id"))
       .select(
         col("x.id").as("id_a"),
@@ -206,6 +278,21 @@ object VectorOps {
     hyperplanes(planes, dim).zipWithIndex.map { case (p, j) =>
       val lits = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product($vExpr, $lits::DOUBLE[]) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** [[bucketSqlDuck]] with a RUNTIME planes count: inlines all
+    * `maxPlanes` hyperplanes and gates plane j's bit on
+    * `j < planesExpr` — because [[hyperplanes]] is prefix-stable,
+    * masking the low `planesFor(n)` bits of the maxPlanes bucket IS
+    * the planesFor(n) bucket. This is what lets the count-scaled
+    * config keep a DuckDB oracle: the oracle computes planes from
+    * count(*) with the same integer rule and masks, instead of
+    * needing the corpus size at SQL-authoring time.
+    */
+  def bucketSqlDuckScaled(vExpr: String, maxPlanes: Int, dim: Int, planesExpr: String): String =
+    hyperplanes(maxPlanes, dim).zipWithIndex.map { case (p, j) =>
+      val lits = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+      s"(CASE WHEN $j < ($planesExpr) AND list_dot_product($vExpr, $lits::DOUBLE[]) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions:

@@ -18,7 +18,9 @@ import graft.{GraftSession, SparkEntry}
 object SpillProbe {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q_join_big")
-    val runs = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val runs = args.drop(1).headOption
+      .flatMap(a => scala.util.Try(a.toInt).toOption.filter(_ > 0))
+      .getOrElse(2)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
@@ -50,6 +52,11 @@ object SpillProbe {
     once() // warmup (its stages are recorded too; timed runs follow)
     stages.clear()
     val ts = (1 to runs).map(_ => once())
+    // The listener bus is async: StageCompleted events for the final
+    // stages can still be in flight when the runs return. The public
+    // API has no waitUntilEmpty, so drain with a short sleep before
+    // reading the table (2 s dwarfs any realistic event backlog).
+    Thread.sleep(2000)
     def mb(b: Long): String = f"${b / 1048576.0}%9.1f MB"
     println(f"[spill] $name on $dir, $runs timed runs: ${ts.map(t => f"$t%.2f").mkString(", ")} s")
     println(f"[spill] ${"stage"}%-6s ${"tasks"}%5s ${"shufRead"}%12s ${"shufWrite"}%12s ${"memSpill"}%12s ${"diskSpill"}%12s ${"peakMem"}%12s ${"cpu-s"}%7s  name")

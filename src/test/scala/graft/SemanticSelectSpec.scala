@@ -45,6 +45,90 @@ class SemanticSelectSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("planesFor: integer rule, clamps, and the occupancy bound it promises") {
+    // Clamps.
+    assert(VectorOps.planesFor(0L) == 8 && VectorOps.planesFor(1L) == 8)
+    assert(VectorOps.planesFor(Long.MaxValue) == 16)
+    // The rule: smallest p in [8,16] with 16·2^p >= n — checked
+    // against a direct reference sweep, including the exact
+    // boundaries (n = 16·2^p and n = 16·2^p + 1).
+    for (p <- 8 to 15) {
+      val cap = 16L << p
+      assert(VectorOps.planesFor(cap) == p, s"n=$cap")
+      assert(VectorOps.planesFor(cap + 1) == p + 1, s"n=${cap + 1}")
+    }
+    // Monotone in n.
+    val sweep = Seq(1L, 100L, 4096L, 5000L, 66000L, 1000000L, 10000000L)
+      .map(VectorOps.planesFor(_))
+    assert(sweep == sweep.sorted)
+    // The promise: expected occupancy n/2^p <= 16 whenever unclamped.
+    for (n <- Seq(500L, 2200L, 22000L, 66000L, 900000L)) {
+      val p = VectorOps.planesFor(n)
+      if (p < 16) assert(n <= (16L << p), s"occupancy bound broken at n=$n p=$p")
+    }
+  }
+
+  test("hyperplanes are prefix-stable — the property the scaled oracle's bit mask relies on") {
+    assert(VectorOps.hyperplanes(8, 64) == VectorOps.hyperplanes(16, 64).take(8))
+    assert(VectorOps.hyperplanes(11, 64) == VectorOps.hyperplanes(16, 64).take(11))
+  }
+
+  test("nearDupPairs at scaled planes: planted duplicates always found, occupancy stays bounded") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val variants = e.filter(col("id") % 10 === 0)
+      .select((col("id") + 1000000).as("id"), transform(col("vec"), x => x * 1.5f).as("vec"))
+    val corpus = e.unionByName(variants).cache()
+    val n = corpus.count()
+    val planted = corpus.filter(col("id") >= 1000000).count()
+    val p = VectorOps.planesFor(n)
+    // Every planted scaled copy is an EXACT-direction duplicate: it
+    // shares all sign buckets with its original at ANY planes count,
+    // so recall on the planted set must be 1.0 under the scaled config.
+    val pairs = VectorOps.nearDupPairs(corpus, threshold = 0.99, planes = p, dim = 64).cache()
+    val foundPlanted = pairs
+      .filter(col("id_b") === col("id_a") + 1000000).count()
+    assert(foundPlanted == planted, s"planted recall: $foundPlanted of $planted")
+    // Occupancy record: max in-bucket pair count stays a small
+    // multiple of the expected-occupancy promise (buckets are hash-
+    // uniform only in expectation; 32x headroom on occupancy² covers
+    // the tail without making the test weather-flaky).
+    val hp = VectorOps.hyperplanes(p, 64)
+    val occ = corpus.select(VectorOps.lshBucket(col("vec"), hp).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    assert(occ <= 32L * math.max(16L, n / (1L << p)),
+      s"max occupancy $occ at planes=$p, n=$n")
+    pairs.unpersist(); corpus.unpersist()
+  }
+
+  test("nearDupPairs slab pruning is exact: identical result set to the unpruned bucket join") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val variants = e.filter(col("id") % 10 === 0)
+      .select((col("id") + 1000000).as("id"), transform(col("vec"), x => x * 1.5f).as("vec"))
+    val corpus = e.unionByName(variants).cache()
+    for (planes <- Seq(4, 8)) {
+      // Reference: the plain within-bucket self-join (what the DuckDB
+      // oracle computes) with no slab stencil.
+      val hp = VectorOps.hyperplanes(planes, 64)
+      val b = corpus.select(col("id"), col("vec"),
+        VectorOps.lshBucket(col("vec"), hp).as("bucket"),
+        VectorOps.l2norm(col("vec")).as("nrm"))
+      val plain = b.as("x").join(b.as("y"), Seq("bucket"))
+        .filter(col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          (VectorOps.dot(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm"))).as("sim"))
+        .filter(col("sim") >= 0.99)
+      val pruned = VectorOps.nearDupPairs(corpus, threshold = 0.99, planes = planes, dim = 64)
+      assert(pruned.unionAll(plain).groupBy("id_a", "id_b").count()
+        .filter(col("count") =!= 2L).count() == 0,
+        s"slab pruning changed the result set at planes=$planes")
+      assert(pruned.count() == plain.count())
+    }
+    corpus.unpersist()
+  }
+
   test("DSIR weights: an on-target document outscores an off-target one") {
     // target speaks 'alpha beta'; pool has one aligned + one disjoint doc
     val target = Seq((100L, "alpha beta alpha beta"), (101L, "beta alpha beta")).toDF("doc_id", "text")

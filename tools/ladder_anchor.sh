@@ -30,10 +30,19 @@ for RUNG in /root/testdata/sf0.1 benchdata/sf1 benchdata/sf3; do
     sleep 30
   done
   echo "rung $NAME: start load $(cut -d' ' -f1 /proc/loadavg) at $(date +%T)" >&2
-  SPARK_GRAFT_SF_DIR="$RUNG" SPARK_GRAFT_SF1=0 SPARK_GRAFT_CPUS=32 \
+  # Stale-result guard: remove the previous rung's bench_result.json
+  # BEFORE the run and only copy it on a zero exit — a failed rung
+  # must record as a failure, not silently re-label the prior rung's
+  # numbers as its own.
+  rm -f bench_result.json
+  if SPARK_GRAFT_SF_DIR="$RUNG" SPARK_GRAFT_SF1=0 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_PRIOR=/nonexistent \
     java -Xmx96g -cp "$CP" graft.Bench > "$OUT/$NAME.stdout" 2>"$OUT/$NAME.stderr"
-  cp bench_result.json "$OUT/bench_$NAME.json"
-  echo "rung $NAME: done at $(date +%T), end load $(cut -d' ' -f1 /proc/loadavg)" >&2
+  then
+    cp bench_result.json "$OUT/bench_$NAME.json"
+    echo "rung $NAME: done at $(date +%T), end load $(cut -d' ' -f1 /proc/loadavg)" >&2
+  else
+    echo "rung $NAME: FAILED (rc=$?) at $(date +%T) — no bench_$NAME.json recorded" >&2
+  fi
 done
 echo "ladder anchor complete" >&2

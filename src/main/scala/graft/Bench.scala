@@ -1,7 +1,9 @@
 package graft
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line with per-query wall seconds.
+  * prints one JSON line with per-query wall seconds; bench_result.json
+  * additionally carries per-query executor cpu_s (see [[CpuMeter]]) —
+  * the weather-immune number drift adjudication reads FIRST.
   *
   * Two evidence-quality mechanisms (both judge-requested after round 5
   * recorded machine-contention noise as a fake regression):
@@ -35,11 +37,60 @@ object Bench {
     */
   private def flagFactor(prior: Double): Double = if (prior > 1.0) 1.5 else 2.0
 
-  private def medianOf3(run: () => Unit): Double = {
-    val ts = (1 to 3).map { _ =>
-      val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-    }.sorted
-    ts(1)
+  /** Per-query executor CPU accounting (round-13 verdict item 2): this
+    * host is shared and its co-tenant load is invisible to ps, so WALL
+    * time alone forced three rounds of re-run-until-quiet adjudication
+    * rituals. `TaskMetrics.executorCpuTime` (ns actually on-CPU, not
+    * waiting) is weather-immune: a co-tenant storm inflates wall and
+    * executorRunTime but not cpu time. The bench snapshots this
+    * accumulator around each query's timed runs and emits cpu_s beside
+    * wall_s, so future drift adjudication reads cpu_s FIRST (a flat
+    * cpu_s + inflated wall = weather, mechanically) — see TUNING.md's
+    * round-13 discipline note.
+    *
+    * The listener bus is async; snapshots drain it EXACTLY via
+    * `listenerBus.waitUntilEmpty()` (reached through the
+    * org.apache.spark.graftbridge.ListenerBusDrain bridge — the method
+    * is private[spark]). A heuristic quiet-for-50ms/cap-500ms drain was
+    * tried first and failed in the first storm measurement: the bus's
+    * dispatch thread fell thousands of events behind under load 17+,
+    * the cap expired mid-backlog, and warmup CPU leaked into the timed
+    * window (q_hits read cpu/wall = 39x on a 32-thread pool).
+    *
+    * cpu_s is the MIN single-run cpu across a query's timed runs, not
+    * the mean: cpu noise (lock contention, allocation stalls under
+    * co-tenant cache pressure) only ever inflates, so the min is the
+    * quiet-machine number — the same reasoning as the wall protocol's
+    * floor-of-gated-passes.
+    */
+  private final class CpuMeter(sc: org.apache.spark.SparkContext)
+      extends org.apache.spark.scheduler.SparkListener {
+    private val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    }
+    def snapshotNs(): Long = {
+      org.apache.spark.graftbridge.ListenerBusDrain.drain(sc)
+      cpuNs.get()
+    }
+  }
+
+  /** `runs` timed executions: (wall = median for 3 / min for 2,
+    * cpu_s = min single-run executor CPU — see [[CpuMeter]]).
+    */
+  private def measure(runs: Int, meter: CpuMeter, run: () => Unit): (Double, Double) = {
+    val walls = Array.ofDim[Double](runs)
+    val cpus = Array.ofDim[Double](runs)
+    var c0 = meter.snapshotNs()
+    for (i <- 0 until runs) {
+      val t0 = System.nanoTime(); run(); walls(i) = (System.nanoTime() - t0) / 1e9
+      val c1 = meter.snapshotNs()
+      cpus(i) = (c1 - c0) / 1e9
+      c0 = c1
+    }
+    val w = walls.sorted
+    (if (runs >= 3) w(runs / 2) else w.min, cpus.min)
   }
 
   /** Flat `"q_name":seconds` pairs from a bench-JSON fragment,
@@ -125,63 +176,79 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    val meter = new CpuMeter(spark.sparkContext)
+    spark.sparkContext.addSparkListener(meter)
     // Per query: one untimed warm-up + median of 3 timed runs. A
     // single sample at these runtimes is dominated by JIT/GC noise
     // and has produced phantom multi-x regressions round-to-round.
+    // cpu_s is the executor CPU of the TIMED runs only (warmups are
+    // excluded by snapshotting after them), averaged per run.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         runOn(sfDir)(fn)
-        var med = medianOf3(() => runOn(sfDir)(fn))
+        var (med, cpu) = measure(3, meter, () => runOn(sfDir)(fn))
         // Above the quiet-machine number by the flag factor (1.5x for
         // >1 s priors, 2x below): measure once more and keep the
         // smaller median (see scaladoc).
         if (prior.get(name).exists(p => p > 0 && med > flagFactor(p) * p)) {
           clearAccumulatedCaches()
           runOn(sfDir)(fn)
-          med = math.min(med, medianOf3(() => runOn(sfDir)(fn)))
+          val (med2, cpu2) = measure(3, meter, () => runOn(sfDir)(fn))
+          med = math.min(med, med2)
+          cpu = math.min(cpu, cpu2)
           remeasured += name
         }
         clearAccumulatedCaches()
-        name -> med
-      } catch { case _: Throwable => errors += name; clearAccumulatedCaches(); name -> -1.0 }
+        (name, med, cpu)
+      } catch { case _: Throwable => errors += name; clearAccumulatedCaches(); (name, -1.0, -1.0) }
     }
     // Scale-ladder section at 10x data (see scaladoc).
     val sf1Dir = "benchdata/sf1"
     val runSf1 = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
       !sfDir.contains("sf1") &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(sf1Dir))
-    def minOf2(dir: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
-      (1 to 2).map { _ =>
-        val t0 = System.nanoTime(); runOn(dir)(fn); (System.nanoTime() - t0) / 1e9
-      }.min
     val sf1Results = if (!runSf1) Seq.empty else selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         runOn(sf1Dir)(fn)
-        var t = minOf2(sf1Dir, fn)
+        // min-of-2 wall: the ladder ratio needs less precision than
+        // the primary medians (see class scaladoc).
+        var (t, cpu) = measure(2, meter, () => runOn(sf1Dir)(fn))
         // Same prior guard as the primary loop (the round-6 sf1
         // section shipped six contention-phantom super-linear numbers
         // because this loop had no second chance).
         if (priorSf1.get(name).exists(p => p > 0 && t > flagFactor(p) * p)) {
           clearAccumulatedCaches()
           runOn(sf1Dir)(fn)
-          t = math.min(t, minOf2(sf1Dir, fn))
+          val (t2, cpu2) = measure(2, meter, () => runOn(sf1Dir)(fn))
+          t = math.min(t, t2)
+          cpu = math.min(cpu, cpu2)
           remeasured += (name + "@sf1")
         }
         clearAccumulatedCaches()
-        name -> t
-      } catch { case _: Throwable => clearAccumulatedCaches(); name -> -1.0 }
+        (name, t, cpu)
+      } catch { case _: Throwable => clearAccumulatedCaches(); (name, -1.0, -1.0) }
     }
     def r4(v: Double): Double = math.round(v * 10000) / 10000.0
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val remeas = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = r4(results.collect { case (_, v) if v > 0 => v }.sum)
-    val totalSf1 = r4(sf1Results.collect { case (_, v) if v > 0 => v }.sum)
+    val walls = results.map { case (n, w, _) => (n, w) }
+    val cpuSecs = results.map { case (n, _, c) => (n, c) }
+    val wallsSf1 = sf1Results.map { case (n, w, _) => (n, w) }
+    val cpuSecsSf1 = sf1Results.map { case (n, _, c) => (n, c) }
+    val total = r4(walls.collect { case (_, v) if v > 0 => v }.sum)
+    val totalCpu = r4(cpuSecs.collect { case (_, v) if v > 0 => v }.sum)
+    val totalSf1 = r4(wallsSf1.collect { case (_, v) if v > 0 => v }.sum)
+    val totalCpuSf1 = r4(cpuSecsSf1.collect { case (_, v) if v > 0 => v }.sum)
+    // Block order matters to loadPriors' first-occurrence-wins parser:
+    // within each side of the "queries_sf1" cut, the WALL block comes
+    // first so a bench_result.json used as a prior file still yields
+    // wall priors (the cpu blocks share the same q_ keys).
     val sf1Part =
       if (sf1Results.isEmpty) ""
-      else s""","queries_sf1":${qjson(sf1Results)},"total_sf1":$totalSf1,"sf1":"$sf1Dir""""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"remeasured":$remeas,"errors":$errs,"sf":"$sfDir"$sf1Part}"""
+      else s""","queries_sf1":${qjson(wallsSf1)},"cpu_sf1":${qjson(cpuSecsSf1)},"total_sf1":$totalSf1,"total_cpu_sf1":$totalCpuSf1,"sf1":"$sf1Dir""""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(walls)},"cpu":${qjson(cpuSecs)},"total_cpu":$totalCpu,"remeasured":$remeas,"errors":$errs,"sf":"$sfDir"$sf1Part}"""
     // The full per-query record lands as a file: sbt prefixes stdout
     // with "[info] " (which has broken scraping of the bare JSON
     // before), and the driver's round artifact captures only the LAST
@@ -206,13 +273,15 @@ object Bench {
       "q_cusum", "q_decontaminate", "q_substring_dup", "q_stream_window",
       "q_resample_ffill", "q_span_corrupt", "q_oov_rate",
       "q_ngram_jaccard", "q_ols_multi")
-    val hq = results.filter { case (name, _) => headline(name) }
-    val shortSf1 = if (sf1Results.isEmpty) "" else s""","total_sf1":$totalSf1,"sf1":"$sf1Dir""""
+    val hq = walls.filter { case (name, _) => headline(name) }
+    val shortSf1 = if (sf1Results.isEmpty) "" else s""","total_sf1":$totalSf1,"total_cpu_sf1":$totalCpuSf1,"sf1":"$sf1Dir""""
     // Errors are truncated to 5 on stdout (full list in
     // bench_result.json): an unbounded error array could push this
-    // line past the ~2 KB tail window it is sized for.
+    // line past the ~2 KB tail window it is sized for. Per-query cpu_s
+    // stays in bench_result.json for the same reason; stdout carries
+    // only the suite-level total_cpu.
     val errsShort = errors.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(hq)},"n_queries":${results.size},"remeasured_n":${remeasured.size},"errors_n":${errors.size},"errors":$errsShort,"sf":"$sfDir"$shortSf1,"full":"bench_result.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(hq)},"total_cpu":$totalCpu,"n_queries":${results.size},"remeasured_n":${remeasured.size},"errors_n":${errors.size},"errors":$errsShort,"sf":"$sfDir"$shortSf1,"full":"bench_result.json"}""")
     spark.stop()
   }
 }

@@ -728,9 +728,13 @@ object AnalyticsQueries {
     // the config a 100× scale-up actually runs. Still oracle-exact:
     // hyperplanes are prefix-stable, so the oracle inlines 16 planes
     // and masks to the same count(*)-derived planes (integer rule on
-    // both sides — no floating log2). The corpus count() the planes
-    // choice needs is parquet-metadata cheap and is exactly what a
-    // production planner would read.
+    // both sides — no floating log2). The corpus.count() here is a
+    // real one-scan pre-pass (the union-with-transform defeats the
+    // parquet-metadata count shortcut), priced in deliberately: the
+    // oracle's planes derive from count(*) of the SAME union, so the
+    // two sides must count the same relation. A production planner
+    // would read the corpus row count from catalog stats instead of
+    // scanning — the planes choice needs only an order of magnitude.
     "q_dedup_embedding_scaled" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val variants = e.filter(col("id") % 10 === 0)
@@ -1193,7 +1197,8 @@ object AnalyticsQueries {
          |              list_transform(v, x -> CAST(CAST(x * 1.5 AS REAL) AS DOUBLE)) AS v
          |       FROM e0 WHERE id % 10 = 0),
          |b AS (SELECT id, v, ${VectorOps.bucketSqlDuck("v", 8, 64)} AS bucket,
-         |        sqrt(list_dot_product(v, v)) AS nrm FROM ev)
+         |        sqrt(list_dot_product(v, v)) AS nrm FROM ev
+         |      WHERE list_dot_product(v, v) > 0)
          |SELECT x.id AS id_a, y.id AS id_b,
          |       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) + 0.0 AS sim
          |FROM b x JOIN b y ON y.bucket = x.bucket AND x.id < y.id
@@ -1213,7 +1218,8 @@ object AnalyticsQueries {
          |pl AS (SELECT coalesce(min(CASE WHEN (CAST(16 AS BIGINT) << p) >= n THEN p END), 16) AS p
          |       FROM (SELECT CAST(range AS INT) AS p FROM range(8, 17)) CROSS JOIN nn),
          |b AS (SELECT id, v, ${VectorOps.bucketSqlDuckScaled("v", 16, 64, "pl.p")} AS bucket,
-         |        sqrt(list_dot_product(v, v)) AS nrm FROM ev CROSS JOIN pl)
+         |        sqrt(list_dot_product(v, v)) AS nrm FROM ev CROSS JOIN pl
+         |      WHERE list_dot_product(v, v) > 0)
          |SELECT x.id AS id_a, y.id AS id_b,
          |       round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) + 0.0 AS sim
          |FROM b x JOIN b y ON y.bucket = x.bucket AND x.id < y.id

@@ -121,15 +121,22 @@ object ScaleQueries {
     // lattice leaves ZERO qualifying pairs at sf1 — the scale-up
     // tool's sparse custkey differences never satisfy both coordinate
     // congruences at W = 1.5e8 — which made any sf1 check vacuous).
-    // Hash positions are uniform at every scale, so the ~600-pair
-    // density and the per-cell stencil workload are truly
-    // scale-invariant. The oracle is the brute-force O(n²) join:
-    // same pairs, the grid only prunes.
+    // A 15-hex-digit prefix (60 bits, the width the md5-prefix
+    // samplers elsewhere use): an 8-digit prefix is < 2^32, so the
+    // `% (k·1000)` would stop being uniform — and the scale-invariant
+    // pair density with it — once k·1000 approached 4.3e9 (~sf28);
+    // 60 bits holds uniformity to k ~ 10^15. Hash positions are
+    // uniform at every scale, so the ~600-pair density and the
+    // per-cell stencil workload are truly scale-invariant. The oracle
+    // is the brute-force O(n²) join: same pairs, the grid only prunes
+    // (candidate dx/dy there are stencil-bounded by 2·radius, so its
+    // Long dist2 cannot overflow at any corpus size; the oracle's
+    // all-pairs dx/dy are plane-sized, hence its HUGEINT).
     "q_geo_radius" -> { (s, dir) =>
       val c = Tables(s, dir).customer
       val k = c.agg(count(lit(1)).as("k"))
       def pos(salt: String) =
-        conv(substring(md5(concat(col("c_custkey").cast("string"), lit(salt))), 1, 8), 16, 10)
+        conv(substring(md5(concat(col("c_custkey").cast("string"), lit(salt))), 1, 15), 16, 10)
           .cast("long") % (col("k") * 1000L)
       val pts = c.crossJoin(broadcast(k)).select(
         col("c_custkey").as("id"), pos(":x").as("x"), pos(":y").as("y"))
@@ -256,8 +263,8 @@ object ScaleQueries {
     "q_geo_radius" ->
       """WITH k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM customer),
         |p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
-        |        ('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 8))::BIGINT % (k.k * 1000) AS x,
-        |        ('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 8))::BIGINT % (k.k * 1000) AS y
+        |        ('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 15))::BIGINT % (k.k * 1000) AS x,
+        |        ('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 15))::BIGINT % (k.k * 1000) AS y
         |      FROM customer CROSS JOIN k)
         |SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(CAST(a.x - b.x AS HUGEINT)*(a.x - b.x)

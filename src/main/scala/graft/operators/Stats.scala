@@ -752,8 +752,14 @@ object Stats {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val base = df.select(col(groupCol), orderCol.as("ord"), tieCol.as("tie"), x.as("xv"))
       .withColumn("bkt", floor(unix_micros(col("ord")) / lit(bucketSeconds * 1000000L)))
+    // xv as the final in-cell tiebreak, mirroring wCellDesc below:
+    // with duplicate (ord, tie) keys the lag pairings would otherwise
+    // be nondeterministic exactly where the tail/carry was already
+    // made deterministic (round-12 advice) — q_acf's tie column is a
+    // unique event_id so this is a no-op there, but the operator no
+    // longer silently requires uniqueness for determinism.
     val wCell = Window.partitionBy(col(groupCol), col("bkt"))
-      .orderBy(col("ord"), col("tie"))
+      .orderBy(col("ord"), col("tie"), col("xv"))
     val local = base.select(Seq(
       col(groupCol), col("bkt"), col("xv"),
       row_number().over(wCell).as("li")) ++

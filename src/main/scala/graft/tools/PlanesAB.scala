@@ -83,6 +83,31 @@ object PlanesAB {
       println(f"[planesAB] $opName%-14s fixed8=${med(ta)}%.2fs scaled($scaled)=${med(tb)}%.2fs " +
         s"runs: fixed=${ta.map(t => f"$t%.2f").mkString(",")} scaled=${tb.map(t => f"$t%.2f").mkString(",")}")
     }
+
+    // lshTopK sweep (round-13 verdict item 4): the last fixed-planes
+    // sign-LSH consumer. Scaling planes shrinks each probe's candidate
+    // bucket (the scale knob) but single-band collision probability
+    // falls with planes, so recall vs exact brute force is measured
+    // alongside wall — including multi-probe compensation, the knob
+    // lshTopK already carries for exactly this trade.
+    val probes = e.filter(col("id") % 20 === 0 && col("id") < 20000)
+    val exact = VectorOps.bruteForceTopK(probes, e, 3)
+      .select(col("probe_id"), col("neighbor_id")).cache()
+    val nExact = exact.count()
+    def lshCfg(p: Int, mp: Int): DataFrame =
+      VectorOps.lshTopK(probes, e, 3, planes = p, dim = 64, multiProbe = mp)
+        .select(col("probe_id"), col("neighbor_id"))
+    val cfgs = Seq((8, 0), (scaled, 0), (scaled, scaled - 8), (scaled, scaled))
+      .distinct.filter { case (p, mp) => mp >= 0 && mp <= p }
+    for ((p, mp) <- cfgs) {
+      noop(lshCfg(p, mp))
+      val ts = (1 to runs).map(_ => time(noop(lshCfg(p, mp)))).sorted
+      val hits = exact.join(lshCfg(p, mp), Seq("probe_id", "neighbor_id"), "left_semi").count()
+      val emitted = lshCfg(p, mp).count()
+      println(f"[planesAB] lshTopK planes=$p%-2d multiProbe=$mp%-2d med=${ts(ts.length / 2)}%.2fs " +
+        f"recall=${hits.toDouble / nExact}%.3f emitted=$emitted (exact=$nExact)")
+    }
+    exact.unpersist()
     spark.stop()
   }
 }

@@ -68,6 +68,23 @@ class SemanticSelectSpec extends SparkSpec {
     }
   }
 
+  test("planesFor is overflow-free at permitted non-default bounds (r12 advice)") {
+    // The shift-left spelling (targetOccupancy << p) wraps Long at
+    // p >= 60 with occupancy 16 (2^4 · 2^60 = 2^64 ≡ 0), silently
+    // forcing maxPlanes; the (n-1) >> p form cannot wrap. At the
+    // widest permitted bounds the smallest plane count must win.
+    assert(VectorOps.planesFor(1000L, minPlanes = 60, maxPlanes = 62) == 60)
+    assert(VectorOps.planesFor(Long.MaxValue, minPlanes = 60, maxPlanes = 62) == 60)
+    // ... and the two forms agree wherever the shift form is exact:
+    // every p in the default clamp range, at both sides of each
+    // boundary (the DuckDB oracle keeps the shift spelling, so this
+    // equality is what keeps engine and oracle in lockstep).
+    for (p <- 8 to 15; n <- Seq((16L << p) - 1, 16L << p, (16L << p) + 1)) {
+      val shiftForm = (8 to 16).find(q => (16L << q) >= n).getOrElse(16)
+      assert(VectorOps.planesFor(n) == shiftForm, s"forms diverge at n=$n")
+    }
+  }
+
   test("hyperplanes are prefix-stable — the property the scaled oracle's bit mask relies on") {
     assert(VectorOps.hyperplanes(8, 64) == VectorOps.hyperplanes(16, 64).take(8))
     assert(VectorOps.hyperplanes(11, 64) == VectorOps.hyperplanes(16, 64).take(11))
@@ -127,6 +144,41 @@ class SemanticSelectSpec extends SparkSpec {
       assert(pruned.count() == plain.count())
     }
     corpus.unpersist()
+  }
+
+  test("nearDupPairs zero-norm guard: a planted zero vector is excluded, not silently dropped by slab cells") {
+    // Without the nrm > 0 guard, a zero vector would be dropped by the
+    // SLAB path (floor(NaN) cells are null) while the plain bucket
+    // join would emit its NaN-sim pairs (NaN >= tau is true under both
+    // engines' NaN-is-largest semantics) — making "pure pruning"
+    // corpus-dependent (r12 verdict, wrong #3). With the guard, the
+    // domain is nonzero vectors on BOTH paths and the equivalence is
+    // unconditional.
+    val dim = 4
+    val corpus = Seq(
+      (1L, Seq(1.0, 1.0, 1.0, 1.0)),
+      (2L, Seq(2.0, 2.0, 2.0, 2.0)),   // exact-direction dup of 1
+      (3L, Seq(0.0, 0.0, 0.0, 0.0)),   // planted zero vector
+      (4L, Seq(1.0, 1.0, 1.0, 0.9))
+    ).toDF("id", "vec")
+    val out = VectorOps.nearDupPairs(corpus, threshold = 0.99, planes = 2, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the zero vector appears in NO pair, on either side
+    assert(!out.exists { case (a, b) => a == 3L || b == 3L })
+    // the real duplicate pair still surfaces (guard removed nothing else)
+    assert(out.contains((1L, 2L)))
+    // reference: plain bucket join under the same nonzero-domain guard
+    val hp = VectorOps.hyperplanes(2, dim)
+    val b = corpus.select(col("id"), col("vec"),
+      VectorOps.lshBucket(col("vec"), hp).as("bucket"),
+      VectorOps.l2norm(col("vec")).as("nrm"))
+      .filter(col("nrm") > 0.0)
+    val plain = b.as("x").join(b.as("y"), Seq("bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .filter(VectorOps.dot(col("x.vec"), col("y.vec")) / (col("x.nrm") * col("y.nrm")) >= 0.99)
+      .select(col("x.id"), col("y.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == plain)
   }
 
   test("DSIR weights: an on-target document outscores an off-target one") {

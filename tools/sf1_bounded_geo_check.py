@@ -36,8 +36,8 @@ def main(sfdir, dumpdir):
     oracle = con.execute(f"""
         WITH k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM customer),
         p AS (SELECT CAST(c_custkey AS BIGINT) AS id,
-                ('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 8))::BIGINT % (k.k * 1000) AS x,
-                ('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 8))::BIGINT % (k.k * 1000) AS y
+                ('0x' || substr(md5(c_custkey::VARCHAR || ':x'), 1, 15))::BIGINT % (k.k * 1000) AS x,
+                ('0x' || substr(md5(c_custkey::VARCHAR || ':y'), 1, 15))::BIGINT % (k.k * 1000) AS y
               FROM customer CROSS JOIN k)
         SELECT a.id AS id_a, b.id AS id_b,
           CAST(CAST(a.x - b.x AS HUGEINT)*(a.x - b.x)

@@ -177,40 +177,84 @@ object TextRank {
     // Σ t·t over the w-sorted array is the identical IEEE sequence the
     // interpreted sortedFold(wt²) HOF produced, at ~1/5 the cost
     // (codegen'd two-pointer loop vs per-element lambda interpretation).
-    val norms = wt.groupBy("id")
+    def sortedKeyNorms(postings: DataFrame): DataFrame = postings.groupBy("id")
       .agg(sort_array(collect_list(struct(col("w"), col("wt").as("t")))).as("arr"))
       .select(col("id"), graft.plans.SortedKeyDot(col("arr"), col("arr")).as("n2"))
+    val norms = sortedKeyNorms(wt)
     val post = wt.join(norms.hint("shuffle_hash"), "id")
-    val pp = post.as("x").join(post.as("y").hint("shuffle_hash"),
+    // The pair aggregation shuffles WITHOUT the token string — and
+    // (round 13) without a wide posting-pair checkpoint in between:
+    // the w-keyed self-join streams STRAIGHT into the (id_a, id_b)
+    // aggregation, so the ~n candidate pair-products are never
+    // materialized with their trigram strings attached. A k=1 pair's
+    // dot IS its one product (min(p) recovers it exactly), and a k=2
+    // pair's dot is p1+p2 in EITHER order — IEEE addition is
+    // commutative (only associativity fails), so plain sum(p) is
+    // bit-identical to the w-ascending fold. pairAgg feeds all
+    // branches — checkpoint so the join+groupBy runs once.
+    val pairAgg = post.as("x").join(post.as("y").hint("shuffle_hash"),
         col("x.w") === col("y.w") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("x.w").as("w"),
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         (col("x.wt") * col("y.wt")).as("p"),
         col("x.n2").as("na2"), col("y.n2").as("nb2"))
-      .localCheckpoint(true)
-    // The pair aggregation shuffles WITHOUT the token string: a k=1
-    // pair's dot IS its one product (min(p) recovers it exactly), and a
-    // k=2 pair's dot is p1+p2 in EITHER order — IEEE addition is
-    // commutative (only associativity fails), so plain sum(p) is
-    // bit-identical to the w-ascending fold. Only the k>=3 tail (~1%
-    // of pairs) pays the ordered refold. pairAgg feeds all branches —
-    // checkpoint so the groupBy runs once.
-    val pairAgg = pp.select("id_a", "id_b", "p", "na2", "nb2")
       .groupBy("id_a", "id_b").agg(
         count(lit(1)).as("k"), min("p").as("p1"), sum("p").as("sp"),
         min("na2").as("na2"), min("nb2").as("nb2"))
       // the k<=2 cosine folds into the aggregation output so the
       // checkpoint (and the final top-k scan) carries 4 narrow columns,
-      // not dots and norms (the k>=3 value here is garbage — the tail
-      // branch replaces it)
+      // not dots and norms
       .select(col("id_a"), col("id_b"), col("k"),
         round(when(col("k") === 1, col("p1")).otherwise(col("sp")) /
           (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("cosine"))
       .localCheckpoint(true)
     val smallK = pairAgg.filter(col("k") <= 2).select("id_a", "id_b", "cosine")
-    val tailIds = pairAgg.filter(col("k") >= 3).select(col("id_a"), col("id_b"))
-    val tail = pp.join(tailIds.hint("shuffle_hash"), Seq("id_a", "id_b"), "left_semi")
-      .groupBy("id_a", "id_b")
-      .agg(sortedFold(col("p")).as("dot"), min("na2").as("na2"), min("nb2").as("nb2"))
+    // Bound-pruned ordered refold (round 13, the Bayardo-spirit upper
+    // bound the r12 verdict asked for): for a k>=3 pair the
+    // aggregation's round(sum(p)/norms, 6) is already the true cosine
+    // up to IEEE reorder error |sum(p) − orderedFold| ≤ (k−1)·ε·Σp
+    // (every p > 0, so Σ|p| = Σp and the relative error is ≤ k·2⁻⁵² ≈
+    // 2e-13 even at k in the thousands) — far inside the 6-dp rounding
+    // grain, so the engine-pinned w-ascending refold value can differ
+    // from the aggregation value by AT MOST one rounding step (1e-6).
+    // That makes cosine ± 1e-6 a hard bound on the final value, and
+    // the global top-K boundary computable BEFORE any refold:
+    //   c_lo = the topK-th largest lower bound over all pairs
+    //          (k<=2 values are exact; k>=3 values carry −1e-6).
+    // At least topK pairs have true value ≥ their own lb ≥ c_lo, so a
+    // k>=3 pair whose upper bound (cosine + 1e-6) falls BELOW c_lo is
+    // strictly beaten by ≥ topK pairs — ties and id-tiebreaks cannot
+    // rescue a strict loser — and is dropped without ever being
+    // refolded. Only the boundary sliver (≈topK pairs, vs the full
+    // 16k-pair k>=3 tail at sf1) pays the ordered refold, and every
+    // EMITTED k>=3 cosine still comes from the w-ascending fold, so
+    // the output is bit-identical to the unpruned plan.
+    val cLo = pairAgg
+      .select((col("cosine") -
+        when(col("k") >= 3, lit(1e-6)).otherwise(lit(0.0))).as("lb"))
+      .orderBy(col("lb").desc).limit(topK)
+      .agg(coalesce(min("lb"), lit(-2.0)).as("c_lo"))
+    val tailPairs = pairAgg.crossJoin(broadcast(cLo))
+      .filter(col("k") >= 3 && col("cosine") + lit(1e-6) >= col("c_lo"))
+      .select(col("id_a"), col("id_b"))
+    // The refold recomputes its few pair-products from the narrow wt
+    // checkpoint, pruned to the boundary docs by a broadcast id list —
+    // a tiny join instead of a full posting-pair rescan (the old plan
+    // kept every candidate pair checkpointed wide for exactly this
+    // branch). Norms for these docs re-derive through the identical
+    // SortedKeyDot fold, so they are the same IEEE values that rode
+    // the posting rows.
+    val tIds = tailPairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val wtT = wt.join(broadcast(tIds), "id")
+    val normsT = sortedKeyNorms(wtT)
+    val tail = wtT.as("x").join(wtT.as("y"),
+        col("x.w") === col("y.w") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.w").as("w"), (col("x.wt") * col("y.wt")).as("p"))
+      .join(broadcast(tailPairs), Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b").agg(sortedFold(col("p")).as("dot"))
+      .join(broadcast(normsT.select(col("id").as("id_a"), col("n2").as("na2"))), "id_a")
+      .join(broadcast(normsT.select(col("id").as("id_b"), col("n2").as("nb2"))), "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("cosine"))
     val cos = smallK.unionByName(tail)

@@ -7,7 +7,8 @@ import graft.sources.Tables
 import graft.GraftSession
 
 /** Dev profiler: phase timings for tfidfCosinePairs' candidate/verify
-  * plan (round-10 restructure).
+  * plan (round-13 shape: checkpoint-free pair aggregation + c_lo
+  * bound-pruned refold tail — see TUNING.md round-13).
   */
 object TfidfProf {
   def main(args: Array[String]): Unit = {
@@ -46,43 +47,36 @@ object TfidfProf {
         (col("tf") * (log((col("nd") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))).as("wt"))
       .localCheckpoint(true)
     time("wt (cap+checkpoint)")(wt.count())
-    def sortedFold(term: org.apache.spark.sql.Column) =
-      aggregate(sort_array(collect_list(struct(col("w"), term.as("t")))),
-        lit(0.0), (a, x) => a + x.getField("t"))
-    val norms = wt.groupBy("id").agg(sortedFold(col("wt") * col("wt")).as("n2"))
+    def sortedKeyNorms(postings: org.apache.spark.sql.DataFrame) = postings.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("w"), col("wt").as("t")))).as("arr"))
+      .select(col("id"), graft.plans.SortedKeyDot(col("arr"), col("arr")).as("n2"))
+    val norms = sortedKeyNorms(wt)
     time("norms")(norms.count())
     val post = wt.join(norms.hint("shuffle_hash"), "id")
-    val pp = post.as("x").join(post.as("y").hint("shuffle_hash"),
+    val pairAgg = post.as("x").join(post.as("y").hint("shuffle_hash"),
         col("x.w") === col("y.w") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("x.w").as("w"),
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         (col("x.wt") * col("y.wt")).as("p"),
         col("x.n2").as("na2"), col("y.n2").as("nb2"))
-      .localCheckpoint(true)
-    time("pp (join+checkpoint)")(pp.count())
-    val pairAgg = pp.select("id_a", "id_b", "p", "na2", "nb2")
       .groupBy("id_a", "id_b").agg(
         count(lit(1)).as("k"), min("p").as("p1"), sum("p").as("sp"),
         min("na2").as("na2"), min("nb2").as("nb2"))
+      .select(col("id_a"), col("id_b"), col("k"),
+        round(when(col("k") === 1, col("p1")).otherwise(col("sp")) /
+          (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("cosine"))
       .localCheckpoint(true)
-    time("pairAgg (checkpoint)")(pairAgg.count())
-    val smallK = pairAgg.filter(col("k") <= 2)
-      .select(col("id_a"), col("id_b"),
-        when(col("k") === 1, col("p1")).otherwise(col("sp")).as("dot"),
-        col("na2"), col("nb2"))
-    val tailIds = pairAgg.filter(col("k") >= 3).select(col("id_a"), col("id_b"))
-    time("tailIds")(tailIds.count())
-    def mkTail(ids: org.apache.spark.sql.DataFrame) =
-      pp.join(ids, Seq("id_a", "id_b"), "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(sortedFold(col("p")).as("dot"), min("na2").as("na2"), min("nb2").as("nb2"))
-    time("tail shuffle_hash")(mkTail(tailIds.hint("shuffle_hash")).count())
-    time("tail aqe-auto")(mkTail(tailIds).count())
-    time("tail broadcast")(mkTail(broadcast(tailIds)).count())
-    val tail = mkTail(tailIds.hint("shuffle_hash"))
-    val cos = smallK.unionByName(tail)
-      .select(col("id_a"), col("id_b"),
-        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("cosine"))
-    time("topk")(cos.orderBy(col("cosine").desc, col("id_a"), col("id_b")).limit(50).count())
+    time("pairAgg (join+checkpoint)")(pairAgg.count())
+    time("k>=3 tail size (unpruned)")(pairAgg.filter(col("k") >= 3).count())
+    val topK = 50
+    val cLo = pairAgg
+      .select((col("cosine") -
+        when(col("k") >= 3, lit(1e-6)).otherwise(lit(0.0))).as("lb"))
+      .orderBy(col("lb").desc).limit(topK)
+      .agg(coalesce(min("lb"), lit(-2.0)).as("c_lo"))
+    val tailPairs = pairAgg.crossJoin(broadcast(cLo))
+      .filter(col("k") >= 3 && col("cosine") + lit(1e-6) >= col("c_lo"))
+      .select(col("id_a"), col("id_b"))
+    time("tailPairs (c_lo pruned)")(tailPairs.count())
     time("full query")(graft.operators.TextRank.tfidfCosinePairs(docs, "doc_id", "text").count())
     time("full query again")(graft.operators.TextRank.tfidfCosinePairs(docs, "doc_id", "text").count())
     time("full query 3rd")(graft.operators.TextRank.tfidfCosinePairs(docs, "doc_id", "text").count())

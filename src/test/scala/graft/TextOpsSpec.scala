@@ -287,6 +287,33 @@ class TextOpsSpec extends SparkSpec {
     assert(!out.exists(r => r.getAs[Long]("id_a") == 4L || r.getAs[Long]("id_b") == 4L))
   }
 
+  test("tfidfCosinePairs: bound-pruned k>=3 refold emits the identical top-K (boundary ties included)") {
+    import spark.implicits._
+    // Every pair shares the 4 trigrams of the common 6-word phrase
+    // (k >= 3, so every pair sits in the ordered-refold tail), with
+    // per-doc noise words grading the cosines; docs 1-3 are identical
+    // so three cosine-1.0 pairs stress the id tiebreak at the top.
+    // topK = 5 over ~91 such pairs forces the c_lo bound to actually
+    // drop most of the tail — the pruned run must still match the
+    // topK-prefix of a run whose topK exceeds the pair count (there
+    // c_lo is the global minimum lower bound, so nothing is pruned
+    // and every pair flows through the refold: the unpruned
+    // reference).
+    val docs = (1 to 14).map { i =>
+      val noise = if (i <= 3) "" else (1 to i).map(j => s"pad${i}_$j").mkString(" ", " ", "")
+      (i.toLong, "alpha beta gamma delta epsilon zeta" + noise)
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("id_a"),
+        r.getAs[Long]("id_b"), r.getAs[Double]("cosine"))).sortBy(_._1)
+    val pruned = rows(TextRank.tfidfCosinePairs(docs, "doc_id", "text", maxDf = 1000, topK = 5))
+    val full = rows(TextRank.tfidfCosinePairs(docs, "doc_id", "text", maxDf = 1000, topK = 200))
+    assert(full.length > 80, s"corpus should have ~91 k>=3 pairs, got ${full.length}")
+    assert(pruned.length == 5)
+    assert(pruned.toSeq == full.take(5).toSeq)
+    assert(pruned.take(3).forall(_._4 == 1.0)) // the identical-doc tie block survives intact
+  }
+
   test("tfidfCosinePairs: self-scaling df cap enforces the df²-mass budget") {
     import spark.implicits._
     // 12 docs sharing one common trigram (df=12) plus pairwise-shared

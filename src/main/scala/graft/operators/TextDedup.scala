@@ -194,12 +194,21 @@ object TextDedup {
 
   /** Engine-portable (md5-hex) MinHash signature of a shingle array —
     * the per-chunk building block of [[mergeSignatures]]; identical to
-    * the signature inside minhashNearDupsPortableReleasable.
+    * the signature inside minhashNearDupsPortableReleasable. Native
+    * expression (graft.plans.PortableMinHashSig) — the interpreted-HOF
+    * form ([[portableSignatureHof]], bit-identical, spec-pinned) pays
+    * a concat + full hex encode + substring + array per (shingle, i).
     */
   def portableSignature(shingles: Column, h: Int): Column =
+    graft.plans.PortableMinHashSig(shingles, h)
+
+  /** Reference HOF formulation of [[portableSignature]] (bit-identical;
+    * this is also exactly what the DuckDB oracles inline).
+    */
+  def portableSignatureHof(shingles: Column, h: Int, saltPrefix: String = ""): Column =
     transform(sequence(lit(0), lit(h - 1)), i =>
       array_min(transform(shingles, s =>
-        substring(md5(concat(s, lit(":"), i.cast("string"))), 1, 16))))
+        substring(md5(concat(lit(saltPrefix), s, lit(":"), i.cast("string"))), 1, 16))))
 
   /** Mergeable MinHash maintenance: a signature is an elementwise
     * minimum, so sig(A ∪ B) = elementwise_min(sig(A), sig(B)) — an
@@ -369,9 +378,10 @@ object TextDedup {
       .select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), ngram).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .persist(storage))
-    val sig = transform(sequence(lit(0), lit(h - 1)), i =>
-      array_min(transform(col("shingles"), s =>
-        substring(md5(concat(lit(saltPrefix), s, lit(":"), i.cast("string"))), 1, 16))))
+    // Native md5-minhash (graft.plans.PortableMinHashSig) — the
+    // interpreted-HOF form is bit-identical but pays per-(shingle, i)
+    // string churn; the oracle inlines the HOF semantics unchanged.
+    val sig = graft.plans.PortableMinHashSig(col("shingles"), h, saltPrefix)
     val banded = shingled
       .select(col("id"), sig.as("sig"))
       .select(col("id"),
@@ -452,9 +462,8 @@ object TextDedup {
       .select(col(idCol).as("id"), TextAnalysis.wordNgrams(col(textCol), ngram).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .localCheckpoint(true)
-    val sig = transform(sequence(lit(0), lit(h - 1)), i =>
-      array_min(transform(col("shingles"), s =>
-        substring(md5(concat(s, lit(":"), i.cast("string"))), 1, 16))))
+    // Native md5-minhash, bit-identical to the HOF form the oracle inlines.
+    val sig = graft.plans.PortableMinHashSig(col("shingles"), h)
     val banded = shingled
       .select(col("id"), sig.as("sig"))
       .select(col("id"),
@@ -630,10 +639,7 @@ object TextDedup {
     // HOF lambdas get no CSE, so an inline signature would recompute
     // all h hashes once PER BAND (measured 4x on the portable path).
     def sigCol(sh: Column): Column =
-      if (portable)
-        transform(sequence(lit(0), lit(h - 1)), i =>
-          array_min(transform(sh, s =>
-            substring(md5(concat(s, lit(":"), i.cast("string"))), 1, 16))))
+      if (portable) graft.plans.PortableMinHashSig(sh, h)
       else minhashSignature(sh, h)
     def bandsOf(sig: Column): Column =
       if (portable)

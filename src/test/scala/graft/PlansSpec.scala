@@ -22,17 +22,51 @@ class PlansSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("PortableMinHashSig equals the HOF portable signature bit-for-bit (plain + salted)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+      .select(TextAnalysis.wordNgrams(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val diff = docs.select(
+      TextDedup.portableSignature(col("sh"), 16).as("fast"),
+      TextDedup.portableSignatureHof(col("sh"), 16).as("ref"),
+      graft.plans.PortableMinHashSig(col("sh"), 8, "cr2:").as("fast_s"),
+      TextDedup.portableSignatureHof(col("sh"), 8, "cr2:").as("ref_s")
+    ).filter(col("fast") =!= col("ref") || col("fast_s") =!= col("ref_s")).count()
+    assert(diff == 0)
+    // edge semantics, HOF-equal on the full domain: NULL array -> h
+    // nulls (outer transform ranges over sequence, never null), empty
+    // or all-null array -> h nulls, null elements skipped
+    val edge = spark.sql(
+      """SELECT sh FROM VALUES
+        | (CAST(NULL AS array<string>)),
+        | (array()),
+        | (array(CAST(NULL AS string))),
+        | (array('x', CAST(NULL AS string), 'y')) t(sh)""".stripMargin)
+    val bad = edge.select(
+      TextDedup.portableSignature(col("sh"), 4).as("fast"),
+      TextDedup.portableSignatureHof(col("sh"), 4).as("ref"))
+      .filter(!(col("fast") <=> col("ref"))).count()
+    assert(bad == 0)
+    // interpreted eval (local relation, no whole-stage) agrees too
+    val local = Seq(Seq("a", "bb", "ccc")).toDF("sh").select(
+      TextDedup.portableSignature(col("sh"), 4).as("fast"),
+      TextDedup.portableSignatureHof(col("sh"), 4).as("ref"))
+    assert(local.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
   test("ChunkedMinHashSig equals the composed filter+portableSignature form bit-for-bit") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
       .select(TextAnalysis.wordNgrams(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     val loRef = filter(col("sh"), x => substring(md5(x), 1, 1) < "8")
     val hiRef = filter(col("sh"), x => substring(md5(x), 1, 1) >= "8")
+    // reference side stays the composed HOF form (portableSignature is
+    // itself native since round 13)
     val both = docs.select(
       graft.plans.ChunkedMinHashSig(col("sh"), 8).as("cs"),
-      when(size(loRef) > 0, TextDedup.portableSignature(loRef, 8)).as("lo_ref"),
-      when(size(hiRef) > 0, TextDedup.portableSignature(hiRef, 8)).as("hi_ref"),
-      TextDedup.portableSignature(col("sh"), 8).as("full_ref"))
+      when(size(loRef) > 0, TextDedup.portableSignatureHof(loRef, 8)).as("lo_ref"),
+      when(size(hiRef) > 0, TextDedup.portableSignatureHof(hiRef, 8)).as("hi_ref"),
+      TextDedup.portableSignatureHof(col("sh"), 8).as("full_ref"))
     assert(both.filter(
       !(col("cs.lo") <=> col("lo_ref")) ||
       !(col("cs.hi") <=> col("hi_ref")) ||

@@ -52,31 +52,55 @@ object Arena {
     * merge induction: bounded driver-free rounds).
     */
   def bradleyTerry(matrix: DataFrame, iters: Int): DataFrame = {
-    val sym = matrix
-      .select(col("a").as("i"), col("b").as("j"), col("wins_a").as("w"),
-        (col("wins_a") + col("wins_b")).as("ng"))
-      .unionByName(matrix.select(col("b").as("i"), col("a").as("j"),
-        col("wins_b").as("w"), (col("wins_a") + col("wins_b")).as("ng")))
-      .filter(col("ng") > 0)
-      .localCheckpoint(true)
-    val wins = sym.groupBy("i")
-      .agg(sum(col("w")).cast("double").as("wi"), sum(col("ng")).as("games"))
-    var p = wins.select(col("i"), lit(1.0).as("p"))
-    for (_ <- 1 to iters) {
-      val denom = sym
-        .join(p.select(col("i"), col("p").as("pi")), Seq("i"))
-        .join(p.select(col("i").as("j"), col("p").as("pj")), Seq("j"))
-        .groupBy("i")
-        .agg(sum(col("ng").cast("double") / (col("pi") + col("pj"))).as("den"))
-      val raw = wins.join(denom, Seq("i"))
-        .select(col("i"), (col("wi") / col("den")).as("praw"))
-      val scale = raw.agg((count(lit(1)).cast("double") / sum(col("praw"))).as("k"))
-      p = raw.crossJoin(broadcast(scale))
-        .select(col("i"), (col("praw") * col("k")).as("p"))
-        .localCheckpoint(true)
+    // The win matrix is ROSTER-bounded (≤ T² rows for T contenders — a
+    // model roster, not the corpus), so the MM iteration is a bounded
+    // driver contract like the MMR/BPE argmax steps: one collect of the
+    // ≤T² matrix, the fixed `iters` float recursion locally, and a
+    // T-row literal result. The previous shape ran the same recursion
+    // as ~3 eager localCheckpoint jobs per round of broadcast-sized
+    // joins (measured 1.5 s wall / 0.2 s cpu at sf0.1 — serial job
+    // latency, zero data-sized work). Iteration order is pinned by
+    // sorting keys on their string form, so the double sequence is
+    // deterministic run-to-run; values land inside the 4-dp output
+    // round exactly as before.
+    val spark = matrix.sparkSession
+    val mType = matrix.schema("a").dataType
+    val rows = matrix
+      .select(col("a"), col("b"), col("wins_a").cast("long"), col("wins_b").cast("long"))
+      .collect()
+    // symmetric decided-games view: (i, j, w_i, n_ij) both directions
+    val sym = rows.flatMap { r =>
+      val (a, b, wa, wb) = (r.get(0), r.get(1), r.getLong(2), r.getLong(3))
+      val ng = wa + wb
+      if (ng > 0) Seq((a, b, wa, ng), (b, a, wb, ng)) else Seq.empty
     }
-    wins.join(p, Seq("i"))
-      .select(col("i").as("m"), col("games"), col("wi").cast("long").as("wins"),
-        round(col("p"), 4).as("strength"))
+    val keys = sym.map(_._1).distinct.sortBy(_.toString)
+    val wi = keys.map(k => k -> sym.filter(_._1 == k).map(_._3).sum.toDouble).toMap
+    val games = keys.map(k => k -> sym.filter(_._1 == k).map(_._4).sum).toMap
+    val byI = keys.map(k => k -> sym.filter(_._1 == k).sortBy(_._2.toString)).toMap
+    var p = keys.map(k => k -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val praw = keys.map { k =>
+        val den = byI(k).foldLeft(0.0) { case (acc, (_, j, _, ng)) => acc + ng.toDouble / (p(k) + p(j)) }
+        k -> wi(k) / den
+      }.toMap
+      val scale = keys.size.toDouble / keys.foldLeft(0.0)((acc, k) => acc + praw(k))
+      p = keys.map(k => k -> praw(k) * scale).toMap
+    }
+    // identical rounding to Catalyst's round(double, 4): BigDecimal of
+    // the double's shortest decimal form, HALF_UP — not a scaled
+    // math.round, which differs on representation-boundary values
+    def round4(v: Double): Double =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = keys.map { k =>
+      org.apache.spark.sql.Row(k, games(k), wi(k).toLong, round4(p(k)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("m", mType),
+      org.apache.spark.sql.types.StructField("games", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("wins", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("strength", org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 }

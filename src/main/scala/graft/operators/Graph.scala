@@ -317,17 +317,27 @@ object Graph {
     val n = v.count()
     var ranks = v.select(col("id"), lit(1.0 / n).as("r")).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      // shuffle_hash on the node-grain rank table: same measured
-      // auto-broadcast-vs-shuffle finding as hits/katz (the ~30 MB
-      // per-round broadcast build loses; at scale it only grows).
-      val contribs = eAug.join(ranks.hint("shuffle_hash"), eAug("src") === ranks("id"))
+      // UNHINTED (round 14): both join sides are checkpointed frames
+      // with no usable static stats, so the initial plan is a safe
+      // sort-merge — never the mid-scale ~30 MB static-broadcast
+      // pathology r12 measured — and AQE then rewrites per round from
+      // the TRUE shuffle sizes (broadcast while the rank table is
+      // small, shuffle join once it isn't). The previous pinned
+      // shuffle_hash paid a per-task hash-relation build on every
+      // round (micro-measured 1.5-2.1 s cpu/round vs 0.24 unhinted on
+      // a 100k-edge frame — MicroJoin.scala).
+      // contribs is NOT separately checkpointed (round 14): its two
+      // consumers (the dangling-mass scalar and the rank join) live in
+      // the ONE `next` plan, where Spark's exchange reuse computes the
+      // aggregation once (ReusedExchange on the identical subtree) —
+      // the old per-round contribs checkpoint was a whole extra eager
+      // job per round for lineage the `next` checkpoint already cuts.
+      val contribs = eAug.join(ranks, eAug("src") === ranks("id"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("deg")).as("m"))
-        .localCheckpoint(true)
       // The dangling mass rejoins as a BROADCAST one-row frame inside
-      // the same plan — no per-round driver action (the scan over the
-      // checkpointed contribs is narrow either way, but a `.head()`
-      // here serialized a whole extra job per round).
+      // the same plan — no per-round driver action (a `.head()` here
+      // serialized a whole extra job per round).
       val dm = contribs.filter(col("id") === DanglingSentinel)
         .agg(coalesce(sum("m"), lit(0.0)).as("dm"))
       val next = v.join(contribs.filter(col("id") =!= DanglingSentinel), Seq("id"), "left")
@@ -337,7 +347,6 @@ object Graph {
             lit(damping) * (coalesce(col("m"), lit(0.0)) +
               col("dm") / lit(n.toDouble))).as("r"))
         .localCheckpoint(true)
-      releaseCheckpoint(contribs)
       releaseCheckpoint(ranks)
       ranks = next
     }
@@ -422,13 +431,21 @@ object Graph {
       .localCheckpoint(true)
     var ranks = sVec.select(col("id"), col("w").as("r")).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      // shuffle_hash on the node-grain rank table: same measured
-      // auto-broadcast-vs-shuffle finding as hits/katz (the ~30 MB
-      // per-round broadcast build loses; at scale it only grows).
-      val contribs = eAug.join(ranks.hint("shuffle_hash"), eAug("src") === ranks("id"))
+      // UNHINTED (round 14): both join sides are checkpointed frames
+      // with no usable static stats, so the initial plan is a safe
+      // sort-merge — never the mid-scale ~30 MB static-broadcast
+      // pathology r12 measured — and AQE then rewrites per round from
+      // the TRUE shuffle sizes (broadcast while the rank table is
+      // small, shuffle join once it isn't). The previous pinned
+      // shuffle_hash paid a per-task hash-relation build on every
+      // round (micro-measured 1.5-2.1 s cpu/round vs 0.24 unhinted on
+      // a 100k-edge frame — MicroJoin.scala).
+      // contribs is NOT separately checkpointed (round 14): both its
+      // consumers live in the ONE `next` plan where exchange reuse
+      // computes the aggregation once — see [[pageRankIterate]].
+      val contribs = eAug.join(ranks, eAug("src") === ranks("id"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("deg")).as("m"))
-        .localCheckpoint(true)
       // Dangling mass as a broadcast one-row frame inside the `next`
       // plan — same fold as [[pageRank]]: one job per round, no
       // per-round `.head()` driver action.
@@ -440,7 +457,6 @@ object Graph {
           (lit(1.0 - damping) * col("w") +
             lit(damping) * (coalesce(col("m"), lit(0.0)) + col("dm") * col("w"))).as("r"))
         .localCheckpoint(true)
-      releaseCheckpoint(contribs)
       releaseCheckpoint(ranks)
       ranks = next.select("id", "r")
     }

@@ -215,7 +215,22 @@ object Inference {
       .groupBy("g", "p").agg(sum("x").as("x"))
     val a = d.select(col("g"), col("p").as("pa"), col("x").as("xa"))
     val b = d.select(col("g").as("g2"), col("p").as("pb"), col("x").as("xb"))
-    val s = a.join(b, col("g") === col("g2") && col("pa") < col("pb"))
+    // BROADCAST the right side (period-domain bounded, tiny): the join
+    // key g has only a handful of distinct values, so a shuffled join
+    // serializes the O(days²) pair expansion onto ≤|groups| tasks
+    // (measured 10.4 s wall / 7.0 s cpu at sf0.1 — near-zero
+    // parallelism). A broadcast hash join keeps the expansion's
+    // parallelism at the STREAM side's partitioning instead of the key
+    // cardinality — and because the stream side is itself a tiny
+    // aggregate that AQE would coalesce to one partition, it is
+    // round-robin spread over defaultParallelism first
+    // (cluster-derived, not a tuned constant; round-robin rather than
+    // keyed because a (g, pa) hash spread equals the upstream groupBy
+    // exchange's partitioning and the planner elides it). The signum
+    // sum still folds map-side. Same rows, same aggregation — result
+    // unchanged.
+    val aSpread = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val s = aSpread.join(broadcast(b), col("g") === col("g2") && col("pa") < col("pb"))
       .groupBy("g").agg(sum(signum((col("xb") - col("xa")).cast("double")).cast("long")).as("s_stat"))
     val n = d.groupBy("g").agg(count(lit(1)).as("n_periods"))
     val nn = col("n_periods").cast("double")

@@ -186,8 +186,10 @@ object LlmQueries {
     // dominates). Exact integer ratio, rounded only at output.
     "q_cohens_kappa" -> { (s, dir) =>
       val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
+      // Par.spread: the 4-profile token filters measured as ONE 4.5 s
+      // task on the unsplittable single-row-group scan (StageProf r14)
       Stats.cohensKappa(
-        TextAnalysis.withLangPrediction(Tables(s, dir).documents, col("text"),
+        TextAnalysis.withLangPrediction(Par.spread(Tables(s, dir).documents), col("text"),
           profiles, "und", "__pred"),
         col("lang"), col("__pred"))
     },
@@ -981,6 +983,10 @@ object LlmQueries {
     // On-corpus Naive Bayes: fit a language model on the corpus's own
     // labels, predict every doc — train+predict end-to-end in one plan.
     "q_nb_lang" -> { (s, dir) =>
+      // NO Par.spread here (r14 interleaved A/B): the NB fit+predict
+      // chain has many downstream aggregation stages, and widening the
+      // scan multiplied their task counts — cpu 1.6->9.2 s, wall floor
+      // 1.13->1.80 s. Single-scan stays the measured optimum.
       val docs = Tables(s, dir).documents
       NaiveBayes.predict(docs,
         NaiveBayes.fit(docs, labelCol = "lang", textCol = "text", buckets = 1024),
@@ -992,6 +998,8 @@ object LlmQueries {
     // against the lang labels — the discordant-pair readout for
     // comparing classifiers on a shared eval set.
     "q_mcnemar" -> { (s, dir) =>
+      // NO Par.spread (r14 A/B): same NB-chain task-count blowup as
+      // q_nb_lang — cpu 1.7->15.6 s, wall floor 1.13->2.01 s.
       val d = Tables(s, dir).documents
       val profiles = Seq("en", "de", "es", "fr").map(l => l -> TextAnalysis.langProfiles(l))
       val a = TextAnalysis.withLangPrediction(d, col("text"), profiles, "und", "pred_a")
@@ -1008,6 +1016,8 @@ object LlmQueries {
     // given lang label by >= 0.5 log-odds — the labels the data itself
     // contradicts.
     "q_label_noise" -> { (s, dir) =>
+      // NO Par.spread (r14 A/B): NB-chain task-count blowup, cpu
+      // 1.8->6.6 s, wall floor 1.38->1.88 s.
       NaiveBayes.labelNoise(Tables(s, dir).documents, "doc_id", "lang", "text",
         margin = 0.5, buckets = 1024)
         .withColumnRenamed("id", "doc_id").withColumnRenamed("label", "lang")

@@ -1754,12 +1754,18 @@ object Stats {
       col("sy").cast("decimal(19,0)")).cast("double")
     val d2 = (bb * (dxs * dxs) - lit(2.0) * cc * (dxs * dys) + aa * (dys * dys)) /
       (aa * bb - cc * cc)
-    val scored = withMom.select(col("g"), col("id"), d2.as("d2"))
-    val peak = scored.groupBy("g").agg(max("d2").as("max_d2"))
-    scored.join(broadcast(peak), "g")
-      .filter(col("d2") === col("max_d2"))
+    // Single-pass argmax: the old peak-then-equality-join shape scanned
+    // the scored rows TWICE (once for max(d2), once to re-derive d2 and
+    // filter d2 === max_d2 — the d2 arithmetic is the expensive part).
+    // max(struct(d2, -id)) picks the same row in one map-side-combinable
+    // aggregation: largest d2 first, then largest -id = SMALLEST id —
+    // exactly the old min(id)-among-max rows tiebreak, on the identical
+    // per-row doubles, so the result is bit-for-bit unchanged.
+    val best = withMom.select(col("g"), col("id"), d2.as("d2"))
       .groupBy("g")
-      .agg(min("id").as("outlier_id"), max("max_d2").as("max_d2"))
+      .agg(max(struct(col("d2"), (-col("id")).as("nid"))).as("m"))
+    best
+      .select(col("g"), (-col("m.nid")).as("outlier_id"), col("m.d2").as("max_d2"))
       .join(broadcast(mom.select(col("g"), col("n"))), "g")
       .select(col("g").as(groupCol), col("n"), col("outlier_id"), col("max_d2"))
   }

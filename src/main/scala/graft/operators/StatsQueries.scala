@@ -176,6 +176,9 @@ object StatsQueries {
     // Functional-dependency violation screen (Potter's Wheel / Deequ
     // style): which candidate key→attribute dependencies actually
     // hold, with ppm violation rates — integer end to end.
+    // NO Par.spread on fd_profile (r14 A/B): three FD aggregations
+    // multiply the widened task count — cpu 2.9->10.4 s, wall floor
+    // 0.95->1.45 s.
     "q_fd_profile" -> { (s, dir) =>
       DataOps.fdProfile(
         Tables(s, dir).lineitem.select("l_orderkey", "l_suppkey", "l_partkey"),

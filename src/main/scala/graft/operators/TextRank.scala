@@ -163,13 +163,17 @@ object TextRank {
     // the posting rows (doc-grain join BEFORE the self-join), so no
     // pair-grain norm joins exist at all.
     //
-    // shuffle_hash posture (the round-9 auto-broadcast lesson): the
-    // posting self-join's sides and the doc-grain norm table both dip
-    // under the broadcast threshold at mid scale, and the measured
-    // broadcast builds lose ~15% (sensitivity sweep); at corpus scale
-    // neither side is broadcastable at all. The multi-tail semi-join is
-    // UNHINTED: AQE broadcasts the small pair-id list at ladder scale
-    // and falls back to a shuffle join if the tail ever grows.
+    // UNHINTED joins (round 14): the pair self-join's former
+    // shuffle_hash pin paid a per-task hash-relation build over string
+    // keys — interleaved A/B at sf0.1 measured cpu 27.9 -> 19.4 s and
+    // wall floor 5.0 -> 4.7 s from dropping it. Both sides are
+    // checkpointed (no static stats), so the initial plan is sort-merge
+    // — never the round-9 static mid-scale broadcast pathology — and
+    // AQE re-plans from TRUE shuffle sizes (at sf1+ the posting table
+    // exceeds the 32 MiB threshold, so no broadcast build returns).
+    // The multi-tail semi-join stays UNHINTED for the same reason: AQE
+    // broadcasts the small pair-id list at ladder scale and falls back
+    // to a shuffle join if the tail ever grows.
     def sortedFold(term: Column): Column =
       aggregate(sort_array(collect_list(struct(col("w"), term.as("t")))),
         lit(0.0), (a, x) => a + x.getField("t"))
@@ -181,7 +185,7 @@ object TextRank {
       .agg(sort_array(collect_list(struct(col("w"), col("wt").as("t")))).as("arr"))
       .select(col("id"), graft.plans.SortedKeyDot(col("arr"), col("arr")).as("n2"))
     val norms = sortedKeyNorms(wt)
-    val post = wt.join(norms.hint("shuffle_hash"), "id")
+    val post = wt.join(norms, "id")
     // The pair aggregation shuffles WITHOUT the token string — and
     // (round 13) without a wide posting-pair checkpoint in between:
     // the w-keyed self-join streams STRAIGHT into the (id_a, id_b)
@@ -192,7 +196,7 @@ object TextRank {
     // commutative (only associativity fails), so plain sum(p) is
     // bit-identical to the w-ascending fold. pairAgg feeds all
     // branches — checkpoint so the join+groupBy runs once.
-    val pairAgg = post.as("x").join(post.as("y").hint("shuffle_hash"),
+    val pairAgg = post.as("x").join(post.as("y"),
         col("x.w") === col("y.w") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         (col("x.wt") * col("y.wt")).as("p"),

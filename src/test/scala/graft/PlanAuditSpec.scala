@@ -52,10 +52,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("id_a") && s.contains("id_b"), s)
   }
 
-  test("distill field/abstract chains are single-stage projections (zero shuffles)") {
+  test("distill field/abstract chains are map-only plans (no required shuffles)") {
+    // r14: the heavy distill chains widen an unsplittable single-
+    // row-group scan with ONE explicit Par.spread round-robin exchange
+    // (REPARTITION_BY_NUM — interleaved A/B: q_distill_fields wall
+    // floor 1.50 -> 0.49 s; at production scale the guard makes it a
+    // no-op). No OTHER exchange may appear: an ENSURE_REQUIREMENTS
+    // shuffle would mean the chain stopped being a pure projection.
     for (name <- Seq("q_distill_fields", "q_distill_abstract")) {
       val s = formatted(name)
-      assert(countOp(s, "Exchange") == 0, s"$name shuffles: $s")
+      val exchanges = countOp(s, "Exchange")
+      val spreads = "REPARTITION_BY_NUM".r.findAllIn(s).size
+      assert(exchanges == spreads && exchanges <= 1,
+        s"$name has a non-spread shuffle ($exchanges exchanges, $spreads spreads): $s")
       assert(countOp(s, "BroadcastExchange") == 0, s"$name joins: $s")
     }
   }

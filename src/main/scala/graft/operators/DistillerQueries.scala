@@ -33,7 +33,7 @@ object DistillerQueries {
     "q_distill_fields" -> { (s, dir) =>
       // Par.spread: the distiller expression tree measured as ONE
       // 2.2 s task on the unsplittable orders scan (StageProf r14)
-      val o = Par.spread(Tables(s, dir).orders)
+      val o = Par.spread(Tables(s, dir).orders, col("o_orderkey"))
       val k = col("o_orderkey")
       val ks = k.cast("string")
       val y = year(col("o_orderdate")).cast("long")
@@ -306,7 +306,7 @@ object DistillerQueries {
     // Residue classes reach every arm incl. both WOS variants and the
     // sulpub comma-flip.
     "q_distill_author_names" -> { (s, dir) =>
-      val o = Par.spread(Tables(s, dir).orders)
+      val o = Par.spread(Tables(s, dir).orders, col("o_orderkey"))
       val k = col("o_orderkey")
       val ks = k.cast("string")
 
@@ -352,7 +352,7 @@ object DistillerQueries {
     // pubmed @Source=="ORCID" identifier filter and the authors[-1]
     // empty-orcid miss.
     "q_distill_author_orcids" -> { (s, dir) =>
-      val o = Par.spread(Tables(s, dir).orders)
+      val o = Par.spread(Tables(s, dir).orders, col("o_orderkey"))
       val k = col("o_orderkey")
       val lp = lpad((k % 9999).cast("string"), 4, "0")
 

@@ -189,7 +189,7 @@ object LlmQueries {
       // Par.spread: the 4-profile token filters measured as ONE 4.5 s
       // task on the unsplittable single-row-group scan (StageProf r14)
       Stats.cohensKappa(
-        TextAnalysis.withLangPrediction(Par.spread(Tables(s, dir).documents), col("text"),
+        TextAnalysis.withLangPrediction(Par.spread(Tables(s, dir).documents, col("doc_id")), col("text"),
           profiles, "und", "__pred"),
         col("lang"), col("__pred"))
     },

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Scan-parallelism repair for expensive per-row pipelines (round 14).
   *
@@ -24,9 +24,17 @@ object Par {
     * scan cannot already supply that much parallelism. Call on the
     * NARROW base projection (before the expensive expressions), so the
     * shuffle carries source columns, not computed ones.
+    *
+    * Spread by a high-cardinality KEY (the row id) rather than
+    * round-robin: RoundRobinPartitioning pays a whole-row local sort
+    * before the exchange (spark.sql.execution.sortBeforeRepartition,
+    * needed for retry determinism — StageProf measured it as a 1.6 s
+    * single-task sort of full document text on q_cohens_kappa), while
+    * hash partitioning is retry-deterministic for free and only hashes
+    * the key.
     */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, key)
   }
 }
